@@ -29,15 +29,18 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence as Seq
 from dataclasses import dataclass, field
 from functools import reduce as _reduce
+from itertools import count as _count
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..core.errors import ERROR_COL, is_ok, make_error
 from ..core.step import Step, identity_step
-from .processors import _guarded, _resolve, Updates
+from .processors import _guarded, _resolve, transform, Updates
 
 _ROUTE = "_pipz_route"
+_WINNER = "_pipz_winner"
+_obs_seq = _count()  # salts observation names (unique per plan)
 
 
 class Sequence(Step):
@@ -117,63 +120,126 @@ def sequence(name: str, *steps: Step) -> Sequence:
 def switch(
     name: str,
     route_key: Column,
-    routes: Mapping[str, Step],
-    default: Step | None = None,
+    routes: Mapping[str, Step | Updates],
+    default: Step | Updates | None = None,
 ) -> Step:
     """Per-row routing on a string key; unmatched rows pass through
     unchanged (switch.go:104-107).
 
-    Implementation: filter-split per route + unionByName. Each branch
-    filter lands next to the scan, so Catalyst prunes per branch; at
-    100 TB, prefer expression-style branches (Transform/Mutate steps)
-    so AQE can coalesce the union's partitions. Errored rows always
-    take the passthrough arm (they must skip processing).
-    """
-    branch_steps = dict(routes)
+    Two compilation modes:
 
-    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        routed = df.withColumn(_ROUTE, F.when(is_ok(), route_key))
+    * **Expression mode** (all branches are Updates mappings, the
+      preferred shape at 100 TB): the entire switch compiles to ONE
+      projection over ONE scan — per output column a chained
+      ``when(route == k, branch_expr)`` with input-passthrough as the
+      final otherwise. This is the exact mapping SURVEY §2.2 C2
+      prescribes; no unions, no re-scans, whole-stage codegen fuses it
+      with neighboring steps.
+    * **Step mode** (any branch is a heavyweight Step, e.g. one doing
+      its own join): filter-split per route + unionByName, with the
+      routed input persisted so the k branch filters read the input
+      ONCE instead of k+1 times.
+
+    Errored rows always take the passthrough arm (they must skip
+    processing).
+    """
+    branches = dict(routes)
+    expr_mode = all(not isinstance(b, Step) for b in branches.values()) and not isinstance(
+        default, Step
+    )
+
+    def fn_expr(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        keys = list(branches.keys())
+        resolved = {k: _resolve(b, df) for k, b in branches.items()}
+        default_updates = _resolve(default, df) if default is not None else {}
+        routed = df.withColumn(_ROUTE, route_key)
+        target_cols = list(
+            dict.fromkeys(
+                [c for u in resolved.values() for c in u]
+                + list(default_updates.keys())
+            )
+        )
+        no_match = ~F.coalesce(F.col(_ROUTE).isin(keys), F.lit(False))
+        updates: dict[str, Column] = {}
+        for col in target_cols:
+            chain = F
+            for k in keys:
+                if col in resolved[k]:
+                    chain = chain.when(
+                        F.col(_ROUTE).eqNullSafe(F.lit(k)), resolved[k][col]
+                    )
+            if col in default_updates:
+                chain = chain.when(no_match, default_updates[col])
+            passthrough = F.col(col) if col in df.columns else F.lit(None)
+            updates[col] = chain.otherwise(passthrough)  # type: ignore[union-attr]
+        return _guarded(routed, updates).drop(_ROUTE)
+
+    def fn_steps(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        # Heavyweight-branch mode: persist the routed input so the k+1
+        # branch filters share one materialization of the upstream plan
+        # instead of re-scanning it per route.
+        routed = df.withColumn(_ROUTE, F.when(is_ok(), route_key)).persist()
         outs: list[DataFrame] = []
-        keys = list(branch_steps.keys())
-        for key, child in branch_steps.items():
+        keys = list(branches.keys())
+        for key, child in branches.items():
             arm = routed.where(F.col(_ROUTE).eqNullSafe(F.lit(key)))
-            outs.append(child.apply(arm, path))
-        rest = routed.where(
-            ~F.coalesce(F.col(_ROUTE).isin(keys), F.lit(False))
-        )
+            child_step = child if isinstance(child, Step) else transform(f"{name}.{key}", child)
+            outs.append(child_step.apply(arm, path))
+        rest = routed.where(~F.coalesce(F.col(_ROUTE).isin(keys), F.lit(False)))
         if default is not None:
-            rest = default.apply(rest, path)
+            default_step = (
+                default if isinstance(default, Step) else transform(f"{name}.default", default)
+            )
+            rest = default_step.apply(rest, path)
         outs.append(rest)
-        out = _reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), outs
-        )
+        out = _reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), outs)
         return out.drop(_ROUTE)
 
-    children = tuple(branch_steps.values()) + ((default,) if default else ())
+    children = tuple(b for b in branches.values() if isinstance(b, Step))
+    if isinstance(default, Step):
+        children += (default,)
     return Step(
         name,
-        fn,
+        fn_expr if expr_mode else fn_steps,
         node_type="switch",
         children=children,
-        metadata={"routes": list(branch_steps.keys())},
+        metadata={"routes": list(branches.keys()), "mode": "expr" if expr_mode else "steps"},
     )
 
 
-def filter_if(name: str, condition: Column, child: Step) -> Step:
+def filter_if(name: str, condition: Column, child: Step | Updates) -> Step:
     """Conditional application: condition true → child(x), else x.
 
     This is the reference's Filter (filter.go:94-97) — NOT row
     elimination. (Row-dropping selection is plain ``where_rows``.)
+
+    Expression-shaped children (Updates) compile to a single
+    ``when(cond, expr).otherwise(col)`` projection — one scan, no
+    union. Step children fall back to filter-split + union.
     """
 
-    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+    def fn_expr(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        hit = F.coalesce(condition, F.lit(False))
+        resolved = _resolve(child, df)  # type: ignore[arg-type]
+        updates = {
+            col: F.when(hit, expr).otherwise(
+                F.col(col) if col in df.columns else F.lit(None)
+            )
+            for col, expr in resolved.items()
+        }
+        return _guarded(df, updates)
+
+    def fn_step(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         # null-safe: a NULL condition counts as "no hit" (row passes through)
         hit_cond = F.coalesce(is_ok() & condition, F.lit(False))
-        processed = child.apply(df.where(hit_cond), path)
-        miss = df.where(~hit_cond)
+        cached = df.persist()
+        processed = child.apply(cached.where(hit_cond), path)  # type: ignore[union-attr]
+        miss = cached.where(~hit_cond)
         return processed.unionByName(miss, allowMissingColumns=True)
 
-    return Step(name, fn, node_type="filter", children=(child,))
+    if isinstance(child, Step):
+        return Step(name, fn_step, node_type="filter", children=(child,))
+    return Step(name, fn_expr, node_type="filter")
 
 
 @dataclass
@@ -202,9 +268,17 @@ def _first_qualifying(
     all_fail_message: str,
 ) -> Step:
     """Shared engine for Race/Contest/Fallback batch semantics: pick,
-    per row, the first attempt (declaration order) whose ``qualifies``
-    predicate holds; if none, the row errors (last-error semantics,
-    fallback.go:138-143 / contest.go:174-189).
+    per row, ONE winning attempt — the first in declaration order whose
+    ``qualifies`` predicate holds — and take EVERY updated column from
+    that single winner (a column the winner doesn't update keeps its
+    input value), matching the reference's whole-result-per-value
+    semantics (fallback.go:90-143 / race.go:66-159). If no attempt
+    qualifies, the row errors and keeps its original values
+    (contest.go:174-189).
+
+    NULL qualification predicates coalesce to False so every row
+    deterministically ends up with a result or an error — the
+    reference is total.
 
     All candidate expressions evaluate in ONE projection over ONE scan
     — the batch improvement over goroutine-per-branch + clones
@@ -217,25 +291,26 @@ def _first_qualifying(
     )
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        quals = [qualifies(a) for a in attempts]
+        quals = [F.coalesce(qualifies(a), F.lit(False)) for a in attempts]
+        winner_chain = F
+        for i, q in enumerate(quals):
+            winner_chain = winner_chain.when(q, F.lit(i))  # type: ignore[assignment]
+        winner = winner_chain.otherwise(F.lit(None).cast("int"))  # type: ignore[union-attr]
+        df = df.withColumn(_WINNER, F.when(is_ok(), winner))
         updates: dict[str, Column] = {}
         for col in target_cols:
-            expr: Column | None = None
             chain = F
-            for a, q in zip(attempts, quals):
-                if col not in a.updates:
-                    continue
-                chain = chain.when(q, a.updates[col])  # type: ignore[assignment]
-            fallback_val = F.col(col) if col in df.columns else F.lit(None)
-            expr = chain.otherwise(fallback_val)  # type: ignore[union-attr]
-            updates[col] = expr
-        none_qualify = ~_reduce(lambda a, b: a | b, quals)
+            for i, a in enumerate(attempts):
+                if col in a.updates:
+                    chain = chain.when(F.col(_WINNER) == i, a.updates[col])  # type: ignore[assignment]
+            passthrough = F.col(col) if col in df.columns else F.lit(None)
+            updates[col] = chain.otherwise(passthrough)  # type: ignore[union-attr]
         err = make_error(list(path), all_fail_message)
         df = df.withColumn(
             ERROR_COL,
-            F.when(is_ok() & none_qualify, err).otherwise(F.col(ERROR_COL)),
+            F.when(is_ok() & F.col(_WINNER).isNull(), err).otherwise(F.col(ERROR_COL)),
         )
-        return _guarded(df, updates)
+        return _guarded(df, updates).drop(_WINNER)
 
     return Step(
         name,
@@ -289,9 +364,12 @@ def concurrent(
 ) -> Step:
     """Run N derivations per row; reducer combines (concurrent.go:108).
 
-    Without a reducer the original input is returned unchanged —
-    side-effect fan-out (concurrent.go:222); branch expressions are
-    still registered as observations so their cost is explicit.
+    Without a reducer the VALUES pass through unchanged — side-effect
+    fan-out (concurrent.go:222) — but each branch's expressions are
+    registered as real ``df.observe`` aggregates (count of non-null
+    evaluations per output name), so they genuinely evaluate at the
+    next action and surface via QueryExecutionListener, mirroring the
+    reference running every branch for its side effects.
     With a reducer, all branches + the reduction compile into ONE
     projection (Spark evaluates the N branches with partition
     parallelism for free — no goroutines, no Cloner copies).
@@ -300,6 +378,12 @@ def concurrent(
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         resolved = {b: dict(_resolve(u, df)) for b, u in branches.items()}
         if reducer is None:
+            for b, updates in resolved.items():
+                if updates:
+                    df = df.observe(
+                        f"{name}/{b}#{next(_obs_seq)}",
+                        *[F.count(expr).alias(k) for k, expr in updates.items()],
+                    )
             return df
         return _guarded(df, dict(reducer(resolved)))
 
@@ -320,14 +404,22 @@ def handle(
     the failed rows to an observation/cleanup handler; the ORIGINAL
     errors pass through unchanged (handle.go:96) — handler output is
     discarded and error rows stay excluded downstream.
+
+    The child's output is persisted at this boundary so the handler's
+    action and the caller's downstream action share ONE computation of
+    the child plan instead of recomputing it per consumer. A Step
+    handler is driven to completion via the no-op sink (its
+    observations/effects execute for real); note this materializes the
+    child plan at compose time — Step handlers are an eager boundary
+    by design, callables stay lazy and decide themselves when to act.
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        out = child.apply(df, path)
+        out = child.apply(df, path).persist()
         failed = out.where(F.col(ERROR_COL).isNotNull())
         try:
             if isinstance(handler, Step):
-                handler.apply(failed, path)  # lazy observation pipeline
+                handler.apply(failed, path).write.format("noop").mode("overwrite").save()
             else:
                 handler(failed)
         except Exception:

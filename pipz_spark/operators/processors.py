@@ -25,8 +25,14 @@ from collections.abc import Callable, Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from itertools import count as _count
+
 from ..core.errors import ERROR_COL, is_failed, is_ok, make_error
+from ..core.identity import Identity
 from ..core.step import Step
+
+_obs_seq = _count()  # salts observation names so two same-named
+# effects in one plan don't collide at analysis time
 
 # Updates may be given as a static mapping or lazily as fn(df) -> mapping
 Updates = Mapping[str, Column] | Callable[[DataFrame], Mapping[str, Column]]
@@ -66,7 +72,7 @@ def transform(name: str, updates: Updates, description: str = "") -> Step:
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         return _guarded(df, _resolve(updates, df))
 
-    return Step(name, fn, node_type="transform")
+    return Step(Identity(name, description), fn, node_type="transform")
 
 
 def apply(
@@ -119,7 +125,9 @@ def effect(
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         if metrics:
-            df = df.observe(name, *[c.alias(k) for k, c in metrics.items()])
+            df = df.observe(
+                f"{name}#{next(_obs_seq)}", *[c.alias(k) for k, c in metrics.items()]
+            )
         if error_when is not None:
             err = make_error(list(path), message)
             df = df.withColumn(
@@ -152,7 +160,7 @@ def mutate(
         }
         return _guarded(df, conditional)
 
-    return Step(name, fn, node_type="mutate")
+    return Step(Identity(name, description), fn, node_type="mutate")
 
 
 def enrich(
@@ -173,6 +181,11 @@ def enrich(
     the scan reads only what's needed). ``broadcast=True`` hints the
     dimension side — at 100 TB fact scale a small dim must never
     shuffle the fact table.
+
+    Enrich is strictly one-in-one-out (enrich.go:238-251): when ``on``
+    is a key list the lookup is deterministically deduplicated on the
+    keys first (smallest full row wins), so duplicate lookup keys can
+    never fan out fact rows.
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
@@ -188,6 +201,18 @@ def enrich(
             for out_col, src_col in select.items():
                 if out_col != src_col:
                     right = right.withColumnRenamed(src_col, out_col)
+        if isinstance(on, list) and on:
+            # deterministic 1:1 — min(struct(other cols)) per key; the
+            # dim side stays tiny so this pre-agg is negligible next to
+            # the fact scan and keeps the join broadcast-able.
+            others = [c for c in right.columns if c not in on]
+            if others:
+                packed = right.groupBy(*on).agg(
+                    F.min(F.struct(*[F.col(c) for c in others])).alias("_pipz_pack")
+                )
+                right = packed.select(*on, *[F.col(f"_pipz_pack.{c}").alias(c) for c in others])
+            else:
+                right = right.dropDuplicates(on)
         if broadcast:
             right = F.broadcast(right)
         joined = df.join(right, on=on, how="left")
