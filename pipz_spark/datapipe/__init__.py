@@ -1,0 +1,60 @@
+"""LLM-training-data pipeline operators (driver north-star additions).
+
+The reference has no analog (SURVEY §2 covers only its pipeline
+vocabulary); these are the Spark-native operators a 100 TB
+training-data pipeline needs: deduplication (exact + MinHash-LSH +
+SimHash + n-gram Jaccard), similarity search over embeddings
+(brute-force cosine baseline + LSH-bucketed scale path), text
+analysis (language ID, quality scoring, token counting,
+fingerprinting), and multimodal binary-column plumbing.
+
+All hot paths are Column expressions / higher-order array functions
+(JVM-side, whole-stage codegen); Python appears only in the
+multimodal decode stubs (Arrow-batched mapInPandas).
+"""
+
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    near_dup_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from .similarity import cosine_similarity, cosine_topk_bruteforce, cosine_topk_lsh
+from .text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+from .multimodal import (
+    attach_blob,
+    blob_metadata,
+    decode_image_features,
+    sample_frames,
+)
+
+__all__ = [
+    "attach_blob",
+    "blob_metadata",
+    "cosine_similarity",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "decode_image_features",
+    "exact_dedup",
+    "fingerprint",
+    "lang_id",
+    "lsh_candidate_pairs",
+    "minhash_signature",
+    "near_dup_pairs",
+    "ngram_jaccard",
+    "quality_score",
+    "sample_frames",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "text_stats",
+    "token_count",
+]

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing — binary payloads + typed metadata.
+
+Design: image/audio/video are opaque ``binary`` columns paired with a
+typed metadata struct (mime, byte size, content hash, declared
+dims/duration). All Spark-side plumbing — schema, partition-friendly
+batching, Arrow-batched ``mapInPandas`` UDF shape — is real and
+tested; only the actual codec calls are stubbed (this container has
+no image/audio libraries), each stub clearly marked and swappable:
+``decode_image_features`` computes deterministic byte-level features
+where a real pipeline would call the decoder.
+
+At 100 TB the rules encoded here: keep payloads OUT of shuffle keys,
+compute metadata in-scan (expressions), run decoders in mapInPandas
+with bounded Arrow batch sizes so executor memory stays flat.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.step import Step
+from ..operators.processors import transform
+
+BLOB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+
+def attach_blob(
+    name: str = "attach-blob",
+    from_text_col: str = "text",
+    mime: str = "application/octet-stream",
+) -> Step:
+    """Materialize an opaque binary column (here: utf-8 payload of an
+    existing column — the deterministic stand-in for reading real
+    media bytes) plus its typed metadata struct. In production the
+    payload column comes straight from the source (parquet/webdataset
+    binary column); everything downstream only sees ``blob`` +
+    ``blob_meta`` and never re-derives it."""
+    payload = F.encode(F.col(from_text_col), "utf-8")
+    return transform(
+        name,
+        {
+            "blob": payload,
+            "blob_meta": F.struct(
+                F.lit(mime).alias("mime"),
+                F.length(payload).cast("long").alias("n_bytes"),
+                F.sha2(payload, 256).alias("sha"),
+            ),
+        },
+    )
+
+
+def blob_metadata(name: str = "blob-meta", blob_col: str = "blob") -> Step:
+    """Metadata over an existing binary column — pure expressions, no
+    decode: byte length + sha256. Runs inside the scan projection."""
+    b = F.col(blob_col)
+    return transform(
+        name,
+        {
+            "n_bytes": F.length(b).cast("long"),
+            "sha": F.sha2(b, 256),
+        },
+    )
+
+
+_IMG_FEATURES_SCHEMA = "doc_id long, n_bytes long, mean_byte double, byte_entropy_bucket int"
+
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode-and-featurize over Arrow batches (mapInPandas).
+
+    STUB: a real deployment replaces the body of ``_features`` with
+    the codec call (PIL/torchvision decode → resize → embed). The
+    Spark plumbing here is the real thing: schema-stable output,
+    bounded pandas batches, payload never leaves the executor. The
+    deterministic fake computes byte-level statistics so tests can
+    assert exact values.
+    """
+
+    def _features(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            n_bytes = blobs.map(lambda b: len(b) if b is not None else 0)
+            mean_byte = blobs.map(
+                lambda b: (sum(b) / len(b)) if b else 0.0
+            )
+            bucket = mean_byte.map(lambda m: int(m) // 32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "mean_byte": mean_byte.round(4),
+                    "byte_entropy_bucket": bucket.astype("int32"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_features, _IMG_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame-sampling plumbing: explode one blob row into N "frame"
+    rows (offset + fixed-width byte window). STUB for video frame
+    extraction — the row-explosion shape, offsets, and schema are what
+    a real decoder plugs into; the "frame" here is the raw byte slice.
+    Pure expressions: sequence + transform + explode (no Python)."""
+    b = F.col(blob_col)
+    offsets = F.sequence(F.lit(0), F.greatest(F.length(b) - 1, F.lit(0)), F.lit(every_n_bytes))
+    frames = F.transform(
+        offsets,
+        lambda off: F.struct(
+            off.alias("offset"),
+            F.substring(b, off + 1, every_n_bytes).alias("frame_bytes"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(frames).alias("frame_no", "frame"),
+    ).select(
+        id_col,
+        "frame_no",
+        F.col("frame.offset").alias("offset"),
+        F.length(F.col("frame.frame_bytes")).cast("long").alias("frame_len"),
+    )
+
+
+__all__ = [
+    "BLOB_META_SCHEMA",
+    "attach_blob",
+    "blob_metadata",
+    "decode_image_features",
+    "sample_frames",
+]

@@ -1,0 +1,160 @@
+"""Text analysis over document tables — pure Column expressions.
+
+Every operator here is a Step producing deterministic, DuckDB-
+reproducible outputs (the driver's oracle hash-matches them), built
+exclusively from JVM-side functions: split/regexp/length/md5 and
+higher-order array functions. No Python in the row path — at 100 TB
+these run inside whole-stage codegen over the parquet scan with the
+text column pruned in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.step import Step
+from ..operators.processors import transform
+
+# Small deterministic stopword lists per language for the n-gram/
+# stopword language heuristic. Order matters for tie-breaks.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "en", "que", "por"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the portable baseline tokenizer)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def token_count(name: str = "token-count", text_col: str = "text") -> Step:
+    """Whitespace + BPE-ish token counting.
+
+    ``n_tokens``  — whitespace tokens
+    ``n_bpe_ish`` — sub-word-ish proxy: ceil(chars/4) per whitespace
+                    token summed (the common ~4-chars-per-BPE-token
+                    heuristic), computed exactly so the oracle matches.
+    """
+    text = F.col(text_col)
+
+    def n_bpe(toks: Column) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+        )
+
+    return transform(
+        name,
+        lambda df: {
+            "n_tokens": F.size(tokens(text)).cast("long"),
+            "n_bpe_ish": n_bpe(tokens(text)),
+        },
+    )
+
+
+def text_stats(name: str = "text-stats", text_col: str = "text") -> Step:
+    """Deterministic per-document statistics used by quality scoring."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    en_stops = F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS["en"])))
+    return transform(
+        name,
+        {
+            "n_tokens": n_tok.cast("long"),
+            "avg_token_len": F.round(
+                (F.length(F.regexp_replace(text, r"\s+", "")) / n_tok), 4
+            ),
+            "punct_ratio": F.round(punct / n_chars, 4),
+            "upper_ratio": F.round(upper / n_chars, 4),
+            "stopword_ratio": F.round(en_stops / n_tok, 4),
+        },
+    )
+
+
+def quality_score(name: str = "quality-score", text_col: str = "text") -> Step:
+    """Composite quality score in [0, 1] from length/punct/stopword
+    signals — the standard cheap pre-filter before expensive dedup in
+    a training-data pipeline. Fully expression-based and oracle-
+    reproducible (weights are fixed, output rounded)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_ratio = F.size(
+        F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS["en"]))
+    ) / n_tok
+    punct_ratio = F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / n_chars
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.5) * len_score
+        + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return transform(name, {"quality": F.round(score, 4)})
+
+
+def lang_id(name: str = "lang-id", text_col: str = "text") -> Step:
+    """Stopword-count language heuristic (deterministic argmax with
+    fixed tie-break order en > de > fr > es; 'und' = undetermined when
+    nothing matches)."""
+    low = tokens(F.lower(F.col(text_col)))
+
+    def counter(ws: tuple[str, ...]):
+        # single-arg lambda (PySpark dispatches on lambda arity)
+        return lambda t: t.isin(*ws)
+
+    hits = {lang: F.size(F.filter(low, counter(ws))) for lang, ws in STOPWORDS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    best = F.greatest(en, de, fr, es)
+    pred = (
+        F.when(best <= 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return transform(name, {"lang_pred": pred})
+
+
+def fingerprint(name: str = "fingerprint", text_col: str = "text") -> Step:
+    """Document fingerprints:
+
+    ``fp_md5``  — md5 of whitespace-normalized lowercase text (the
+                  exact-dedup key).
+    ``fp_roll`` — 31-base rolling hash of the character stream modulo
+                  1e9+7 (a cheap locality-free content hash; the mod
+                  keeps every intermediate in BIGINT range so the same
+                  fold is expressible in ANSI SQL).
+    """
+    text = F.col(text_col)
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    roll = F.aggregate(
+        F.transform(F.split(text, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(1000000007).cast("long"),
+    )
+    return transform(name, {"fp_md5": F.md5(norm), "fp_roll": roll})
+
+
+__all__ = [
+    "STOPWORDS",
+    "tokens",
+    "token_count",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+]

@@ -166,7 +166,7 @@ def mutate(
 def enrich(
     name: str,
     lookup: DataFrame | Callable[[], DataFrame],
-    on: list[str] | Column,
+    on: list[str] | Mapping[str, str] | Column,
     *,
     select: Mapping[str, str] | None = None,
     broadcast: bool = True,
@@ -177,14 +177,17 @@ def enrich(
     is returned and the error swallowed. Join translation:
       * lookup miss        → enrichment columns NULL, row intact
       * lookup source fails → identity (try/except around acquisition)
-    ``select`` maps output-column → lookup-column (pruned projection →
-    the scan reads only what's needed). ``broadcast=True`` hints the
-    dimension side — at 100 TB fact scale a small dim must never
-    shuffle the fact table.
+    ``on`` is a list of shared key names, a ``{left_col: right_col}``
+    mapping when the key is named differently in the lookup (the
+    common star-schema case: ``on={"o_custkey": "c_custkey"}``), or a
+    raw join Column. ``select`` maps output-column → lookup-column
+    (pruned projection → the scan reads only what's needed).
+    ``broadcast=True`` hints the dimension side — at 100 TB fact
+    scale a small dim must never shuffle the fact table.
 
-    Enrich is strictly one-in-one-out (enrich.go:238-251): when ``on``
-    is a key list the lookup is deterministically deduplicated on the
-    keys first (smallest full row wins), so duplicate lookup keys can
+    Enrich is strictly one-in-one-out (enrich.go:238-251): for keyed
+    joins the lookup is deterministically deduplicated on the keys
+    first (smallest remaining row wins), so duplicate lookup keys can
     never fan out fact rows.
     """
 
@@ -193,29 +196,41 @@ def enrich(
             right = lookup() if callable(lookup) else lookup
         except Exception:
             return df  # swallow, mirror enrich.go:243-247
+        join_on: list[str] | Column
+        if isinstance(on, Mapping):
+            for left_col, right_col in on.items():
+                if right_col != left_col:
+                    right = right.withColumnRenamed(right_col, left_col)
+            keys = list(on.keys())
+            join_on = keys
+        elif isinstance(on, list):
+            keys = list(on)
+            join_on = keys
+        else:
+            keys = []
+            join_on = on
         if select:
-            keys = on if isinstance(on, list) else []
             keep = list(dict.fromkeys([*keys, *select.values()]))
             keep = [c for c in keep if c in right.columns]
             right = right.select(*keep)
             for out_col, src_col in select.items():
                 if out_col != src_col:
                     right = right.withColumnRenamed(src_col, out_col)
-        if isinstance(on, list) and on:
+        if keys:
             # deterministic 1:1 — min(struct(other cols)) per key; the
             # dim side stays tiny so this pre-agg is negligible next to
             # the fact scan and keeps the join broadcast-able.
-            others = [c for c in right.columns if c not in on]
+            others = [c for c in right.columns if c not in keys]
             if others:
-                packed = right.groupBy(*on).agg(
+                packed = right.groupBy(*keys).agg(
                     F.min(F.struct(*[F.col(c) for c in others])).alias("_pipz_pack")
                 )
-                right = packed.select(*on, *[F.col(f"_pipz_pack.{c}").alias(c) for c in others])
+                right = packed.select(*keys, *[F.col(f"_pipz_pack.{c}").alias(c) for c in others])
             else:
-                right = right.dropDuplicates(on)
+                right = right.dropDuplicates(keys)
         if broadcast:
             right = F.broadcast(right)
-        joined = df.join(right, on=on, how="left")
+        joined = df.join(right, on=join_on, how="left")
         # Errored rows must not gain enrichment (they skipped the step).
         new_cols = [c for c in joined.columns if c not in df.columns]
         if new_cols:

@@ -1,0 +1,182 @@
+"""Relational Steps — native engine capabilities beyond the reference.
+
+SURVEY §2.4: the reference has no group-by, windows, sorts, limits,
+set ops, or general joins (joins exist only as the Enrich lookup
+pattern, aggregation only as Concurrent's per-value reducer). An
+analytics engine needs them natively, so they are first-class Steps
+here, compiled to the corresponding Catalyst operators (hash
+aggregate with map-side partial agg, sort-merge/broadcast joins,
+window exec) — nothing hand-rolled.
+
+Error-column semantics: shape-changing operators (aggregation,
+distinct, set ops) consume the happy path only — errored rows are
+excluded from the computation (they left the data plane, mirroring
+the reference's fail-fast exclusion) and the output starts a fresh
+error column. Row-preserving operators (sort/limit/join) carry the
+error column through untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence as Seq
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..core.errors import ERROR_COL, ensure_error_column, is_ok, null_error
+from ..core.step import Step
+
+
+def _ok_only(df: DataFrame) -> DataFrame:
+    return ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
+
+
+def group_agg(
+    name: str,
+    keys: Seq[str | Column],
+    aggs: Mapping[str, Column],
+) -> Step:
+    """Hash aggregation: ``groupBy(keys).agg(...)``.
+
+    Catalyst plans partial (map-side) aggregation before the shuffle
+    automatically, so only the per-key partials cross the wire — the
+    correct 100 TB shape. Every output is aliased to its dict key so
+    results stay oracle-comparable.
+    """
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        out = _ok_only(df).groupBy(*keys).agg(
+            *[c.alias(k) for k, c in aggs.items()]
+        )
+        return out.withColumn(ERROR_COL, null_error())
+
+    return Step(name, fn, node_type="group_agg", metadata={"aggs": list(aggs.keys())})
+
+
+def window_calc(
+    name: str,
+    spec: WindowSpec,
+    updates: Mapping[str, Column],
+) -> Step:
+    """Window functions over a partition/order spec; row-preserving.
+
+    ``updates`` maps output column → window function (e.g.
+    ``F.row_number()``); each is applied ``.over(spec)``. One window
+    exec node — a single shuffle on the partition keys.
+    """
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        return df.withColumns({k: c.over(spec) for k, c in updates.items()})
+
+    return Step(name, fn, node_type="window")
+
+
+def sort_rows(name: str, *order: Column | str) -> Step:
+    """Global sort (range-partitioned exchange + per-partition sort)."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        return df.orderBy(*order)
+
+    return Step(name, fn, node_type="sort")
+
+
+def limit_rows(name: str, n: int) -> Step:
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        return df.limit(n)
+
+    return Step(name, fn, node_type="limit")
+
+
+def top_k(
+    name: str,
+    n: int,
+    order: Seq[Column],
+    partition_by: Seq[str | Column] | None = None,
+) -> Step:
+    """Top-k rows, optionally per group.
+
+    Global top-k compiles to ``orderBy().limit(n)`` — Spark's
+    TakeOrderedAndProject: each partition keeps only its local top-k
+    and the driver merges k·p rows, never a full global sort. Grouped
+    top-k is a row_number window (one shuffle on the group keys).
+    Include a unique tiebreaker in ``order`` for deterministic output.
+    """
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        if partition_by:
+            spec = Window.partitionBy(*partition_by).orderBy(*order)
+            return (
+                df.withColumn("_pipz_rank", F.row_number().over(spec))
+                .where(F.col("_pipz_rank") <= n)
+                .drop("_pipz_rank")
+            )
+        return df.orderBy(*order).limit(n)
+
+    return Step(name, fn, node_type="top_k", metadata={"k": n})
+
+
+def distinct_rows(name: str, subset: Seq[str] | None = None) -> Step:
+    """Exact distinct on the happy path (hash aggregate on all/subset
+    columns — map-side partial dedup before the shuffle)."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        ok = _ok_only(df)
+        out = ok.dropDuplicates(list(subset)) if subset else ok.distinct()
+        return out.withColumn(ERROR_COL, null_error())
+
+    return Step(name, fn, node_type="distinct")
+
+
+def join_with(
+    name: str,
+    right: DataFrame,
+    on: Seq[str] | Column,
+    how: str = "inner",
+    broadcast: bool = False,
+) -> Step:
+    """General join Step. ``broadcast=True`` hints the right side for
+    dimension tables; otherwise Catalyst/AQE picks the strategy
+    (sort-merge with skew splitting at scale)."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        r = F.broadcast(right) if broadcast else right
+        return df.join(r, on=on, how=how)
+
+    return Step(name, fn, node_type="join", metadata={"how": how})
+
+
+def union_with(name: str, other: DataFrame) -> Step:
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        return df.unionByName(ensure_error_column(other), allowMissingColumns=True)
+
+    return Step(name, fn, node_type="union")
+
+
+def intersect_with(name: str, other: DataFrame) -> Step:
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        out = _ok_only(df).intersect(other)
+        return out.withColumn(ERROR_COL, null_error())
+
+    return Step(name, fn, node_type="intersect")
+
+
+def except_with(name: str, other: DataFrame) -> Step:
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        out = _ok_only(df).exceptAll(other)
+        return out.withColumn(ERROR_COL, null_error())
+
+    return Step(name, fn, node_type="except")
+
+
+__all__ = [
+    "group_agg",
+    "window_calc",
+    "sort_rows",
+    "limit_rows",
+    "top_k",
+    "distinct_rows",
+    "join_with",
+    "union_with",
+    "intersect_with",
+    "except_with",
+]

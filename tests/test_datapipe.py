@@ -1,0 +1,192 @@
+"""Unit tests for the LLM-data-pipeline operators (datapipe)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipz_spark import split_ok
+from pipz_spark.datapipe import (
+    attach_blob,
+    blob_metadata,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    decode_image_features,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    near_dup_pairs,
+    quality_score,
+    sample_frames,
+    simhash,
+    simhash_near_dup_pairs,
+    text_stats,
+    token_count,
+)
+from pipz_spark.datapipe.dedup import lsh_candidate_pairs, minhash_signature
+from pipz_spark.datapipe.similarity import cosine_similarity
+
+
+def test_token_count(documents):
+    out = split_ok(token_count()(documents))
+    row = out.select("text", "n_tokens", "n_bpe_ish").first()
+    assert row["n_tokens"] == len(row["text"].split())
+    import math
+
+    expected_bpe = sum(math.ceil(len(t) / 4) for t in row["text"].split())
+    assert row["n_bpe_ish"] == expected_bpe
+
+
+def test_text_stats_and_quality(documents):
+    out = split_ok(quality_score()(text_stats()(documents)))
+    rows = out.select("n_tokens", "punct_ratio", "quality").collect()
+    for r in rows[:20]:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic(documents):
+    out = split_ok(lang_id()(documents))
+    preds = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert preds <= {"en", "de", "fr", "es", "und"}
+    # deterministic across two runs
+    a = out.orderBy("doc_id").select("lang_pred").collect()
+    b = split_ok(lang_id()(documents)).orderBy("doc_id").select("lang_pred").collect()
+    assert a == b
+
+
+def test_fingerprint_matches_python(documents):
+    out = split_ok(fingerprint()(documents)).select("text", "fp_roll").first()
+    acc = 0
+    for ch in out["text"]:
+        acc = (acc * 31 + ord(ch)) % 1000000007
+    assert out["fp_roll"] == acc
+
+
+def test_exact_dedup_keeps_min_id(spark, documents):
+    dup = documents.limit(5)
+    with_dups = documents.unionByName(
+        dup.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    out = split_ok(exact_dedup()(with_dups))
+    assert out.count() == documents.count()
+    # the kept id per duplicated text is the smaller one
+    kept = out.join(dup.select("text"), "text").select("doc_id").collect()
+    assert all(r["doc_id"] < 100000 for r in kept)
+
+
+def test_minhash_near_dup_finds_planted_pair(spark, documents):
+    # plant a near-duplicate: copy a doc and tweak the tail
+    base = documents.limit(1).collect()[0]
+    tweaked = base["text"] + " extra tail token"
+    planted = spark.createDataFrame(
+        [(999999, tweaked, base["lang"], base["source"], len(tweaked))],
+        schema=documents.schema,
+    )
+    corpus = documents.unionByName(planted)
+    pairs = near_dup_pairs(corpus, threshold=0.7)
+    hits = pairs.where(
+        (F.col("id_a") == base["doc_id"]) & (F.col("id_b") == 999999)
+    ).collect()
+    assert len(hits) == 1
+    assert hits[0]["jaccard"] >= 0.7
+
+
+def test_lsh_no_cartesian_product(documents):
+    pairs = lsh_candidate_pairs(documents)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signature_shape(documents):
+    out = minhash_signature(num_hashes=16)(documents)
+    row = split_ok(out).select("minhash").first()
+    assert len(row["minhash"]) == 16
+
+
+def test_simhash_near_dups(spark, documents):
+    base = documents.limit(1).collect()[0]
+    # identical text → hamming 0
+    planted = spark.createDataFrame(
+        [(999999, base["text"], base["lang"], base["source"], base["n_chars"])],
+        schema=documents.schema,
+    )
+    corpus = documents.unionByName(planted)
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=0)
+    hit = pairs.where((F.col("id_a") == base["doc_id"]) & (F.col("id_b") == 999999))
+    assert hit.count() == 1
+    out = split_ok(simhash()(documents))
+    assert out.select("simhash").first()["simhash"] >= 0
+
+
+def test_cosine_topk_bruteforce_exact(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3)
+    out = cosine_topk_bruteforce(embeddings, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # cross-check one query against numpy
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in embeddings.collect()}
+    q = emb[0]
+    sims = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in emb.items()
+        if i != 0
+    }
+    expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = sorted([(r["nid"], r["cos"]) for r in rows if r["qid"] == 0], key=lambda x: -x[1])
+    assert [n for n, _ in expect] == [n for n, _ in got]
+    for (_, e), (_, g) in zip(expect, got):
+        assert abs(e - g) < 1e-4
+
+
+def test_cosine_topk_lsh_shape_and_no_cartesian(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 5)
+    out = cosine_topk_lsh(embeddings, queries, k=3, bits=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert len(rows) <= 15
+    assert all(r["cos"] <= 1.000001 for r in rows)
+
+
+def test_multimodal_blob_roundtrip(documents):
+    out = split_ok(blob_metadata()(attach_blob()(documents)))
+    r = out.select("text", "n_bytes", "sha", "blob_meta").first()
+    assert r["n_bytes"] == len(r["text"].encode("utf-8"))
+    assert r["sha"] == r["blob_meta"]["sha"]
+
+
+def test_decode_image_features_stub(documents):
+    blobs = split_ok(attach_blob()(documents))
+    feats = decode_image_features(blobs)
+    r = feats.join(blobs.select("doc_id", "text"), "doc_id").first()
+    payload = r["text"].encode("utf-8")
+    assert r["n_bytes"] == len(payload)
+    assert abs(r["mean_byte"] - round(sum(payload) / len(payload), 4)) < 1e-9
+
+
+def test_sample_frames(documents):
+    blobs = split_ok(attach_blob()(documents.limit(3)))
+    frames = sample_frames(blobs, every_n_bytes=64)
+    r = frames.groupBy("doc_id").agg(F.count("*").alias("n"), F.max("offset").alias("mx")).collect()
+    src = {x["doc_id"]: len(x["text"].encode()) for x in documents.limit(3).collect()}
+    for row in r:
+        expected = (src[row["doc_id"]] - 1) // 64 + 1
+        assert row["n"] == expected
+
+
+def test_cosine_topk_lsh_recall(embeddings):
+    # multi-table LSH must recover most exact neighbors (defaults
+    # tuned on the driver's synthetic embeddings: ~0.9 at sf0.01)
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk_bruteforce(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"]) for r in cosine_topk_lsh(embeddings, queries, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
