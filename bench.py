@@ -1,0 +1,54 @@
+"""Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced through the no-op sink (full evaluation of every
+output column — .count() would let Catalyst prune the computation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pipz_spark.queries import QUERIES  # noqa: E402
+from pipz_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("pipz-spark-bench")
+    # one warm-up action so JVM/codegen startup isn't billed to q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, decl in QUERIES.items():
+        t0 = time.time()
+        try:
+            decl.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception as e:  # pragma: no cover
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,801 @@
+"""Declared query catalog — the driver-facing correctness surface.
+
+One entry per implemented operator from SURVEY.md §2 (+ the datapipe
+north-star operators). Each entry pairs a Spark builder
+``(spark, sf_dir) -> DataFrame`` with the equivalent ANSI SQL string
+the DuckDB oracle runs on the same parquet tables. Column names and
+types are aligned on both sides (the driver sorts columns by name
+and hash-compares values), floating aggregates go through DECIMAL so
+partial-aggregation order can never change the result, and
+timestamps are rendered as strings to dodge engine-specific
+timezone/precision formatting.
+
+Entries whose semantics aren't SQL-expressible (LSH candidate
+generation, multi-table ANN) carry ``oracle=None`` → the driver
+records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import operators as P
+from .core.errors import error_path_str, split_failed, split_ok, ERROR_COL
+from .datapipe import (
+    attach_blob,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    near_dup_pairs,
+    quality_score,
+    simhash_near_dup_pairs,
+    text_stats,
+    token_count,
+)
+from .datapipe.text import STOPWORDS
+from .sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class Declared:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------
+# P1 Transform (transform.go:26-35)
+def _p1(spark, sf):
+    step = P.transform(
+        "normalize",
+        {
+            "priority_uc": F.upper("o_orderpriority"),
+            "gross": F.round(F.col("o_totalprice") * 1.1, 4),
+        },
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "priority_uc", "gross"
+    )
+
+
+_P1_SQL = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS priority_uc,
+       round(o_totalprice * 1.1, 4) AS gross
+FROM orders
+"""
+
+# --------------------------------------------------------------------
+# P2 Apply (apply.go:72-94) — happy path + dead letter
+def _p2_ok(spark, sf):
+    step = P.apply(
+        "validate",
+        updates={"priority_uc": F.upper("o_orderpriority")},
+        error_when=F.col("o_totalprice") < 5000,
+        message="total under 5000",
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "priority_uc"
+    )
+
+
+_P2_OK_SQL = """
+SELECT o_orderkey, upper(o_orderpriority) AS priority_uc
+FROM orders WHERE o_totalprice >= 5000
+"""
+
+
+def _p2_dead(spark, sf):
+    step = P.apply(
+        "validate",
+        error_when=F.col("o_totalprice") < 5000,
+        message="total under 5000",
+    )
+    failed = split_failed(step(_t(spark, sf, "orders")))
+    return failed.select(
+        "o_orderkey",
+        error_path_str().alias("error_path"),
+        F.col(ERROR_COL)["message"].alias("error_message"),
+    )
+
+
+_P2_DEAD_SQL = """
+SELECT o_orderkey,
+       'validate' AS error_path,
+       'total under 5000' AS error_message
+FROM orders WHERE o_totalprice < 5000
+"""
+
+# --------------------------------------------------------------------
+# P3 Effect (effect.go:130-152) — pass-through + observed metrics
+def _p3(spark, sf):
+    step = P.effect(
+        "audit",
+        metrics={"rows": F.count(F.lit(1)), "total": F.sum("o_totalprice")},
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_P3_SQL = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+
+# --------------------------------------------------------------------
+# P4 Mutate (mutate.go:187-200)
+def _p4(spark, sf):
+    step = P.mutate(
+        "bulk-discount",
+        {"o_totalprice": F.round(F.col("o_totalprice") * 0.95, 6)},
+        condition=F.col("o_totalprice") > 200000,
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+_P4_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000
+            THEN round(o_totalprice * 0.95, 6)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+"""
+
+# --------------------------------------------------------------------
+# P5 Enrich (enrich.go:238-251)
+def _p5(spark, sf):
+    step = P.enrich(
+        "crm",
+        _t(spark, sf, "customer"),
+        on={"o_custkey": "c_custkey"},
+        select={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+_P5_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+# --------------------------------------------------------------------
+# C1 Sequence (sequence.go:67-172) — the flagship chain
+def _c1(spark, sf):
+    pipe = P.sequence(
+        "order-flow",
+        P.apply(
+            "validate",
+            error_when=F.col("o_totalprice") < 5000,
+            message="total under 5000",
+        ),
+        P.transform("discount", {"disc": F.round(F.col("o_totalprice") * 0.9, 6)}),
+        P.enrich(
+            "crm",
+            _t(spark, sf, "customer"),
+            on={"o_custkey": "c_custkey"},
+            select={"c_name": "c_name"},
+        ),
+    )
+    return split_ok(pipe(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "disc", "c_name"
+    )
+
+
+_C1_SQL = """
+SELECT o.o_orderkey, round(o.o_totalprice * 0.9, 6) AS disc, c.c_name
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice >= 5000
+"""
+
+# --------------------------------------------------------------------
+# C2 Switch (switch.go:76-127) — expression mode, single projection
+def _c2(spark, sf):
+    sw = P.switch(
+        "by-status",
+        F.col("o_orderstatus"),
+        {
+            "O": {"score": F.round(F.col("o_totalprice") * 0.9, 6), "tag": F.lit("open")},
+            "F": {"score": F.round(F.col("o_totalprice") * 0.8, 6), "tag": F.lit("filled")},
+        },
+        default={"score": F.col("o_totalprice"), "tag": F.lit("other")},
+    )
+    return split_ok(sw(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "score", "tag"
+    )
+
+
+_C2_SQL = """
+SELECT o_orderkey,
+       CASE o_orderstatus
+            WHEN 'O' THEN round(o_totalprice * 0.9, 6)
+            WHEN 'F' THEN round(o_totalprice * 0.8, 6)
+            ELSE o_totalprice END AS score,
+       CASE o_orderstatus
+            WHEN 'O' THEN 'open'
+            WHEN 'F' THEN 'filled'
+            ELSE 'other' END AS tag
+FROM orders
+"""
+
+# --------------------------------------------------------------------
+# C3 Filter (filter.go:66-118) — conditional application
+def _c3(spark, sf):
+    step = P.filter_if(
+        "building-bonus",
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.round(F.col("c_acctbal") + 1000, 2)},
+    )
+    return split_ok(step(_t(spark, sf, "customer"))).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+_C3_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment = 'BUILDING'
+            THEN round(c_acctbal + 1000, 2)
+            ELSE c_acctbal END AS c_acctbal
+FROM customer
+"""
+
+# --------------------------------------------------------------------
+# C4 Concurrent with reducer (concurrent.go:108)
+def _c4(spark, sf):
+    step = P.concurrent(
+        "best-price",
+        {
+            "gross": {"px": F.col("l_extendedprice")},
+            "disc": {"px": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+            "taxed": {"px": F.col("l_extendedprice") * (1 + F.col("l_tax"))},
+        },
+        reducer=lambda b: {
+            "best_price": F.round(
+                F.least(b["gross"]["px"], b["disc"]["px"], b["taxed"]["px"]), 6
+            )
+        },
+    )
+    return split_ok(step(_t(spark, sf, "lineitem"))).select(
+        "l_orderkey", "l_linenumber", "best_price"
+    )
+
+
+_C4_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(least(l_extendedprice,
+                   l_extendedprice * (1 - l_discount),
+                   l_extendedprice * (1 + l_tax)), 6) AS best_price
+FROM lineitem
+"""
+
+# --------------------------------------------------------------------
+# C5 Race / C7 Fallback (race.go:66-159, fallback.go:68-144)
+def _c5(spark, sf):
+    step = P.race(
+        "px-source",
+        [
+            P.Attempt(
+                "primary",
+                {"px": F.round(F.col("o_totalprice") * 0.9, 6)},
+                fail_when=F.col("o_totalprice") > 300000,
+            ),
+            P.Attempt(
+                "backup",
+                {"px": F.round(F.col("o_totalprice") * 0.5, 6)},
+                fail_when=F.col("o_orderstatus") == "F",
+            ),
+        ],
+    )
+    out = step(_t(spark, sf, "orders"))
+    return split_ok(out).select("o_orderkey", "px")
+
+
+_C5_SQL = """
+SELECT o_orderkey,
+       CASE WHEN NOT (o_totalprice > 300000) THEN round(o_totalprice * 0.9, 6)
+            WHEN NOT (o_orderstatus = 'F') THEN round(o_totalprice * 0.5, 6)
+            END AS px
+FROM orders
+WHERE NOT (o_totalprice > 300000) OR NOT (o_orderstatus = 'F')
+"""
+
+
+def _c5_dead(spark, sf):
+    step = P.race(
+        "px-source",
+        [
+            P.Attempt(
+                "primary",
+                {"px": F.lit(1.0)},
+                fail_when=F.col("o_totalprice") > 300000,
+            ),
+            P.Attempt(
+                "backup",
+                {"px": F.lit(2.0)},
+                fail_when=F.col("o_orderstatus") == "F",
+            ),
+        ],
+    )
+    failed = split_failed(step(_t(spark, sf, "orders")))
+    return failed.select(
+        "o_orderkey",
+        error_path_str().alias("error_path"),
+        F.col(ERROR_COL)["message"].alias("error_message"),
+    )
+
+
+_C5_DEAD_SQL = """
+SELECT o_orderkey,
+       'px-source' AS error_path,
+       'px-source: all 2 competitors failed' AS error_message
+FROM orders
+WHERE o_totalprice > 300000 AND o_orderstatus = 'F'
+"""
+
+
+def _c7(spark, sf):
+    step = P.fallback(
+        "acct-source",
+        [
+            P.Attempt(
+                "primary",
+                {"bal": F.round(F.col("c_acctbal"), 2)},
+                fail_when=F.col("c_acctbal") < 0,
+            ),
+            P.Attempt("floor", {"bal": F.lit(0.0)}),
+        ],
+    )
+    return split_ok(step(_t(spark, sf, "customer"))).select("c_custkey", "bal")
+
+
+_C7_SQL = """
+SELECT c_custkey,
+       CASE WHEN NOT (c_acctbal < 0) THEN round(c_acctbal, 2)
+            ELSE 0.0 END AS bal
+FROM customer
+"""
+
+# --------------------------------------------------------------------
+# C6 Contest (contest.go:73-190) — first by priority meeting condition
+def _c6(spark, sf):
+    step = P.contest(
+        "rate-cap",
+        condition=lambda u: u["rate"] < 1000.0,
+        attempts=[
+            P.Attempt("carrier-a", {"rate": F.round(F.col("l_extendedprice") * 0.01, 6)}),
+            P.Attempt("carrier-b", {"rate": F.round(F.col("l_extendedprice") * 0.005, 6)}),
+            P.Attempt("carrier-c", {"rate": F.lit(999.0)}),
+        ],
+    )
+    return split_ok(step(_t(spark, sf, "lineitem"))).select(
+        "l_orderkey", "l_linenumber", "rate"
+    )
+
+
+_C6_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN round(l_extendedprice * 0.01, 6) < 1000.0
+            THEN round(l_extendedprice * 0.01, 6)
+            WHEN round(l_extendedprice * 0.005, 6) < 1000.0
+            THEN round(l_extendedprice * 0.005, 6)
+            ELSE 999.0 END AS rate
+FROM lineitem
+"""
+
+# --------------------------------------------------------------------
+# C11 Handle (handle.go:69-120) — dead-letter set
+def _c11(spark, sf):
+    pipe = P.handle(
+        "guard",
+        P.apply(
+            "validate",
+            error_when=F.col("o_totalprice") < 5000,
+            message="total under 5000",
+        ),
+        handler=lambda failed: None,  # observation hook; original errors pass through
+    )
+    failed = split_failed(pipe(_t(spark, sf, "orders")))
+    return failed.select(
+        "o_orderkey",
+        error_path_str().alias("error_path"),
+    )
+
+
+_C11_SQL = """
+SELECT o_orderkey, 'guard -> validate' AS error_path
+FROM orders WHERE o_totalprice < 5000
+"""
+
+# --------------------------------------------------------------------
+# where_rows — native row-dropping selection (SURVEY §2.4)
+def _where(spark, sf):
+    step = P.where_rows("urgent-only", F.col("o_orderpriority") == "1-URGENT")
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+_WHERE_SQL = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+# --------------------------------------------------------------------
+# Relational: group/agg (TPC-H Q1 shape) — decimal-exact sums
+def _rel_group_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    step = P.group_agg(
+        "q1",
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+            "sum_base_price": F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+            "sum_disc_price": F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+            ).cast("double"),
+            "avg_disc": (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+    return split_ok(step(li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))))
+
+
+_REL_GROUP_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------
+# Relational: revenue by nation (join + agg, broadcast dims)
+def _rel_join_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    pipe = P.sequence(
+        "rev-by-nation",
+        P.join_with("cust", F.broadcast(c), on=(F.col("o_custkey") == F.col("c_custkey")), how="inner"),
+        P.join_with("nat", F.broadcast(n), on=(F.col("c_nationkey") == F.col("n_nationkey")), how="inner"),
+        P.group_agg(
+            "rev",
+            ["n_name"],
+            {
+                "revenue": F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                "n_orders": F.count(F.lit(1)),
+            },
+        ),
+    )
+    return split_ok(pipe(o))
+
+
+_REL_JOIN_AGG_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+# --------------------------------------------------------------------
+# Relational: grouped top-k (window) + global sort/limit
+def _rel_topk(spark, sf):
+    step = P.top_k(
+        "top3-per-cust",
+        3,
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        partition_by=["o_custkey"],
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+_REL_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def _rel_sort_limit(spark, sf):
+    step = P.top_k(
+        "top10-global", 10, order=[F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )
+    return split_ok(step(_t(spark, sf, "orders"))).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+_REL_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _rel_distinct(spark, sf):
+    step = P.distinct_rows("status-prio")
+    return split_ok(
+        step(_t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority"))
+    )
+
+
+_REL_DISTINCT_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def _rel_setops(spark, sf):
+    c = _t(spark, sf, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    step = P.intersect_with("building-and-rich", rich)
+    return split_ok(step(building))
+
+
+_REL_SETOPS_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+# --------------------------------------------------------------------
+# Streaming-shape batch equivalent: tumbling-window agg over events
+def _events_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    step = P.group_agg(
+        "hourly",
+        [F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias("hour"), F.col("event_type")],
+        {
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        },
+    )
+    return split_ok(step(ev))
+
+
+_EVENTS_WINDOW_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------
+# Datapipe: text analysis
+def _dp_token_count(spark, sf):
+    return split_ok(token_count()(_t(spark, sf, "documents"))).select(
+        "doc_id", "n_tokens", "n_bpe_ish"
+    )
+
+
+_DP_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_bpe_ish
+FROM documents
+"""
+
+
+def _dp_text_stats(spark, sf):
+    return split_ok(text_stats()(_t(spark, sf, "documents"))).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "upper_ratio", "stopword_ratio"
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_DP_TEXT_STATS_SQL = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       round(length(regexp_replace(text, '\s+', '', 'g'))
+             / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
+       round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text), 4) AS punct_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text), 4) AS upper_ratio,
+       round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> list_contains([{_EN}], t)))
+             / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+def _dp_quality(spark, sf):
+    return split_ok(quality_score()(_t(spark, sf, "documents"))).select(
+        "doc_id", "quality"
+    )
+
+
+_DP_QUALITY_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> list_contains([{_EN}], t))) AS stops,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct
+  FROM documents)
+SELECT doc_id,
+       round(0.5 * least(n_tok / 64.0, 1.0)
+             + 0.4 * least((stops / n_tok) * 4, 1.0)
+             + 0.1 * (1.0 - least((punct / n_chars) * 10, 1.0)), 4) AS quality
+FROM s
+"""
+
+
+def _dp_lang_id(spark, sf):
+    return split_ok(lang_id()(_t(spark, sf, "documents"))).select(
+        "doc_id", "lang_pred"
+    )
+
+
+def _lang_hits(lang: str) -> str:
+    ws = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        rf"len(list_filter(string_split_regex(trim(lower(text)), '\s+'),"
+        rf" t -> list_contains([{ws}], t)))"
+    )
+
+
+_DP_LANG_ID_SQL = rf"""
+WITH h AS (
+  SELECT doc_id,
+         {_lang_hits('en')} AS en, {_lang_hits('de')} AS de,
+         {_lang_hits('fr')} AS fr, {_lang_hits('es')} AS es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            WHEN de = greatest(en, de, fr, es) THEN 'de'
+            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def _dp_fingerprint(spark, sf):
+    return split_ok(fingerprint()(_t(spark, sf, "documents"))).select(
+        "doc_id", "fp_md5", "fp_roll"
+    )
+
+
+_DP_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(text, ''),
+                                               c -> CAST(ascii(c) AS BIGINT))),
+                   (a, x) -> (a * 31 + x) % 1000000007) AS fp_roll
+FROM documents
+"""
+
+
+def _dp_exact_dedup(spark, sf):
+    return split_ok(exact_dedup()(_t(spark, sf, "documents"))).select(
+        "doc_id", "source"
+    )
+
+
+_DP_EXACT_DEDUP_SQL = r"""
+SELECT doc_id, source FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+"""
+
+
+# Datapipe: similarity — brute-force cosine top-k (exact, oracle-able)
+def _dp_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+_DP_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+     pairs AS (
+       SELECT q.qid, e.vec_id AS nid,
+              round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+       FROM q, embeddings e WHERE e.vec_id <> q.qid),
+     ranked AS (
+       SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       FROM pairs)
+SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+# Datapipe: multimodal blob metadata (expressions only)
+def _dp_blob_meta(spark, sf):
+    out = split_ok(attach_blob()(_t(spark, sf, "documents")))
+    return out.select(
+        "doc_id",
+        F.col("blob_meta")["n_bytes"].alias("n_bytes"),
+        F.col("blob_meta")["sha"].alias("sha"),
+    )
+
+
+_DP_BLOB_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+# Datapipe: rows-only checks (not SQL-expressible)
+def _dp_near_dup(spark, sf):
+    return near_dup_pairs(_t(spark, sf, "documents"), threshold=0.7)
+
+
+def _dp_simhash_pairs(spark, sf):
+    return simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def _dp_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------
+QUERIES: dict[str, Declared] = {
+    "p1_transform": Declared(_p1, _P1_SQL),
+    "p2_apply_ok": Declared(_p2_ok, _P2_OK_SQL),
+    "p2_apply_dead_letter": Declared(_p2_dead, _P2_DEAD_SQL),
+    "p3_effect_passthrough": Declared(_p3, _P3_SQL),
+    "p4_mutate": Declared(_p4, _P4_SQL),
+    "p5_enrich": Declared(_p5, _P5_SQL),
+    "c1_sequence": Declared(_c1, _C1_SQL),
+    "c2_switch": Declared(_c2, _C2_SQL),
+    "c3_filter": Declared(_c3, _C3_SQL),
+    "c4_concurrent": Declared(_c4, _C4_SQL),
+    "c5_race": Declared(_c5, _C5_SQL),
+    "c5_race_dead_letter": Declared(_c5_dead, _C5_DEAD_SQL),
+    "c6_contest": Declared(_c6, _C6_SQL),
+    "c7_fallback": Declared(_c7, _C7_SQL),
+    "c11_handle_dead_letter": Declared(_c11, _C11_SQL),
+    "where_rows": Declared(_where, _WHERE_SQL),
+    "rel_group_agg": Declared(_rel_group_agg, _REL_GROUP_AGG_SQL),
+    "rel_join_agg": Declared(_rel_join_agg, _REL_JOIN_AGG_SQL),
+    "rel_topk_grouped": Declared(_rel_topk, _REL_TOPK_SQL),
+    "rel_sort_limit": Declared(_rel_sort_limit, _REL_SORT_LIMIT_SQL),
+    "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
+    "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
+    "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
+    "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
+    "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
+    "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),
+    "dp_lang_id": Declared(_dp_lang_id, _DP_LANG_ID_SQL),
+    "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
+    "dp_exact_dedup": Declared(_dp_exact_dedup, _DP_EXACT_DEDUP_SQL),
+    "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
+    "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
+    "dp_near_dup_minhash": Declared(_dp_near_dup, None),
+    "dp_simhash_pairs": Declared(_dp_simhash_pairs, None),
+    "dp_ann_lsh": Declared(_dp_ann_lsh, None),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() body: the C1 flagship chain at the given scale."""
+    return _c1(spark, sf_dir)

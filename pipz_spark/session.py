@@ -40,6 +40,9 @@ def get_session(
         # 10 MB threshold but make the intent explicit.
         .config("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp — read as long and normalize in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
