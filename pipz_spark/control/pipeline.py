@@ -1,0 +1,56 @@
+"""Pipeline wrapper — run-ID correlation (pipeline.go:33-56).
+
+Wraps a root Step with a stable pipeline UUID and injects a fresh
+execution UUID per run (pipeline.go:52-56), propagated as the Spark
+job group + local properties so every job/stage/task of the run is
+attributable in the UI and logs — the distributed analog of the
+reference's ctx-embedded IDs (extractors pipeline.go:84-100).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.step import Step
+from . import signals as S
+
+
+class Pipeline:
+    def __init__(self, name: str, root: Step, bus: S.SignalBus = S.BUS) -> None:
+        self.name = name
+        self.root = root
+        self.pipeline_id = str(uuid.uuid4())
+        self._bus = bus
+        self.last_execution_id: str | None = None
+
+    def run(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        execution_id = str(uuid.uuid4())
+        self.last_execution_id = execution_id
+        sc = spark.sparkContext
+        sc.setJobGroup(f"pipz:{self.name}:{execution_id}", f"pipz pipeline {self.name}")
+        sc.setLocalProperty("pipz.pipeline.id", self.pipeline_id)
+        sc.setLocalProperty("pipz.execution.id", execution_id)
+        self._bus.emit(
+            S.PIPELINE_STARTED,
+            name=self.name,
+            pipeline_id=self.pipeline_id,
+            execution_id=execution_id,
+        )
+        out = self.root.apply(df, ())
+        self._bus.emit(
+            S.PIPELINE_COMPLETED,
+            name=self.name,
+            pipeline_id=self.pipeline_id,
+            execution_id=execution_id,
+        )
+        return out
+
+    def to_node(self) -> dict:
+        return {
+            "name": self.name,
+            "type": "pipeline",
+            "pipeline_id": self.pipeline_id,
+            "children": [self.root.to_node()],
+        }

@@ -1,0 +1,342 @@
+"""Control-plane connectors — driver-side wrappers around ACTIONS.
+
+SURVEY §4.2/§7.1 M3: the reference's Retry/Backoff/Timeout/
+CircuitBreaker/RateLimiter/WorkerPool/Scaffold operate per VALUE; in
+Spark the natural unit of failure/latency is the ACTION (a write, a
+collect, a foreachBatch micro-batch) — Spark itself already retries
+TASKS (spark.task.maxFailures). So these are classes/functions that
+wrap a zero-arg callable (the action), preserving the reference's
+observable semantics: attempt counts, exponential delays, breaker
+state machine with generation counter, token bucket with wait/drop
+modes, bounded fan-out with first-error-wins, fire-and-forget.
+
+All are deterministic under an injectable clock/sleep (mirror of the
+reference's injectable clock, backoff.go:200-213) so behavioral
+tests need no real time.
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+import uuid
+from collections.abc import Callable, Sequence
+from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+from typing import Any, TypeVar
+
+from . import signals as S
+
+T = TypeVar("T")
+
+
+def retry(
+    fn: Callable[[], T],
+    max_attempts: int,
+    name: str = "retry",
+    bus: S.SignalBus = S.BUS,
+) -> T:
+    """Re-run ``fn`` up to max_attempts, same input, no delay
+    (retry.go:63-143). Last error propagates."""
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        bus.emit(S.RETRY_ATTEMPT_START, name=name, attempt=attempt)
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — mirror of catching any process error
+            last = e
+            bus.emit(S.RETRY_ATTEMPT_FAIL, name=name, attempt=attempt, error=str(e))
+    bus.emit(S.RETRY_EXHAUSTED, name=name, attempts=max_attempts)
+    assert last is not None
+    raise last
+
+
+def backoff(
+    fn: Callable[[], T],
+    max_attempts: int,
+    base_delay: float,
+    name: str = "backoff",
+    sleep: Callable[[float], None] = _time.sleep,
+    bus: S.SignalBus = S.BUS,
+) -> T:
+    """Retry with exponential delay: base, 2x per failure
+    (backoff.go:58-130; delay doubling backoff.go:96-98). ``sleep`` is
+    injectable (backoff.go:200-213)."""
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    delay = base_delay
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            last = e
+            if attempt < max_attempts:
+                bus.emit(S.BACKOFF_WAITING, name=name, attempt=attempt, delay=delay)
+                sleep(delay)
+                delay *= 2
+    assert last is not None
+    raise last
+
+
+class ActionTimeout(TimeoutError):
+    def __init__(self, name: str, seconds: float) -> None:
+        super().__init__(f"{name}: timed out after {seconds}s")
+        self.timeout = True
+
+
+def timeout(
+    fn: Callable[[], T],
+    seconds: float,
+    name: str = "timeout",
+    spark: Any | None = None,
+    bus: S.SignalBus = S.BUS,
+) -> T:
+    """Hard deadline around an action (timeout.go:61-154): run in a
+    worker thread, wait ``seconds``; on expiry cancel the Spark job
+    group (the distributed analog of ctx cancellation) and raise
+    ActionTimeout with the timeout flag set (error.go:22)."""
+    group = f"pipz-timeout-{uuid.uuid4()}"
+
+    def run() -> T:
+        if spark is not None:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", group)
+        return fn()
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(run)
+    try:
+        return fut.result(timeout=seconds)
+    except TimeoutError:
+        bus.emit(S.TIMEOUT_TRIGGERED, name=name, seconds=seconds)
+        if spark is not None:
+            try:
+                spark.sparkContext.cancelJobGroup(group)
+            except Exception:
+                pass
+        raise ActionTimeout(name, seconds) from None
+    finally:
+        ex.shutdown(wait=False)
+
+
+class CircuitOpenError(RuntimeError):
+    pass
+
+
+class CircuitBreaker:
+    """3-state breaker (circuitbreaker.go:14-19): opens after
+    ``failure_threshold`` consecutive failures (:250-265), half-opens
+    after ``reset_timeout`` (:143-157), closes after
+    ``success_threshold`` half-open successes (:224-241). A
+    generation counter discards stale results from calls that started
+    under an older state (:192-196). Thread-safe; clock injectable."""
+
+    CLOSED, OPEN, HALF_OPEN = "closed", "open", "half-open"
+
+    def __init__(
+        self,
+        name: str,
+        failure_threshold: int = 5,
+        reset_timeout: float = 30.0,
+        success_threshold: int = 1,
+        clock: Callable[[], float] = _time.monotonic,
+        bus: S.SignalBus = S.BUS,
+    ) -> None:
+        self.name = name
+        self.failure_threshold = failure_threshold
+        self.reset_timeout = reset_timeout
+        self.success_threshold = success_threshold
+        self._clock = clock
+        self._bus = bus
+        self._lock = threading.Lock()
+        self._state = self.CLOSED
+        self._failures = 0
+        self._successes = 0
+        self._opened_at = 0.0
+        self._generation = 0
+
+    @property
+    def state(self) -> str:
+        with self._lock:
+            self._maybe_half_open()
+            return self._state
+
+    def _maybe_half_open(self) -> None:
+        if self._state == self.OPEN and self._clock() - self._opened_at >= self.reset_timeout:
+            self._state = self.HALF_OPEN
+            self._successes = 0
+            self._generation += 1
+            self._bus.emit(S.BREAKER_HALF_OPEN, name=self.name)
+
+    def call(self, fn: Callable[[], T]) -> T:
+        with self._lock:
+            self._maybe_half_open()
+            if self._state == self.OPEN:
+                self._bus.emit(S.BREAKER_REJECTED, name=self.name)
+                raise CircuitOpenError(f"{self.name}: circuit open")
+            generation = self._generation
+        try:
+            result = fn()
+        except Exception:
+            self._on_failure(generation)
+            raise
+        self._on_success(generation)
+        return result
+
+    def _on_success(self, generation: int) -> None:
+        with self._lock:
+            if generation != self._generation:
+                return  # stale call from an older breaker generation
+            self._failures = 0
+            if self._state == self.HALF_OPEN:
+                self._successes += 1
+                if self._successes >= self.success_threshold:
+                    self._state = self.CLOSED
+                    self._generation += 1
+                    self._bus.emit(S.BREAKER_CLOSED, name=self.name)
+
+    def _on_failure(self, generation: int) -> None:
+        with self._lock:
+            if generation != self._generation:
+                return
+            if self._state == self.HALF_OPEN:
+                self._trip()
+                return
+            self._failures += 1
+            if self._failures >= self.failure_threshold:
+                self._trip()
+
+    def _trip(self) -> None:
+        self._state = self.OPEN
+        self._opened_at = self._clock()
+        self._failures = 0
+        self._generation += 1
+        self._bus.emit(S.BREAKER_OPENED, name=self.name)
+
+
+class RateLimitExceeded(RuntimeError):
+    pass
+
+
+class RateLimiter:
+    """Token bucket (ratelimiter.go:96-160): ``rate`` tokens/sec,
+    ``burst`` capacity, refill min(burst, tokens + elapsed*rate)
+    (:117-130). ``wait`` mode blocks for a token (:200-241); ``drop``
+    mode raises immediately (:243-261). For SOURCE throttling in
+    streaming use maxOffsetsPerTrigger/maxFilesPerTrigger — this class
+    is for driver-side action pacing (sink calls, API calls in
+    foreachBatch)."""
+
+    def __init__(
+        self,
+        name: str,
+        rate: float,
+        burst: int,
+        mode: str = "wait",
+        clock: Callable[[], float] = _time.monotonic,
+        sleep: Callable[[float], None] = _time.sleep,
+        bus: S.SignalBus = S.BUS,
+    ) -> None:
+        if mode not in ("wait", "drop"):
+            raise ValueError("mode must be 'wait' or 'drop'")
+        self.name = name
+        self.rate = float(rate)
+        self.burst = float(burst)
+        self.mode = mode
+        self._clock = clock
+        self._sleep = sleep
+        self._bus = bus
+        self._lock = threading.Lock()
+        self._tokens = float(burst)
+        self._last = clock()
+
+    def _refill(self) -> None:
+        now = self._clock()
+        self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+
+    def acquire(self) -> None:
+        with self._lock:
+            self._refill()
+            if self._tokens >= 1.0:
+                self._tokens -= 1.0
+                self._bus.emit(S.LIMITER_ALLOWED, name=self.name)
+                return
+            if self.mode == "drop":
+                self._bus.emit(S.LIMITER_DROPPED, name=self.name)
+                raise RateLimitExceeded(f"{self.name}: rate limit exceeded")
+            needed = (1.0 - self._tokens) / self.rate
+        self._bus.emit(S.LIMITER_THROTTLED, name=self.name, wait=needed)
+        self._sleep(needed)
+        with self._lock:
+            self._refill()
+            self._tokens = max(0.0, self._tokens - 1.0)
+            self._bus.emit(S.LIMITER_ALLOWED, name=self.name)
+
+    def call(self, fn: Callable[[], T]) -> T:
+        self.acquire()
+        return fn()
+
+
+def worker_pool(
+    actions: Sequence[Callable[[], Any]],
+    workers: int,
+    name: str = "workerpool",
+    task_timeout: float | None = None,
+    bus: S.SignalBus = S.BUS,
+) -> None:
+    """Bounded parallel fan-out (workerpool.go:90-191): run all
+    actions with at most ``workers`` in flight; results are discarded;
+    the FIRST error wins and propagates (:163-190); optional per-task
+    timeout (:155-161). The right home for multi-sink jobs — each
+    action is its own Spark job; the pool bounds driver-side
+    concurrency while executors parallelize within each job."""
+    if workers < 1:
+        raise ValueError("workers must be >= 1")
+    if len(actions) > workers:
+        bus.emit(S.POOL_SATURATED, name=name, queued=len(actions) - workers)
+    first_error: list[Exception] = []
+    lock = threading.Lock()
+
+    def run(action: Callable[[], Any]) -> None:
+        bus.emit(S.POOL_ACQUIRED, name=name)
+        try:
+            if task_timeout is not None:
+                timeout(action, task_timeout, name=f"{name}.task", bus=bus)
+            else:
+                action()
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                if not first_error:
+                    first_error.append(e)
+        finally:
+            bus.emit(S.POOL_RELEASED, name=name)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(run, a) for a in actions]
+        wait(futs, return_when=FIRST_EXCEPTION)
+    if first_error:
+        raise first_error[0]
+
+
+def scaffold(
+    actions: Sequence[Callable[[], Any]],
+    name: str = "scaffold",
+    bus: S.SignalBus = S.BUS,
+) -> None:
+    """Fire-and-forget (scaffold.go:69-107): launch every action on a
+    daemon thread detached from the caller (the analog of
+    context.WithoutCancel, scaffold.go:82); errors silently dropped
+    (:91-94). Returns immediately."""
+
+    def run(action: Callable[[], Any]) -> None:
+        try:
+            action()
+        except Exception:
+            pass
+
+    for a in actions:
+        t = threading.Thread(target=run, args=(a,), daemon=True)
+        t.start()
+        bus.emit(S.SCAFFOLD_DISPATCHED, name=name)

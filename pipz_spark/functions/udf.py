@@ -1,0 +1,119 @@
+"""UDF escape hatch — arbitrary Python with exception capture.
+
+The reference's entire surface is arbitrary user closures wrapped so
+a panic becomes an error VALUE, never a crash (recovery
+error.go:156-170, deferred in every Process e.g. api.go:466; message
+sanitizer error.go:101-147). The Spark analog: a pandas UDF (Arrow
+batches — the acceptable slow path; row-at-a-time Python is not)
+whose per-row exceptions land in the ``_pipz_error`` column with a
+sanitized message, so ONE poison row can never fail a 100 TB job.
+
+Use ONLY when Column expressions can't express the computation —
+expressions stay in whole-stage codegen and are 10-100x faster.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.errors import ERROR_COL, is_ok, make_error
+from ..core.step import Step
+
+_HEX_ADDR = re.compile(r"0x[0-9a-fA-F]+")
+_FILE_PATH = re.compile(r"(?:/[\w.\-]+)+\.\w+")
+_WS = re.compile(r"\s+")
+_MAX_LEN = 200
+
+
+def sanitize_message(msg: str) -> str:
+    """Mirror of sanitizePanicMessage (error.go:101-147): strip memory
+    addresses and file paths, collapse whitespace, truncate."""
+    msg = _HEX_ADDR.sub("<addr>", msg)
+    msg = _FILE_PATH.sub("<path>", msg)
+    msg = _WS.sub(" ", msg).strip()
+    if len(msg) > _MAX_LEN:
+        msg = msg[: _MAX_LEN - 3] + "..."
+    return msg
+
+
+def python_apply(
+    name: str,
+    fn: Callable[..., Any],
+    inputs: list[str],
+    returns: str | T.DataType,
+    output: str | None = None,
+) -> Step:
+    """Fallible arbitrary-Python transformation (the Apply analog for
+    closures Catalyst can't express). ``fn(*input_values)`` runs per
+    row inside an Arrow batch; an exception becomes an error struct
+    on THAT row only — the job always succeeds (apply.go:80-89 +
+    error.go:156-170 semantics).
+    """
+    out_col = output or f"{name}_result"
+    ret_type = returns if isinstance(returns, T.DataType) else T._parse_datatype_string(returns)
+    result_schema = T.StructType(
+        [T.StructField("value", ret_type, True), T.StructField("err", T.StringType(), True)]
+    )
+
+    def batch_fn(*cols):  # pd.Series in, pd.DataFrame out
+        import pandas as pd
+
+        values: list[Any] = []
+        errs: list[str | None] = []
+        for row in zip(*cols):
+            try:
+                values.append(fn(*row))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — the whole point
+                values.append(None)
+                errs.append(sanitize_message(f"{type(e).__name__}: {e}"))
+        return pd.DataFrame({"value": values, "err": errs})
+
+    wrapped = F.pandas_udf(batch_fn, returnType=result_schema)
+
+    def step_fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        res = wrapped(*[F.col(c) for c in inputs])
+        tmp = f"_pipz_udf_{name}"
+        df = df.withColumn(tmp, F.when(is_ok(), res))
+        err_msg = F.col(tmp)["err"]
+        df = df.withColumn(
+            ERROR_COL,
+            F.when(is_ok() & err_msg.isNotNull(), make_error(list(path), err_msg)).otherwise(
+                F.col(ERROR_COL)
+            ),
+        )
+        df = df.withColumn(out_col, F.when(is_ok(), F.col(tmp)["value"]))
+        return df.drop(tmp)
+
+    return Step(name, step_fn, node_type="python_apply", metadata={"inputs": inputs})
+
+
+def python_map_batches(
+    name: str,
+    fn: Callable[["object"], "object"],
+    schema: str | T.StructType,
+) -> Callable[[DataFrame], DataFrame]:
+    """Whole-batch escape hatch over ``mapInPandas`` for reshaping
+    transforms (explode-like, model inference). ``fn(pdf) -> pdf``
+    runs per Arrow batch; a batch-level exception is captured and the
+    batch yields zero rows rather than failing the task (log-and-drop
+    is the only batch-safe policy; per-row capture belongs in
+    python_apply)."""
+
+    def gen(batches: Iterator["object"]) -> Iterator["object"]:
+        for pdf in batches:
+            try:
+                yield fn(pdf)
+            except Exception:
+                continue
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(gen, schema)
+
+    return apply

@@ -742,6 +742,25 @@ FROM documents
 """
 
 
+# UDF escape hatch — arbitrary Python with exception capture
+def _udf_apply(spark, sf):
+    from .functions import python_apply
+
+    def bucketize(total: float) -> int:
+        if total < 5000:
+            raise ValueError("total under floor")
+        return int(total // 100000)
+
+    step = python_apply("bucketize", bucketize, ["o_totalprice"], "long", output="bucket")
+    return split_ok(step(_t(spark, sf, "orders"))).select("o_orderkey", "bucket")
+
+
+_UDF_APPLY_SQL = """
+SELECT o_orderkey, CAST(floor(o_totalprice / 100000) AS BIGINT) AS bucket
+FROM orders WHERE o_totalprice >= 5000
+"""
+
+
 # Datapipe: rows-only checks (not SQL-expressible)
 def _dp_near_dup(spark, sf):
     return near_dup_pairs(_t(spark, sf, "documents"), threshold=0.7)
@@ -790,6 +809,7 @@ QUERIES: dict[str, Declared] = {
     "dp_exact_dedup": Declared(_dp_exact_dedup, _DP_EXACT_DEDUP_SQL),
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
+    "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
     "dp_near_dup_minhash": Declared(_dp_near_dup, None),
     "dp_simhash_pairs": Declared(_dp_simhash_pairs, None),
     "dp_ann_lsh": Declared(_dp_ann_lsh, None),

@@ -1,0 +1,254 @@
+"""Behavioral tests for the driver-side control plane.
+
+Mirrors the reference's strategy: a fault-injecting ChaosAction
+(testing/helpers.go:257-385) driven through single connectors and
+stacked combinations (testing/integration/
+resilience_patterns_test.go:14,99,172).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipz_spark.control import (
+    ActionTimeout,
+    CircuitBreaker,
+    CircuitOpenError,
+    Pipeline,
+    RateLimiter,
+    RateLimitExceeded,
+    SignalBus,
+    backoff,
+    retry,
+    scaffold,
+    timeout,
+    worker_pool,
+)
+from pipz_spark.control import signals as S
+
+
+class ChaosAction:
+    """Deterministic fault injector: fails the first ``fail_n`` calls,
+    then succeeds (the seeded-failure analog of ChaosProcessor)."""
+
+    def __init__(self, fail_n: int = 0, value: str = "ok"):
+        self.fail_n = fail_n
+        self.value = value
+        self.calls = 0
+
+    def __call__(self):
+        self.calls += 1
+        if self.calls <= self.fail_n:
+            raise RuntimeError(f"chaos failure #{self.calls}")
+        return self.value
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+        self.sleeps: list[float] = []
+
+    def now(self) -> float:
+        return self.t
+
+    def sleep(self, dt: float) -> None:
+        self.sleeps.append(dt)
+        self.t += dt
+
+
+def test_retry_first_success_no_extra_calls():
+    a = ChaosAction(fail_n=0)
+    assert retry(a, max_attempts=3) == "ok"
+    assert a.calls == 1
+
+
+def test_retry_recovers_then_exhausts():
+    a = ChaosAction(fail_n=2)
+    assert retry(a, max_attempts=3) == "ok"
+    assert a.calls == 3
+    b = ChaosAction(fail_n=5)
+    with pytest.raises(RuntimeError, match="chaos failure #2"):
+        retry(b, max_attempts=2)
+
+
+def test_backoff_exponential_delays():
+    clock = FakeClock()
+    a = ChaosAction(fail_n=3)
+    assert backoff(a, max_attempts=4, base_delay=0.1, sleep=clock.sleep) == "ok"
+    assert clock.sleeps == [0.1, 0.2, 0.4]
+
+
+def test_timeout_fast_child_passes_slow_child_flagged():
+    assert timeout(lambda: "fast", seconds=5.0) == "fast"
+    import time
+
+    with pytest.raises(ActionTimeout) as ei:
+        timeout(lambda: time.sleep(2), seconds=0.05, name="slow-op")
+    assert ei.value.timeout is True
+    assert "slow-op" in str(ei.value)
+
+
+def test_circuit_breaker_state_machine():
+    clock = FakeClock()
+    bus = SignalBus()
+    seen: list[str] = []
+    bus.on_any(lambda sig, f: seen.append(sig))
+    cb = CircuitBreaker(
+        "db", failure_threshold=3, reset_timeout=10.0,
+        success_threshold=2, clock=clock.now, bus=bus,
+    )
+    boom = ChaosAction(fail_n=100)
+    for _ in range(3):
+        with pytest.raises(RuntimeError):
+            cb.call(boom)
+    assert cb.state == CircuitBreaker.OPEN
+    with pytest.raises(CircuitOpenError):
+        cb.call(lambda: "nope")  # fast-fail while open
+    clock.t += 11.0
+    assert cb.state == CircuitBreaker.HALF_OPEN
+    assert cb.call(lambda: "a") == "a"
+    assert cb.state == CircuitBreaker.HALF_OPEN  # needs 2 successes
+    assert cb.call(lambda: "b") == "b"
+    assert cb.state == CircuitBreaker.CLOSED
+    assert S.BREAKER_OPENED in seen and S.BREAKER_CLOSED in seen
+    assert S.BREAKER_REJECTED in seen and S.BREAKER_HALF_OPEN in seen
+
+
+def test_circuit_breaker_half_open_failure_reopens():
+    clock = FakeClock()
+    cb = CircuitBreaker("api", failure_threshold=1, reset_timeout=5.0, clock=clock.now)
+    with pytest.raises(RuntimeError):
+        cb.call(ChaosAction(fail_n=1))
+    assert cb.state == CircuitBreaker.OPEN
+    clock.t += 6.0
+    with pytest.raises(RuntimeError):
+        cb.call(ChaosAction(fail_n=1))
+    assert cb.state == CircuitBreaker.OPEN
+
+
+def test_rate_limiter_wait_mode_throttles():
+    clock = FakeClock()
+    rl = RateLimiter("api", rate=10.0, burst=2, mode="wait",
+                     clock=clock.now, sleep=clock.sleep)
+    for _ in range(2):
+        rl.acquire()  # burst tokens, no wait
+    assert clock.sleeps == []
+    rl.acquire()  # empty bucket → waits 1/rate
+    assert len(clock.sleeps) == 1
+    assert abs(clock.sleeps[0] - 0.1) < 1e-9
+
+
+def test_rate_limiter_drop_mode_raises():
+    clock = FakeClock()
+    rl = RateLimiter("api", rate=1.0, burst=1, mode="drop", clock=clock.now)
+    rl.acquire()
+    with pytest.raises(RateLimitExceeded):
+        rl.acquire()
+    clock.t += 1.0  # refill one token
+    rl.acquire()
+
+
+def test_worker_pool_bounded_first_error_wins():
+    import threading
+
+    peak = {"n": 0, "cur": 0}
+    lock = threading.Lock()
+
+    def task():
+        with lock:
+            peak["cur"] += 1
+            peak["n"] = max(peak["n"], peak["cur"])
+        import time
+
+        time.sleep(0.02)
+        with lock:
+            peak["cur"] -= 1
+
+    worker_pool([task] * 6, workers=2)
+    assert peak["n"] <= 2
+
+    def bad():
+        raise ValueError("first failure")
+
+    with pytest.raises(ValueError, match="first failure"):
+        worker_pool([task, bad, task], workers=3)
+
+
+def test_scaffold_fire_and_forget_drops_errors():
+    import threading
+
+    done = threading.Event()
+
+    def ok_task():
+        done.set()
+
+    def bad_task():
+        raise RuntimeError("dropped silently")
+
+    scaffold([bad_task, ok_task])
+    assert done.wait(timeout=2.0)
+
+
+# -- stacked resilience (resilience_patterns_test.go:14,99,172) -------
+def test_stack_breaker_around_retry():
+    clock = FakeClock()
+    cb = CircuitBreaker("svc", failure_threshold=2, reset_timeout=30.0, clock=clock.now)
+    flaky = ChaosAction(fail_n=1)
+    # retry absorbs the transient failure; breaker sees one success
+    assert cb.call(lambda: retry(flaky, max_attempts=3)) == "ok"
+    assert cb.state == CircuitBreaker.CLOSED
+    # persistent failure: retry exhausts twice → breaker opens
+    for _ in range(2):
+        with pytest.raises(RuntimeError):
+            cb.call(lambda: retry(ChaosAction(fail_n=99), max_attempts=2))
+    assert cb.state == CircuitBreaker.OPEN
+
+
+def test_stack_ratelimit_then_backoff():
+    clock = FakeClock()
+    rl = RateLimiter("out", rate=100.0, burst=1, mode="wait",
+                     clock=clock.now, sleep=clock.sleep)
+    flaky = ChaosAction(fail_n=2)
+    result = backoff(
+        lambda: rl.call(flaky), max_attempts=3, base_delay=0.5, sleep=clock.sleep
+    )
+    assert result == "ok"
+    assert 0.5 in clock.sleeps and 1.0 in clock.sleeps
+
+
+def test_stack_timeout_with_fallback():
+    import time
+
+    def slow_primary():
+        time.sleep(2)
+        return "primary"
+
+    def fast_backup():
+        return "backup"
+
+    try:
+        got = timeout(slow_primary, seconds=0.05)
+    except ActionTimeout:
+        got = fast_backup()
+    assert got == "backup"
+
+
+def test_pipeline_run_ids(spark, orders):
+    from pyspark.sql import functions as F
+
+    from pipz_spark import P
+
+    bus = SignalBus()
+    events: list[dict] = []
+    bus.on(S.PIPELINE_COMPLETED, lambda sig, f: events.append(f))
+    pipe = Pipeline(
+        "flow", P.transform("t", {"x": F.lit(1)}), bus=bus
+    )
+    out1 = pipe.run(spark, orders)
+    ex1 = pipe.last_execution_id
+    out2 = pipe.run(spark, orders)
+    ex2 = pipe.last_execution_id
+    assert out1.count() == orders.count() and out2.count() == orders.count()
+    assert ex1 != ex2  # fresh execution UUID per run (pipeline.go:52-55)
+    assert events[0]["pipeline_id"] == events[1]["pipeline_id"]  # stable
+    assert pipe.to_node()["type"] == "pipeline"

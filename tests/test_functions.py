@@ -1,0 +1,69 @@
+"""UDF escape hatch: exceptions become error rows, never task failures."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from pipz_spark import ERROR_COL, P, split_failed, split_ok
+from pipz_spark.functions import python_apply, python_map_batches, sanitize_message
+
+
+def test_python_apply_success_and_error_rows(orders):
+    def parse_bucket(total):
+        if total < 5000:
+            raise ValueError(f"total {total} under floor at 0x7fff123 in /srv/app/x.py")
+        return int(total // 100000)
+
+    step = python_apply("bucketize", parse_bucket, ["o_totalprice"], "long", output="bucket")
+    out = step(orders)
+    n_bad = orders.where("o_totalprice < 5000").count()
+    failed = split_failed(out)
+    assert failed.count() == n_bad  # job succeeded; poison rows captured
+    ok = split_ok(out)
+    assert ok.count() == orders.count() - n_bad
+    assert ok.where(F.col("bucket").isNull()).count() == 0
+    err = failed.select(ERROR_COL).first()[0]
+    assert err["path"] == ["bucketize"]
+    assert "ValueError" in err["message"]
+    # sanitizer stripped addresses and file paths (error.go:101-147)
+    assert "0x7fff123" not in err["message"]
+    assert "/srv/app/x.py" not in err["message"]
+
+
+def test_python_apply_in_sequence_short_circuits(orders):
+    step = P.sequence(
+        "flow",
+        P.apply("validate", error_when=F.col("o_totalprice") > 100000, message="cap"),
+        python_apply("json-meta", lambda k: json.dumps({"k": k}), ["o_orderkey"], "string", output="meta"),
+    )
+    out = step(orders)
+    bad = out.where(F.col(ERROR_COL).isNotNull())
+    # errored rows skipped the UDF (guarded), meta stays NULL
+    assert bad.where(F.col("meta").isNotNull()).count() == 0
+    good = split_ok(out).first()
+    assert json.loads(good["meta"])["k"] == good["o_orderkey"]
+
+
+def test_sanitize_message():
+    m = sanitize_message("boom at 0xDEADBEEF from /usr/lib/python3.11/foo.py line\n2  " + "x" * 300)
+    assert "<addr>" in m and "<path>" in m
+    assert len(m) <= 200
+    assert "\n" not in m
+
+
+def test_python_map_batches_reshape(documents):
+    def explode_tokens(pdf):
+        import pandas as pd
+
+        rows = []
+        for _, r in pdf.iterrows():
+            for i, tok in enumerate(r["text"].split()[:3]):
+                rows.append({"doc_id": r["doc_id"], "pos": i, "token": tok})
+        return pd.DataFrame(rows, columns=["doc_id", "pos", "token"])
+
+    apply = python_map_batches("tok3", explode_tokens, "doc_id long, pos int, token string")
+    out = apply(documents.select("doc_id", "text"))
+    assert out.count() == documents.count() * 3
+    assert set(out.columns) == {"doc_id", "pos", "token"}
