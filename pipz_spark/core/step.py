@@ -55,6 +55,8 @@ class Step:
             self.node_type = node_type
         self.children = tuple(children)
         self.metadata = dict(metadata or {})
+        self._close_hooks: list[Callable[[], None]] = []
+        self._closed = False
 
     @property
     def name(self) -> str:
@@ -85,6 +87,31 @@ class Step:
 
     def to_json(self, indent: int | None = None) -> str:
         return json.dumps(self.to_node(), indent=indent)
+
+    # -- graceful shutdown (mirror of sequence.go:332-347) -------------
+    def on_close(self, hook: Callable[[], None]) -> "Step":
+        """Register a cleanup hook (sink flush, cache release)."""
+        self._close_hooks.append(hook)
+        return self
+
+    def close(self) -> None:
+        """Idempotent close cascading to children in LIFO order, like
+        the reference (sequence.go:332-347: children closed reverse of
+        registration; double-close is a no-op). Hook errors are
+        swallowed so one failing cleanup can't block the rest."""
+        if self._closed:
+            return
+        self._closed = True
+        for child in reversed(self.children):
+            try:
+                child.close()
+            except Exception:
+                pass
+        for hook in reversed(self._close_hooks):
+            try:
+                hook()
+            except Exception:
+                pass
 
     # -- traversal (mirror of schema.go:336-436) -----------------------
     def walk(self) -> Iterator["Step"]:

@@ -1,0 +1,143 @@
+"""Streaming layer tests: windowed aggs match batch results, stateful
+ops work, foreachBatch runner splits dead letters and honors the
+breaker — all against the real events.parquet via the file source."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipz_spark import P
+from pipz_spark.control import CircuitBreaker, CircuitOpenError
+from pipz_spark.sources.catalog import load_table
+from pipz_spark.streaming import (
+    dedupe_stream,
+    read_events_stream,
+    run_step_stream,
+    running_totals,
+    session_window_agg,
+    windowed_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(spark, sdf, name, mode="update"):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_windowed_agg_matches_batch(spark, events):
+    stream = read_events_stream(spark, SF_DIR)
+    agg = windowed_agg(
+        stream,
+        {"n": F.count(F.lit(1)), "total": F.round(F.sum("value"), 2)},
+        window="1 hour",
+        keys=["event_type"],
+    )
+    got = _run_to_memory(spark, agg, "hourly_counts")
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r["win_start"], r["event_type"]): r["n"] for r in got.collect()}
+    b = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert g == b
+
+
+def test_session_window_agg_runs(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    agg = session_window_agg(
+        stream, {"n": F.count(F.lit(1))}, gap="10 minutes", keys=["user_id"]
+    )
+    got = _run_to_memory(spark, agg, "sessions", mode="complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["win_end"] >= r["win_start"] for r in rows)
+
+
+def test_dedupe_stream(spark, events):
+    stream = read_events_stream(spark, SF_DIR)
+    out = _run_to_memory(spark, dedupe_stream(stream, ["user_id"]), "dedup", mode="append")
+    assert out.count() == events.select("user_id").distinct().count()
+
+
+def test_running_totals_stateful(spark, events):
+    stream = read_events_stream(spark, SF_DIR)
+    out = _run_to_memory(spark, running_totals(stream), "running")
+    # final state per user equals the batch aggregate
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    for r in batch.collect():
+        assert g[r["user_id"]][0] == r["n_events"]
+        assert abs(g[r["user_id"]][1] - r["total_value"]) < 1e-6
+
+
+def test_run_step_stream_dead_letter_split(spark, events):
+    stream = read_events_stream(spark, SF_DIR)
+    step = P.apply("validate", error_when=F.col("value") < 0, message="negative value")
+    got: dict[str, int] = {"ok": 0, "dead": 0}
+
+    def ok_sink(df, batch_id):
+        got["ok"] += df.count()
+
+    def dlq_sink(df, batch_id):
+        got["dead"] += df.count()
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_step_stream(stream, step, ok_sink, dlq_sink, checkpoint=ckpt)
+        q.processAllAvailable()
+        q.stop()
+    n_bad = events.where("value < 0").count()
+    assert got["dead"] == n_bad
+    assert got["ok"] == events.count() - n_bad
+
+
+def test_run_step_stream_breaker_opens(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    step = P.transform("noop", {})
+    breaker = CircuitBreaker("sink", failure_threshold=1, reset_timeout=9999.0)
+
+    def failing_sink(df, batch_id):
+        raise RuntimeError("sink down")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_step_stream(stream, step, failing_sink, breaker=breaker, checkpoint=ckpt)
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+        q.stop()
+    assert breaker.state == CircuitBreaker.OPEN
+
+
+def test_close_cascade(orders):
+    closed: list[str] = []
+    a = P.transform("a", {"x": F.lit(1)}).on_close(lambda: closed.append("a"))
+    b = P.transform("b", {"y": F.lit(2)}).on_close(lambda: closed.append("b"))
+    pipe = P.sequence("root", a, b)
+    pipe.on_close(lambda: closed.append("root"))
+    pipe.close()
+    pipe.close()  # idempotent
+    assert closed == ["b", "a", "root"]  # children LIFO, then own hooks
+
+
+def test_write_split_sink(spark, orders, tmp_path):
+    from pipz_spark.sources.sinks import write_split
+
+    step = P.apply("validate", error_when=F.col("o_totalprice") < 5000, message="low")
+    out = step(orders)
+    counts = write_split(
+        out, str(tmp_path / "ok"), str(tmp_path / "dlq"), mode="overwrite"
+    )
+    n_bad = orders.where("o_totalprice < 5000").count()
+    assert counts == {"ok": orders.count() - n_bad, "dead_letter": n_bad}
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert "_error_message" in dlq.columns and dlq.count() == n_bad
+    ok = spark.read.parquet(str(tmp_path / "ok"))
+    assert "_pipz_error" not in ok.columns
