@@ -7,6 +7,7 @@ run — the driver. Signals mirror the reference's event bus.
 """
 
 from . import signals
+from .observe import collect_observation, observed_effect
 from .pipeline import Pipeline
 from .resilience import (
     ActionTimeout,
@@ -32,6 +33,8 @@ __all__ = [
     "RateLimiter",
     "SignalBus",
     "backoff",
+    "collect_observation",
+    "observed_effect",
     "retry",
     "scaffold",
     "signals",

@@ -113,21 +113,28 @@ def effect(
     metrics: Mapping[str, Column] | None = None,
     error_when: Column | None = None,
     message: Column | str = "effect failed",
+    observation: "object | None" = None,
 ) -> Step:
     """Side effect; data passes through unchanged (effect.go:136).
 
     Data-plane effects are observations: ``metrics`` registers
     ``df.observe`` aggregates collected at the next action (the
-    Spark-native analog of a logging/metrics closure). A failing
-    effect (``error_when``) stops the row like the reference
-    (error stops pipeline) without modifying the value.
+    Spark-native analog of a logging/metrics closure). Pass a
+    ``pyspark.sql.Observation`` to read the values back driver-side
+    after the action (see control.collect_observation, which routes
+    them to the signal bus — the consumer the reference's signal
+    emission implies, signals.go:7-137). A failing effect
+    (``error_when``) stops the row like the reference (error stops
+    pipeline) without modifying the value.
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         if metrics:
-            df = df.observe(
-                f"{name}#{next(_obs_seq)}", *[c.alias(k) for k, c in metrics.items()]
-            )
+            aggs = [c.alias(k) for k, c in metrics.items()]
+            if observation is not None:
+                df = df.observe(observation, *aggs)
+            else:
+                df = df.observe(f"{name}#{next(_obs_seq)}", *aggs)
         if error_when is not None:
             err = make_error(list(path), message)
             df = df.withColumn(

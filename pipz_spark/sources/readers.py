@@ -1,0 +1,81 @@
+"""Additional sources beyond the parquet catalog (SURVEY §2.4:
+"Spark readers/writers — parquet, CSV, JSON, JDBC").
+
+Scale notes baked into the defaults:
+* CSV/JSON take an explicit schema whenever the caller has one —
+  schema inference is an extra full scan of the data.
+* The JDBC reader exposes partitioned-read parameters; a single-
+  connection JDBC scan is a driver bottleneck at any real size, so
+  callers pass (partition_column, lower/upper bound, num_partitions)
+  to fan the read across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multiline: bool = False,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10000,
+    **options: str,
+) -> DataFrame:
+    """Partitioned JDBC scan. Without the partition quad the read is
+    one task on one executor — fine for dimension snapshots, wrong
+    for facts. Predicates on ``partition_column`` prune at the source
+    (each task issues its own bounded WHERE)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    reader = reader.option("fetchsize", str(fetch_size))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partitioned JDBC read needs lower_bound, upper_bound and num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -141,3 +141,40 @@ def test_write_split_sink(spark, orders, tmp_path):
     assert "_error_message" in dlq.columns and dlq.count() == n_bad
     ok = spark.read.parquet(str(tmp_path / "ok"))
     assert "_pipz_error" not in ok.columns
+
+
+def test_observed_effect_signal_bus(spark, orders):
+    from pipz_spark.control import SignalBus, collect_observation, observed_effect
+    from pipz_spark.control.observe import EFFECT_OBSERVED
+
+    step, obs = observed_effect(
+        "audit", {"rows": F.count(F.lit(1)), "total": F.sum("o_totalprice")}
+    )
+    out = step(orders)
+    out.write.format("noop").mode("overwrite").save()  # the action
+    bus = SignalBus()
+    seen: list[dict] = []
+    bus.on(EFFECT_OBSERVED, lambda sig, f: seen.append(f))
+    vals = collect_observation(obs, name="audit", bus=bus)
+    assert vals["rows"] == orders.count()
+    assert seen[0]["rows"] == orders.count()
+    assert abs(seen[0]["total"] - vals["total"]) < 1e-9
+
+
+def test_csv_json_readers_roundtrip(spark, orders, tmp_path):
+    from pipz_spark.sources.readers import read_csv, read_json
+
+    sample = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").limit(100)
+    sample.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "csv"))
+    sample.write.mode("overwrite").json(str(tmp_path / "json"))
+    got_csv = read_csv(
+        spark, str(tmp_path / "csv"),
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    got_json = read_json(
+        spark, str(tmp_path / "json"),
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    assert got_csv.count() == 100 and got_json.count() == 100
+    assert got_csv.exceptAll(sample).count() == 0
+    assert got_json.exceptAll(sample).count() == 0
