@@ -22,7 +22,13 @@ from .dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from .similarity import cosine_similarity, cosine_topk_bruteforce, cosine_topk_lsh
+from .similarity import (
+    cosine_similarity,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
 from .text import (
     fingerprint,
     lang_id,
@@ -42,8 +48,10 @@ __all__ = [
     "blob_metadata",
     "cosine_similarity",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "decode_image_features",
+    "embedding_near_dup_pairs",
     "exact_dedup",
     "fingerprint",
     "lang_id",

@@ -150,9 +150,130 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (trained once,
+    driver-side, on a sample) partitions the corpus into ``nlist``
+    cells; each query probes its ``nprobe`` closest cells, so scoring
+    touches ~nprobe/nlist of the corpus instead of all of it. The
+    cell assignment is a pure expression (argmax of dot products with
+    the literal centroid matrix) and candidates come from an
+    equi-join on cell id — the same no-cross-join discipline as the
+    LSH path, but with data-adaptive buckets (better recall on
+    clustered embeddings).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(F.col(vec_col).alias("_v"))
+    if train_fraction < 1.0:
+        train = train.sample(train_fraction, seed=seed)
+    model = KMeans(k=nlist, seed=seed, featuresCol="_feat").fit(
+        train.select(array_to_vector(F.col("_v").cast("array<double>")).alias("_feat"))
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def cell_scores(vec: Column) -> Column:
+        v = vec.cast("array<double>")
+        return F.array(
+            *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centers]
+        )
+
+    def best_cell(vec: Column) -> Column:
+        scores = cell_scores(vec)
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    def probe_cells(vec: Column) -> Column:
+        scores = cell_scores(vec)
+        ranked = F.sort_array(
+            F.zip_with(
+                scores,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+            ),
+            asc=False,
+        )
+        return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"].cast("int"))
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_nv"),
+        best_cell(F.col(vec_col)).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    pairs = c.join(q, "_cell").where(F.col("nid") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("qid", "nid", "cos", F.col("_rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup
+    companion to MinHash): multi-table hyperplane buckets generate
+    candidates (equi-join on (table, signature), id_a < id_b), exact
+    cosine filters at ``threshold``. High thresholds are exactly where
+    hyperplane LSH shines — near-identical vectors collide in almost
+    every table."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    sigs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(
+            F.array(*[lsh_signature(F.col(vec_col), p) for p in all_planes])
+        ).alias("_tbl", "_sig"),
+    )
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_tbl", "_sig")
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_tbl", "_sig")
+    pairs = (
+        a.join(b, ["_tbl", "_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+    ).where(F.col("cos") >= threshold)
+
+
 __all__ = [
     "cosine_similarity",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "embedding_near_dup_pairs",
     "lsh_signature",
 ]

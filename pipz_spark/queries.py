@@ -776,6 +776,23 @@ def _dp_ann_lsh(spark, sf):
     return cosine_topk_lsh(emb, queries, k=5)
 
 
+def _dp_ann_ivf(spark, sf):
+    from .datapipe import cosine_topk_ivf
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+
+
+def _dp_embed_near_dup(spark, sf):
+    from .datapipe import embedding_near_dup_pairs
+
+    # synthetic embeddings are near-orthogonal (max pairwise cos ~0.51
+    # at sf0.01), so the "near-dup" threshold here sits at the top of
+    # that distribution to exercise the operator with non-empty output
+    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
 # --------------------------------------------------------------------
 QUERIES: dict[str, Declared] = {
     "p1_transform": Declared(_p1, _P1_SQL),
@@ -813,6 +830,8 @@ QUERIES: dict[str, Declared] = {
     "dp_near_dup_minhash": Declared(_dp_near_dup, None),
     "dp_simhash_pairs": Declared(_dp_simhash_pairs, None),
     "dp_ann_lsh": Declared(_dp_ann_lsh, None),
+    "dp_ann_ivf": Declared(_dp_ann_ivf, None),
+    "dp_embed_near_dup": Declared(_dp_embed_near_dup, None),
 }
 
 

@@ -190,3 +190,33 @@ def test_cosine_topk_lsh_recall(embeddings):
         (r["qid"], r["nid"]) for r in cosine_topk_lsh(embeddings, queries, k=5).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_cosine_topk_ivf_recall(embeddings):
+    from pipz_spark.datapipe import cosine_topk_ivf
+
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk_bruteforce(embeddings, queries, k=5).collect()
+    }
+    out = cosine_topk_ivf(embeddings, queries, k=5, nlist=8, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = {(r["qid"], r["nid"]) for r in out.collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    from pipz_spark.datapipe import embedding_near_dup_pairs
+
+    # plant an exact duplicate vector under a new id
+    base = embeddings.limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(999999, base["embedding"], base["label"])], schema=embeddings.schema
+    )
+    corpus = embeddings.unionByName(planted)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.99)
+    hit = pairs.where((F.col("id_a") == base["vec_id"]) & (F.col("id_b") == 999999))
+    got = hit.collect()
+    assert len(got) == 1
+    assert got[0]["cos"] >= 0.999999
