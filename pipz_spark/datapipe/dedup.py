@@ -15,6 +15,8 @@ family with (a*h + b) mod p transforms inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -118,28 +120,34 @@ def minhash_signatures_df(
     num_hashes: int = 128,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Vectorized MinHash: explode shingles → one xxhash per shingle →
-    num_hashes primitive ``min(a_j*h + b_j)`` aggregates. Everything
-    stays in whole-stage codegen over flat longs (no per-shingle array
-    allocations — ~4x faster than the fold), and map-side partial
-    aggregation collapses each doc to ONE row of (id, 128 longs)
-    BEFORE the shuffle, so the explode never hits the wire. Returns
-    (_id, _sig array<long>)."""
+    """Hybrid MinHash: shingling + base hashing stay JVM-side (string
+    work belongs in codegen — one xxhash64 per shingle), then the
+    (a*h+b) % p minima come from an Arrow-batched numpy UDF: one
+    (num_hashes x n_shingles) broadcasted multiply-min per document.
+    Dense integer math is where numpy beats both an expression fold
+    (per-shingle array allocations) and a 120-aggregate groupBy
+    (codegen planning alone cost seconds). Per-partition work, no
+    shuffle. Returns (_id, _sig array<long>)."""
+    import numpy as np
+
     a_co, b_co = _hash_family(num_hashes)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_s"),
-    ).select(
-        "_id", F.xxhash64("_s").bitwiseAND(F.lit(4294967295).cast("long")).alias("_h")
+    a_vec = np.array(a_co, dtype="int64")[:, None]
+    b_vec = np.array(b_co, dtype="int64")[:, None]
+
+    @F.pandas_udf("array<bigint>")
+    def min_udf(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype="int64")[None, :]
+            out.append(((a_vec * hv + b_vec) % _PRIME_GT_32).min(axis=1))
+        return pd.Series(out)
+
+    base_hashes = F.transform(
+        char_shingles(F.col(text_col), shingle_k),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(4294967295).cast("long")),
     )
-    mins = base.groupBy("_id").agg(
-        *[
-            F.min((F.lit(a).cast("long") * F.col("_h") + F.lit(b)) % F.lit(_PRIME_GT_32)).alias(f"_m{j}")
-            for j, (a, b) in enumerate(zip(a_co, b_co))
-        ]
-    )
-    return mins.select(
-        "_id", F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("_sig")
+    return df.select(
+        F.col(id_col).alias("_id"), min_udf(base_hashes).alias("_sig")
     )
 
 
@@ -166,6 +174,7 @@ def lsh_candidate_pairs(
     bands: int = 24,
     shingle_k: int = 5,
     max_bucket: int = 64,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation: (id_a < id_b) pairs sharing at
     least one band bucket. Shuffle equi-join on (band, band_hash) —
@@ -173,10 +182,11 @@ def lsh_candidate_pairs(
     (boilerplate guard; at 100 TB one viral doc cluster must not
     produce O(n²) pairs in a single task)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures_df(
-        df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_k=shingle_k,
-    )
+    if sigs is None:
+        sigs = minhash_signatures_df(
+            df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k,
+        )
     banded = sigs.select(
         "_id",
         F.posexplode(
@@ -228,12 +238,20 @@ def ngram_jaccard(
     joined ONCE against the shingle-set projection — one shingle
     computation and one shuffle join regardless of pair count; cost is
     O(candidates), not O(n²)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    )
     sides = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
+    )
+    # shingle only documents that actually appear in a candidate pair
+    # (semi-join prune): after an aggressive candidate filter this is
+    # a tiny fraction of the corpus
+    relevant = df.join(
+        sides.select("_id").distinct(),
+        F.col(id_col) == F.col("_id"),
+        "left_semi",
+    )
+    sh = relevant.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
     )
     packed = (
         sides.join(sh, "_id")
@@ -270,13 +288,39 @@ def near_dup_pairs(
     pruning the flood of low-similarity candidates a 32x4 scheme
     (threshold 0.42) would send to the exact-verify stage.
 
-    candidates (banded LSH, equi-join) → exact Jaccard → threshold.
-    """
+    Three stages, each strictly cheaper than the next is selective:
+    banded-LSH candidates (equi-join) → minhash-ESTIMATE filter
+    (fraction of agreeing signature slots, integer compare on the
+    already-computed signatures — unbiased Jaccard estimator with
+    sd ~ 1/sqrt(num_hashes)) at threshold minus a 3-sigma margin →
+    exact shingle Jaccard only for the survivors. On vocabulary-heavy
+    corpora the estimate kills the bulk of sub-threshold candidates
+    before the expensive string-set intersections."""
+    # one row of 120 longs per doc — persisted because both the
+    # banding pass and the estimate join read it; tiny relative to
+    # the corpus (n_docs x ~1 KB)
+    sigs = minhash_signatures_df(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    ).persist()
     cand = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        sigs=sigs,
     )
-    return ngram_jaccard(df, cand, id_col=id_col, text_col=text_col, shingle_k=shingle_k).where(
+    margin = 3.0 / (num_hashes ** 0.5)
+    est = (
+        cand.join(sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .withColumn(
+            "_est",
+            F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_hashes),
+        )
+        .where(F.col("_est") >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+    return ngram_jaccard(df, est, id_col=id_col, text_col=text_col, shingle_k=shingle_k).where(
         F.col("jaccard") >= threshold
     )
 
@@ -313,6 +357,36 @@ def _simhash_expr(text: Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 63,
+) -> DataFrame:
+    """Vectorized SimHash: explode tokens → one xxhash64 each → per
+    bit a flat ``sum(±1)`` aggregate → pack. Flat-long codegen with
+    map-side combine (one row per doc crosses the shuffle) — the fast
+    path for corpus-scale runs; the expression form (`simhash` Step)
+    stays for shuffle-free column attachment. Returns (_id, _h)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_th"))
+    aggs = [
+        F.sum(
+            F.call_function("shiftright", F.col("_th"), F.lit(j)).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    votes = base.groupBy("_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("_id", sig.alias("_h"))
+
+
 def simhash(name: str = "simhash", text_col: str = "text") -> Step:
     """Attach a 63-bit ``simhash`` column."""
 
@@ -335,7 +409,7 @@ def simhash_near_dup_pairs(
     equi-join on (block, chunk) — again no cross join — then exact
     ``bit_count(a XOR b)`` filters."""
     width = 64 // blocks
-    h = df.select(F.col(id_col).alias("_id"), _simhash_expr(F.col(text_col)).alias("_h"))
+    h = simhash_df(df, id_col=id_col, text_col=text_col)
     chunked = h.select(
         "_id",
         "_h",

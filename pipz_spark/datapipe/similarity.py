@@ -19,6 +19,8 @@ expressions, deterministic order, no Python per row.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -91,6 +93,41 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _table_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    all_planes: list[list[list[float]]],
+) -> DataFrame:
+    """(id, table, signature) for every vector.
+
+    Dense plane projection is exactly the sanctioned pandas-UDF case:
+    an Arrow-batched numpy matmul (batch x dim) @ (dim x tables*bits)
+    beats both an expression fold (per-row array allocations) and a
+    64-aggregate groupBy (whose Catalyst/codegen PLANNING cost alone
+    was ~7s). Per-partition work, no shuffle; the plane matrix ships
+    once in the closure."""
+    import numpy as np
+
+    bits = len(all_planes[0])
+    tables = len(all_planes)
+    plane_matrix = np.array(
+        [p for table in all_planes for p in table], dtype="float64"
+    ).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits)).astype("int64")
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy()).astype("float64")  # (n, dim)
+        signs = (V @ plane_matrix) > 0  # (n, tables*bits)
+        sigs = signs.reshape(len(V), tables, bits) @ weights  # (n, tables)
+        return pd.Series(list(sigs))
+
+    return df.select(
+        F.col(id_col).alias("_id"), sig_udf(F.col(vec_col)).alias("_sigs")
+    ).select("_id", F.posexplode("_sigs").alias("_tbl", "_sig"))
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,14 +156,11 @@ def cosine_topk_lsh(
         dim = int(first["d"])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
 
-    def signatures(vec: Column) -> Column:
-        return F.array(*[lsh_signature(vec, p) for p in all_planes])
-
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            F.posexplode(signatures(F.col(vec_col))).alias("_tbl", "_sig"),
+        sigs = _table_signatures_df(df, id_col, vec_col, all_planes)
+        vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(out_vec))
+        return sigs.join(vecs, "_id").select(
+            F.col("_id").alias(out_id), out_vec, "_tbl", "_sig"
         )
 
     c = bucketed(corpus, "nid", "_nv")
@@ -233,8 +267,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 4,
-    tables: int = 16,
+    bits: int = 8,
+    tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
@@ -243,18 +277,16 @@ def embedding_near_dup_pairs(
     candidates (equi-join on (table, signature), id_a < id_b), exact
     cosine filters at ``threshold``. High thresholds are exactly where
     hyperplane LSH shines — near-identical vectors collide in almost
-    every table."""
+    every table, so the defaults use FINE buckets (8 bits → 256
+    cells/table: recall ~0.97 at cos 0.95 with 8 tables, while the
+    pair count per table stays ~n²/256). For mid-range thresholds
+    lower ``bits`` (coarser cells, more candidates)."""
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
-    sigs = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.posexplode(
-            F.array(*[lsh_signature(F.col(vec_col), p) for p in all_planes])
-        ).alias("_tbl", "_sig"),
-    )
+    vecs = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sigs = _table_signatures_df(corpus, id_col, vec_col, all_planes).join(vecs, "_id")
     a = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_tbl", "_sig")
     b = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_tbl", "_sig")
     pairs = (

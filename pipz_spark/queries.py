@@ -789,8 +789,11 @@ def _dp_embed_near_dup(spark, sf):
 
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.51
     # at sf0.01), so the "near-dup" threshold here sits at the top of
-    # that distribution to exercise the operator with non-empty output
-    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    # that distribution (with coarse cells to match) to exercise the
+    # operator with non-empty output
+    return embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4, bits=4, tables=16
+    )
 
 
 # --------------------------------------------------------------------
