@@ -16,6 +16,7 @@ from .resilience import (
     RateLimiter,
     RateLimitExceeded,
     backoff,
+    race_actions,
     retry,
     scaffold,
     timeout,
@@ -35,6 +36,7 @@ __all__ = [
     "backoff",
     "collect_observation",
     "observed_effect",
+    "race_actions",
     "retry",
     "scaffold",
     "signals",

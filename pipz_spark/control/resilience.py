@@ -320,6 +320,58 @@ def worker_pool(
         raise first_error[0]
 
 
+def race_actions(
+    fns: Sequence[Callable[[], T]],
+    name: str = "race",
+    spark: Any | None = None,
+    timeout_seconds: float | None = None,
+    bus: S.SignalBus = S.BUS,
+) -> T:
+    """WALL-CLOCK racing of actions — the true concurrent semantic of
+    the reference's Race (race.go:66-159: first success wins, losers
+    canceled) for multi-source reads, complementing the deterministic
+    priority-order batch semantic of operators.race (SURVEY §7.3.3).
+    Each action runs in its own thread under its own Spark job group;
+    the first SUCCESS cancels the rest (job-group cancel = the ctx
+    cancellation analog, race.go:123); all-fail raises the last error
+    (race.go:143-157)."""
+    if not fns:
+        raise ValueError("race_actions needs at least one action")
+    groups = [f"pipz-race-{uuid.uuid4()}" for _ in fns]
+
+    def run(i: int) -> T:
+        if spark is not None:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", groups[i])
+        return fns[i]()
+
+    ex = ThreadPoolExecutor(max_workers=len(fns))
+    futs = {ex.submit(run, i): i for i in range(len(fns))}
+    last_error: Exception | None = None
+    try:
+        from concurrent.futures import as_completed
+
+        for fut in as_completed(futs, timeout=timeout_seconds):
+            try:
+                result = fut.result()
+            except Exception as e:  # noqa: BLE001
+                last_error = e
+                continue
+            winner = futs[fut]
+            bus.emit(S.RACE_WINNER, name=name, winner=winner)
+            if spark is not None:
+                for i, g in enumerate(groups):
+                    if i != winner:
+                        try:
+                            spark.sparkContext.cancelJobGroup(g)
+                        except Exception:
+                            pass
+            return result
+        assert last_error is not None
+        raise last_error
+    finally:
+        ex.shutdown(wait=False)
+
+
 def scaffold(
     actions: Sequence[Callable[[], Any]],
     name: str = "scaffold",

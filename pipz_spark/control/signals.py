@@ -33,6 +33,7 @@ POOL_SATURATED = "workerpool.saturated"
 POOL_ACQUIRED = "workerpool.acquired"
 POOL_RELEASED = "workerpool.released"
 SCAFFOLD_DISPATCHED = "scaffold.dispatched"
+RACE_WINNER = "race.winner"
 FALLBACK_ATTEMPT = "fallback.attempt"
 FALLBACK_FAILED = "fallback.failed"
 SEQUENCE_COMPLETED = "sequence.completed"

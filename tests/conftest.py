@@ -43,3 +43,15 @@ def embeddings(spark):
 @pytest.fixture(scope="session")
 def events(spark):
     return load_table(spark, "events", SF_DIR).cache()
+
+
+# module-scoped aliases for hypothesis tests (function-scoped fixtures
+# clash with @given re-execution)
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    return spark
+
+
+@pytest.fixture(scope="session")
+def orders_prop(spark):
+    return load_table(spark, "orders", SF_DIR).limit(500).cache()

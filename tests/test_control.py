@@ -252,3 +252,39 @@ def test_pipeline_run_ids(spark, orders):
     assert ex1 != ex2  # fresh execution UUID per run (pipeline.go:52-55)
     assert events[0]["pipeline_id"] == events[1]["pipeline_id"]  # stable
     assert pipe.to_node()["type"] == "pipeline"
+
+
+def test_race_actions_first_success_wins():
+    import time
+
+    from pipz_spark.control import race_actions
+
+    def slow_ok():
+        time.sleep(1.0)
+        return "slow"
+
+    def fast_ok():
+        time.sleep(0.05)
+        return "fast"
+
+    def fast_fail():
+        raise RuntimeError("nope")
+
+    t0 = time.time()
+    assert race_actions([slow_ok, fast_ok, fast_fail]) == "fast"
+    assert time.time() - t0 < 0.9  # did not wait for the slow one
+
+
+def test_race_actions_all_fail_raises_last():
+    import pytest as _pytest
+
+    from pipz_spark.control import race_actions
+
+    def boom_a():
+        raise ValueError("a")
+
+    def boom_b():
+        raise ValueError("b")
+
+    with _pytest.raises(ValueError):
+        race_actions([boom_a, boom_b])

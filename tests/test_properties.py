@@ -1,0 +1,46 @@
+"""Property-based tests (hypothesis): invariants of the Either row
+model that must hold for ANY predicate/update combination."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pipz_spark import P, split_failed, split_ok
+
+THRESHOLDS = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+FACTORS = st.floats(min_value=-10, max_value=10, allow_nan=False)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(threshold=THRESHOLDS, factor=FACTORS)
+def test_split_partitions_input(spark_prop, orders_prop, threshold, factor):
+    """ok + failed always partition the input exactly, and failed rows
+    never receive updates — for arbitrary predicates and factors."""
+    step = P.sequence(
+        "flow",
+        P.apply("validate", error_when=F.col("o_totalprice") < threshold, message="low"),
+        P.transform("scale", {"scaled": F.col("o_totalprice") * factor}),
+    )
+    out = step(orders_prop)
+    n_ok, n_failed = split_ok(out).count(), split_failed(out).count()
+    assert n_ok + n_failed == orders_prop.count()
+    assert split_failed(out).where(F.col("scaled").isNotNull()).count() == 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(t1=THRESHOLDS, t2=THRESHOLDS)
+def test_race_totality(spark_prop, orders_prop, t1, t2):
+    """race: every row gets a value or an error — never neither —
+    whatever the failure predicates are (incl. always/never/NULL)."""
+    step = P.race(
+        "src",
+        [
+            P.Attempt("a", {"v": F.lit(1.0)}, fail_when=F.col("o_totalprice") < t1),
+            P.Attempt("b", {"v": F.lit(2.0)}, fail_when=F.col("o_totalprice") > t2),
+        ],
+    )
+    out = step(orders_prop)
+    ok, failed = split_ok(out), split_failed(out)
+    assert ok.count() + failed.count() == orders_prop.count()
+    assert ok.where(F.col("v").isNull()).count() == 0
