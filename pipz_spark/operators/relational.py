@@ -35,22 +35,103 @@ def group_agg(
     name: str,
     keys: Seq[str | Column],
     aggs: Mapping[str, Column],
+    mode: str = "group",
 ) -> Step:
-    """Hash aggregation: ``groupBy(keys).agg(...)``.
+    """Hash aggregation: ``groupBy|cube|rollup(keys).agg(...)``.
 
     Catalyst plans partial (map-side) aggregation before the shuffle
     automatically, so only the per-key partials cross the wire — the
     correct 100 TB shape. Every output is aliased to its dict key so
-    results stay oracle-comparable.
-    """
+    results stay oracle-comparable. ``mode`` picks plain grouping,
+    ``cube`` (all key combinations) or ``rollup`` (hierarchical
+    prefixes)."""
+    if mode not in ("group", "cube", "rollup"):
+        raise ValueError("mode must be 'group', 'cube' or 'rollup'")
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        out = _ok_only(df).groupBy(*keys).agg(
-            *[c.alias(k) for k, c in aggs.items()]
+        ok = _ok_only(df)
+        grouped = (
+            ok.cube(*keys)
+            if mode == "cube"
+            else ok.rollup(*keys) if mode == "rollup" else ok.groupBy(*keys)
         )
+        out = grouped.agg(*[c.alias(k) for k, c in aggs.items()])
         return out.withColumn(ERROR_COL, null_error())
 
-    return Step(name, fn, node_type="group_agg", metadata={"aggs": list(aggs.keys())})
+    return Step(
+        name, fn, node_type="group_agg", metadata={"aggs": list(aggs.keys()), "mode": mode}
+    )
+
+
+def repartition_rows(
+    name: str, num_partitions: int | None = None, by: Seq[str | Column] | None = None
+) -> Step:
+    """Explicit partitioning control: hash-partition on ``by`` (co-
+    locate keys ahead of repeated joins/aggs on them) and/or set the
+    partition count. A deliberate shuffle — the lever for layout, not
+    a default."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        if by is not None and num_partitions is not None:
+            return df.repartition(num_partitions, *by)
+        if by is not None:
+            return df.repartition(*by)
+        return df.repartition(num_partitions)
+
+    return Step(name, fn, node_type="repartition")
+
+
+def coalesce_rows(name: str, num_partitions: int) -> Step:
+    """Shrink partition count WITHOUT a shuffle (output files, small
+    tails after heavy filters)."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        return df.coalesce(num_partitions)
+
+    return Step(name, fn, node_type="coalesce")
+
+
+def persist_step(name: str, storage_level: str = "MEMORY_AND_DISK") -> Step:
+    """Materialization boundary (SURVEY §7.3.1: cache at connector
+    boundaries when a subtree feeds multiple consumers). The Step
+    registers an on_close hook so Close() releases the cache."""
+    from pyspark import StorageLevel
+
+    level = getattr(StorageLevel, storage_level)
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        cached = df.persist(level)
+        step.on_close(lambda: cached.unpersist())
+        return cached
+
+    step = Step(name, fn, node_type="persist", metadata={"level": storage_level})
+    return step
+
+
+def salted_join(
+    name: str,
+    right: DataFrame,
+    on: Seq[str],
+    how: str = "inner",
+    salt: int = 8,
+    seed: int = 42,
+) -> Step:
+    """Skew-buster join: the left (big, skewed) side gets a random
+    salt in [0, salt); the right side is replicated once per salt
+    value; the join key becomes (keys..., salt). A hot key's rows
+    spread over ``salt`` tasks instead of one straggler. Use when AQE
+    skew splitting isn't enough (single monster key); costs salt×
+    duplication of the right side — keep it for moderate-size rights."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        left = df.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+        replicated = right.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        out = left.join(replicated, [*on, "_salt"], how)
+        return out.drop("_salt")
+
+    return Step(name, fn, node_type="salted_join", metadata={"salt": salt, "how": how})
 
 
 def window_calc(
@@ -169,7 +250,11 @@ def except_with(name: str, other: DataFrame) -> Step:
 
 
 __all__ = [
+    "coalesce_rows",
     "group_agg",
+    "persist_step",
+    "repartition_rows",
+    "salted_join",
     "window_calc",
     "sort_rows",
     "limit_rows",

@@ -494,6 +494,30 @@ GROUP BY n.n_name
 """
 
 # --------------------------------------------------------------------
+# Relational: rollup aggregation (hierarchical subtotals + grand total)
+def _rel_rollup(spark, sf):
+    step = P.group_agg(
+        "status-prio-rollup",
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+        },
+        mode="rollup",
+    )
+    return split_ok(step(_t(spark, sf, "orders")))
+
+
+_REL_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------
 # Relational: grouped top-k (window) + global sort/limit
 def _rel_topk(spark, sf):
     step = P.top_k(
@@ -816,6 +840,7 @@ QUERIES: dict[str, Declared] = {
     "where_rows": Declared(_where, _WHERE_SQL),
     "rel_group_agg": Declared(_rel_group_agg, _REL_GROUP_AGG_SQL),
     "rel_join_agg": Declared(_rel_join_agg, _REL_JOIN_AGG_SQL),
+    "rel_rollup": Declared(_rel_rollup, _REL_ROLLUP_SQL),
     "rel_topk_grouped": Declared(_rel_topk, _REL_TOPK_SQL),
     "rel_sort_limit": Declared(_rel_sort_limit, _REL_SORT_LIMIT_SQL),
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
