@@ -785,6 +785,31 @@ FROM orders WHERE o_totalprice >= 5000
 """
 
 
+# Datapipe: multimodal frame sampling — per-doc frame counts are
+# arithmetic on byte length, so the row-explosion plumbing gets a
+# hash-matched oracle
+def _dp_frame_sample(spark, sf):
+    from .datapipe import sample_frames
+
+    blobs = split_ok(attach_blob()(_t(spark, sf, "documents")))
+    frames = sample_frames(blobs, every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("offset").alias("last_offset"),
+        F.sum("frame_len").alias("bytes_covered"),
+    )
+
+
+_DP_FRAME_SAMPLE_SQL = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+SELECT doc_id,
+       CAST(floor((nb - 1) / 64) + 1 AS BIGINT) AS n_frames,
+       CAST(floor((nb - 1) / 64) * 64 AS BIGINT) AS last_offset,
+       CAST(nb AS BIGINT) AS bytes_covered
+FROM b
+"""
+
+
 # Datapipe: rows-only checks (not SQL-expressible)
 def _dp_near_dup(spark, sf):
     return near_dup_pairs(_t(spark, sf, "documents"), threshold=0.7)
@@ -854,6 +879,7 @@ QUERIES: dict[str, Declared] = {
     "dp_exact_dedup": Declared(_dp_exact_dedup, _DP_EXACT_DEDUP_SQL),
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
+    "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
     "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
     "dp_near_dup_minhash": Declared(_dp_near_dup, None),
     "dp_simhash_pairs": Declared(_dp_simhash_pairs, None),
