@@ -43,6 +43,26 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _cosine_batch():
+    """Arrow-batched cosine for HIGH-VOLUME pair scoring (millions of
+    candidate pairs): one numpy pass per batch instead of a per-row
+    expression fold. The expression form stays in the oracle-matched
+    exact paths (its left-fold summation is reproducible in SQL);
+    this one is for rows-only approximate paths where throughput
+    wins. Built lazily — pandas_udf needs an active session."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype("float64")
+        B = np.stack(b.to_numpy()).astype("float64")
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(np.round(num / den, 6))
+
+    return cos_udf
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -285,20 +305,28 @@ def embedding_near_dup_pairs(
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
-    vecs = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    sigs = _table_signatures_df(corpus, id_col, vec_col, all_planes).join(vecs, "_id")
-    a = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_tbl", "_sig")
-    b = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_tbl", "_sig")
+    sigs = _table_signatures_df(corpus, id_col, vec_col, all_planes)
+    a = sigs.select(F.col("_id").alias("id_a"), "_tbl", "_sig")
+    b = sigs.select(F.col("_id").alias("id_b"), "_tbl", "_sig")
+    # dedupe SKINNY id pairs first; the 1 KB vector payloads join in
+    # only after the distinct has collapsed multi-table collisions
     pairs = (
         a.join(b, ["_tbl", "_sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos"),
-    ).where(F.col("cos") >= threshold)
+    vecs = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    scored = (
+        pairs.join(vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_batch()(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+    )
+    return scored.where(F.col("cos") >= threshold)
 
 
 __all__ = [

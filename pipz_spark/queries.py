@@ -841,7 +841,7 @@ def _dp_embed_near_dup(spark, sf):
     # that distribution (with coarse cells to match) to exercise the
     # operator with non-empty output
     return embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.4, bits=4, tables=16
+        _t(spark, sf, "embeddings"), threshold=0.4, bits=6, tables=16
     )
 
 
