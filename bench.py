@@ -22,8 +22,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("pipz-spark-bench")
-    # one warm-up action so JVM/codegen startup isn't billed to q1
+    # warm-up actions so JVM/codegen startup and the parquet reader
+    # path aren't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1).collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name, decl in QUERIES.items():

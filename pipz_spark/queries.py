@@ -766,6 +766,30 @@ FROM documents
 """
 
 
+# JSON parsing as an Apply step (the reference's canonical fallible
+# closure is json.Unmarshal, api.go:56) — from_json with malformed
+# input yielding NULL-field structs, not task failures
+def _json_parse(spark, sf):
+    step = P.apply(
+        "parse-props",
+        updates={
+            "k": F.from_json(F.col("props"), "struct<k: long>")["k"],
+        },
+        error_when=F.from_json(F.col("props"), "struct<k: long>")["k"].isNull(),
+        message="unparseable props",
+    )
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "props")
+    return split_ok(step(ev)).select("event_id", "event_type", "k")
+
+
+_JSON_PARSE_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+"""
+
+
 # UDF escape hatch — arbitrary Python with exception capture
 def _udf_apply(spark, sf):
     from .functions import python_apply
@@ -880,6 +904,7 @@ QUERIES: dict[str, Declared] = {
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
+    "json_parse_props": Declared(_json_parse, _JSON_PARSE_SQL),
     "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
     "dp_near_dup_minhash": Declared(_dp_near_dup, None),
     "dp_simhash_pairs": Declared(_dp_simhash_pairs, None),
