@@ -26,18 +26,20 @@ def main() -> None:
     # path aren't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1).collect()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     total = 0.0
     for name, decl in QUERIES.items():
         t0 = time.time()
         try:
             decl.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
         except Exception as e:  # pragma: no cover
+            # a failed query must not poison the JSON line (NaN is
+            # invalid JSON) nor the suite total — record null
             print(f"bench error in {name}: {e}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 3)
-        total += dt
+            timings[name] = None
     print(
         json.dumps(
             {

@@ -104,11 +104,19 @@ def timeout(
             spark.sparkContext.setLocalProperty("spark.jobGroup.id", group)
         return fn()
 
+    import concurrent.futures as _cf
+
     ex = ThreadPoolExecutor(max_workers=1)
     fut = ex.submit(run)
     try:
         return fut.result(timeout=seconds)
-    except TimeoutError:
+    # concurrent.futures.TimeoutError explicitly: it only aliases the
+    # builtin from Python 3.11. A done future means the ACTION raised
+    # a TimeoutError of its own — re-raise that instead of
+    # misclassifying it as a wait expiry.
+    except _cf.TimeoutError:
+        if fut.done():
+            raise
         bus.emit(S.TIMEOUT_TRIGGERED, name=name, seconds=seconds)
         if spark is not None:
             try:
@@ -296,8 +304,6 @@ def worker_pool(
         raise ValueError("workers must be >= 1")
     if len(actions) > workers:
         bus.emit(S.POOL_SATURATED, name=name, queued=len(actions) - workers)
-    first_error: list[Exception] = []
-    lock = threading.Lock()
 
     def run(action: Callable[[], Any]) -> None:
         bus.emit(S.POOL_ACQUIRED, name=name)
@@ -306,18 +312,28 @@ def worker_pool(
                 timeout(action, task_timeout, name=f"{name}.task", bus=bus)
             else:
                 action()
-        except Exception as e:  # noqa: BLE001
-            with lock:
-                if not first_error:
-                    first_error.append(e)
         finally:
             bus.emit(S.POOL_RELEASED, name=name)
 
+    # exceptions propagate through the futures so FIRST_EXCEPTION
+    # genuinely stops early: queued (not-yet-started) actions are
+    # cancelled; already-running ones finish (threads can't be
+    # preempted) but no new work starts — first error wins
+    # (workerpool.go:163-190).
     with ThreadPoolExecutor(max_workers=workers) as ex:
         futs = [ex.submit(run, a) for a in actions]
-        wait(futs, return_when=FIRST_EXCEPTION)
-    if first_error:
-        raise first_error[0]
+        done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+        first_error: Exception | None = None
+        for f in done:
+            exc = f.exception()
+            if exc is not None:
+                first_error = exc
+                break
+        if first_error is not None:
+            for f in not_done:
+                f.cancel()
+    if first_error is not None:
+        raise first_error
 
 
 def race_actions(

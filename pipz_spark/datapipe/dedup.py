@@ -41,6 +41,11 @@ def exact_dedup(
         ok = ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
         text = F.col(text_col)
         key = F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")) if normalize else F.md5(text)
+        # NULL text → NULL md5 would never match itself in the equi-
+        # join and the row would silently vanish; coalesce to a
+        # sentinel so NULL-text rows form one dedup group (matching
+        # SQL GROUP BY, which groups NULLs together)
+        key = F.coalesce(key, F.lit("__pipz_null__"))
         keyed = ok.withColumn("_pipz_key", key)
         keep = keyed.groupBy("_pipz_key").agg(F.min(id_col).alias(id_col))
         out = keyed.join(keep, ["_pipz_key", id_col], "inner").drop("_pipz_key")
@@ -136,8 +141,14 @@ def minhash_signatures_df(
 
     @F.pandas_udf("array<bigint>")
     def min_udf(hs: pd.Series) -> pd.Series:
+        sentinel = np.full(num_hashes, _MAXLONG, dtype="int64")
         out = []
         for h in hs:
+            # NULL/empty text must degrade to a sentinel signature,
+            # never a task failure (one poison row can't fail the job)
+            if h is None or len(h) == 0:
+                out.append(sentinel)
+                continue
             hv = np.asarray(h, dtype="int64")[None, :]
             out.append(((a_vec * hv + b_vec) % _PRIME_GT_32).min(axis=1))
         return pd.Series(out)
@@ -298,7 +309,9 @@ def near_dup_pairs(
     before the expensive string-set intersections."""
     # one row of 120 longs per doc — persisted because both the
     # banding pass and the estimate join read it; tiny relative to
-    # the corpus (n_docs x ~1 KB)
+    # the corpus (n_docs x ~1 KB). Lifetime: the cache entry is owned
+    # by this plan; when the returned pairs DataFrame is released,
+    # Spark's ContextCleaner reclaims the cached blocks.
     sigs = minhash_signatures_df(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_k=shingle_k,
@@ -401,23 +414,40 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dups via the block trick: split the 64-bit hash
     into ``blocks`` chunks; pairs within Hamming distance < blocks
     must agree on ≥1 chunk (pigeonhole), so candidates come from an
     equi-join on (block, chunk) — again no cross join — then exact
-    ``bit_count(a XOR b)`` filters."""
+    ``bit_count(a XOR b)`` filters.
+
+    ``blocks`` defaults to the smallest power-of-two divisor of 64
+    that EXCEEDS max_hamming — fewer blocks would silently lose
+    recall (a pair with its differing bits spread across every chunk
+    shares none). An explicit ``blocks`` <= max_hamming is rejected.
+    """
+    if blocks is None:
+        blocks = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} cannot guarantee candidates for max_hamming={max_hamming}; "
+            f"need blocks > max_hamming (pigeonhole)"
+        )
     width = 64 // blocks
     h = simhash_df(df, id_col=id_col, text_col=text_col)
+
+    def chunk_of(b):
+        shifted = F.call_function("shiftright", F.col("_h"), b * width)
+        if width >= 64:
+            return shifted  # whole-hash chunk: no mask (2^64-1 overflows long)
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunked = h.select(
         "_id",
         "_h",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda b: F.call_function("shiftright", F.col("_h"), b * width).bitwiseAND(F.lit((1 << width) - 1)),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(blocks - 1)), chunk_of)
         ).alias("block", "chunk"),
     )
     a = chunked.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "block", "chunk")

@@ -121,7 +121,16 @@ def salted_join(
     value; the join key becomes (keys..., salt). A hot key's rows
     spread over ``salt`` tasks instead of one straggler. Use when AQE
     skew splitting isn't enough (single monster key); costs salt×
-    duplication of the right side — keep it for moderate-size rights."""
+    duplication of the right side — keep it for moderate-size rights.
+
+    Only left-preserving join types are valid: right/full outer would
+    emit one NULL-padded row PER SALT REPLICA for unmatched right
+    keys (salt× duplicates), so they are rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r} "
+            "(unmatched right rows would duplicate once per salt replica)"
+        )
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         left = df.withColumn("_salt", (F.rand(seed) * salt).cast("int"))

@@ -827,8 +827,8 @@ def _dp_frame_sample(spark, sf):
 _DP_FRAME_SAMPLE_SQL = """
 WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
 SELECT doc_id,
-       CAST(floor((nb - 1) / 64) + 1 AS BIGINT) AS n_frames,
-       CAST(floor((nb - 1) / 64) * 64 AS BIGINT) AS last_offset,
+       CAST(greatest(floor((nb - 1) / 64), 0) + 1 AS BIGINT) AS n_frames,
+       CAST(greatest(floor((nb - 1) / 64), 0) * 64 AS BIGINT) AS last_offset,
        CAST(nb AS BIGINT) AS bytes_covered
 FROM b
 """

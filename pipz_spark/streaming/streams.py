@@ -49,7 +49,8 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(os.path.join(sf_dir, "events.[p]arquet"))
     )
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division — float /1000 of nanosecond epochs drifts ±1 µs
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_agg(
