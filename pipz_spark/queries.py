@@ -840,7 +840,10 @@ def _dp_near_dup(spark, sf):
 
 
 def _dp_simhash_pairs(spark, sf):
-    return simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    # hamming <= 3 on a 64-bit simhash is the classic near-dup cut
+    # (4 pigeonhole blocks); larger radii need proportionally more
+    # blocks and candidates
+    return simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def _dp_ann_lsh(spark, sf):
