@@ -8,16 +8,16 @@ buckets → in-bucket pair expansion (one aggregation, no self-join)
 text) are capped so one degenerate bucket cannot quadratically blow
 up a partition — the standard skew guard for LSH joins.
 
-Everything is Column-expression / higher-order-function based; the
-signature path hashes each shingle ONCE and derives the 128-hash
-family with (a*h + b) mod p transforms inside whole-stage codegen.
+String work (shingling, base hashing) stays JVM-side in whole-stage
+codegen; the dense (a*h + b) mod p minima run as Arrow-batched numpy
+— each layer where it is fastest, nothing row-at-a-time in Python.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..core.errors import ERROR_COL, ensure_error_column, is_ok, null_error
