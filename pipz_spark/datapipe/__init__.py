@@ -36,6 +36,13 @@ from .text import (
     text_stats,
     token_count,
 )
+from .sampling import (
+    dataset_profile,
+    deterministic_sample,
+    deterministic_split,
+    hash_bucket,
+    stratified_sample,
+)
 from .multimodal import (
     attach_blob,
     blob_metadata,
@@ -47,6 +54,11 @@ __all__ = [
     "attach_blob",
     "blob_metadata",
     "cosine_similarity",
+    "dataset_profile",
+    "deterministic_sample",
+    "deterministic_split",
+    "hash_bucket",
+    "stratified_sample",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",

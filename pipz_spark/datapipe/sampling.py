@@ -1,0 +1,149 @@
+"""Deterministic sampling / splitting / profiling for training data.
+
+`randomSplit` re-rolls on every run and every partitioning — useless
+for reproducible train/val/test membership at 100 TB. Everything here
+derives membership from a CONTENT hash (md5 of the key column + salt)
+so the assignment is a pure function of the row: stable across runs,
+cluster sizes, partitionings, and engines (md5 exists everywhere, so
+the DuckDB oracle can replay the exact split).
+
+The bucket is the first 8 hex chars of md5(key || salt) as an integer
+modulo 10_000 — uniform enough for split fractions at 1e-4 precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence as Seq
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.errors import ERROR_COL, ensure_error_column, is_ok, null_error
+from ..core.step import Step
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 10000) from md5(key || salt) —
+    reproducible in any engine with md5 + hex parsing."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS).cast("int")
+
+
+def deterministic_split(
+    name: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "split",
+    output: str = "split",
+) -> Step:
+    """Assign each row a split label ('train'/'val'/'test'/...) from
+    cumulative fraction ranges over the content-hash bucket. Rows with
+    the same key always land in the same split — the property that
+    prevents train/test leakage of duplicated or re-ingested records."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        bucket = hash_bucket(F.col(key_col), salt)
+        chain = F
+        cum = 0.0
+        labels = list(fractions.items())
+        for label, frac in labels[:-1]:
+            cum += frac
+            chain = chain.when(bucket < int(round(cum * _BUCKETS)), F.lit(label))  # type: ignore[assignment]
+        expr = chain.otherwise(F.lit(labels[-1][0]))  # type: ignore[union-attr]
+        return df.withColumn(output, F.when(is_ok(), expr))
+
+    return Step(
+        name, fn, node_type="split", metadata={"fractions": dict(fractions)}
+    )
+
+
+def deterministic_sample(
+    name: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> Step:
+    """Keep a content-stable ``fraction`` of rows: hash-bucket <
+    fraction·10000. Re-running, re-partitioning, or re-ingesting
+    produces the SAME sample — and a sample at a higher fraction is a
+    superset of one at a lower fraction (nested samples for scaling
+    experiments)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * _BUCKETS))
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        keep = hash_bucket(F.col(key_col), salt) < cut
+        return df.where(keep | F.col(ERROR_COL).isNotNull())
+
+    return Step(name, fn, node_type="sample", metadata={"fraction": fraction})
+
+
+def stratified_sample(
+    name: str,
+    key_col: str,
+    strata_cols: Seq[str],
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> Step:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare
+    languages, 10% of English). ``fractions`` maps the stringified
+    stratum value (of the FIRST strata col) to its keep fraction.
+    Same content-hash stability guarantees as deterministic_sample."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        bucket = hash_bucket(F.col(key_col), salt)
+        stratum = F.col(strata_cols[0]).cast("string")
+        chain = F
+        for value, frac in fractions.items():
+            cut = int(round(frac * _BUCKETS))
+            chain = chain.when(stratum == value, bucket < cut)  # type: ignore[assignment]
+        keep = chain.otherwise(bucket < int(round(default_fraction * _BUCKETS)))  # type: ignore[union-attr]
+        return df.where(keep | F.col(ERROR_COL).isNotNull())
+
+    return Step(name, fn, node_type="stratified_sample")
+
+
+def dataset_profile(
+    name: str,
+    numeric_cols: Seq[str],
+    group_by: Seq[str] | None = None,
+) -> Step:
+    """Dataset profiling: count / min / max / decimal-exact mean per
+    numeric column (per group when ``group_by`` given). One hash
+    aggregate with map-side partials — the cheap health check before
+    an expensive training run."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        ok = ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in numeric_cols:
+            aggs.extend(
+                [
+                    F.min(c).alias(f"{c}_min"),
+                    F.max(c).alias(f"{c}_max"),
+                    (
+                        F.sum(F.col(c).cast("decimal(28,6)")).cast("double")
+                        / F.count(F.col(c))
+                    ).alias(f"{c}_mean"),
+                ]
+            )
+        grouped = ok.groupBy(*group_by) if group_by else ok.groupBy()
+        return grouped.agg(*aggs).withColumn(ERROR_COL, null_error())
+
+    return Step(name, fn, node_type="profile")
+
+
+__all__ = [
+    "hash_bucket",
+    "deterministic_split",
+    "deterministic_sample",
+    "stratified_sample",
+    "dataset_profile",
+]

@@ -766,6 +766,61 @@ FROM documents
 """
 
 
+# Deterministic train/val/test split + content-stable sampling +
+# profiling (datapipe.sampling) — md5-bucket membership replays
+# exactly in any engine with md5
+def _dp_split(spark, sf):
+    from .datapipe import deterministic_split
+
+    step = deterministic_split(
+        "tvt", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split_ok(step(_t(spark, sf, "documents"))).select("doc_id", "split")
+
+
+_DP_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _dp_sample(spark, sf):
+    from .datapipe import deterministic_sample
+
+    step = deterministic_sample("tenpct", "doc_id", 0.1)
+    return split_ok(step(_t(spark, sf, "documents"))).select("doc_id")
+
+
+_DP_SAMPLE_SQL = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)) AS BIGINT) % 10000 < 1000
+"""
+
+
+def _dp_profile(spark, sf):
+    from .datapipe import dataset_profile
+
+    step = dataset_profile("doc-profile", ["n_chars"], group_by=["lang"])
+    return split_ok(step(_t(spark, sf, "documents")))
+
+
+_DP_PROFILE_SQL = """
+SELECT lang,
+       COUNT(*) AS n_rows,
+       MIN(n_chars) AS n_chars_min,
+       MAX(n_chars) AS n_chars_max,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars) AS n_chars_mean
+FROM documents GROUP BY lang
+"""
+
+
 # JSON parsing as an Apply step (the reference's canonical fallible
 # closure is json.Unmarshal, api.go:56) — from_json with malformed
 # input yielding NULL-field structs, not task failures
@@ -907,6 +962,9 @@ QUERIES: dict[str, Declared] = {
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
+    "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
+    "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
+    "dp_dataset_profile": Declared(_dp_profile, _DP_PROFILE_SQL),
     "json_parse_props": Declared(_json_parse, _JSON_PARSE_SQL),
     "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
     "dp_near_dup_minhash": Declared(_dp_near_dup, None),

@@ -220,3 +220,44 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     got = hit.collect()
     assert len(got) == 1
     assert got[0]["cos"] >= 0.999999
+
+
+def test_deterministic_split_stability(documents):
+    from pipz_spark.datapipe import deterministic_split
+
+    step = deterministic_split("tvt", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in split_ok(step(documents)).collect()}
+    # same assignment on a repartitioned copy (randomSplit would differ)
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_ok(step(documents.repartition(7))).collect()
+    }
+    assert a == b
+    counts = {}
+    for v in a.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_deterministic_sample_nesting(documents):
+    from pipz_spark.datapipe import deterministic_sample
+
+    small = {r["doc_id"] for r in split_ok(deterministic_sample("s", "doc_id", 0.1)(documents)).collect()}
+    big = {r["doc_id"] for r in split_ok(deterministic_sample("s", "doc_id", 0.3)(documents)).collect()}
+    assert small <= big  # nested samples
+    assert 0 < len(small) < len(big) < documents.count()
+
+
+def test_stratified_sample(documents):
+    from pipz_spark.datapipe import stratified_sample
+
+    step = stratified_sample(
+        "by-lang", "doc_id", ["lang"], {"en": 0.1}, default_fraction=1.0
+    )
+    out = split_ok(step(documents))
+    n_en_all = documents.where("lang = 'en'").count()
+    n_en_kept = out.where("lang = 'en'").count()
+    n_other_all = documents.where("lang <> 'en'").count()
+    n_other_kept = out.where("lang <> 'en'").count()
+    assert n_other_kept == n_other_all  # non-en fully kept
+    assert n_en_kept < n_en_all * 0.3  # en sampled down
