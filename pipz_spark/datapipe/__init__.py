@@ -33,9 +33,11 @@ from .text import (
     fingerprint,
     lang_id,
     quality_score,
+    regex_token_count,
     text_stats,
     token_count,
 )
+from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
 from .sampling import (
     dataset_profile,
     deterministic_sample,
@@ -66,13 +68,17 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "fingerprint",
+    "fit_bigram_lm",
     "lang_id",
+    "lm_quality_scores",
     "lsh_candidate_pairs",
     "minhash_signature",
     "near_dup_pairs",
     "ngram_jaccard",
     "quality_score",
+    "regex_token_count",
     "sample_frames",
+    "score_bigram_lm",
     "simhash",
     "simhash_near_dup_pairs",
     "text_stats",

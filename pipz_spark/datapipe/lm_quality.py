@@ -1,0 +1,95 @@
+"""Model-based quality scoring: character-bigram language model.
+
+The heavier cousin of the heuristic quality_score — the standard
+"perplexity filter" shape from training-data pipelines (score each
+document by how probable its character stream is under a small LM
+fitted on the corpus itself, or on a trusted reference corpus), kept
+fully distributed:
+
+fit:   explode char bigrams → two hash aggregates (bigram counts,
+       prefix counts) — map-side partials, shuffle is vocab-sized
+       (≤ |charset|² rows), NOT corpus-sized.
+score: explode doc bigrams → broadcast-join the (tiny) count tables →
+       per-doc mean log P(c2|c1) with add-one smoothing.
+
+Everything is DataFrame algebra; no Python in the row path. The fit
+output is a plain DataFrame you can persist/write and reuse, so at
+100 TB you fit once on a sample (`deterministic_sample`) and score
+the full corpus with one broadcast join pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _char_bigrams(text: Column) -> Column:
+    n = F.greatest(F.length(text) - 1, F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(2)))
+
+
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit bigram log-probabilities with add-one smoothing. Returns
+    (bigram, logp) — vocabulary-sized, broadcastable."""
+    grams = df.select(
+        F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram")
+    ).where(F.length("bigram") == 2)
+    bi = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi"))
+    uni = (
+        grams.select(F.substring("bigram", 1, 1).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    vocab = uni.count() + 1  # smoothing denominator term
+    return (
+        bi.withColumn("prefix", F.substring("bigram", 1, 1))
+        .join(uni, "prefix")
+        .select(
+            "bigram",
+            F.log((F.col("n_bi") + 1) / (F.col("n_uni") + F.lit(vocab))).alias("logp"),
+        )
+    )
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_logp: float = -12.0,
+) -> DataFrame:
+    """Per-document mean log-probability under the fitted LM (higher =
+    more typical text; gibberish and wrong-charset docs score low).
+    Unseen bigrams take ``floor_logp``. One explode + one BROADCAST
+    join + one aggregate — corpus scanned once."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram"),
+    ).where(F.length("bigram") == 2)
+    scored = grams.join(F.broadcast(lm), "bigram", "left").select(
+        id_col, F.coalesce(F.col("logp"), F.lit(floor_logp)).alias("logp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("logp"), 4).alias("lm_logp"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def lm_quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fit_on: DataFrame | None = None,
+) -> DataFrame:
+    """Convenience: fit on ``fit_on`` (default: the corpus itself) and
+    score every document. At scale pass a deterministic_sample as
+    fit_on."""
+    lm = fit_bigram_lm(fit_on if fit_on is not None else df, text_col=text_col)
+    return score_bigram_lm(df, lm, id_col=id_col, text_col=text_col)
+
+
+__all__ = ["fit_bigram_lm", "score_bigram_lm", "lm_quality_scores"]

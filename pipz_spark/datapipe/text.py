@@ -129,6 +129,26 @@ def lang_id(name: str = "lang-id", text_col: str = "text") -> Step:
     return transform(name, {"lang_pred": pred})
 
 
+def regex_token_count(name: str = "regex-tokens", text_col: str = "text") -> Step:
+    """BPE-ish regex tokenization (portable subset of the GPT-2
+    pattern — RE2 has no lookahead, so the classes are letters runs /
+    digit runs / other-symbol runs): counts per class + total. All
+    via regexp_extract_all, JVM-side."""
+    text = F.col(text_col)
+    words = F.regexp_extract_all(text, F.lit(r"\p{L}+"), 0)
+    numbers = F.regexp_extract_all(text, F.lit(r"\p{N}+"), 0)
+    symbols = F.regexp_extract_all(text, F.lit(r"[^\s\p{L}\p{N}]+"), 0)
+    return transform(
+        name,
+        {
+            "n_word_tokens": F.size(words).cast("long"),
+            "n_number_tokens": F.size(numbers).cast("long"),
+            "n_symbol_tokens": F.size(symbols).cast("long"),
+            "n_regex_tokens": (F.size(words) + F.size(numbers) + F.size(symbols)).cast("long"),
+        },
+    )
+
+
 def fingerprint(name: str = "fingerprint", text_col: str = "text") -> Step:
     """Document fingerprints:
 
@@ -155,6 +175,7 @@ __all__ = [
     "token_count",
     "text_stats",
     "quality_score",
+    "regex_token_count",
     "lang_id",
     "fingerprint",
 ]

@@ -766,6 +766,35 @@ FROM documents
 """
 
 
+# Regex tokenizer (portable \p classes; RE2-safe subset of GPT-2)
+def _dp_regex_tokens(spark, sf):
+    from .datapipe import regex_token_count
+
+    return split_ok(regex_token_count()(_t(spark, sf, "documents"))).select(
+        "doc_id", "n_word_tokens", "n_number_tokens", "n_symbol_tokens", "n_regex_tokens"
+    )
+
+
+_DP_REGEX_TOKENS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\p{L}+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '\p{N}+')) AS n_number_tokens,
+       len(regexp_extract_all(text, '[^\s\p{L}\p{N}]+')) AS n_symbol_tokens,
+       len(regexp_extract_all(text, '\p{L}+'))
+         + len(regexp_extract_all(text, '\p{N}+'))
+         + len(regexp_extract_all(text, '[^\s\p{L}\p{N}]+')) AS n_regex_tokens
+FROM documents
+"""
+
+
+# Bigram-LM quality scores (distributed fit + broadcast-join score);
+# log-float aggregation order isn't SQL-reproducible → rows-only
+def _dp_lm_quality(spark, sf):
+    from .datapipe import lm_quality_scores
+
+    return lm_quality_scores(_t(spark, sf, "documents"))
+
+
 # Deterministic train/val/test split + content-stable sampling +
 # profiling (datapipe.sampling) — md5-bucket membership replays
 # exactly in any engine with md5
@@ -962,6 +991,8 @@ QUERIES: dict[str, Declared] = {
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
+    "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
+    "dp_lm_quality": Declared(_dp_lm_quality, None),
     "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_dataset_profile": Declared(_dp_profile, _DP_PROFILE_SQL),

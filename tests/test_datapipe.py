@@ -261,3 +261,55 @@ def test_stratified_sample(documents):
     n_other_kept = out.where("lang <> 'en'").count()
     assert n_other_kept == n_other_all  # non-en fully kept
     assert n_en_kept < n_en_all * 0.3  # en sampled down
+
+
+def test_regex_token_count(documents):
+    from pipz_spark.datapipe import regex_token_count
+
+    import re
+
+    out = split_ok(regex_token_count()(documents))
+    r = out.join(documents.select("doc_id", "text"), "doc_id").first()
+    assert r["n_word_tokens"] == len(re.findall(r"[^\W\d_]+", r["text"]))
+    assert r["n_regex_tokens"] == (
+        r["n_word_tokens"] + r["n_number_tokens"] + r["n_symbol_tokens"]
+    )
+
+
+def test_lm_quality_scores(spark, documents):
+    from pipz_spark.datapipe import lm_quality_scores
+
+    scores = lm_quality_scores(documents)
+    rows = scores.collect()
+    assert len(rows) == documents.count()
+    assert all(r["lm_logp"] < 0 for r in rows)
+    # verify one doc against a pure-python reference LM
+    import math
+    from collections import Counter
+
+    texts = {r["doc_id"]: r["text"].lower() for r in documents.collect()}
+    bi, uni = Counter(), Counter()
+    for t in texts.values():
+        for i in range(len(t) - 1):
+            bi[t[i : i + 2]] += 1
+            uni[t[i]] += 1
+    vocab = len(uni) + 1
+    doc_id, text = next(iter(texts.items()))
+    logps = [
+        math.log((bi[text[i : i + 2]] + 1) / (uni[text[i]] + vocab))
+        for i in range(len(text) - 1)
+    ]
+    expected = round(sum(logps) / len(logps), 4)
+    got = scores.where(F.col("doc_id") == doc_id).first()["lm_logp"]
+    assert abs(got - expected) < 2e-4
+    # gibberish scores far lower than corpus text
+    gib = spark.createDataFrame(
+        [(999999, "zqxjkw vbxqzj wqkxzv jzxqwk", "en", "src0", 27)],
+        schema=documents.schema,
+    )
+    from pipz_spark.datapipe import fit_bigram_lm, score_bigram_lm
+
+    lm = fit_bigram_lm(documents)
+    gib_score = score_bigram_lm(gib, lm).first()["lm_logp"]
+    median_real = sorted(r["lm_logp"] for r in rows)[len(rows) // 2]
+    assert gib_score < median_real - 1.0
