@@ -40,6 +40,9 @@ def get_session(
         # 10 MB threshold but make the intent explicit.
         .config("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
         .config("spark.sql.session.timeZone", "UTC")
+        # keep managed-table data out of the repo working directory
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/pipz-spark-warehouse"))
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
         # timestamp — read as long and normalize in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -75,6 +75,39 @@ def write_split(
         df.unpersist()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is THE lever for repeated large-large joins/aggs on the
+    same key at 100 TB: two tables bucketed (and sorted) on the join
+    key by the same bucket count join with NO exchange and NO sort —
+    the shuffle is paid once at write time instead of per query.
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # the in-memory catalog forgets tables across sessions while
+        # their warehouse directories persist; clear BOTH so overwrite
+        # means overwrite
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def dead_letter_handler(path: str, mode: str = "append"):
     """A Handle-compatible callable that durably lands failed rows
     (the 'Step handlers must terminate in a sink' rule, VERDICT r1)."""

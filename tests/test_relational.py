@@ -55,3 +55,33 @@ def test_salted_join_matches_plain_join(orders, customer):
     a = split_ok(salted).select("o_orderkey", "c_name").orderBy("o_orderkey").limit(50).collect()
     b = plain.select("o_orderkey", "c_name").orderBy("o_orderkey").limit(50).collect()
     assert a == b
+
+
+def test_bucketed_join_no_exchange(spark, orders, lineitem):
+    from pipz_spark.sources.sinks import write_bucketed
+
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "orders_b", buckets=4, bucket_cols=["o_orderkey"], sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_extendedprice"),
+        "lineitem_b", buckets=4, bucket_cols=["l_orderkey"], sort_cols=["l_orderkey"],
+    )
+    a = spark.table("orders_b")
+    b = spark.table("lineitem_b")
+    # disable broadcast so the planner must choose SMJ — at real scale
+    # neither side fits in memory and this is the shape that matters
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the shuffle was paid at write time: SMJ with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
