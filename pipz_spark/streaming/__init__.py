@@ -16,6 +16,7 @@ from .streams import (
     run_step_stream,
     running_totals,
     session_window_agg,
+    stream_stream_join,
     windowed_agg,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "run_step_stream",
     "running_totals",
     "session_window_agg",
+    "stream_stream_join",
     "windowed_agg",
 ]

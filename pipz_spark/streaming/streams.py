@@ -164,6 +164,42 @@ def running_totals(events: DataFrame, timeout_minutes: int | None = None) -> Dat
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_skew: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time range
+    bound. The time bound is what makes the state PRUNABLE: each side
+    buffers only rows within watermark+skew, so state size is
+    rate-bounded instead of unbounded — mandatory for a join of two
+    infinite streams. Output columns are the left row plus the right
+    side's ts/value columns suffixed ``_r``."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    suffixed = right.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[
+            F.col(c).alias(f"{c}_r")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    r = suffixed.withWatermark(f"{ts_col}_r", watermark).alias("r")
+    key_cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        key_cond = c if key_cond is None else (key_cond & c)
+    time_cond = F.expr(
+        f"{ts_col}_r BETWEEN {ts_col} - INTERVAL {max_skew} AND {ts_col} + INTERVAL {max_skew}"
+    )
+    joined = l.join(r, key_cond & time_cond, how)
+    return joined.select("l.*", *[c for c in suffixed.columns if c.endswith("_r")])
+
+
 def run_step_stream(
     stream: DataFrame,
     step: Step,

@@ -178,3 +178,23 @@ def test_csv_json_readers_roundtrip(spark, orders, tmp_path):
     assert got_csv.count() == 100 and got_json.count() == 100
     assert got_csv.exceptAll(sample).count() == 0
     assert got_json.exceptAll(sample).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events):
+    from pipz_spark.streaming import stream_stream_join
+
+    a = read_events_stream(spark, SF_DIR)
+    b = read_events_stream(spark, SF_DIR)
+    joined = stream_stream_join(
+        a, b.where(F.col("event_type") == "click"),
+        keys=["user_id"], max_skew="10 minutes",
+    )
+    got = _run_to_memory(spark, joined, "ssjoin", mode="append")
+    clicks = events.where("event_type = 'click'")
+    batch = events.alias("l").join(
+        clicks.selectExpr("user_id", "ts AS ts_r").alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & F.expr("ts_r BETWEEN ts - INTERVAL 10 minutes AND ts + INTERVAL 10 minutes"),
+    )
+    assert got.count() == batch.count()
+    assert got.count() > 0
