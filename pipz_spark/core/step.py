@@ -88,6 +88,21 @@ class Step:
     def to_json(self, indent: int | None = None) -> str:
         return json.dumps(self.to_node(), indent=indent)
 
+    def render(self) -> str:
+        """ASCII tree of the plan (the human face of to_json; SURVEY
+        §7.1 M6 'plan visualization')."""
+        lines: list[str] = []
+
+        def walk(step: "Step", prefix: str, is_last: bool) -> None:
+            connector = "" if not prefix else ("└─ " if is_last else "├─ ")
+            lines.append(f"{prefix}{connector}{step.node_type}:{step.name}")
+            child_prefix = prefix + ("" if not prefix else ("   " if is_last else "│  "))
+            for i, c in enumerate(step.children):
+                walk(c, child_prefix, i == len(step.children) - 1)
+
+        walk(self, "", True)
+        return "\n".join(lines)
+
     # -- graceful shutdown (mirror of sequence.go:332-347) -------------
     def on_close(self, hook: Callable[[], None]) -> "Step":
         """Register a cleanup hook (sink flush, cache release)."""

@@ -302,3 +302,15 @@ def test_handle_step_handler_executes(orders):
     n_bad = orders.where("o_totalprice <= 0").count()
     assert seen["n"] == n_bad
     assert out.where(F.col(ERROR_COL).isNotNull()).count() == n_bad
+
+
+def test_plan_render(orders):
+    pipe = P.sequence(
+        "root",
+        P.apply("validate", error_when=F.lit(False), message="x"),
+        P.switch("route", F.col("o_orderstatus"), {"O": P.transform("t", {"z": F.lit(1)})}),
+    )
+    art = pipe.render()
+    assert "sequence:root" in art.splitlines()[0]
+    assert any("apply:validate" in ln for ln in art.splitlines())
+    assert any("transform:t" in ln for ln in art.splitlines())
