@@ -93,14 +93,14 @@ class Step:
         §7.1 M6 'plan visualization')."""
         lines: list[str] = []
 
-        def walk(step: "Step", prefix: str, is_last: bool) -> None:
-            connector = "" if not prefix else ("└─ " if is_last else "├─ ")
+        def walk(step: "Step", prefix: str, is_last: bool, is_root: bool) -> None:
+            connector = "" if is_root else ("└─ " if is_last else "├─ ")
             lines.append(f"{prefix}{connector}{step.node_type}:{step.name}")
-            child_prefix = prefix + ("" if not prefix else ("   " if is_last else "│  "))
+            child_prefix = prefix if is_root else prefix + ("   " if is_last else "│  ")
             for i, c in enumerate(step.children):
-                walk(c, child_prefix, i == len(step.children) - 1)
+                walk(c, child_prefix, i == len(step.children) - 1, False)
 
-        walk(self, "", True)
+        walk(self, "", True, True)
         return "\n".join(lines)
 
     # -- graceful shutdown (mirror of sequence.go:332-347) -------------

@@ -44,16 +44,18 @@ def fit_bigram_lm(
     grams = df.select(
         F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram")
     ).where(F.length("bigram") == 2)
-    # ONE corpus pass: bigram counts (vocabulary-sized, persisted);
-    # prefix (unigram) counts derive from the tiny bigram table —
-    # n_uni(c1) = Σ_c2 n_bi(c1·c2) over prefix positions, identical to
-    # counting unigrams at positions 0..len-2 directly
-    bi = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi")).persist()
+    # ONE corpus pass: bigram counts are vocabulary-sized, so
+    # materialize them to a local table instead of persist() — no
+    # cache entry to leak, and the fit never recomputes the corpus
+    # scan (the LM is reused via broadcast in score_bigram_lm)
+    spark = df.sparkSession
+    bi_local = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi")).toPandas()
+    bi = spark.createDataFrame(bi_local, schema="bigram string, n_bi long")
     uni = (
         bi.groupBy(F.substring("bigram", 1, 1).alias("prefix"))
         .agg(F.sum("n_bi").alias("n_uni"))
     )
-    vocab = uni.count() + 1  # smoothing denominator (reads persisted bi)
+    vocab = uni.count() + 1  # smoothing denominator (reads the local table)
     return (
         bi.withColumn("prefix", F.substring("bigram", 1, 1))
         .join(uni, "prefix")
@@ -74,7 +76,9 @@ def score_bigram_lm(
     """Per-document mean log-probability under the fitted LM (higher =
     more typical text; gibberish and wrong-charset docs score low).
     Unseen bigrams take ``floor_logp``. One explode + one BROADCAST
-    join + one aggregate — corpus scanned once."""
+    join + one aggregate — corpus scanned once. Documents too short to
+    have a bigram (< 2 chars) still appear in the output with
+    n_bigrams = 0 and NULL lm_logp — scores never silently drop rows."""
     grams = df.select(
         F.col(id_col),
         F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram"),
@@ -82,9 +86,14 @@ def score_bigram_lm(
     scored = grams.join(F.broadcast(lm), "bigram", "left").select(
         id_col, F.coalesce(F.col("logp"), F.lit(floor_logp)).alias("logp")
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.round(F.avg("logp"), 4).alias("lm_logp"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
     )
 
 

@@ -26,8 +26,11 @@ _BUCKETS = 10_000
 
 def hash_bucket(key: Column, salt: str = "split") -> Column:
     """Deterministic bucket in [0, 10000) from md5(key || salt) —
-    reproducible in any engine with md5 + hex parsing."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    reproducible in any engine with md5 + hex parsing. NULL keys get a
+    sentinel so they bucket deterministically instead of evaluating to
+    NULL (which would make a filter silently drop the row)."""
+    key_str = F.coalesce(key.cast("string"), F.lit("__pipz_null__"))
+    h = F.md5(F.concat(key_str, F.lit(salt)))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS).cast("int")
 
 
@@ -48,13 +51,15 @@ def deterministic_split(
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         bucket = hash_bucket(F.col(key_col), salt)
-        chain = F
-        cum = 0.0
         labels = list(fractions.items())
-        for label, frac in labels[:-1]:
-            cum += frac
-            chain = chain.when(bucket < int(round(cum * _BUCKETS)), F.lit(label))  # type: ignore[assignment]
-        expr = chain.otherwise(F.lit(labels[-1][0]))  # type: ignore[union-attr]
+        expr: Column = F.lit(labels[-1][0])
+        if len(labels) > 1:
+            chain = F
+            cum = 0.0
+            for label, frac in labels[:-1]:
+                cum += frac
+                chain = chain.when(bucket < int(round(cum * _BUCKETS)), F.lit(label))  # type: ignore[assignment]
+            expr = chain.otherwise(expr)  # type: ignore[union-attr]
         return df.withColumn(output, F.when(is_ok(), expr))
 
     return Step(
@@ -93,18 +98,25 @@ def stratified_sample(
     salt: str = "strata",
 ) -> Step:
     """Per-stratum deterministic sampling (e.g. keep 100% of rare
-    languages, 10% of English). ``fractions`` maps the stringified
-    stratum value (of the FIRST strata col) to its keep fraction.
+    languages, 10% of English). The stratum value is the stringified
+    strata column, or for multiple columns their '|'-joined
+    concatenation (so ``fractions`` keys look like 'en|src0').
     Same content-hash stability guarantees as deterministic_sample."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         bucket = hash_bucket(F.col(key_col), salt)
-        stratum = F.col(strata_cols[0]).cast("string")
-        chain = F
-        for value, frac in fractions.items():
-            cut = int(round(frac * _BUCKETS))
-            chain = chain.when(stratum == value, bucket < cut)  # type: ignore[assignment]
-        keep = chain.otherwise(bucket < int(round(default_fraction * _BUCKETS)))  # type: ignore[union-attr]
+        if len(strata_cols) == 1:
+            stratum = F.col(strata_cols[0]).cast("string")
+        else:
+            stratum = F.concat_ws("|", *[F.col(c).cast("string") for c in strata_cols])
+        default_keep = bucket < int(round(default_fraction * _BUCKETS))
+        keep: Column = default_keep
+        if fractions:
+            chain = F
+            for value, frac in fractions.items():
+                cut = int(round(frac * _BUCKETS))
+                chain = chain.when(stratum == value, bucket < cut)  # type: ignore[assignment]
+            keep = chain.otherwise(default_keep)  # type: ignore[union-attr]
         return df.where(keep | F.col(ERROR_COL).isNotNull())
 
     return Step(name, fn, node_type="stratified_sample")

@@ -97,8 +97,12 @@ def write_bucketed(
         # means overwrite
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        parts = table.lower().split(".")
+        # managed location: warehouse/<db>.db/<table> when qualified,
+        # warehouse/<table> in the default database
+        rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
         jvm = spark._jvm
-        loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+        loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{rel}")
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)

@@ -313,3 +313,30 @@ def test_lm_quality_scores(spark, documents):
     gib_score = score_bigram_lm(gib, lm).first()["lm_logp"]
     median_real = sorted(r["lm_logp"] for r in rows)[len(rows) // 2]
     assert gib_score < median_real - 1.0
+
+
+def test_split_single_label_and_null_keys(spark, documents):
+    from pipz_spark.datapipe import deterministic_sample, deterministic_split
+
+    one = deterministic_split("all", "doc_id", {"train": 1.0})(documents)
+    assert split_ok(one).where("split <> 'train'").count() == 0
+    # NULL keys bucket deterministically — never silently dropped
+    with_null = documents.limit(5).withColumn(
+        "doc_id", F.when(F.col("doc_id") == 0, F.lit(None)).otherwise(F.col("doc_id"))
+    )
+    sampled = split_ok(deterministic_sample("s", "doc_id", 1.0)(with_null))
+    assert sampled.count() == 5  # fraction 1.0 keeps everything incl. NULL key
+
+
+def test_lm_scores_keep_short_docs(spark, documents):
+    from pipz_spark.datapipe import fit_bigram_lm, score_bigram_lm
+
+    short = spark.createDataFrame(
+        [(777777, "x", "en", "s", 1)], schema=documents.schema
+    )
+    corpus = documents.unionByName(short)
+    lm = fit_bigram_lm(documents)
+    scores = score_bigram_lm(corpus, lm)
+    assert scores.count() == corpus.count()
+    r = scores.where(F.col("doc_id") == 777777).first()
+    assert r["n_bigrams"] == 0 and r["lm_logp"] is None
