@@ -35,10 +35,16 @@ def exact_dedup(
     """Exact deduplication via content-hash group-by; keeps the row
     with the smallest id per content key (deterministic, unlike
     ``dropDuplicates``). Map-side partial aggregation means only one
-    (hash → min id) pair per key per partition crosses the shuffle."""
+    (hash → min id) pair per key per partition crosses the shuffle.
+
+    Errored rows are exempt from dedup and PASS THROUGH unchanged (the
+    schema is row-identity-preserving), so upstream dead letters still
+    reach the sink — fail-fast skips a row, it never deletes it."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        ok = ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
+        df = ensure_error_column(df)
+        failed = df.where(~is_ok())
+        ok = df.where(is_ok()).drop(ERROR_COL)
         text = F.col(text_col)
         key = F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")) if normalize else F.md5(text)
         # NULL text → NULL md5 would never match itself in the equi-
@@ -49,7 +55,7 @@ def exact_dedup(
         keyed = ok.withColumn("_pipz_key", key)
         keep = keyed.groupBy("_pipz_key").agg(F.min(id_col).alias(id_col))
         out = keyed.join(keep, ["_pipz_key", id_col], "inner").drop("_pipz_key")
-        return out.withColumn(ERROR_COL, null_error())
+        return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="exact_dedup")
 

@@ -8,12 +8,14 @@ here, compiled to the corresponding Catalyst operators (hash
 aggregate with map-side partial agg, sort-merge/broadcast joins,
 window exec) — nothing hand-rolled.
 
-Error-column semantics: shape-changing operators (aggregation,
-distinct, set ops) consume the happy path only — errored rows are
-excluded from the computation (they left the data plane, mirroring
-the reference's fail-fast exclusion) and the output starts a fresh
-error column. Row-preserving operators (sort/limit/join) carry the
-error column through untouched.
+Error-column semantics: operators compute from the happy path only.
+Where the output schema still matches the input (distinct, set ops,
+dedup), errored rows PASS THROUGH unchanged so upstream dead letters
+reach the sink — fail-fast skips rows, it never deletes them.
+Aggregations (group_agg, profile) genuinely change shape, so errored
+rows cannot appear in their output — land the dead letter (Handle /
+write_split) BEFORE aggregating. Row-preserving operators
+(sort/limit/join) carry the error column through untouched.
 """
 
 from __future__ import annotations
@@ -207,12 +209,15 @@ def top_k(
 
 def distinct_rows(name: str, subset: Seq[str] | None = None) -> Step:
     """Exact distinct on the happy path (hash aggregate on all/subset
-    columns — map-side partial dedup before the shuffle)."""
+    columns — map-side partial dedup before the shuffle). Errored rows
+    are exempt and pass through, preserving the dead letter."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        ok = _ok_only(df)
+        df = ensure_error_column(df)
+        failed = df.where(~is_ok())
+        ok = df.where(is_ok()).drop(ERROR_COL)
         out = ok.dropDuplicates(list(subset)) if subset else ok.distinct()
-        return out.withColumn(ERROR_COL, null_error())
+        return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="distinct")
 
@@ -243,17 +248,25 @@ def union_with(name: str, other: DataFrame) -> Step:
 
 
 def intersect_with(name: str, other: DataFrame) -> Step:
+    """Set intersection on the happy path; errored rows pass through."""
+
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        out = _ok_only(df).intersect(other)
-        return out.withColumn(ERROR_COL, null_error())
+        df = ensure_error_column(df)
+        failed = df.where(~is_ok())
+        out = df.where(is_ok()).drop(ERROR_COL).intersect(other)
+        return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="intersect")
 
 
 def except_with(name: str, other: DataFrame) -> Step:
+    """Set difference on the happy path; errored rows pass through."""
+
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        out = _ok_only(df).exceptAll(other)
-        return out.withColumn(ERROR_COL, null_error())
+        df = ensure_error_column(df)
+        failed = df.where(~is_ok())
+        out = df.where(is_ok()).drop(ERROR_COL).exceptAll(other)
+        return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="except")
 

@@ -766,6 +766,55 @@ FROM documents
 """
 
 
+# End-to-end training-data pipeline: quality-score → threshold filter
+# → exact dedup → deterministic split — the composed flow a real
+# corpus-prep job runs, declared as ONE query so composition
+# correctness (operator interactions) is oracle-checked, not just the
+# pieces
+def _e2e_training_pipeline(spark, sf):
+    from .datapipe import deterministic_split
+
+    pipe = P.sequence(
+        "corpus-prep",
+        quality_score(),
+        P.where_rows("quality-gate", F.col("quality") >= 0.5),
+        exact_dedup(),
+        deterministic_split("tvt", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+    return split_ok(pipe(_t(spark, sf, "documents"))).select(
+        "doc_id", "quality", "split"
+    )
+
+
+_EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_E2E_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, text,
+         round(0.5 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+               + 0.4 * least((len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                              t -> list_contains([{_EN_SQL}], t)))
+                              / len(string_split_regex(trim(text), '\s+'))) * 4, 1.0)
+               + 0.1 * (1.0 - least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                                     / length(text)) * 10, 1.0)), 4) AS quality
+  FROM documents),
+gated AS (SELECT * FROM q WHERE quality >= 0.5),
+deduped AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (
+    SELECT min(doc_id) FROM gated
+    GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+bucketed AS (
+  SELECT doc_id, quality,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM deduped)
+SELECT doc_id, quality,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
 # Regex tokenizer (portable \p classes; RE2-safe subset of GPT-2)
 def _dp_regex_tokens(spark, sf):
     from .datapipe import regex_token_count
@@ -991,6 +1040,7 @@ QUERIES: dict[str, Declared] = {
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
+    "e2e_training_pipeline": Declared(_e2e_training_pipeline, _E2E_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
     "dp_lm_quality": Declared(_dp_lm_quality, None),
     "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
