@@ -541,6 +541,36 @@ WHERE rn <= 3
 """
 
 
+def _rel_window_running(spark, sf):
+    from pyspark.sql import Window
+
+    spec = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    step = P.window_calc(
+        "running",
+        spec,
+        {
+            "run_total": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+            "order_seq": F.row_number(),
+        },
+    )
+    out = split_ok(step(_t(spark, sf, "orders")))
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("run_total").cast("double").alias("run_total"),
+        "order_seq",
+    )
+
+
+_REL_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE) AS run_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS order_seq
+FROM orders
+"""
+
+
 def _rel_sort_limit(spark, sf):
     step = P.top_k(
         "top10-global", 10, order=[F.col("o_totalprice").desc(), F.col("o_orderkey")]
@@ -1027,6 +1057,7 @@ QUERIES: dict[str, Declared] = {
     "rel_join_agg": Declared(_rel_join_agg, _REL_JOIN_AGG_SQL),
     "rel_rollup": Declared(_rel_rollup, _REL_ROLLUP_SQL),
     "rel_topk_grouped": Declared(_rel_topk, _REL_TOPK_SQL),
+    "rel_window_running": Declared(_rel_window_running, _REL_WINDOW_RUNNING_SQL),
     "rel_sort_limit": Declared(_rel_sort_limit, _REL_SORT_LIMIT_SQL),
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
