@@ -645,8 +645,9 @@ def _dp_token_count(spark, sf):
 _DP_TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-       list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_bpe_ish
+       CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_bpe_ish
 FROM documents
 """
 

@@ -32,6 +32,12 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects
+        # outright unless nanosAsLong is on. The conf is runtime-settable,
+        # and callers (the correctness driver included) may hand us a
+        # session built without it — set it here, not only at build time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as
