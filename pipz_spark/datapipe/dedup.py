@@ -376,13 +376,26 @@ def _simhash_expr(text: Column, bits: int = 64) -> Column:
     )
 
 
+def _token_hash(col: Column, hash_fn: str) -> Column:
+    """Base token hash for SimHash. ``xxhash64`` is the fast default;
+    ``md5_60`` (first 15 md5 hex chars as a 60-bit integer) is engine-
+    portable — any system with md5 reproduces it bit-for-bit, which is
+    what lets an external SQL oracle recompute identical signatures."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash_df(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 63,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Vectorized SimHash: explode tokens → one xxhash64 each → per
+    """Vectorized SimHash: explode tokens → one base hash each → per
     bit a flat ``sum(±1)`` aggregate → pack. Flat-long codegen with
     map-side combine (one row per doc crosses the shuffle) — the fast
     path for corpus-scale runs; the expression form (`simhash` Step)
@@ -390,7 +403,7 @@ def simhash_df(
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("_th"))
+    ).select("_id", _token_hash(F.col("_t"), hash_fn).alias("_th"))
     aggs = [
         F.sum(
             F.call_function("shiftright", F.col("_th"), F.lit(j)).bitwiseAND(F.lit(1)) * 2 - 1
@@ -421,18 +434,26 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     blocks: int | None = None,
+    max_bucket: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups via the block trick: split the 64-bit hash
     into ``blocks`` chunks; pairs within Hamming distance < blocks
-    must agree on ≥1 chunk (pigeonhole), so candidates come from an
-    equi-join on (block, chunk) — again no cross join — then exact
+    must agree on ≥1 chunk (pigeonhole), so candidates come from
+    (block, chunk) buckets — again no cross join — then exact
     ``bit_count(a XOR b)`` filters.
 
     ``blocks`` defaults to the smallest power-of-two divisor of 64
     that EXCEEDS max_hamming — fewer blocks would silently lose
     recall (a pair with its differing bits spread across every chunk
     shares none). An explicit ``blocks`` <= max_hamming is rejected.
-    """
+
+    Buckets larger than ``max_bucket`` are dropped — the same skew
+    guard as the MinHash path: a degenerate chunk value (boilerplate /
+    near-empty docs all voting the same way) would otherwise put k²
+    candidate pairs in ONE task. At 100 TB that single hot bucket is
+    the job-killer; the pairs it would contribute are overwhelmingly
+    exact dups, which ``exact_dedup`` already handles upstream."""
     if blocks is None:
         blocks = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     if blocks <= max_hamming:
@@ -441,7 +462,10 @@ def simhash_near_dup_pairs(
             f"need blocks > max_hamming (pigeonhole)"
         )
     width = 64 // blocks
-    h = simhash_df(df, id_col=id_col, text_col=text_col)
+    # one long per doc; read by the chunking pass AND both hash
+    # join-backs — persisted like near_dup_pairs' signatures (blocks
+    # reclaimed by ContextCleaner when the result plan is released)
+    h = simhash_df(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
 
     def chunk_of(b):
         shifted = F.call_function("shiftright", F.col("_h"), b * width)
@@ -451,18 +475,47 @@ def simhash_near_dup_pairs(
 
     chunked = h.select(
         "_id",
-        "_h",
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(blocks - 1)), chunk_of)
         ).alias("block", "chunk"),
     )
-    a = chunked.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "block", "chunk")
-    b = chunked.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "block", "chunk")
-    return (
-        a.join(b, ["block", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+    # Same capped-bucket pair expansion as lsh_candidate_pairs: ONE
+    # aggregation per (block, chunk) bucket, ≤ max_bucket(max_bucket-1)/2
+    # pairs per bucket, skinny (id, id) rows only — the hash values
+    # join back in AFTER the distinct has collapsed multi-block
+    # collisions, so wide payloads never ride the hot join.
+    buckets = (
+        chunked.groupBy("block", "chunk")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"),
+                    F.element_at(F.col("ids"), j).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+    return (
+        pairs.join(h.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a")), "id_a")
+        .join(h.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
     )
 

@@ -998,22 +998,97 @@ FROM b
 """
 
 
-# Datapipe: rows-only checks (not SQL-expressible)
+# Datapipe: approximate operators held to EXACT ground truth. Each
+# oracle below computes the all-pairs / exact-top-k answer in SQL; the
+# Spark side must therefore run its LSH/IVF at parameters whose recall
+# is ~1 at this corpus size (miss probability < 1e-4 per neighbor, and
+# the seeded hashes make each run deterministic — verified exact at
+# sf0.01). The operators' DEFAULTS stay at production recall/cost
+# trade-offs; only these declared queries pin the exhaustive-recall
+# corner so correctness of the machinery is hash-checked.
 def _dp_near_dup(spark, sf):
     return near_dup_pairs(_t(spark, sf, "documents"), threshold=0.7)
+
+
+# Exact shingle-set Jaccard over all pairs: the verify stage makes the
+# LSH output equal the true >= 0.7 pair set whenever recall is 1 (24x5
+# banding misses a j=0.7 pair with p ~ 1.2e-2 per pair, and the
+# estimate-filter margin is 6.5 sigma — empirically exact here). The
+# length pre-filter (|A|>=0.7|B|) is a necessary condition for
+# Jaccard >= 0.7 on distinct-element sets, pruning ~all of the 125k
+# pairs before the list intersections.
+_DP_NEAR_DUP_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text)-4, 1)+1)]) AS sh
+  FROM documents
+),
+sz AS (SELECT doc_id, sh, len(sh) AS n FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
+"""
 
 
 def _dp_simhash_pairs(spark, sf):
     # hamming <= 3 on a 64-bit simhash is the classic near-dup cut
     # (4 pigeonhole blocks); larger radii need proportionally more
-    # blocks and candidates
-    return simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    # blocks and candidates. hash_fn="md5_60" swaps the xxhash64 base
+    # hash for an engine-portable one so the oracle below recomputes
+    # IDENTICAL signatures — the pigeonhole join is deterministically
+    # exhaustive (recall 1 by construction), so the output equals the
+    # true all-pairs hamming <= 3 set.
+    return simhash_near_dup_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, hash_fn="md5_60"
+    )
+
+
+def _simhash_oracle_sql(nbits: int = 60, max_hamming: int = 3) -> str:
+    """All-pairs SimHash ground truth, recomputing the md5_60 token
+    hash (dedup._token_hash) and the per-bit ±1 votes in SQL. Only 60
+    bits carry signal (15 md5 hex chars), so 60 vote terms suffice."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(nbits)
+    )
+    pack = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({pack} AS BIGINT) AS h FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+"""
+
+
+_DP_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 def _dp_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_lsh(emb, queries, k=5)
+    # bits=3/tables=24: per-neighbor miss (1-(1-th/pi)^3)^24 < 1e-3
+    # even at cos ~0.25 — exhaustive recall at this corpus size, so
+    # the ANN output equals the exact top-k oracle
+    return cosine_topk_lsh(emb, queries, k=5, bits=3, tables=24)
 
 
 def _dp_ann_ivf(spark, sf):
@@ -1021,7 +1096,12 @@ def _dp_ann_ivf(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+    # the synthetic embeddings are near-orthogonal — no cluster
+    # structure for the coarse quantizer to exploit — so the oracle
+    # gate probes every cell (nprobe = nlist: exact by construction,
+    # while still exercising the train/assign/probe machinery).
+    # Production defaults keep nprobe < nlist.
+    return cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=8)
 
 
 def _dp_embed_near_dup(spark, sf):
@@ -1029,11 +1109,23 @@ def _dp_embed_near_dup(spark, sf):
 
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.51
     # at sf0.01), so the "near-dup" threshold here sits at the top of
-    # that distribution (with coarse cells to match) to exercise the
-    # operator with non-empty output
+    # that distribution; bits=3/tables=32 makes the miss probability
+    # per >= 0.4 pair ~1e-4 (empirically exact vs the all-pairs oracle)
     return embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.4, bits=6, tables=16
+        _t(spark, sf, "embeddings"), threshold=0.4, bits=3, tables=32
     )
+
+
+# Exact all-pairs cosine at the same rounding the operator applies;
+# filtering on the ROUNDED value keeps the threshold cut identical on
+# both sides.
+_DP_EMBED_NEAR_DUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+"""
 
 
 # --------------------------------------------------------------------
@@ -1080,11 +1172,14 @@ QUERIES: dict[str, Declared] = {
     "dp_dataset_profile": Declared(_dp_profile, _DP_PROFILE_SQL),
     "json_parse_props": Declared(_json_parse, _JSON_PARSE_SQL),
     "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
-    "dp_near_dup_minhash": Declared(_dp_near_dup, None),
-    "dp_simhash_pairs": Declared(_dp_simhash_pairs, None),
-    "dp_ann_lsh": Declared(_dp_ann_lsh, None),
-    "dp_ann_ivf": Declared(_dp_ann_ivf, None),
-    "dp_embed_near_dup": Declared(_dp_embed_near_dup, None),
+    "dp_near_dup_minhash": Declared(_dp_near_dup, _DP_NEAR_DUP_SQL),
+    "dp_simhash_pairs": Declared(_dp_simhash_pairs, _DP_SIMHASH_SQL),
+    # ANN queries run at exhaustive-recall parameters (see the query
+    # fns), so exact top-k IS their ground truth — same SQL as the
+    # brute-force baseline.
+    "dp_ann_lsh": Declared(_dp_ann_lsh, _DP_COSINE_TOPK_SQL),
+    "dp_ann_ivf": Declared(_dp_ann_ivf, _DP_COSINE_TOPK_SQL),
+    "dp_embed_near_dup": Declared(_dp_embed_near_dup, _DP_EMBED_NEAR_DUP_SQL),
 }
 
 

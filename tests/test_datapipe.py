@@ -121,6 +121,37 @@ def test_simhash_near_dups(spark, documents):
     assert out.select("simhash").first()["simhash"] >= 0
 
 
+def test_simhash_hot_bucket_capped(spark):
+    # 1000 identical docs: every (block, chunk) bucket is degenerate.
+    # Without the max_bucket guard this is 499,500 pairs in ONE task;
+    # with it, the giant buckets are dropped entirely (exact dups are
+    # exact_dedup's job) and the join stays skew-free.
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3, max_bucket=64)
+    assert pairs.count() == 0
+    # distinct texts below the cap still pair up
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    assert simhash_near_dup_pairs(small, max_hamming=0).count() == 1
+
+
+def test_simhash_md5_hash_portable(spark):
+    # md5_60 base hash: same text → same signature regardless of
+    # engine; sanity-check it yields identical pair sets to itself
+    # and non-negative 60-bit signatures
+    from pipz_spark.datapipe.dedup import simhash_df
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    sigs = {r["_id"]: r["_h"] for r in simhash_df(docs, hash_fn="md5_60").collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+
 def test_cosine_topk_bruteforce_exact(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 3)
     out = cosine_topk_bruteforce(embeddings, queries, k=5)
