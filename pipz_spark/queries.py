@@ -634,6 +634,17 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+# The same window computed by an ACTUAL streaming execution: 4-file
+# replay → incremental state-store aggregation → foreachBatch landing
+# to parquet (streaming/streams.py:stream_events_hourly). Same oracle
+# as the batch shape — the hard check that Structured Streaming's
+# incremental path reaches the identical answer (closes SURVEY M4).
+def _stream_events_window(spark, sf):
+    from .streaming.streams import stream_events_hourly
+
+    return stream_events_hourly(spark, sf)
+
 # --------------------------------------------------------------------
 # Datapipe: text analysis
 def _dp_token_count(spark, sf):
@@ -1155,6 +1166,7 @@ QUERIES: dict[str, Declared] = {
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
     "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
+    "stream_events_hourly_window": Declared(_stream_events_window, _EVENTS_WINDOW_SQL),
     "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
     "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
     "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),

@@ -209,6 +209,7 @@ def run_step_stream(
     limiter: RateLimiter | None = None,
     checkpoint: str | None = None,
     query_name: str = "pipz-stream",
+    output_mode: str | None = None,
 ):
     """Apply a Step pipeline per micro-batch with dead-letter split,
     the sink action optionally wrapped by a CircuitBreaker and/or
@@ -251,6 +252,94 @@ def run_step_stream(
             out.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).queryName(query_name)
+    if output_mode:
+        # aggregated streams need an explicit mode: "complete" re-emits
+        # the full state each trigger (what a finite replay needs to
+        # surface its final windows), "update" emits changed rows only
+        writer = writer.outputMode(output_mode)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def replay_events_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Materialize events as ``n_files`` parquet parts so the file
+    source replays them as a genuine multi-trigger stream (one file
+    per micro-batch) instead of a single batch."""
+    import tempfile
+
+    from ..sources.catalog import load_table
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="pipz_events_replay_")
+    load_table(spark, "events", sf_dir).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return out_dir
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED hourly window, landed to parquet: replay
+    events as 4 micro-batches, aggregate incrementally in the state
+    store (complete mode — a finite replay must re-emit open windows),
+    drive the sink through ``run_step_stream``'s foreachBatch, and
+    return the landed table. Output shape matches the batch
+    ``events_hourly_window`` query, so the same SQL oracle checks that
+    the streaming execution path computes the identical answer."""
+    import tempfile
+
+    from ..operators.processors import transform
+
+    replay = replay_events_files(spark, sf_dir)
+    normalized = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(normalized)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    agg = windowed_agg(
+        stream,
+        {
+            "n": F.count(F.lit(1)),
+            # decimal partial sums: associative AND exact, so the
+            # micro-batch accumulation order cannot change the result
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        },
+        window="1 hour",
+        keys=["event_type"],
+    )
+    fmt = transform(
+        "format-hour", {"hour": F.date_format(F.col("win_start"), "yyyy-MM-dd HH:mm")}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_land_")
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        # complete mode: every emission carries the FULL window state,
+        # so overwrite-per-batch leaves the final answer on disk
+        df.select("hour", "event_type", "n", "total_value").write.mode(
+            "overwrite"
+        ).parquet(land)
+
+    q = run_step_stream(
+        agg,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ckpt_"),
+        query_name="pipz-hourly-window",
+        output_mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(land)
