@@ -10,6 +10,7 @@ reference's ctx-embedded IDs (extractors pipeline.go:84-100).
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,27 +26,57 @@ class Pipeline:
         self._bus = bus
         self.last_execution_id: str | None = None
 
-    def run(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        execution_id = str(uuid.uuid4())
-        self.last_execution_id = execution_id
+    @contextmanager
+    def attributed(self, spark: SparkSession, execution_id: str | None = None):
+        """Scope the driver thread's job group / local properties to
+        this pipeline, restoring a clean slate on exit. ``run`` uses it
+        internally; callers who want their TERMINAL action (collect /
+        write — Spark jobs fire at action time, not compose time)
+        attributed to a run can wrap it:
+
+            with pipe.attributed(spark, pipe.last_execution_id):
+                out.write.parquet(...)
+        """
+        execution_id = execution_id or str(uuid.uuid4())
         sc = spark.sparkContext
         sc.setJobGroup(f"pipz:{self.name}:{execution_id}", f"pipz pipeline {self.name}")
         sc.setLocalProperty("pipz.pipeline.id", self.pipeline_id)
         sc.setLocalProperty("pipz.execution.id", execution_id)
-        self._bus.emit(
-            S.PIPELINE_STARTED,
-            name=self.name,
-            pipeline_id=self.pipeline_id,
-            execution_id=execution_id,
-        )
-        out = self.root.apply(df, ())
-        self._bus.emit(
-            S.PIPELINE_COMPLETED,
-            name=self.name,
-            pipeline_id=self.pipeline_id,
-            execution_id=execution_id,
-        )
-        return out
+        try:
+            yield execution_id
+        finally:
+            # without this, every later action on the same driver
+            # thread is attributed to the last pipeline run — and a
+            # stray cancelJobGroup on that id would cancel them.
+            # (clearJobGroup is JVM-side only in PySpark; job groups
+            # are thread-local properties underneath, so nulling them
+            # is the documented-equivalent fallback.)
+            try:
+                sc._jsc.clearJobGroup()
+            except Exception:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("pipz.pipeline.id", None)
+            sc.setLocalProperty("pipz.execution.id", None)
+
+    def run(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        execution_id = str(uuid.uuid4())
+        self.last_execution_id = execution_id
+        with self.attributed(spark, execution_id):
+            self._bus.emit(
+                S.PIPELINE_STARTED,
+                name=self.name,
+                pipeline_id=self.pipeline_id,
+                execution_id=execution_id,
+            )
+            out = self.root.apply(df, ())
+            self._bus.emit(
+                S.PIPELINE_COMPLETED,
+                name=self.name,
+                pipeline_id=self.pipeline_id,
+                execution_id=execution_id,
+            )
+            return out
 
     def to_node(self) -> dict:
         return {

@@ -265,22 +265,30 @@ class RateLimiter:
         self._last = now
 
     def acquire(self) -> None:
-        with self._lock:
-            self._refill()
-            if self._tokens >= 1.0:
-                self._tokens -= 1.0
+        # signals are emitted OUTSIDE the (non-reentrant) lock so a
+        # handler that inspects the limiter can't deadlock, and a
+        # post-sleep wake RE-CHECKS for a token instead of deducting
+        # with a max(0, ...) clamp — the clamp briefly admitted above
+        # the configured rate when several waiters slept concurrently.
+        while True:
+            with self._lock:
+                self._refill()
+                if self._tokens >= 1.0:
+                    self._tokens -= 1.0
+                    signal, needed = S.LIMITER_ALLOWED, 0.0
+                elif self.mode == "drop":
+                    signal, needed = S.LIMITER_DROPPED, 0.0
+                else:
+                    signal = S.LIMITER_THROTTLED
+                    needed = (1.0 - self._tokens) / self.rate
+            if signal is S.LIMITER_ALLOWED:
                 self._bus.emit(S.LIMITER_ALLOWED, name=self.name)
                 return
-            if self.mode == "drop":
+            if signal is S.LIMITER_DROPPED:
                 self._bus.emit(S.LIMITER_DROPPED, name=self.name)
                 raise RateLimitExceeded(f"{self.name}: rate limit exceeded")
-            needed = (1.0 - self._tokens) / self.rate
-        self._bus.emit(S.LIMITER_THROTTLED, name=self.name, wait=needed)
-        self._sleep(needed)
-        with self._lock:
-            self._refill()
-            self._tokens = max(0.0, self._tokens - 1.0)
-            self._bus.emit(S.LIMITER_ALLOWED, name=self.name)
+            self._bus.emit(S.LIMITER_THROTTLED, name=self.name, wait=needed)
+            self._sleep(needed)
 
     def call(self, fn: Callable[[], T]) -> T:
         self.acquire()
@@ -305,6 +313,13 @@ def worker_pool(
     if len(actions) > workers:
         bus.emit(S.POOL_SATURATED, name=name, queued=len(actions) - workers)
 
+    # "FIRST error wins" means first in COMPLETION order — recorded at
+    # raise time under a lock, because wait() returns its `done` set
+    # unordered and iterating it would pick an arbitrary failure when
+    # several actions fail in the same window.
+    first_error: list[Exception] = []
+    error_lock = threading.Lock()
+
     def run(action: Callable[[], Any]) -> None:
         bus.emit(S.POOL_ACQUIRED, name=name)
         try:
@@ -312,6 +327,11 @@ def worker_pool(
                 timeout(action, task_timeout, name=f"{name}.task", bus=bus)
             else:
                 action()
+        except Exception as exc:
+            with error_lock:
+                if not first_error:
+                    first_error.append(exc)
+            raise
         finally:
             bus.emit(S.POOL_RELEASED, name=name)
 
@@ -322,18 +342,12 @@ def worker_pool(
     # (workerpool.go:163-190).
     with ThreadPoolExecutor(max_workers=workers) as ex:
         futs = [ex.submit(run, a) for a in actions]
-        done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
-        first_error: Exception | None = None
-        for f in done:
-            exc = f.exception()
-            if exc is not None:
-                first_error = exc
-                break
-        if first_error is not None:
-            for f in not_done:
+        wait(futs, return_when=FIRST_EXCEPTION)
+        if first_error:
+            for f in futs:
                 f.cancel()
-    if first_error is not None:
-        raise first_error
+    if first_error:
+        raise first_error[0]
 
 
 def race_actions(

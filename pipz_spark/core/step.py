@@ -56,6 +56,7 @@ class Step:
         self.children = tuple(children)
         self.metadata = dict(metadata or {})
         self._close_hooks: list[Callable[[], None]] = []
+        self._release_hooks: list[Callable[[], None]] = []
         self._closed = False
 
     @property
@@ -105,9 +106,34 @@ class Step:
 
     # -- graceful shutdown (mirror of sequence.go:332-347) -------------
     def on_close(self, hook: Callable[[], None]) -> "Step":
-        """Register a cleanup hook (sink flush, cache release)."""
+        """Register a cleanup hook (sink flush, connection teardown)."""
         self._close_hooks.append(hook)
         return self
+
+    def on_release(self, hook: Callable[[], None]) -> "Step":
+        """Register a RE-CREATABLE resource release (cache unpersist).
+        Unlike close hooks these can be drained repeatedly — each apply
+        that persists registers a fresh hook, and ``release_caches``
+        frees them once their consumers have acted. This is what keeps
+        a step tree inside a foreachBatch loop from accumulating cached
+        blocks for the life of the stream."""
+        self._release_hooks.append(hook)
+        return self
+
+    def release_caches(self) -> None:
+        """Drain release hooks (self + children, LIFO), swallowing
+        errors. Safe to call between applies; NOT a close."""
+        for child in reversed(self.children):
+            try:
+                child.release_caches()
+            except Exception:
+                pass
+        hooks, self._release_hooks = self._release_hooks, []
+        for hook in reversed(hooks):
+            try:
+                hook()
+            except Exception:
+                pass
 
     def close(self) -> None:
         """Idempotent close cascading to children in LIFO order, like
@@ -122,6 +148,12 @@ class Step:
                 child.close()
             except Exception:
                 pass
+        for hook in reversed(self._release_hooks):
+            try:
+                hook()
+            except Exception:
+                pass
+        self._release_hooks = []
         for hook in reversed(self._close_hooks):
             try:
                 hook()

@@ -179,6 +179,10 @@ def switch(
         # branch filters share one materialization of the upstream plan
         # instead of re-scanning it per route.
         routed = df.withColumn(_ROUTE, F.when(is_ok(), route_key)).persist()
+        # cache released per batch (release_caches) or at close —
+        # without this a step tree applied per micro-batch accumulates
+        # cached blocks for the life of the stream
+        step.on_release(routed.unpersist)
         outs: list[DataFrame] = []
         keys = list(branches.keys())
         for key, child in branches.items():
@@ -198,13 +202,14 @@ def switch(
     children = tuple(b for b in branches.values() if isinstance(b, Step))
     if isinstance(default, Step):
         children += (default,)
-    return Step(
+    step = Step(
         name,
         fn_expr if expr_mode else fn_steps,
         node_type="switch",
         children=children,
         metadata={"routes": list(branches.keys()), "mode": "expr" if expr_mode else "steps"},
     )
+    return step
 
 
 def filter_if(name: str, condition: Column, child: Step | Updates) -> Step:
@@ -233,12 +238,14 @@ def filter_if(name: str, condition: Column, child: Step | Updates) -> Step:
         # null-safe: a NULL condition counts as "no hit" (row passes through)
         hit_cond = F.coalesce(is_ok() & condition, F.lit(False))
         cached = df.persist()
+        step.on_release(cached.unpersist)  # released per batch / at close
         processed = child.apply(cached.where(hit_cond), path)  # type: ignore[union-attr]
         miss = cached.where(~hit_cond)
         return processed.unionByName(miss, allowMissingColumns=True)
 
     if isinstance(child, Step):
-        return Step(name, fn_step, node_type="filter", children=(child,))
+        step = Step(name, fn_step, node_type="filter", children=(child,))
+        return step
     return Step(name, fn_expr, node_type="filter")
 
 
@@ -416,6 +423,7 @@ def handle(
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         out = child.apply(df, path).persist()
+        step.on_release(out.unpersist)  # released per batch / at close
         failed = out.where(F.col(ERROR_COL).isNotNull())
         try:
             if isinstance(handler, Step):
@@ -426,7 +434,8 @@ def handle(
             pass  # handler errors ignored (handle.go:94)
         return out
 
-    return Step(name, fn, node_type="handle", children=(child,))
+    step = Step(name, fn, node_type="handle", children=(child,))
+    return step
 
 
 # Row-dropping selection — native engine capability beyond the

@@ -103,7 +103,7 @@ def persist_step(name: str, storage_level: str = "MEMORY_AND_DISK") -> Step:
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         cached = df.persist(level)
-        step.on_close(lambda: cached.unpersist())
+        step.on_release(lambda: cached.unpersist())
         return cached
 
     step = Step(name, fn, node_type="persist", metadata={"level": storage_level})

@@ -250,6 +250,10 @@ def run_step_stream(
                 dead_letter_sink(dead, batch_id)
         finally:
             out.unpersist()
+            # free step-internal caches (switch/filter/handle persist
+            # per apply) now that this batch's sink actions are done —
+            # otherwise a long-running stream accumulates cached blocks
+            step.release_caches()
 
     writer = stream.writeStream.foreachBatch(process).queryName(query_name)
     if output_mode:

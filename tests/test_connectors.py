@@ -314,3 +314,24 @@ def test_plan_render(orders):
     assert "sequence:root" in art.splitlines()[0]
     assert any("apply:validate" in ln for ln in art.splitlines())
     assert any("transform:t" in ln for ln in art.splitlines())
+
+
+def test_step_mode_caches_released(spark):
+    # switch/filter/handle persist internally per apply; release_caches
+    # (called per micro-batch by run_step_stream) must free them so a
+    # long-running stream doesn't accumulate cached blocks.
+    # (fresh uncached input — the table fixtures are session-cached and
+    # would keep their own entry in getPersistentRDDs)
+    rows = spark.range(100).select(F.col("id"), (F.col("id") * 10.0).alias("o_totalprice"))
+    child = P.apply("noop", error_when=F.lit(False), message="x")
+    pipe = P.filter_if("maybe", F.col("o_totalprice") > 100, child)
+    sc = spark.sparkContext
+    baseline = sc._jsc.getPersistentRDDs().size()
+    out = pipe(rows)
+    out.count()
+    assert sc._jsc.getPersistentRDDs().size() > baseline
+    pipe.release_caches()
+    assert sc._jsc.getPersistentRDDs().size() == baseline
+    # repeated drain is a no-op, and close() still works afterwards
+    pipe.release_caches()
+    pipe.close()
