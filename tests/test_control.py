@@ -26,34 +26,10 @@ from pipz_spark.control import (
 )
 from pipz_spark.control import signals as S
 
-
-class ChaosAction:
-    """Deterministic fault injector: fails the first ``fail_n`` calls,
-    then succeeds (the seeded-failure analog of ChaosProcessor)."""
-
-    def __init__(self, fail_n: int = 0, value: str = "ok"):
-        self.fail_n = fail_n
-        self.value = value
-        self.calls = 0
-
-    def __call__(self):
-        self.calls += 1
-        if self.calls <= self.fail_n:
-            raise RuntimeError(f"chaos failure #{self.calls}")
-        return self.value
-
-
-class FakeClock:
-    def __init__(self):
-        self.t = 0.0
-        self.sleeps: list[float] = []
-
-    def now(self) -> float:
-        return self.t
-
-    def sleep(self, dt: float) -> None:
-        self.sleeps.append(dt)
-        self.t += dt
+# the fault injectors these tests drove ad-hoc in round 1 are now the
+# engine's PUBLIC testing surface (pipz_spark.testing, mirroring the
+# reference's testing/helpers.go) — the tests consume them as users do
+from pipz_spark.testing import ChaosAction, FakeClock
 
 
 def test_retry_first_success_no_extra_calls():
