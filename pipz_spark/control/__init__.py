@@ -7,7 +7,7 @@ run — the driver. Signals mirror the reference's event bus.
 """
 
 from . import signals
-from .observe import collect_observation, observed_effect
+from .observe import collect_observation, observed_effect, observed_routing
 from .pipeline import Pipeline
 from .resilience import (
     ActionTimeout,
@@ -16,6 +16,7 @@ from .resilience import (
     RateLimiter,
     RateLimitExceeded,
     backoff,
+    fallback_actions,
     race_actions,
     retry,
     scaffold,
@@ -35,7 +36,9 @@ __all__ = [
     "SignalBus",
     "backoff",
     "collect_observation",
+    "fallback_actions",
     "observed_effect",
+    "observed_routing",
     "race_actions",
     "retry",
     "scaffold",

@@ -38,10 +38,34 @@ def collect_observation(
     obs: Observation,
     name: str = "effect",
     bus: S.SignalBus = S.BUS,
+    signal: str = EFFECT_OBSERVED,
 ) -> dict[str, Any]:
     """Read observed metric values (blocks until the action that
     materialized the observed DataFrame has completed) and emit them
     on the signal bus."""
     values = dict(obs.get)
-    bus.emit(EFFECT_OBSERVED, name=name, **values)
+    bus.emit(signal, name=name, **values)
     return values
+
+
+def observed_routing(
+    name: str,
+    labels: Mapping[str, Column],
+) -> tuple[Step, Observation]:
+    """Per-route counts for routing connectors — the batch face of the
+    reference's per-value ``switch.routed`` / ``contest.winner``
+    signals (signals.go:7-137). In a vectorized engine routing is a
+    projection, so route events are COUNTS aggregated with the action:
+    compose the returned step after a switch/contest, run the action,
+    then ``collect_observation(obs, name, signal=S.SWITCH_ROUTED)``.
+
+    ``labels`` maps route name → row predicate (e.g. the switch's
+    route condition). Adds one observe node — no extra scan, no
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    metrics = {
+        k: F.count(F.when(F.coalesce(cond, F.lit(False)), 1)).alias(k)
+        for k, cond in labels.items()
+    }
+    return observed_effect(name, metrics)

@@ -402,6 +402,33 @@ def race_actions(
         ex.shutdown(wait=False)
 
 
+def fallback_actions(
+    fns: Sequence[Callable[[], T]],
+    name: str = "fallback",
+    bus: S.SignalBus = S.BUS,
+) -> T:
+    """Declaration-order fallback for driver ACTIONS (fallback.go:
+    59-144): try each in order, return the first success; emits
+    ``fallback.attempt`` before each try and ``fallback.failed`` on
+    each failure; all-fail raises the LAST error (fallback.go:131).
+    The action-level complement of the per-row ``operators.fallback``
+    (which selects per value in one projection and cannot observe
+    attempt-level events) — e.g. read the primary source, fall back to
+    the replica."""
+    if not fns:
+        raise ValueError("fallback_actions needs at least one action")
+    last_error: Exception | None = None
+    for i, fn in enumerate(fns):
+        bus.emit(S.FALLBACK_ATTEMPT, name=name, attempt=i)
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            last_error = e
+            bus.emit(S.FALLBACK_FAILED, name=name, attempt=i, error=str(e))
+    assert last_error is not None
+    raise last_error
+
+
 def scaffold(
     actions: Sequence[Callable[[], Any]],
     name: str = "scaffold",

@@ -39,6 +39,14 @@ FALLBACK_FAILED = "fallback.failed"
 SEQUENCE_COMPLETED = "sequence.completed"
 PIPELINE_STARTED = "pipeline.started"
 PIPELINE_COMPLETED = "pipeline.completed"
+# Data-plane signals (signals.go:7-137 names switch.routed,
+# handle.error-handled, ...): in a batch engine these are aggregate
+# counts, observable only when an ACTION materializes them — so they
+# emit from the terminal boundaries (write_split, run_step_stream,
+# handle's eager handler drive) and from the observation bridge
+# (observe.observed_routing), never per row.
+HANDLE_ERROR_HANDLED = "handle.error-handled"
+SWITCH_ROUTED = "switch.routed"
 
 Handler = Callable[[str, dict[str, Any]], None]
 
@@ -53,6 +61,12 @@ class SignalBus:
 
     def on_any(self, handler: Handler) -> None:
         self._all.append(handler)
+
+    def has_listeners(self, signal: str) -> bool:
+        """True if emitting ``signal`` would reach any handler — lets
+        emitters skip COSTLY field computation (e.g. a Spark count)
+        when nobody is listening."""
+        return bool(self._handlers.get(signal)) or bool(self._all)
 
     def emit(self, signal: str, **fields: Any) -> None:
         for h in self._handlers.get(signal, ()):

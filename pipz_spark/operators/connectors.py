@@ -422,6 +422,8 @@ def handle(
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        from ..control import signals as S
+
         out = child.apply(df, path).persist()
         step.on_release(out.unpersist)  # released per batch / at close
         failed = out.where(F.col(ERROR_COL).isNotNull())
@@ -432,6 +434,11 @@ def handle(
                 handler(failed)
         except Exception:
             pass  # handler errors ignored (handle.go:94)
+        # handle is the one data-plane connector with an EAGER action
+        # boundary, so error-handled counts are observable here; the
+        # count reads the persisted split, and only runs for listeners
+        if S.BUS.has_listeners(S.HANDLE_ERROR_HANDLED):
+            S.BUS.emit(S.HANDLE_ERROR_HANDLED, name=name, handled=failed.count())
         return out
 
     step = Step(name, fn, node_type="handle", children=(child,))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..control import signals as S
 from ..core.errors import ERROR_COL, ensure_error_column, error_path_str, is_failed, is_ok
 
 
@@ -56,11 +57,16 @@ def write_split(
     dead_letter_path: str | None = None,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    name: str = "write-split",
+    bus: S.SignalBus = S.BUS,
 ) -> dict[str, int]:
     """Terminal action: persist once, write happy path + dead letter.
 
     Returns row counts per side (the counts come from the SAME
-    persisted computation the writes used — no recompute)."""
+    persisted computation the writes used — no recompute), and emits
+    ``sequence.completed`` with them — the terminal action is where a
+    batch pipeline's completion becomes observable (signals.go's
+    sequence.completed, at the only point counts exist for free)."""
     df = ensure_error_column(df).persist()
     try:
         ok = df.where(is_ok()).drop(ERROR_COL)
@@ -70,6 +76,7 @@ def write_split(
             dead = flatten_dead_letter(df)
             write_parquet(dead, dead_letter_path, mode=mode)
             counts["dead_letter"] = dead.count()
+        bus.emit(S.SEQUENCE_COMPLETED, name=name, **counts)
         return counts
     finally:
         df.unpersist()

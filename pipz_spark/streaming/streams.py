@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 
 from ..core.errors import ERROR_COL, is_failed, is_ok
 from ..core.step import Step
+from ..control import signals as S
 from ..control.resilience import CircuitBreaker, RateLimiter
 
 # events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
@@ -210,6 +211,7 @@ def run_step_stream(
     checkpoint: str | None = None,
     query_name: str = "pipz-stream",
     output_mode: str | None = None,
+    bus: S.SignalBus = S.BUS,
 ):
     """Apply a Step pipeline per micro-batch with dead-letter split,
     the sink action optionally wrapped by a CircuitBreaker and/or
@@ -248,6 +250,17 @@ def run_step_stream(
             action()
             if dead_letter_sink is not None:
                 dead_letter_sink(dead, batch_id)
+            # per-micro-batch completion signal; the counts cost an
+            # extra action on the persisted batch, so compute them
+            # only when someone is actually listening
+            if bus.has_listeners(S.SEQUENCE_COMPLETED):
+                bus.emit(
+                    S.SEQUENCE_COMPLETED,
+                    name=query_name,
+                    batch_id=batch_id,
+                    ok=ok.count(),
+                    dead_letter=dead.count(),
+                )
         finally:
             out.unpersist()
             # free step-internal caches (switch/filter/handle persist

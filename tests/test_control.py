@@ -264,3 +264,79 @@ def test_race_actions_all_fail_raises_last():
 
     with _pytest.raises(ValueError):
         race_actions([boom_a, boom_b])
+
+
+def test_fallback_actions_emits_signals():
+    from pipz_spark.control import fallback_actions
+
+    bus = SignalBus()
+    seen = []
+    bus.on_any(lambda sig, f: seen.append((sig, f.get("attempt"))))
+    result = fallback_actions(
+        [ChaosAction(fail_n=1), lambda: "secondary"], name="src", bus=bus
+    )
+    assert result == "secondary"
+    assert (S.FALLBACK_ATTEMPT, 0) in seen
+    assert (S.FALLBACK_FAILED, 0) in seen
+    assert (S.FALLBACK_ATTEMPT, 1) in seen
+    # all-fail raises the LAST error (fallback.go:131)
+    with pytest.raises(RuntimeError, match="chaos failure"):
+        fallback_actions([ChaosAction(fail_n=9), ChaosAction(fail_n=9)], bus=bus)
+
+
+def test_write_split_emits_sequence_completed(spark, orders, tmp_path):
+    from pipz_spark import P
+    from pipz_spark.sources.sinks import write_split
+    from pyspark.sql import functions as F
+
+    bus = SignalBus()
+    seen = []
+    bus.on(S.SEQUENCE_COMPLETED, lambda sig, f: seen.append(f))
+    out = P.apply("gate", error_when=F.col("o_totalprice") <= 0, message="bad")(orders)
+    counts = write_split(
+        out,
+        str(tmp_path / "ok"),
+        str(tmp_path / "dead"),
+        name="nightly",
+        bus=bus,
+    )
+    assert seen and seen[0]["name"] == "nightly"
+    assert seen[0]["ok"] == counts["ok"]
+    assert seen[0]["dead_letter"] == counts["dead_letter"]
+
+
+def test_handle_emits_error_handled(spark, orders):
+    from pipz_spark import P
+    from pyspark.sql import functions as F
+
+    seen = []
+    S.BUS.on(S.HANDLE_ERROR_HANDLED, lambda sig, f: seen.append(f))
+    try:
+        pipe = P.handle(
+            "guarded",
+            P.apply("validate", error_when=F.col("o_totalprice") <= 0, message="bad"),
+            handler=lambda failed: None,
+        )
+        pipe(orders)
+        n_bad = orders.where("o_totalprice <= 0").count()
+        assert seen and seen[0]["handled"] == n_bad
+    finally:
+        S.BUS.clear()
+
+
+def test_observed_routing_switch_counts(spark, orders):
+    from pipz_spark import P
+    from pipz_spark.control import collect_observation, observed_routing
+    from pyspark.sql import functions as F
+
+    bus = SignalBus()
+    seen = []
+    bus.on(S.SWITCH_ROUTED, lambda sig, f: seen.append(f))
+    route = F.col("o_orderstatus")
+    sw = P.switch("route", route, {"O": {"z": F.lit(1)}, "F": {"z": F.lit(2)}})
+    counter, obs = observed_routing("route-counts", {"O": route == "O", "F": route == "F"})
+    out = counter.apply(sw(orders), ())
+    out.count()  # the action that materializes the observation
+    vals = collect_observation(obs, "route", bus=bus, signal=S.SWITCH_ROUTED)
+    assert vals["O"] == orders.where("o_orderstatus = 'O'").count()
+    assert seen and seen[0]["F"] == orders.where("o_orderstatus = 'F'").count()
