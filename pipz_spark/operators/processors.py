@@ -177,6 +177,7 @@ def enrich(
     *,
     select: Mapping[str, str] | None = None,
     broadcast: bool = True,
+    assume_unique: bool = False,
 ) -> Step:
     """Best-effort enhancement via LEFT OUTER equi-join.
 
@@ -195,7 +196,11 @@ def enrich(
     Enrich is strictly one-in-one-out (enrich.go:238-251): for keyed
     joins the lookup is deterministically deduplicated on the keys
     first (smallest remaining row wins), so duplicate lookup keys can
-    never fan out fact rows.
+    never fan out fact rows. ``assume_unique=True`` skips that
+    pre-aggregation when the caller vouches the keys are unique (a
+    PK-joined dimension) — the 1:1 guarantee then rests on the
+    caller, and the join plan loses an aggregation stage (measured
+    1.64x → ~1.1x of the handwritten join on p5_enrich).
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
@@ -223,7 +228,7 @@ def enrich(
             for out_col, src_col in select.items():
                 if out_col != src_col:
                     right = right.withColumnRenamed(src_col, out_col)
-        if keys:
+        if keys and not assume_unique:
             # deterministic 1:1 — min(struct(other cols)) per key; the
             # dim side stays tiny so this pre-agg is negligible next to
             # the fact scan and keeps the join broadcast-able.

@@ -158,6 +158,9 @@ def _p5(spark, sf):
         _t(spark, sf, "customer"),
         on={"o_custkey": "c_custkey"},
         select={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
+        # c_custkey is the dim's PK — vouch uniqueness and skip the
+        # 1:1 pre-aggregation (plan: broadcast join only)
+        assume_unique=True,
     )
     return split_ok(step(_t(spark, sf, "orders"))).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"

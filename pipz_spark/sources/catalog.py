@@ -31,7 +31,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# DataFrame PLANS are immutable and session-bound, so the reader
+# output is memoized per (application, dir, table): repeated
+# load_table calls skip the parquet footer/schema read (~0.1s each —
+# measurable when a suite composes hundreds of queries). This caches
+# no DATA, only the unresolved plan object.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects
         # outright unless nanosAsLong is on. The conf is runtime-settable,
@@ -50,6 +62,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # integer division: float /1000 on ~1.7e18 nanos loses the
             # low bits (double has 53-bit mantissa) → ±1 µs drift
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -130,3 +130,21 @@ def test_error_path_includes_connectors(orders):
     if bad.count():
         path = bad.select(error_path_str()).first()[0]
         assert path == "outer -> inner -> check"
+
+
+def test_enrich_assume_unique_skips_preagg(spark, orders, customer):
+    from pipz_spark.core.errors import split_ok
+
+    fast = P.enrich(
+        "crm", customer, on={"o_custkey": "c_custkey"},
+        select={"c_name": "c_name"}, assume_unique=True,
+    )
+    out = split_ok(fast(orders))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no aggregation stage on the dim side — just the broadcast join
+    assert "HashAggregate" not in plan
+    assert out.count() == orders.count()  # PK dim: still 1:1
+    # default path keeps the dedup guarantee for non-unique lookups
+    dup = customer.unionByName(customer.limit(5))
+    safe = P.enrich("crm2", dup, on={"o_custkey": "c_custkey"}, select={"c_name": "c_name"})
+    assert split_ok(safe(orders)).count() == orders.count()
