@@ -13,6 +13,7 @@ All hot paths are Column expressions / higher-order array functions
 multimodal decode stubs (Arrow-batched mapInPandas).
 """
 
+from ._caches import release_caches
 from .dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -77,6 +78,7 @@ __all__ = [
     "ngram_jaccard",
     "quality_score",
     "regex_token_count",
+    "release_caches",
     "sample_frames",
     "score_bigram_lm",
     "simhash",
