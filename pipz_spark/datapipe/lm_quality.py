@@ -40,7 +40,14 @@ def fit_bigram_lm(
     text_col: str = "text",
 ) -> DataFrame:
     """Fit bigram log-probabilities with add-one smoothing. Returns
-    (bigram, logp) — vocabulary-sized, broadcastable."""
+    (bigram, logp) — vocabulary-sized, broadcastable.
+
+    ``logp`` is rounded to a FIXED scale (6 decimals) at fit time:
+    downstream per-document aggregates can then sum it as an exact
+    decimal, making scores independent of partial-aggregation order —
+    the same float-determinism discipline as the engine's decimal-sum
+    relational aggregates. 1e-6 quantization of a log-prob is far
+    below any quality-gate resolution."""
     grams = df.select(
         F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram")
     ).where(F.length("bigram") == 2)
@@ -61,7 +68,9 @@ def fit_bigram_lm(
         .join(uni, "prefix")
         .select(
             "bigram",
-            F.log((F.col("n_bi") + 1) / (F.col("n_uni") + F.lit(vocab))).alias("logp"),
+            F.round(
+                F.log((F.col("n_bi") + 1) / (F.col("n_uni") + F.lit(vocab))), 6
+            ).alias("logp"),
         )
     )
 
@@ -78,7 +87,14 @@ def score_bigram_lm(
     Unseen bigrams take ``floor_logp``. One explode + one BROADCAST
     join + one aggregate — corpus scanned once. Documents too short to
     have a bigram (< 2 chars) still appear in the output with
-    n_bigrams = 0 and NULL lm_logp — scores never silently drop rows."""
+    n_bigrams = 0 and NULL lm_logp — scores never silently drop rows.
+
+    The mean is EXACT: per-doc log-probs (fixed 6-decimal scale from
+    the fit) are summed as decimal(28,6) — associative, partial-agg-
+    order-independent — and divided by the count once, at the end. The
+    same score comes out of any engine that follows the definition,
+    which is what lets the declared query hold this operator to a
+    hash-checked SQL oracle."""
     grams = df.select(
         F.col(id_col),
         F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram"),
@@ -87,7 +103,10 @@ def score_bigram_lm(
         id_col, F.coalesce(F.col("logp"), F.lit(floor_logp)).alias("logp")
     )
     agg = scored.groupBy(id_col).agg(
-        F.round(F.avg("logp"), 4).alias("lm_logp"),
+        (
+            F.sum(F.col("logp").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("lm_logp"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
     return (

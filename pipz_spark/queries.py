@@ -881,12 +881,49 @@ FROM documents
 """
 
 
-# Bigram-LM quality scores (distributed fit + broadcast-join score);
-# log-float aggregation order isn't SQL-reproducible → rows-only
+# Bigram-LM quality scores (distributed fit + broadcast-join score).
+# Oracle-exact: logp is rounded to 6 decimals at fit time and summed
+# per doc as decimal(28,6) (associative), divided by the count once —
+# so DuckDB reproduces the mean bit-for-bit from the same definition.
 def _dp_lm_quality(spark, sf):
     from .datapipe import lm_quality_scores
 
     return lm_quality_scores(_t(spark, sf, "documents"))
+
+
+# The oracle re-derives the whole model: char bigrams of lower(text)
+# (substr is character-based, matching split('')), add-one-smoothed
+# log-probs rounded at scale 6, floor -12.0 for unseen bigrams,
+# decimal-exact per-doc mean. Short docs (< 2 chars) keep NULL lm_logp
+# and n_bigrams 0, exactly like score_bigram_lm.
+_DP_LM_QUALITY_SQL = r"""
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([substr(t, i, 2) for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS bigram
+  FROM lowered
+),
+g2 AS (SELECT doc_id, bigram FROM grams WHERE length(bigram) = 2),
+bi AS (SELECT bigram, count(*) AS n_bi FROM g2 GROUP BY bigram),
+uni AS (SELECT substr(bigram, 1, 1) AS prefix, sum(n_bi) AS n_uni FROM bi GROUP BY prefix),
+v AS (SELECT count(*) + 1 AS vocab FROM uni),
+lm AS (
+  SELECT bigram, round(ln((n_bi + 1) / (n_uni + vocab)), 6) AS logp
+  FROM bi JOIN uni ON substr(bigram, 1, 1) = uni.prefix CROSS JOIN v
+),
+scored AS (
+  SELECT g2.doc_id, coalesce(lm.logp, -12.0) AS logp
+  FROM g2 LEFT JOIN lm USING (bigram)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS lm_logp,
+         count(*) AS n_bigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, agg.lm_logp, coalesce(agg.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
 
 
 # Deterministic train/val/test split + content-stable sampling +
@@ -1181,7 +1218,7 @@ QUERIES: dict[str, Declared] = {
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
     "e2e_training_pipeline": Declared(_e2e_training_pipeline, _E2E_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
-    "dp_lm_quality": Declared(_dp_lm_quality, None),
+    "dp_lm_quality": Declared(_dp_lm_quality, _DP_LM_QUALITY_SQL),
     "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_dataset_profile": Declared(_dp_profile, _DP_PROFILE_SQL),
