@@ -648,6 +648,22 @@ def _stream_events_window(spark, sf):
 
     return stream_events_hourly(spark, sf)
 
+
+# Streaming-executed exact dedup: every event arrives TWICE (doubled
+# time-ordered replay), dropDuplicatesWithinWatermark keeps the first
+# copy via the state store, append-mode landing. The landed table must
+# equal the original events table — the state store's dedup path held
+# to a hard batch oracle (streaming/streams.py:stream_events_dedup).
+def _stream_events_dedup(spark, sf):
+    from .streaming.streams import stream_events_dedup
+
+    return stream_events_dedup(spark, sf)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
 # --------------------------------------------------------------------
 # Datapipe: text analysis
 def _dp_token_count(spark, sf):
@@ -1207,6 +1223,7 @@ QUERIES: dict[str, Declared] = {
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
     "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_hourly_window": Declared(_stream_events_window, _EVENTS_WINDOW_SQL),
+    "stream_events_dedup": Declared(_stream_events_dedup, _STREAM_DEDUP_SQL),
     "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
     "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
     "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),

@@ -7,5 +7,36 @@ pruning + predicate pushdown then reach the parquet scan for free.
 """
 
 from .catalog import TABLES, load_table, load_tables, register_views
+from .sinks import (
+    append_log_sink,
+    compact_log,
+    dead_letter_handler,
+    flatten_dead_letter,
+    merge_parquet_sink,
+    read_latest,
+    read_merged,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_split,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "append_log_sink",
+    "compact_log",
+    "dead_letter_handler",
+    "flatten_dead_letter",
+    "load_table",
+    "load_tables",
+    "merge_parquet_sink",
+    "read_latest",
+    "read_merged",
+    "register_views",
+    "write_bucketed",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "write_split",
+]

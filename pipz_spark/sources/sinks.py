@@ -119,6 +119,140 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _table_exists(df_or_spark, path: str) -> bool:
+    """True iff data lives at path. A merely-created EMPTY directory
+    (tempfile.mkdtemp) is not a table, and the dynamic-partition
+    committer writes no _SUCCESS marker — so the test is 'directory
+    has non-hidden children'."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        # partition dirs ("col=value") count as data even when the
+        # partition column name starts with an underscore
+        if "=" in name or (not name.startswith("_") and not name.startswith(".")):
+            return True
+    return False
+
+
+def merge_parquet_sink(
+    path: str,
+    keys: list[str],
+    buckets: int = 64,
+    bucket_col: str = "_kb",
+):
+    """Idempotent upsert-by-key landing for UPDATE-mode streams.
+
+    Complete-mode + overwrite re-emits and rewrites the FULL
+    aggregation state every trigger — state re-emission grows with
+    history, a scale-killer on unbounded window counts. This sink is
+    the scale-safe shape: the table is parquet partitioned by a hash
+    bucket of the merge key, and each micro-batch rewrites ONLY the
+    buckets containing updated keys (read affected buckets → drop
+    superseded rows → union the updates → dynamic-partition
+    overwrite). Per-trigger cost is O(size of affected buckets), which
+    a watermark bounds to the recent windows, never O(history).
+    Replaying a batch reproduces the same table — the merge is a
+    deterministic upsert, so checkpoint-restart double-delivery is
+    safe.
+
+    Returns a ``(DataFrame, batch_id) -> None`` callable for
+    ``run_step_stream``/``foreachBatch``. Read the result with
+    :func:`read_merged` (drops the bucket column).
+    """
+
+    def sink(updates: DataFrame, batch_id: int) -> None:
+        spark = updates.sparkSession
+        upd = updates.dropDuplicates(keys).withColumn(
+            bucket_col, F.pmod(F.xxhash64(*keys), F.lit(buckets))
+        )
+        if _table_exists(spark, path):
+            existing = spark.read.parquet(path)
+            keep = (
+                existing.join(upd.select(*keys).distinct(), keys, "left_anti")
+                # only affected buckets are rewritten; the semi join is
+                # a broadcast against ≤ ``buckets`` distinct ids
+                .join(
+                    F.broadcast(upd.select(bucket_col).distinct()),
+                    bucket_col,
+                    "semi",
+                )
+            )
+            merged = keep.unionByName(upd.select(*keep.columns))
+            # the merged plan reads the same path it overwrites; cut
+            # the lineage so the write doesn't scan mid-replace. The
+            # checkpoint holds only the affected buckets' rows.
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = upd
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(path)
+        )
+
+    return sink
+
+
+def read_merged(spark, path: str, bucket_col: str = "_kb") -> DataFrame:
+    """Read a merge_parquet_sink table without its bucket column."""
+    return spark.read.parquet(path).drop(bucket_col)
+
+
+def append_log_sink(path: str, keys: list[str]):
+    """MERGE-ON-READ landing for UPDATE-mode streams: each trigger
+    APPENDS its changed rows stamped with the batch id — one write
+    job, no reads, per-trigger cost O(batch) regardless of history.
+    The keyed table is resolved at read time (:func:`read_latest`)
+    and periodically compacted (:func:`compact_log` folds the log
+    through merge_parquet_sink — the merge-on-WRITE half).
+
+    This is the same trade table formats make (Delta/Hudi MOR):
+    cheap continuous ingest, a bounded amount of read-time merge, and
+    compaction on your schedule instead of every trigger. Replaying a
+    batch after checkpoint restart appends identical rows under the
+    same batch id; read_latest's per-key resolution makes the replay
+    invisible."""
+
+    def sink(updates: DataFrame, batch_id: int) -> None:
+        (
+            updates.dropDuplicates(keys)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return sink
+
+
+def read_latest(spark, path: str, keys: list[str]) -> DataFrame:
+    """Resolve an append_log_sink table to its latest row per key.
+    Ties (a replayed batch re-appending identical rows) are value-
+    identical, so the pick is deterministic."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(*keys).orderBy(F.col("_batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+
+
+def compact_log(spark, log_path: str, table_path: str, keys: list[str], buckets: int = 64) -> None:
+    """Fold an append log into a merge_parquet_sink table — the
+    compaction step that keeps read-time merge bounded. Run it on a
+    schedule (or when the log's batch count passes a threshold), then
+    truncate the log."""
+    merge_parquet_sink(table_path, keys, buckets=buckets)(read_latest(spark, log_path, keys), -1)
+
+
 def dead_letter_handler(path: str, mode: str = "append"):
     """A Handle-compatible callable that durably lands failed rows
     (the 'Step handlers must terminate in a sink' rule, VERDICT r1)."""

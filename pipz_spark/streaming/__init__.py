@@ -13,9 +13,12 @@ wrapping (breaker/limiter around the sink action).
 from .streams import (
     dedupe_stream,
     read_events_stream,
+    replay_events_files,
     run_step_stream,
     running_totals,
     session_window_agg,
+    stream_events_dedup,
+    stream_events_hourly,
     stream_stream_join,
     windowed_agg,
 )
@@ -23,9 +26,12 @@ from .streams import (
 __all__ = [
     "dedupe_stream",
     "read_events_stream",
+    "replay_events_files",
     "run_step_stream",
     "running_totals",
     "session_window_agg",
+    "stream_events_dedup",
+    "stream_events_hourly",
     "stream_stream_join",
     "windowed_agg",
 ]

@@ -212,6 +212,7 @@ def run_step_stream(
     query_name: str = "pipz-stream",
     output_mode: str | None = None,
     bus: S.SignalBus = S.BUS,
+    state_partitions: int | None = None,
 ):
     """Apply a Step pipeline per micro-batch with dead-letter split,
     the sink action optionally wrapped by a CircuitBreaker and/or
@@ -276,51 +277,96 @@ def run_step_stream(
         writer = writer.outputMode(output_mode)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    if state_partitions is None:
+        return writer.start()
+    # the stream's state partition count is FIXED at first start from
+    # spark.sql.shuffle.partitions — size it to the stream's key
+    # cardinality (a handful of partitions for a finite replay rig;
+    # hundreds on a wide cluster), independent of the session's batch
+    # setting. Restored right after start: the value is captured into
+    # the checkpoint's offset log at query initialization.
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def replay_events_files(
-    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    out_dir: str | None = None,
+    order_by_ts: bool = False,
+    doubled: bool = False,
 ) -> str:
     """Materialize events as ``n_files`` parquet parts so the file
     source replays them as a genuine multi-trigger stream (one file
-    per micro-batch) instead of a single batch."""
+    per micro-batch) instead of a single batch.
+
+    ``order_by_ts`` range-partitions by event time, so the replay
+    arrives roughly in time order — the realistic pattern that lets
+    watermarks close windows and keeps an update-mode merge sink
+    touching only recent windows per trigger. ``doubled`` unions the
+    table with itself first (each row twice); range partitioning puts
+    both copies of a row in the SAME part file, so a streaming dedup
+    sees them within one micro-batch — a controlled duplicate-arrival
+    scenario with an exact batch oracle (the original table)."""
     import tempfile
 
     from ..sources.catalog import load_table
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="pipz_events_replay_")
-    load_table(spark, "events", sf_dir).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    df = load_table(spark, "events", sf_dir)
+    if doubled:
+        df = df.unionByName(df)
+    if order_by_ts:
+        df = df.repartitionByRange(n_files, "ts")
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_dir)
     return out_dir
+
+
+_NORMALIZED_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING-EXECUTED hourly window, landed to parquet: replay
-    events as 4 micro-batches, aggregate incrementally in the state
-    store (complete mode — a finite replay must re-emit open windows),
-    drive the sink through ``run_step_stream``'s foreachBatch, and
-    return the landed table. Output shape matches the batch
-    ``events_hourly_window`` query, so the same SQL oracle checks that
-    the streaming execution path computes the identical answer."""
+    events in time order as 4 micro-batches, aggregate incrementally
+    in the state store, and land UPDATE-mode emissions through an
+    idempotent merge-by-window-key sink. Output shape matches the
+    batch ``events_hourly_window`` query, so the same SQL oracle
+    checks that the streaming execution path computes the identical
+    answer.
+
+    This is the 100 TB shape end to end: update mode emits only the
+    windows each trigger changed (complete mode would re-emit the
+    ENTIRE window history every trigger — state re-emission that grows
+    with stream lifetime), and the landing is merge-on-read: each
+    trigger APPENDS its changed windows stamped with the batch id
+    (O(batch) per trigger, no reads), the keyed table resolves at
+    read time, and sources/sinks.py:compact_log folds the log into a
+    bucket-merged table on whatever schedule the reader needs."""
     import tempfile
 
     from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
 
-    replay = replay_events_files(spark, sf_dir)
-    normalized = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
     stream = (
-        spark.readStream.schema(normalized)
+        spark.readStream.schema(_NORMALIZED_EVENTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(replay)
     )
@@ -334,18 +380,21 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         window="1 hour",
         keys=["event_type"],
+        # replay-spanning watermark: part-file modification times race,
+        # so a finite replay can deliver files out of ts order — a
+        # tight watermark would then DROP whole windows as late. State
+        # stays bounded by the replay span (production streams use the
+        # default tight horizon; this is the determinism corner).
+        watermark="31 days",
     )
     fmt = transform(
         "format-hour", {"hour": F.date_format(F.col("win_start"), "yyyy-MM-dd HH:mm")}
     )
     land = tempfile.mkdtemp(prefix="pipz_stream_land_")
+    log = append_log_sink(land, keys=["hour", "event_type"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
-        # complete mode: every emission carries the FULL window state,
-        # so overwrite-per-batch leaves the final answer on disk
-        df.select("hour", "event_type", "n", "total_value").write.mode(
-            "overwrite"
-        ).parquet(land)
+        log(df.select("hour", "event_type", "n", "total_value"), batch_id)
 
     q = run_step_stream(
         agg,
@@ -353,7 +402,61 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_sink,
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ckpt_"),
         query_name="pipz-hourly-window",
-        output_mode="complete",
+        output_mode="update",
+        state_partitions=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest(spark, land, keys=["hour", "event_type"])
+
+
+def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED exact dedup, landed to parquet: replay the
+    events table DOUBLED (every row arrives twice, both copies inside
+    one micro-batch thanks to time-ordered replay), drop duplicates on
+    event_id within the watermark via the state store, and append each
+    batch's survivors. The landed table must equal the original events
+    table exactly — a hard batch oracle for the stateful dedup path.
+
+    Append output mode is the natural fit: dropDuplicates emits a key
+    the first time it is seen and never again, so the sink is a plain
+    append — no merge needed. State stays bounded by the watermark
+    horizon (dropDuplicatesWithinWatermark evicts expired keys), which
+    is what makes streaming dedup viable on an unbounded stream."""
+    import tempfile
+
+    from ..operators.processors import transform
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True, doubled=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    # replay-spanning watermark (see stream_events_hourly): arrival
+    # order across part files is not guaranteed, and a late-dropped
+    # row here would silently LOSE an event rather than dedup it
+    deduped = dedupe_stream(stream, keys=["event_id"], watermark="31 days")
+    # both duplicate copies carry identical columns, so the sink's
+    # projection is deterministic whichever copy the state store keeps
+    proj = transform("tag-ingest", {"ingested_by": F.lit("pipz-stream-dedup")})
+    land = tempfile.mkdtemp(prefix="pipz_stream_dedup_")
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        df.select("event_id", "user_id", "event_type", "value").write.mode(
+            "append"
+        ).parquet(land)
+
+    q = run_step_stream(
+        deduped,
+        proj,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_dedup_ckpt_"),
+        query_name="pipz-stream-dedup",
+        output_mode="append",
+        state_partitions=8,
     )
     try:
         q.processAllAvailable()

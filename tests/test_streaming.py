@@ -143,6 +143,39 @@ def test_write_split_sink(spark, orders, tmp_path):
     assert "_pipz_error" not in ok.columns
 
 
+def test_merge_parquet_sink_upserts_idempotently(spark, tmp_path):
+    from pipz_spark.sources.sinks import merge_parquet_sink, read_merged
+
+    path = str(tmp_path / "merged")
+    sink = merge_parquet_sink(path, keys=["k"], buckets=8)
+    sink(spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v")), 0)
+    upd = spark.range(50, 150).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    sink(upd, 1)
+    t = read_merged(spark, path)
+    assert t.count() == 150
+    assert t.where("v = 2").count() == 100  # updated keys superseded
+    assert t.where("v = 1").count() == 50  # untouched keys kept
+    sink(upd, 1)  # checkpoint-restart double delivery
+    assert read_merged(spark, path).count() == 150
+
+
+def test_append_log_sink_merge_on_read(spark, tmp_path):
+    from pipz_spark.sources.sinks import append_log_sink, compact_log, read_latest, read_merged
+
+    log = str(tmp_path / "log")
+    sink = append_log_sink(log, keys=["k"])
+    sink(spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v")), 0)
+    sink(spark.range(50, 150).select(F.col("id").alias("k"), F.lit(2).alias("v")), 1)
+    latest = read_latest(spark, log, keys=["k"])
+    assert latest.count() == 150
+    assert latest.where("k = 75").first()["v"] == 2  # latest batch wins
+    assert latest.where("k = 25").first()["v"] == 1
+    # compaction folds the log into a bucket-merged table
+    table = str(tmp_path / "table")
+    compact_log(spark, log, table, keys=["k"], buckets=8)
+    assert read_merged(spark, table).count() == 150
+
+
 def test_observed_effect_signal_bus(spark, orders):
     from pipz_spark.control import SignalBus, collect_observation, observed_effect
     from pipz_spark.control.observe import EFFECT_OBSERVED
