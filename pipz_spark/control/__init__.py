@@ -7,7 +7,14 @@ run — the driver. Signals mirror the reference's event bus.
 """
 
 from . import signals
-from .observe import collect_observation, observed_effect, observed_routing
+from .observe import (
+    collect_observation,
+    observed_concurrent,
+    observed_effect,
+    observed_filter,
+    observed_routing,
+    winner_labels,
+)
 from .pipeline import Pipeline
 from .resilience import (
     ActionTimeout,
@@ -37,8 +44,11 @@ __all__ = [
     "backoff",
     "collect_observation",
     "fallback_actions",
+    "observed_concurrent",
     "observed_effect",
+    "observed_filter",
     "observed_routing",
+    "winner_labels",
     "race_actions",
     "retry",
     "scaffold",

@@ -69,3 +69,70 @@ def observed_routing(
         for k, cond in labels.items()
     }
     return observed_effect(name, metrics)
+
+
+def observed_filter(name: str, condition: Column):
+    """The aggregate face of the reference's per-value
+    ``filter.evaluated`` (filter.go:94-97 / signals.go:126-130): in a
+    vectorized engine the filter condition evaluates as a projection,
+    so "evaluated" events are hit/miss COUNTS that materialize with
+    the action. Compose the returned step next to the ``filter_if`` it
+    observes (same condition), run the action, then
+    ``collect_observation(obs, name, signal=S.FILTER_EVALUATED)`` —
+    the emitted fields are ``processed`` (condition true → child
+    applied) and ``passed_through``."""
+    from pyspark.sql import functions as F
+
+    hit = F.coalesce(condition, F.lit(False))
+    return observed_effect(
+        name,
+        {
+            "processed": F.count(F.when(hit, 1)),
+            "passed_through": F.count(F.when(~hit, 1)),
+        },
+    )
+
+
+def winner_labels(attempts, condition=None) -> dict[str, Column]:
+    """Exclusive first-qualifying predicates per attempt — the batch
+    face of ``contest.winner`` / ``race.winner`` for the PRIORITY
+    (single-projection) connectors: attempt i wins a row iff it
+    qualifies and no earlier attempt does, exactly the winner chain
+    ``_first_qualifying`` evaluates. Feed the result to
+    ``observed_routing`` and collect with
+    ``signal=S.CONTEST_WINNER`` for per-attempt win counts.
+    ``condition`` is the contest's winning predicate over an
+    attempt's updates; omit it for race/fallback semantics."""
+    from pyspark.sql import functions as F
+
+    labels: dict[str, Column] = {}
+    prior = F.lit(False)
+    for a in attempts:
+        q = a.ok() if condition is None else (a.ok() & condition(a.updates))
+        q = F.coalesce(q, F.lit(False))
+        labels[a.name] = q & ~prior
+        prior = prior | q
+    return labels
+
+
+def observed_concurrent(
+    name: str,
+    branches,
+    reducer=None,
+):
+    """A ``concurrent`` connector paired with a completion
+    observation — the aggregate face of ``concurrent.completed``
+    (signals.go:96-100). The observation counts the rows every branch
+    processed; after the action, ``collect_observation(obs, name,
+    signal=S.CONCURRENT_COMPLETED)`` publishes ``rows``. Returns
+    ``(sequence_step, obs)``; fresh pair per run, like every
+    Observation."""
+    from pyspark.sql import functions as F
+
+    from ..operators.connectors import concurrent, sequence
+
+    conc = concurrent(name, branches, reducer)
+    obs_step, obs = observed_effect(
+        f"{name}-completed", {"rows": F.count(F.lit(1))}
+    )
+    return sequence(f"{name}-observed", conc, obs_step), obs

@@ -47,6 +47,9 @@ PIPELINE_COMPLETED = "pipeline.completed"
 # (observe.observed_routing), never per row.
 HANDLE_ERROR_HANDLED = "handle.error-handled"
 SWITCH_ROUTED = "switch.routed"
+FILTER_EVALUATED = "filter.evaluated"
+CONCURRENT_COMPLETED = "concurrent.completed"
+CONTEST_WINNER = "contest.winner"
 
 Handler = Callable[[str, dict[str, Any]], None]
 
@@ -67,6 +70,14 @@ class SignalBus:
         emitters skip COSTLY field computation (e.g. a Spark count)
         when nobody is listening."""
         return bool(self._handlers.get(signal)) or bool(self._all)
+
+    def has_direct_listeners(self, signal: str) -> bool:
+        """True only for handlers subscribed to ``signal`` BY NAME.
+        Emitters whose fields cost a Spark ACTION gate on this, so a
+        generic ``on_any`` logger doesn't silently add a count() job
+        to every apply — opting into the cost means naming the
+        signal."""
+        return bool(self._handlers.get(signal))
 
     def emit(self, signal: str, **fields: Any) -> None:
         for h in self._handlers.get(signal, ()):

@@ -406,6 +406,7 @@ def handle(
     name: str,
     child: Step,
     handler: Callable[[DataFrame], None] | Step,
+    bus=None,
 ) -> Step:
     """Dead-letter pattern (handle.go:69-120): on child errors, feed
     the failed rows to an observation/cleanup handler; the ORIGINAL
@@ -435,10 +436,14 @@ def handle(
         except Exception:
             pass  # handler errors ignored (handle.go:94)
         # handle is the one data-plane connector with an EAGER action
-        # boundary, so error-handled counts are observable here; the
-        # count reads the persisted split, and only runs for listeners
-        if S.BUS.has_listeners(S.HANDLE_ERROR_HANDLED):
-            S.BUS.emit(S.HANDLE_ERROR_HANDLED, name=name, handled=failed.count())
+        # boundary, so error-handled counts are observable here. The
+        # count is an extra Spark action on the persisted split, so it
+        # runs only for DIRECT subscribers of this signal — a generic
+        # on_any logger does not opt every handle apply into a count()
+        # job (subscribe to handle.error-handled by name to get it).
+        b = bus if bus is not None else S.BUS
+        if b.has_direct_listeners(S.HANDLE_ERROR_HANDLED):
+            b.emit(S.HANDLE_ERROR_HANDLED, name=name, handled=failed.count())
         return out
 
     step = Step(name, fn, node_type="handle", children=(child,))

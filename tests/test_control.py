@@ -324,6 +324,104 @@ def test_handle_emits_error_handled(spark, orders):
         S.BUS.clear()
 
 
+def test_handle_ignores_on_any_only_listeners(spark, orders):
+    """A generic on_any logger must NOT opt handle into the extra
+    count() action; only naming the signal does (ADVICE r3)."""
+    from pipz_spark import P
+    from pyspark.sql import functions as F
+
+    bus = SignalBus()
+    seen_any = []
+    bus.on_any(lambda sig, f: seen_any.append(sig))
+    pipe = P.handle(
+        "guarded",
+        P.apply("validate", error_when=F.col("o_totalprice") <= 0, message="bad"),
+        handler=lambda failed: None,
+        bus=bus,
+    )
+    pipe(orders).count()
+    assert S.HANDLE_ERROR_HANDLED not in seen_any
+    # naming the signal opts in, on the SAME injected bus
+    seen = []
+    bus.on(S.HANDLE_ERROR_HANDLED, lambda sig, f: seen.append(f))
+    pipe2 = P.handle(
+        "guarded2",
+        P.apply("validate", error_when=F.col("o_totalprice") <= 0, message="bad"),
+        handler=lambda failed: None,
+        bus=bus,
+    )
+    pipe2(orders).count()
+    assert seen and seen[0]["name"] == "guarded2"
+
+
+def test_observed_filter_evaluated_counts(spark, orders):
+    from pipz_spark import P
+    from pipz_spark.control import collect_observation, observed_filter
+    from pyspark.sql import functions as F
+
+    bus = SignalBus()
+    seen = []
+    bus.on(S.FILTER_EVALUATED, lambda sig, f: seen.append(f))
+    cond = F.col("o_orderpriority") == "1-URGENT"
+    flt = P.filter_if("urgent", cond, {"flagged": F.lit(True)})
+    counter, obs = observed_filter("urgent-evals", cond)
+    out = counter.apply(flt(orders), ())
+    out.count()
+    vals = collect_observation(obs, "urgent", bus=bus, signal=S.FILTER_EVALUATED)
+    n_hit = orders.where("o_orderpriority = '1-URGENT'").count()
+    assert vals["processed"] == n_hit
+    assert vals["passed_through"] == orders.count() - n_hit
+    assert seen and seen[0]["processed"] == n_hit
+
+
+def test_contest_winner_counts(spark, orders):
+    from pipz_spark import P
+    from pipz_spark.control import collect_observation, observed_routing, winner_labels
+    from pipz_spark.operators.connectors import Attempt
+    from pyspark.sql import functions as F
+
+    bus = SignalBus()
+    seen = []
+    bus.on(S.CONTEST_WINNER, lambda sig, f: seen.append(f))
+    attempts = [
+        Attempt("big", {"tier": F.lit("big")}, fail_when=F.col("o_totalprice") < 100000),
+        Attempt("any", {"tier": F.lit("any")}),
+    ]
+    cond = lambda u: F.lit(True)  # noqa: E731 — winning condition: any success
+    contest = P.contest("tiering", cond, attempts)
+    counter, obs = observed_routing("tier-winners", winner_labels(attempts, cond))
+    out = contest(counter(orders))
+    out.count()
+    vals = collect_observation(obs, "tiering", bus=bus, signal=S.CONTEST_WINNER)
+    n_big = orders.where("o_totalprice >= 100000").count()
+    assert vals["big"] == n_big
+    assert vals["any"] == orders.count() - n_big
+    # the observed counts agree with the contest's actual routing
+    from pipz_spark import split_ok
+
+    assert split_ok(out).where("tier = 'big'").count() == n_big
+    assert seen and seen[0]["any"] == orders.count() - n_big
+
+
+def test_observed_concurrent_completed(spark, orders):
+    from pipz_spark.control import collect_observation, observed_concurrent
+    from pyspark.sql import functions as F
+
+    bus = SignalBus()
+    seen = []
+    bus.on(S.CONCURRENT_COMPLETED, lambda sig, f: seen.append(f))
+    step, obs = observed_concurrent(
+        "fanout",
+        {
+            "a": {"x2": F.col("o_totalprice") * 2},
+            "b": {"half": F.col("o_totalprice") / 2},
+        },
+    )
+    step(orders).count()
+    collect_observation(obs, "fanout", bus=bus, signal=S.CONCURRENT_COMPLETED)
+    assert seen and seen[0]["rows"] == orders.count()
+
+
 def test_observed_routing_switch_counts(spark, orders):
     from pipz_spark import P
     from pipz_spark.control import collect_observation, observed_routing
