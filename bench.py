@@ -14,6 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pipz_spark.datapipe import release_caches  # noqa: E402
 from pipz_spark.queries import QUERIES  # noqa: E402
 from pipz_spark.session import get_session  # noqa: E402
 
@@ -40,6 +41,11 @@ def main() -> None:
             # invalid JSON) nor the suite total — record null
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = None
+        finally:
+            # deterministic cache lifetime: operators that persist
+            # internally (LSH signature/bucket frames) are released
+            # after their timing window, not left to ContextCleaner
+            release_caches()
     print(
         json.dumps(
             {

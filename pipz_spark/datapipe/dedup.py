@@ -183,6 +183,60 @@ def minhash_signature(
     return Step(name, fn, node_type="minhash", metadata={"num_hashes": num_hashes})
 
 
+def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """(id_a < id_b) pairs co-bucketed on ``keys``, EXHAUSTIVE and
+    skew-safe. One aggregation builds the sorted id list per bucket
+    (persisted — both size classes read it; release via
+    ``datapipe.release_caches()``), then the plan forks on bucket
+    size:
+
+    * ≤ ``max_bucket``: pairs expand IN-ARRAY — k(k-1)/2 structs in
+      the bucket's own row, one task, no join. The fast path for the
+      overwhelmingly common small bucket.
+    * >  ``max_bucket``: the bucket's ids re-explode and SELF-JOIN on
+      the bucket key, so a hot bucket's k² pairs spread across tasks
+      (AQE skew-split), instead of either one k²-struct row (OOM) or
+      — the previous behavior — being silently DROPPED. A viral
+      boilerplate cluster now costs what it costs, visibly, rather
+      than losing genuine near-dup pairs (r3 ADVICE: recall hole).
+
+    The cap therefore selects the PLAN SHAPE, never the recall."""
+    from . import _caches
+
+    grouped = _caches.track(
+        bucketed.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .persist()
+    )
+    small = grouped.where(F.size("ids") <= max_bucket)
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"),
+                    F.element_at(F.col("ids"), j).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    small_pairs = small.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a"), F.col("p.id_b")
+    )
+    big = grouped.where(F.size("ids") > max_bucket)
+    e_a = big.select(*keys, F.posexplode("ids").alias("_i", "id_a"))
+    e_b = big.select(*keys, F.posexplode("ids").alias("_j", "id_b"))
+    big_pairs = (
+        e_a.join(e_b, keys)
+        .where(F.col("_i") < F.col("_j"))
+        .select("id_a", "id_b")
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -195,9 +249,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate generation: (id_a < id_b) pairs sharing at
     least one band bucket. Shuffle equi-join on (band, band_hash) —
-    never a cross join. Buckets larger than ``max_bucket`` are dropped
-    (boilerplate guard; at 100 TB one viral doc cluster must not
-    produce O(n²) pairs in a single task)."""
+    never a cross join. ``max_bucket`` picks the pair-expansion plan
+    per bucket size (see ``_bucket_pairs``); no bucket is dropped, so
+    banding recall is exactly the S-curve, with no silent cap."""
     rows = num_hashes // bands
     if sigs is None:
         sigs = minhash_signatures_df(
@@ -213,34 +267,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    # ONE aggregation per bucket, pairs expanded in-array (k <= max_
-    # bucket so at most k(k-1)/2 pairs per bucket) — replaces the
-    # window-count + self-join shape (3 shuffles) with groupBy +
-    # distinct (2), and the size cap doubles as the skew guard.
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.collect_list("_id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.array_sort("ids").alias("ids"))
-    )
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"),
-                    F.element_at(F.col("ids"), j).alias("id_b"),
-                ),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band", "band_hash"], max_bucket)
 
 
 def ngram_jaccard(
@@ -313,15 +340,18 @@ def near_dup_pairs(
     exact shingle Jaccard only for the survivors. On vocabulary-heavy
     corpora the estimate kills the bulk of sub-threshold candidates
     before the expensive string-set intersections."""
+    from . import _caches
+
     # one row of 120 longs per doc — persisted because both the
     # banding pass and the estimate join read it; tiny relative to
-    # the corpus (n_docs x ~1 KB). Lifetime: the cache entry is owned
-    # by this plan; when the returned pairs DataFrame is released,
-    # Spark's ContextCleaner reclaims the cached blocks.
-    sigs = minhash_signatures_df(
-        df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_k=shingle_k,
-    ).persist()
+    # the corpus (n_docs x ~1 KB). Released deterministically via
+    # datapipe.release_caches() (ContextCleaner remains the backstop).
+    sigs = _caches.track(
+        minhash_signatures_df(
+            df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k,
+        ).persist()
+    )
     cand = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
@@ -448,12 +478,13 @@ def simhash_near_dup_pairs(
     recall (a pair with its differing bits spread across every chunk
     shares none). An explicit ``blocks`` <= max_hamming is rejected.
 
-    Buckets larger than ``max_bucket`` are dropped — the same skew
-    guard as the MinHash path: a degenerate chunk value (boilerplate /
-    near-empty docs all voting the same way) would otherwise put k²
-    candidate pairs in ONE task. At 100 TB that single hot bucket is
-    the job-killer; the pairs it would contribute are overwhelmingly
-    exact dups, which ``exact_dedup`` already handles upstream."""
+    Pigeonhole exhaustiveness is UNCONDITIONAL: ``max_bucket`` only
+    picks the pair-expansion plan per bucket size (``_bucket_pairs``
+    — in-array for small buckets, skew-splittable self-join for hot
+    ones). A degenerate chunk value (boilerplate / near-empty docs
+    all voting the same way) costs its true k² — spread across
+    tasks — instead of silently losing hamming-1..3 pairs inside a
+    >64-doc template cluster (r3 ADVICE)."""
     if blocks is None:
         blocks = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     if blocks <= max_hamming:
@@ -461,11 +492,15 @@ def simhash_near_dup_pairs(
             f"blocks={blocks} cannot guarantee candidates for max_hamming={max_hamming}; "
             f"need blocks > max_hamming (pigeonhole)"
         )
+    from . import _caches
+
     width = 64 // blocks
     # one long per doc; read by the chunking pass AND both hash
-    # join-backs — persisted like near_dup_pairs' signatures (blocks
-    # reclaimed by ContextCleaner when the result plan is released)
-    h = simhash_df(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
+    # join-backs — persisted like near_dup_pairs' signatures, released
+    # deterministically via datapipe.release_caches()
+    h = _caches.track(
+        simhash_df(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
+    )
 
     def chunk_of(b):
         shifted = F.call_function("shiftright", F.col("_h"), b * width)
@@ -479,35 +514,11 @@ def simhash_near_dup_pairs(
             F.transform(F.sequence(F.lit(0), F.lit(blocks - 1)), chunk_of)
         ).alias("block", "chunk"),
     )
-    # Same capped-bucket pair expansion as lsh_candidate_pairs: ONE
-    # aggregation per (block, chunk) bucket, ≤ max_bucket(max_bucket-1)/2
-    # pairs per bucket, skinny (id, id) rows only — the hash values
-    # join back in AFTER the distinct has collapsed multi-block
-    # collisions, so wide payloads never ride the hot join.
-    buckets = (
-        chunked.groupBy("block", "chunk")
-        .agg(F.collect_list("_id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.array_sort("ids").alias("ids"))
-    )
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"),
-                    F.element_at(F.col("ids"), j).alias("id_b"),
-                ),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
+    # Size-routed pair expansion (exhaustive — see _bucket_pairs):
+    # skinny (id, id) rows only; the hash values join back in AFTER
+    # the distinct has collapsed multi-block collisions, so wide
+    # payloads never ride the hot join.
+    pairs = _bucket_pairs(chunked, ["block", "chunk"], max_bucket)
     return (
         pairs.join(h.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a")), "id_a")
         .join(h.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b")), "id_b")

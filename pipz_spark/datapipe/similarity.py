@@ -230,6 +230,12 @@ def cosine_topk_ivf(
         # or cluster size (unlike .sample, which is split-dependent)
         cut = int(round(train_fraction * 10000))
         train = corpus.where(hash_bucket(F.col(id_col), "ivf-train") < cut)
+        # degenerate-sample guard (r3 ADVICE): a coarse quantizer
+        # needs ~10 points per cell — on a small corpus the hash
+        # sample can undershoot nlist and KMeans degenerates/throws.
+        # The count scans only the sampled fraction, once, at fit.
+        if train.count() < 10 * nlist:
+            train = corpus
     # a coarse quantizer doesn't need convergence — 5 Lloyd iterations
     # place centroids well enough for bucketing and cost a fraction of
     # the default 20

@@ -32,15 +32,19 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 # DataFrame PLANS are immutable and session-bound, so the reader
-# output is memoized per (application, dir, table): repeated
-# load_table calls skip the parquet footer/schema read (~0.1s each —
-# measurable when a suite composes hundreds of queries). This caches
-# no DATA, only the unresolved plan object.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# output is memoized per (session, dir, table): repeated load_table
+# calls skip the parquet footer/schema read (~0.1s each — measurable
+# when a suite composes hundreds of queries). This caches no DATA,
+# only the unresolved plan object. Keyed on the SESSION identity, not
+# just the application (r3 ADVICE): two sessions in one app must not
+# share plans (each session owns its conf scope). Directory contents
+# are assumed immutable for the session's lifetime — the test-data
+# catalog's contract; a rewritten sf_dir needs a fresh session.
+_PLAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached

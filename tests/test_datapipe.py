@@ -121,15 +121,31 @@ def test_simhash_near_dups(spark, documents):
     assert out.select("simhash").first()["simhash"] >= 0
 
 
-def test_simhash_hot_bucket_capped(spark):
-    # 1000 identical docs: every (block, chunk) bucket is degenerate.
-    # Without the max_bucket guard this is 499,500 pairs in ONE task;
-    # with it, the giant buckets are dropped entirely (exact dups are
-    # exact_dedup's job) and the join stays skew-free.
-    rows = [(i, "same boilerplate text repeated everywhere") for i in range(1000)]
+def test_simhash_hot_bucket_exhaustive(spark):
+    # A template cluster far above max_bucket, plus small-edit
+    # variants: the r3 cap silently DROPPED every pair in oversized
+    # buckets (ADVICE: recall hole); the size-routed plan must keep
+    # pigeonhole recall at exactly 1 — verified against a brute-force
+    # hamming computation over the same signatures.
+    from pipz_spark.datapipe.dedup import simhash_df
+
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(100)]
+    rows += [
+        (1000 + i, f"same boilerplate text repeated everywhere extra{i}")
+        for i in range(4)
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = simhash_near_dup_pairs(docs, max_hamming=3, max_bucket=64)
-    assert pairs.count() == 0
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3, max_bucket=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    sigs = {r["_id"]: r["_h"] for r in simhash_df(docs).collect()}
+    want = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
+    assert len(want) >= 100 * 99 // 2  # the hot cluster itself survives
     # distinct texts below the cap still pair up
     small = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],

@@ -87,6 +87,10 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            from pipz_spark.datapipe import release_caches
+
+            release_caches()
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (rows-only check) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
