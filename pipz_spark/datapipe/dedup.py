@@ -209,6 +209,12 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
         .where(F.size("ids") >= 2)
         .persist()
     )
+    # eager materialization: the small and big branches are separate
+    # stages the scheduler may launch CONCURRENTLY — before the cache
+    # is populated, each would recompute the full bucket aggregation.
+    # One cheap count pins the cache first (measured: the difference
+    # between 1× and 2-3× signature/agg passes at 10× scale).
+    grouped.count()
     small = grouped.where(F.size("ids") <= max_bucket)
     n = F.size("ids")
     pair_structs = F.flatten(
@@ -352,6 +358,9 @@ def near_dup_pairs(
             num_hashes=num_hashes, shingle_k=shingle_k,
         ).persist()
     )
+    # pin the cache before the banding and estimate stages (launched
+    # concurrently) can each recompute the signature UDF pass
+    sigs.count()
     cand = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
@@ -501,6 +510,8 @@ def simhash_near_dup_pairs(
     h = _caches.track(
         simhash_df(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
     )
+    # pin before the chunking pass and both join-backs race the cache
+    h.count()
 
     def chunk_of(b):
         shifted = F.call_function("shiftright", F.col("_h"), b * width)

@@ -137,6 +137,73 @@ def _table_signatures_df(
     ).select(*out)
 
 
+def _score_buckets_two_sided(
+    bucketed: DataFrame, keys: list[str], block_rows: int = 2048
+) -> DataFrame:
+    """Score every query×corpus pair that shares a bucket, INSIDE the
+    bucket: ``bucketed`` is (keys..., _side 'q'|'c', _id, _v); each
+    bucket computes Q @ Cᵀ as a blocked numpy matmul and emits skinny
+    (qid, nid, cos) rows. The alternative — joining vector payloads
+    onto candidate pairs and folding per row — shuffles |pairs| ×
+    2·vec-size bytes and was the 10× stress's worst offender (50 s
+    max task, 616 MB shuffle for 20k vectors); here vectors cross the
+    wire once per bucket membership and pairs travel as 24-byte rows.
+
+    Per-bucket work is |Q_b|·|C_b| dot products — intrinsic to
+    candidate verification — blocked at ``block_rows`` so peak memory
+    stays bounded; a bucket must fit in one task (same contract as
+    embedding_near_dup_pairs: size buckets via bits/nlist)."""
+    import numpy as np
+
+    empty = {
+        "qid": pd.Series(dtype="int64"),
+        "nid": pd.Series(dtype="int64"),
+        "cos": pd.Series(dtype="float64"),
+    }
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf["_side"] == "q"
+        if not qm.any() or qm.all():
+            return pd.DataFrame(empty)
+        qdf, cdf = pdf[qm], pdf[~qm]
+        qids = qdf["_id"].to_numpy()
+        nids = cdf["_id"].to_numpy()
+        Q = np.stack(qdf["_v"].to_numpy()).astype("float64")
+        C = np.stack(cdf["_v"].to_numpy()).astype("float64")
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        cn = np.sqrt((C * C).sum(axis=1))
+        out_q, out_n, out_c = [], [], []
+        for i0 in range(0, len(Q), block_rows):
+            Qi = Q[i0 : i0 + block_rows]
+            cos = np.round((Qi @ C.T) / np.outer(qn[i0 : i0 + block_rows], cn), 6)
+            ii, jj = np.nonzero(qids[i0 : i0 + block_rows, None] != nids[None, :])
+            out_q.append(qids[ii + i0])
+            out_n.append(nids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "nid": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return bucketed.groupBy(*keys).applyInPandas(
+        score, "qid long, nid long, cos double"
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k on deduped (qid, nid, cos) candidates."""
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.dropDuplicates(["qid", "nid"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("qid", "nid", "cos", F.col("_rn").alias("rank"))
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,47 +217,28 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: ``tables``
     independent signatures per vector (different seeded planes);
-    candidates = pairs agreeing in ANY table (union via one
-    posexplode + equi-join on (table, signature)); exact cosine +
-    per-query top-k on the candidate set only.
+    candidates = pairs agreeing in ANY table; exact cosine + per-query
+    top-k on the candidate set only.
 
     Multi-table probing is what makes hyperplane LSH usable — one
     table at ``bits`` b has per-neighbor recall (1-θ/π)^b, while L
     tables lift it to 1-(1-(1-θ/π)^b)^L. Cost stays |pairs sharing a
-    bucket|, never |Q|·N; the join is a plain shuffle equi-join AQE
-    can skew-split. At 1000 executors the signature pass is
-    embarrassingly parallel."""
+    bucket|, never |Q|·N. Corpus and query vectors ride their exploded
+    signatures into the bucket shuffle ONCE (one scan per side) and
+    pairs are scored inside the buckets as blocked matmuls
+    (``_score_buckets_two_sided``) — only skinny (qid, nid, cos) rows
+    leave; at 1000 executors the signature pass is embarrassingly
+    parallel and the bucket groupBy is the only exchange."""
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
-
-    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        sigs = _table_signatures_df(df, id_col, vec_col, all_planes)
-        vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(out_vec))
-        return sigs.join(vecs, "_id").select(
-            F.col("_id").alias(out_id), out_vec, "_tbl", "_sig"
-        )
-
-    c = bucketed(corpus, "nid", "_nv")
-    q = bucketed(queries, "qid", "_qv")
-    pairs = (
-        c.join(q, ["_tbl", "_sig"])
-        .where(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", "_qv", "_nv")
-        .dropDuplicates(["qid", "nid"])
-    )
-    scored = pairs.select(
-        "qid",
-        "nid",
-        F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select("qid", "nid", "cos", F.col("_rn").alias("rank"))
-    )
+    c = _table_signatures_df(corpus, id_col, vec_col, all_planes, keep_vec=True
+                             ).withColumn("_side", F.lit("c"))
+    q = _table_signatures_df(queries, id_col, vec_col, all_planes, keep_vec=True
+                             ).withColumn("_side", F.lit("q"))
+    scored = _score_buckets_two_sided(c.unionByName(q), ["_tbl", "_sig"])
+    return _topk(scored, k)
 
 
 def cosine_topk_ivf(
@@ -262,28 +310,24 @@ def cosine_topk_ivf(
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32") for row in order])
 
+    # vectors ride their cell assignment into the bucket shuffle once;
+    # scoring happens inside each cell as a blocked matmul emitting
+    # skinny rows (same shape as the LSH path — see
+    # _score_buckets_two_sided)
     c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("_nv"),
         best_cell_udf(F.col(vec_col)).alias("_cell"),
+        F.lit("c").alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
     )
     q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("_qv"),
         F.explode(probe_cells_udf(F.col(vec_col))).alias("_cell"),
+        F.lit("q").alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
     )
-    pairs = c.join(q, "_cell").where(F.col("nid") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        "nid",
-        F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
-    ).dropDuplicates(["qid", "nid"])
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select("qid", "nid", "cos", F.col("_rn").alias("rank"))
-    )
+    scored = _score_buckets_two_sided(c.unionByName(q), ["_cell"])
+    return _topk(scored, k)
 
 
 def embedding_near_dup_pairs(

@@ -1,0 +1,140 @@
+"""10× scale stress for the similarity/dedup paths (VERDICT r3 #7).
+
+Builds a 10× corpus from sf0.1 (50k docs / 20k vectors; each replica
+gets a text mutation / vector perturbation so near-dup structure is
+realistic, including LARGE template clusters that exercise the
+hot-bucket join path), runs each headline operator, and reports wall
+time plus per-stage evidence from the Spark UI REST API: max task
+time and shuffle read/write — the numbers that predict cluster
+behavior (a plan whose max task stays near the mean as data grows
+10× shards cleanly across executors).
+
+Usage:  PYTHONPATH=/root/repo python tools/scale_stress.py
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+from pipz_spark.datapipe import (
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    near_dup_pairs,
+    release_caches,
+    simhash_near_dup_pairs,
+)
+from pipz_spark.session import get_session
+from pipz_spark.sources.catalog import load_table
+from pipz_spark import split_ok
+
+REPLICAS = 10
+
+
+def rest(spark, path):
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def stage_evidence(spark, since_stage: int) -> dict:
+    stages = [s for s in rest(spark, "/stages") if s["stageId"] >= since_stage
+              and s["status"] == "COMPLETE"]
+    if not stages:
+        return {}
+    max_task_ms = 0
+    for s in stages:
+        try:
+            dist = rest(
+                spark,
+                f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary?quantiles=1.0",
+            )
+            max_task_ms = max(max_task_ms, int(dist["executorRunTime"][-1]))
+        except Exception:
+            pass
+    return {
+        "stages": len(stages),
+        "max_task_ms": max_task_ms,
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+        ),
+    }
+
+
+def last_stage_id(spark) -> int:
+    stages = rest(spark, "/stages")
+    return max((s["stageId"] for s in stages), default=-1) + 1
+
+
+def run(spark, name, thunk):
+    release_caches()
+    since = last_stage_id(spark)
+    t0 = time.time()
+    n = thunk()
+    wall = time.time() - t0
+    ev = stage_evidence(spark, since)
+    print(f"{name}: {n} rows, {wall:.1f}s wall, {ev}")
+
+
+def main() -> None:
+    # the stress rig needs the UI's REST API for task/shuffle evidence
+    spark = get_session("pipz-scale-stress", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+
+    # ---- build the 10× corpus (replica 0 = original; others mutate)
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_")
+    docs = load_table(spark, "documents", sf)
+    reps = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    big_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * REPLICAS + F.col("_rep")).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("_rep"))
+            ).alias("text"),
+        )
+    )
+    big_docs.write.mode("overwrite").parquet(f"{tmp}/documents")
+    emb = load_table(spark, "embeddings", sf)
+    big_emb = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * REPLICAS + F.col("_rep")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + (F.col("_rep") * (i % 7 - 3)).cast("float") * 0.001,
+            ).alias("embedding"),
+        )
+    )
+    big_emb.write.mode("overwrite").parquet(f"{tmp}/embeddings")
+    d10 = spark.read.parquet(f"{tmp}/documents")
+    e10 = spark.read.parquet(f"{tmp}/embeddings")
+    print(f"corpus: {d10.count()} docs, {e10.count()} vectors")
+
+    run(spark, "exact_dedup        ",
+        lambda: split_ok(exact_dedup("dedup")(d10)).count())
+    run(spark, "near_dup_minhash   ",
+        lambda: near_dup_pairs(d10, threshold=0.7).count())
+    run(spark, "simhash_near_dup   ",
+        lambda: simhash_near_dup_pairs(d10, max_hamming=3).count())
+    run(spark, "embed_near_dup 0.9 ",
+        lambda: embedding_near_dup_pairs(e10, threshold=0.9).count())
+    run(spark, "embed_near_dup 0.4 ",
+        lambda: embedding_near_dup_pairs(e10, threshold=0.4, bits=3, tables=32).count())
+    run(spark, "cosine_topk_lsh    ",
+        lambda: cosine_topk_lsh(e10, e10.where(F.col("vec_id") < 100), k=5).count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
