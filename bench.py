@@ -23,10 +23,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("pipz-spark-bench")
-    # warm-up actions so JVM/codegen startup and the parquet reader
-    # path aren't billed to the first query
+    # warm-up actions so JVM/codegen startup, the parquet reader path,
+    # and the noop sink (first write pays ~2.3s of datasource+codegen
+    # init, measured) aren't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1).collect()
+    spark.range(100).selectExpr("id", "id * 2 as x").write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float | None] = {}
     total = 0.0
     for name, decl in QUERIES.items():
