@@ -649,6 +649,78 @@ def _stream_events_window(spark, sf):
     return stream_events_hourly(spark, sf)
 
 
+# Session windows (30-min gap per user) — batch shape via the same
+# F.session_window the streaming path uses; oracle = the classic
+# lag/cumulative-sum islands construction. Session end = last event
+# + gap (Spark's half-open [start, last+gap) semantics → a gap of
+# EXACTLY 30 minutes starts a new session, hence >= in the oracle).
+def _events_sessions(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("win.end")).alias("sess_end_us"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS sess_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# The same sessions computed by an ACTUAL streaming execution: state
+# store session merging, append mode, tight watermark, sentinel-closed
+# tail (streaming/streams.py:stream_events_sessions). Same oracle.
+def _stream_events_sessions(spark, sf):
+    from .streaming.streams import stream_events_sessions
+
+    return stream_events_sessions(spark, sf)
+
+
+# Streaming-executed stream-stream join: clicks x purchases per user
+# within ±10 min event time; landed appends must equal the batch join.
+def _stream_events_join(spark, sf):
+    from .streaming.streams import stream_events_join
+
+    return stream_events_join(spark, sf)
+
+
+_STREAM_JOIN_SQL = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       a.value AS click_value, b.value AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+"""
+
+
 # Streaming-executed exact dedup: every event arrives TWICE (doubled
 # time-ordered replay), dropDuplicatesWithinWatermark keeps the first
 # copy via the state store, append-mode landing. The landed table must
@@ -1224,6 +1296,9 @@ QUERIES: dict[str, Declared] = {
     "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_hourly_window": Declared(_stream_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_dedup": Declared(_stream_events_dedup, _STREAM_DEDUP_SQL),
+    "events_sessions": Declared(_events_sessions, _EVENTS_SESSIONS_SQL),
+    "stream_events_sessions": Declared(_stream_events_sessions, _EVENTS_SESSIONS_SQL),
+    "stream_events_join": Declared(_stream_events_join, _STREAM_JOIN_SQL),
     "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
     "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
     "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),

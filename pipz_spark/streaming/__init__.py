@@ -19,6 +19,8 @@ from .streams import (
     session_window_agg,
     stream_events_dedup,
     stream_events_hourly,
+    stream_events_join,
+    stream_events_sessions,
     stream_stream_join,
     windowed_agg,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "session_window_agg",
     "stream_events_dedup",
     "stream_events_hourly",
+    "stream_events_join",
+    "stream_events_sessions",
     "stream_stream_join",
     "windowed_agg",
 ]

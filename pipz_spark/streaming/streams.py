@@ -327,7 +327,24 @@ def replay_events_files(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_dir)
+    if order_by_ts:
+        _force_file_order(out_dir)
     return out_dir
+
+
+def _force_file_order(out_dir: str) -> None:
+    """Give the replay's part files strictly increasing modification
+    times in name order. The file source processes oldest-mtime first,
+    but parallel part writers race their mtimes — without this, a
+    'time-ordered' replay can deliver a later range first, and any
+    query with a tight watermark drops it as late."""
+    import glob
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(glob.glob(_os.path.join(out_dir, "part-*")))):
+        _os.utime(f, (base + i, base + i))
 
 
 _NORMALIZED_EVENTS = T.StructType(
@@ -410,6 +427,151 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return read_latest(spark, land, keys=["hour", "event_type"])
+
+
+def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED session windows (30-minute gap per user),
+    landed to parquet: time-ordered replay (strict per-file mtimes),
+    session merging in the state store, APPEND mode with a tight
+    watermark — the production shape, where sessions emit exactly once
+    when the watermark passes their close and state stays bounded by
+    the gap + delay, not the stream's lifetime.
+
+    A finite replay never advances the watermark past its last
+    sessions, so a SENTINEL event (user_id -1, one hour past the real
+    max ts) rides in a final extra file purely to close them; the
+    sentinel's own session is filtered before landing. The same
+    lag/cumulative-sum islands SQL that checks the batch
+    ``events_sessions`` query checks this one."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from ..operators.processors import transform
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    from ..sources.catalog import load_table
+
+    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
+    # two hours past: the watermark lands at sentinel - 30min delay,
+    # and the LAST real session ends at max_ts + 30min gap — eviction
+    # is strict (<), so the sentinel must clear gap + delay, not just
+    # one of them
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + __import__("datetime").timedelta(hours=2), -1, "sentinel", 0.0, "{}")],
+        _NORMALIZED_EVENTS,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(replay)
+    # the sentinel file must arrive LAST (see _force_file_order)
+    newest = _time.time()
+    for f in sorted(
+        _os.path.join(replay, f) for f in _os.listdir(replay) if f.startswith("part-")
+    ):
+        if _os.path.getmtime(f) > newest - 3000:
+            _os.utime(f, (newest + 10, newest + 10))
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    agg = session_window_agg(
+        stream,
+        {
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        },
+        gap="30 minutes",
+        keys=["user_id"],
+        watermark="30 minutes",
+    )
+    fmt = transform(
+        "sessions-us",
+        {
+            "sess_start_us": F.unix_micros(F.col("win_start")),
+            "sess_end_us": F.unix_micros(F.col("win_end")),
+        },
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_sess_")
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        # append mode emits each closed session exactly once
+        df.where(F.col("user_id") >= 0).select(
+            "user_id", "sess_start_us", "sess_end_us", "n", "total_value"
+        ).write.mode("append").parquet(land)
+
+    q = run_step_stream(
+        agg,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_sess_ckpt_"),
+        query_name="pipz-stream-sessions",
+        output_mode="append",
+        state_partitions=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(land)
+
+
+def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED stream-stream join: clicks joined to
+    purchases by user within ±10 minutes of event time, both sides
+    replayed from the same time-ordered files, matches appended as
+    they form. Inner-join emissions happen exactly once per matching
+    pair, so the landed table equals the batch join — the SQL oracle
+    for ``stream_stream_join``'s state machinery. Replay-spanning
+    watermarks keep the finite replay lossless (production uses tight
+    ones to bound state; the time-range bound is what makes state
+    prunable either way)."""
+    import tempfile
+
+    from ..operators.processors import transform
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_NORMALIZED_EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .where(F.col("event_type") == event_type)
+        )
+
+    joined = stream_stream_join(
+        side("click"),
+        side("purchase"),
+        keys=["user_id"],
+        watermark="31 days",
+        max_skew="10 minutes",
+    )
+    fmt = transform("join-tag", {"pair": F.lit("click-purchase")})
+    land = tempfile.mkdtemp(prefix="pipz_stream_join_")
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        df.select(
+            F.col("event_id").alias("click_id"),
+            F.col("event_id_r").alias("purchase_id"),
+            "user_id",
+            F.col("value").alias("click_value"),
+            F.col("value_r").alias("purchase_value"),
+        ).write.mode("append").parquet(land)
+
+    q = run_step_stream(
+        joined,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_join_ckpt_"),
+        query_name="pipz-stream-join",
+        output_mode="append",
+        state_partitions=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(land)
 
 
 def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
