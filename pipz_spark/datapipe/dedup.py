@@ -284,34 +284,42 @@ def ngram_jaccard(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify pass
-    after LSH). The candidate ids are melted to one row per side and
-    joined ONCE against the shingle-set projection — one shingle
-    computation and one shuffle join regardless of pair count; cost is
-    O(candidates), not O(n²)."""
-    sides = pairs.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
-    )
-    # shingle only documents that actually appear in a candidate pair
-    # (semi-join prune): after an aggressive candidate filter this is
-    # a tiny fraction of the corpus
+    after LSH). The shingle-set projection is computed once for only
+    the documents that appear in a candidate pair (semi-join prune),
+    persisted, and joined to each side of the skinny pair list — the
+    intersect streams through the join output with no array-valued
+    aggregation anywhere.
+
+    (The previous melt + groupBy-pack shape made one join but forced
+    the shingle arrays through a first()-aggregate: a sort-based
+    aggregation copying ~KB arrays per row — at 10× scale a uniform
+    ~16 s/task and 660 MB of array shuffle. Two sort-merge joins
+    against the cached projection shuffle the arrays once per side at
+    |relevant docs| rows, not |pair sides| rows.) Cost stays
+    O(candidates), never O(n²)."""
+    from . import _caches
+
+    # the pair list feeds BOTH the relevance prune and the verify
+    # joins; without a pinned cache each consumer recomputes the
+    # upstream candidate/estimate stages (skinny rows — cheap to hold)
+    sides = _caches.track(pairs.select("id_a", "id_b").persist())
+    sides.count()
     relevant = df.join(
-        sides.select("_id").distinct(),
+        sides.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct(),
         F.col(id_col) == F.col("_id"),
         "left_semi",
     )
-    sh = relevant.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    sh = _caches.track(
+        relevant.select(
+            F.col(id_col).alias("_id"),
+            char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+        ).persist()
     )
-    packed = (
-        sides.join(sh, "_id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(F.when(F.col("_id") == F.col("id_a"), F.col("_sh")), ignorenulls=True).alias("sh_a"),
-            F.first(F.when(F.col("_id") == F.col("id_b"), F.col("_sh")), ignorenulls=True).alias("sh_b"),
-        )
-    )
-    return packed.select(
+    sh.count()  # pin before both join sides race the cache
+    joined = sides.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    return joined.select(
         "id_a",
         "id_b",
         F.round(
@@ -330,6 +338,7 @@ def near_dup_pairs(
     num_hashes: int = 120,
     bands: int = 24,
     shingle_k: int = 5,
+    estimate_filter: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
@@ -340,45 +349,51 @@ def near_dup_pairs(
 
     Three stages, each strictly cheaper than the next is selective:
     banded-LSH candidates (equi-join) → minhash-ESTIMATE filter
-    (fraction of agreeing signature slots, integer compare on the
-    already-computed signatures — unbiased Jaccard estimator with
-    sd ~ 1/sqrt(num_hashes)) at threshold minus a 3-sigma margin →
-    exact shingle Jaccard only for the survivors. On vocabulary-heavy
-    corpora the estimate kills the bulk of sub-threshold candidates
-    before the expensive string-set intersections."""
-    from . import _caches
+    (fraction of agreeing signature slots — unbiased Jaccard
+    estimator, sd ~ 1/sqrt(num_hashes)) at threshold minus a 3-sigma
+    margin → exact shingle Jaccard for the survivors (two joins
+    against a cached shingle projection — see ngram_jaccard). Output
+    is IDENTICAL with ``estimate_filter`` off (the margin keeps every
+    true pair; the verify is the final word); the flag exists because
+    the estimate moves 2 × num_hashes longs per candidate, which is
+    A/B-measurable: at 10× scale the S-curve admits ~1M
+    mid-similarity candidates, the estimate prunes them ~4× for
+    660 MB of signature freight, and skipping it pushes 2.7 GB of
+    shingle arrays into the verify (124 s vs 55 s wall). Turn it OFF
+    only when banding is already selective at your threshold
+    (candidates ≈ true pairs)."""
+    sigs = None
+    if estimate_filter:
+        from . import _caches
 
-    # one row of 120 longs per doc — persisted because both the
-    # banding pass and the estimate join read it; tiny relative to
-    # the corpus (n_docs x ~1 KB). Released deterministically via
-    # datapipe.release_caches() (ContextCleaner remains the backstop).
-    sigs = _caches.track(
-        minhash_signatures_df(
-            df, id_col=id_col, text_col=text_col,
-            num_hashes=num_hashes, shingle_k=shingle_k,
-        ).persist()
-    )
-    # pin the cache before the banding and estimate stages (launched
-    # concurrently) can each recompute the signature UDF pass
-    sigs.count()
+        # persisted: the banding pass and both estimate join sides
+        # read it; pinned so concurrent stages don't race the cache
+        sigs = _caches.track(
+            minhash_signatures_df(
+                df, id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, shingle_k=shingle_k,
+            ).persist()
+        )
+        sigs.count()
     cand = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         sigs=sigs,
     )
-    margin = 3.0 / (num_hashes ** 0.5)
-    est = (
-        cand.join(sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
-        .join(sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
-        .withColumn(
-            "_est",
-            F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
-            / F.lit(num_hashes),
+    if estimate_filter:
+        margin = 3.0 / (num_hashes ** 0.5)
+        cand = (
+            cand.join(sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+            .join(sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+            .withColumn(
+                "_est",
+                F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
+                / F.lit(num_hashes),
+            )
+            .where(F.col("_est") >= threshold - margin)
+            .select("id_a", "id_b")
         )
-        .where(F.col("_est") >= threshold - margin)
-        .select("id_a", "id_b")
-    )
-    return ngram_jaccard(df, est, id_col=id_col, text_col=text_col, shingle_k=shingle_k).where(
+    return ngram_jaccard(df, cand, id_col=id_col, text_col=text_col, shingle_k=shingle_k).where(
         F.col("jaccard") >= threshold
     )
 
