@@ -83,12 +83,17 @@ def observed_filter(name: str, condition: Column):
     applied) and ``passed_through``."""
     from pyspark.sql import functions as F
 
-    hit = F.coalesce(condition, F.lit(False))
+    from ..core.errors import is_ok
+
+    # count only rows the filter actually evaluates: filter_if skips
+    # errored rows, so they belong in neither bucket
+    hit = is_ok() & F.coalesce(condition, F.lit(False))
+    miss = is_ok() & ~F.coalesce(condition, F.lit(False))
     return observed_effect(
         name,
         {
             "processed": F.count(F.when(hit, 1)),
-            "passed_through": F.count(F.when(~hit, 1)),
+            "passed_through": F.count(F.when(miss, 1)),
         },
     )
 
@@ -105,12 +110,17 @@ def winner_labels(attempts, condition=None) -> dict[str, Column]:
     attempt's updates; omit it for race/fallback semantics."""
     from pyspark.sql import functions as F
 
+    from ..core.errors import is_ok
+
     labels: dict[str, Column] = {}
     prior = F.lit(False)
     for a in attempts:
         q = a.ok() if condition is None else (a.ok() & condition(a.updates))
         q = F.coalesce(q, F.lit(False))
-        labels[a.name] = q & ~prior
+        # already-errored rows never reach the winner chain
+        # (_first_qualifying wraps it in when(is_ok(), ...)) — keep
+        # the observed counts identical to the actual routing
+        labels[a.name] = is_ok() & q & ~prior
         prior = prior | q
     return labels
 

@@ -13,30 +13,31 @@ skipped (the ContextCleaner owns it again).
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-_TRACKED: list[weakref.ref] = []
+# STRONG references, deliberately: the operator's local variable is
+# usually the only other Python reference, and the JVM CacheManager
+# pins the cached data regardless of the Python wrapper's lifetime —
+# a weakref here would clear at operator return and make every
+# release a no-op while the JVM cache lives on. The registry IS the
+# owner until release_caches() drops it.
+_TRACKED: list[DataFrame] = []
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register an internally-persisted frame for later release."""
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
 def release_caches() -> int:
-    """Unpersist every tracked frame still alive; returns the count.
-    Safe to call at any time — a released cache is rebuilt on next use
-    (persist marks a re-creatable resource, never a correctness one)."""
+    """Unpersist every tracked frame; returns the count. Safe to call
+    at any time — a released cache is rebuilt on next use (persist
+    marks a re-creatable resource, never a correctness one)."""
     global _TRACKED
-    refs, _TRACKED = _TRACKED, []
+    frames, _TRACKED = _TRACKED, []
     n = 0
-    for ref in refs:
-        df = ref()
-        if df is None:
-            continue
+    for df in frames:
         try:
             df.unpersist()
             n += 1

@@ -352,7 +352,9 @@ def near_dup_pairs(
     (fraction of agreeing signature slots — unbiased Jaccard
     estimator, sd ~ 1/sqrt(num_hashes)) at threshold minus a 3-sigma
     margin → exact shingle Jaccard for the survivors (two joins
-    against a cached shingle projection — see ngram_jaccard). Output
+    against a cached shingle projection — see ngram_jaccard). NOTE:
+    composing this function RUNS Spark jobs (the cache pins below are
+    eager by design) — build it when you intend to execute. Output
     is IDENTICAL with ``estimate_filter`` off (the margin keeps every
     true pair; the verify is the final word); the flag exists because
     the estimate moves 2 × num_hashes longs per candidate, which is

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 def _char_bigrams(text: Column) -> Column:
     # split once + zip adjacent — O(n) per doc. (substr(i, 2) per
     # position is O(i) on UTF8 strings → O(n²) per doc, measured 2x
-    # slower end-to-end.)
+    # slower end-to-end.) split('') yields CODE POINTS (Java regex
+    # never splits a surrogate pair), so non-BMP text bigrams match a
+    # codepoint-based SQL substr exactly — verified with emoji.
     chars = F.split(text, "")
     n = F.greatest(F.size(chars) - 1, F.lit(1))
     return F.zip_with(

@@ -63,12 +63,7 @@ def cosine_topk_bruteforce(
         "nid",
         F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select("qid", "nid", "cos", F.col("_rn").alias("rank"))
-    )
+    return _topk(scored, k, dedup=False)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -137,8 +132,15 @@ def _table_signatures_df(
     ).select(*out)
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """DDL type of the id column, preserved through the in-bucket
+    scorers' applyInPandas schemas (string/long/int ids all work —
+    numpy object arrays compare elementwise just like numeric ones)."""
+    return df.schema[id_col].dataType.simpleString()
+
+
 def _score_buckets_two_sided(
-    bucketed: DataFrame, keys: list[str], block_rows: int = 2048
+    bucketed: DataFrame, keys: list[str], id_type: str = "bigint", block_rows: int = 2048
 ) -> DataFrame:
     """Score every query×corpus pair that shares a bucket, INSIDE the
     bucket: ``bucketed`` is (keys..., _side 'q'|'c', _id, _v); each
@@ -156,8 +158,8 @@ def _score_buckets_two_sided(
     import numpy as np
 
     empty = {
-        "qid": pd.Series(dtype="int64"),
-        "nid": pd.Series(dtype="int64"),
+        "qid": pd.Series(dtype="object"),
+        "nid": pd.Series(dtype="object"),
         "cos": pd.Series(dtype="float64"),
     }
 
@@ -189,16 +191,19 @@ def _score_buckets_two_sided(
         )
 
     return bucketed.groupBy(*keys).applyInPandas(
-        score, "qid long, nid long, cos double"
+        score, f"qid {id_type}, nid {id_type}, cos double"
     )
 
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query top-k on deduped (qid, nid, cos) candidates."""
+def _topk(scored: DataFrame, k: int, dedup: bool = True) -> DataFrame:
+    """Per-query top-k on (qid, nid, cos) candidates. ``dedup``
+    collapses multi-bucket duplicates first; exact paths that score
+    each pair exactly once skip the extra shuffle."""
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    if dedup:
+        scored = scored.dropDuplicates(["qid", "nid"])
     return (
-        scored.dropDuplicates(["qid", "nid"])
-        .withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select("qid", "nid", "cos", F.col("_rn").alias("rank"))
     )
@@ -237,7 +242,9 @@ def cosine_topk_lsh(
                              ).withColumn("_side", F.lit("c"))
     q = _table_signatures_df(queries, id_col, vec_col, all_planes, keep_vec=True
                              ).withColumn("_side", F.lit("q"))
-    scored = _score_buckets_two_sided(c.unionByName(q), ["_tbl", "_sig"])
+    scored = _score_buckets_two_sided(
+        c.unionByName(q), ["_tbl", "_sig"], id_type=_id_type(corpus, id_col)
+    )
     return _topk(scored, k)
 
 
@@ -326,7 +333,9 @@ def cosine_topk_ivf(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
     )
-    scored = _score_buckets_two_sided(c.unionByName(q), ["_cell"])
+    scored = _score_buckets_two_sided(
+        c.unionByName(q), ["_cell"], id_type=_id_type(corpus, id_col)
+    )
     return _topk(scored, k)
 
 
@@ -389,9 +398,10 @@ def embedding_near_dup_pairs(
     # same shuffle plus a second scan and a build side)
     bucketed = _table_signatures_df(corpus, id_col, vec_col, all_planes, keep_vec=True)
 
+    id_type = _id_type(corpus, id_col)
     empty = {
-        "id_a": pd.Series(dtype="int64"),
-        "id_b": pd.Series(dtype="int64"),
+        "id_a": pd.Series(dtype="object"),
+        "id_b": pd.Series(dtype="object"),
         "cos": pd.Series(dtype="float64"),
     }
 
@@ -424,7 +434,7 @@ def embedding_near_dup_pairs(
 
     return (
         bucketed.groupBy("_tbl", "_sig")
-        .applyInPandas(score_bucket, "id_a long, id_b long, cos double")
+        .applyInPandas(score_bucket, f"id_a {id_type}, id_b {id_type}, cos double")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -35,17 +35,25 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 # output is memoized per (session, dir, table): repeated load_table
 # calls skip the parquet footer/schema read (~0.1s each — measurable
 # when a suite composes hundreds of queries). This caches no DATA,
-# only the unresolved plan object. Keyed on the SESSION identity, not
-# just the application (r3 ADVICE): two sessions in one app must not
-# share plans (each session owns its conf scope). Directory contents
-# are assumed immutable for the session's lifetime — the test-data
-# catalog's contract; a rewritten sf_dir needs a fresh session.
-_PLAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
+# only the unresolved plan object. Keyed on the SESSION OBJECT via a
+# weak mapping (r3 ADVICE + r4 review): two sessions in one app never
+# share plans (each session owns its conf scope), and a stopped
+# session's entries — plans included — become collectable with it
+# instead of pinning its JVM state for the process lifetime.
+# Directory contents are assumed immutable for the session's
+# lifetime — the test-data catalog's contract; a rewritten sf_dir
+# needs a fresh session.
+import weakref
+
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
-    cached = _PLAN_CACHE.get(key)
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -66,7 +74,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # integer division: float /1000 on ~1.7e18 nanos loses the
             # low bits (double has 53-bit mantissa) → ±1 µs drift
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _PLAN_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

@@ -163,6 +163,14 @@ def merge_parquet_sink(
     Returns a ``(DataFrame, batch_id) -> None`` callable for
     ``run_step_stream``/``foreachBatch``. Read the result with
     :func:`read_merged` (drops the bucket column).
+
+    Precondition: at most one VALUE per key per batch. Update-mode
+    aggregation emissions satisfy this by construction (one row per
+    changed group); for CDC-style inputs carrying several differing
+    rows per key, reduce to the intended survivor (e.g. max by a
+    sequence column) BEFORE the sink — dropDuplicates here only
+    collapses exact replays, and which of two DIFFERENT rows it keeps
+    is not defined.
     """
 
     def sink(updates: DataFrame, batch_id: int) -> None:

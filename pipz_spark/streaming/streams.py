@@ -251,10 +251,12 @@ def run_step_stream(
             action()
             if dead_letter_sink is not None:
                 dead_letter_sink(dead, batch_id)
-            # per-micro-batch completion signal; the counts cost an
-            # extra action on the persisted batch, so compute them
-            # only when someone is actually listening
-            if bus.has_listeners(S.SEQUENCE_COMPLETED):
+            # per-micro-batch completion signal; the counts cost two
+            # extra actions on the persisted batch, so they run only
+            # for subscribers that NAME the signal — a generic on_any
+            # logger must not add count() jobs to every trigger
+            # (DIVERGENCES #11, same gate as handle)
+            if bus.has_direct_listeners(S.SEQUENCE_COMPLETED):
                 bus.emit(
                     S.SEQUENCE_COMPLETED,
                     name=query_name,

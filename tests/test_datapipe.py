@@ -258,6 +258,28 @@ def test_cosine_topk_ivf_recall(embeddings):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_ann_string_ids_and_cache_release(spark, embeddings):
+    # the in-bucket scorers must preserve non-integer id types (their
+    # applyInPandas schemas are derived, not hardcoded)...
+    from pipz_spark.datapipe import cosine_topk_lsh, near_dup_pairs, release_caches
+
+    emb = embeddings.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    out = cosine_topk_lsh(emb, emb.limit(3), k=2, bits=2, tables=8)
+    rows = out.collect()
+    assert rows and all(r["qid"].startswith("v") and r["nid"].startswith("v") for r in rows)
+    # ...and release_caches must actually free the pinned frames (a
+    # weakref registry silently released nothing — r4 review)
+    release_caches()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    near_dup_pairs(docs, threshold=0.5).count()
+    assert release_caches() > 0
+
+
 def test_embedding_near_dup_pairs(spark, embeddings):
     from pipz_spark.datapipe import embedding_near_dup_pairs
 
