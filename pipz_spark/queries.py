@@ -711,6 +711,23 @@ def _stream_events_join(spark, sf):
     return stream_events_join(spark, sf)
 
 
+# Streaming-executed arbitrary-state operator (applyInPandasWithState
+# running totals, scaled-integer accumulator): latest emission per
+# user = final state = the batch GROUP BY below.
+def _stream_running_totals(spark, sf):
+    from .streaming.streams import stream_running_totals
+
+    return stream_running_totals(spark, sf)
+
+
+_STREAM_TOTALS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 _STREAM_JOIN_SQL = """
 SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
        a.value AS click_value, b.value AS purchase_value
@@ -1299,6 +1316,7 @@ QUERIES: dict[str, Declared] = {
     "events_sessions": Declared(_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_sessions": Declared(_stream_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_join": Declared(_stream_events_join, _STREAM_JOIN_SQL),
+    "stream_running_totals": Declared(_stream_running_totals, _STREAM_TOTALS_SQL),
     "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
     "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
     "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),

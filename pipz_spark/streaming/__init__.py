@@ -21,6 +21,7 @@ from .streams import (
     stream_events_hourly,
     stream_events_join,
     stream_events_sessions,
+    stream_running_totals,
     stream_stream_join,
     windowed_agg,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "stream_events_hourly",
     "stream_events_join",
     "stream_events_sessions",
+    "stream_running_totals",
     "stream_stream_join",
     "windowed_agg",
 ]

@@ -117,7 +117,7 @@ def dedupe_stream(
 
 
 _RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
-_STATE_SCHEMA = "n long, total double"
+_STATE_SCHEMA = "n long, total_scaled long"
 
 
 def running_totals(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
@@ -125,6 +125,13 @@ def running_totals(events: DataFrame, timeout_minutes: int | None = None) -> Dat
     cumulative event count + value per user across micro-batches (the
     pattern slot for bespoke stateful logic the built-in aggs can't
     express — per-key breakers, decaying counters, model state).
+
+    The accumulator is an EXACT scaled integer (values quantized at 4
+    decimals on ingest): float state drifts with accumulation order
+    and stream lifetime — a restart that replays a batch, or a
+    repartition that reorders arrivals, would change a float total's
+    low bits forever. Integer state is associative, replay-stable,
+    and lets the final state hash-match a batch SQL aggregate.
 
     ``timeout_minutes`` evicts abandoned keys via processing-time
     timeout — REQUIRED on unbounded key spaces at scale, but note the
@@ -135,19 +142,28 @@ def running_totals(events: DataFrame, timeout_minutes: int | None = None) -> Dat
     use_timeout = timeout_minutes is not None
 
     def update(key, pdfs: Iterator["object"], state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if use_timeout and state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_scaled += int(
+                np.rint(pdf["value"].to_numpy() * 10000.0).astype("int64").sum()
+            )
+        state.update((n, total_scaled))
         if use_timeout:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]})
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_scaled / 10000.0],
+            }
+        )
 
     return (
         events.groupBy("user_id")
@@ -574,6 +590,49 @@ def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(land)
+
+
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED custom stateful operator: running_totals
+    (applyInPandasWithState) over the replayed events, update-mode
+    emissions landed merge-on-read; the latest row per user is the
+    final cumulative state, which must equal a batch GROUP BY — the
+    hard oracle for the arbitrary-state path. Exactness comes from the
+    operator's scaled-integer accumulator (associative), so neither
+    arrival order nor micro-batch boundaries can move a single bit."""
+    import tempfile
+
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    totals = running_totals(stream)
+    tag = transform("totals-tag", {"op": F.lit("running-totals")})
+    land = tempfile.mkdtemp(prefix="pipz_stream_totals_")
+    log = append_log_sink(land, keys=["user_id"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("user_id", "n_events", "total_value"), batch_id)
+
+    q = run_step_stream(
+        totals,
+        tag,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_totals_ckpt_"),
+        query_name="pipz-stream-totals",
+        output_mode="update",
+        state_partitions=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest(spark, land, keys=["user_id"])
 
 
 def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
