@@ -312,6 +312,14 @@ def run_step_stream(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# replay dirs are deterministic functions of their inputs, so a suite
+# running several streaming queries reuses one materialization per
+# flavor instead of rewriting the same files per query. Memoized only
+# when the caller does NOT take ownership of the dir (memo=False for
+# rigs that append to it, e.g. the sessions sentinel).
+_REPLAY_MEMO: dict[tuple[str, int, bool, bool], str] = {}
+
+
 def replay_events_files(
     spark: SparkSession,
     sf_dir: str,
@@ -319,6 +327,7 @@ def replay_events_files(
     out_dir: str | None = None,
     order_by_ts: bool = False,
     doubled: bool = False,
+    memo: bool = True,
 ) -> str:
     """Materialize events as ``n_files`` parquet parts so the file
     source replays them as a genuine multi-trigger stream (one file
@@ -336,6 +345,11 @@ def replay_events_files(
 
     from ..sources.catalog import load_table
 
+    key = (sf_dir, n_files, order_by_ts, doubled)
+    if memo and out_dir is None:
+        cached = _REPLAY_MEMO.get(key)
+        if cached is not None:
+            return cached
     out_dir = out_dir or tempfile.mkdtemp(prefix="pipz_events_replay_")
     df = load_table(spark, "events", sf_dir)
     if doubled:
@@ -347,6 +361,8 @@ def replay_events_files(
     df.write.mode("overwrite").parquet(out_dir)
     if order_by_ts:
         _force_file_order(out_dir)
+    if memo:
+        _REPLAY_MEMO[key] = out_dir
     return out_dir
 
 
@@ -467,7 +483,9 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.processors import transform
 
-    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    # memo=False: this rig APPENDS a sentinel file to the replay dir,
+    # so it must own a private copy, never the shared materialization
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True, memo=False)
     from ..sources.catalog import load_table
 
     max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
