@@ -1310,10 +1310,8 @@ QUERIES: dict[str, Declared] = {
     "rel_sort_limit": Declared(_rel_sort_limit, _REL_SORT_LIMIT_SQL),
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
-    "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_hourly_window": Declared(_stream_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_dedup": Declared(_stream_events_dedup, _STREAM_DEDUP_SQL),
-    "events_sessions": Declared(_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_sessions": Declared(_stream_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_join": Declared(_stream_events_join, _STREAM_JOIN_SQL),
     "stream_running_totals": Declared(_stream_running_totals, _STREAM_TOTALS_SQL),
@@ -1324,24 +1322,35 @@ QUERIES: dict[str, Declared] = {
     "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
     "dp_exact_dedup": Declared(_dp_exact_dedup, _DP_EXACT_DEDUP_SQL),
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
+    # ANN queries run at exhaustive-recall parameters (see the query
+    # fns), so exact top-k IS their ground truth — same SQL as the
+    # brute-force baseline. Kept early in registry order so a
+    # budget-truncated correctness run still covers them (r4 lesson:
+    # the driver stopped after 50 entries and the tail had no row).
+    "dp_ann_lsh": Declared(_dp_ann_lsh, _DP_COSINE_TOPK_SQL),
+    "dp_ann_ivf": Declared(_dp_ann_ivf, _DP_COSINE_TOPK_SQL),
+    "dp_embed_near_dup": Declared(_dp_embed_near_dup, _DP_EMBED_NEAR_DUP_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
     "e2e_training_pipeline": Declared(_e2e_training_pipeline, _E2E_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
     "dp_lm_quality": Declared(_dp_lm_quality, _DP_LM_QUALITY_SQL),
     "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
-    "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_dataset_profile": Declared(_dp_profile, _DP_PROFILE_SQL),
     "json_parse_props": Declared(_json_parse, _JSON_PARSE_SQL),
     "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
     "dp_near_dup_minhash": Declared(_dp_near_dup, _DP_NEAR_DUP_SQL),
     "dp_simhash_pairs": Declared(_dp_simhash_pairs, _DP_SIMHASH_SQL),
-    # ANN queries run at exhaustive-recall parameters (see the query
-    # fns), so exact top-k IS their ground truth — same SQL as the
-    # brute-force baseline.
-    "dp_ann_lsh": Declared(_dp_ann_lsh, _DP_COSINE_TOPK_SQL),
-    "dp_ann_ivf": Declared(_dp_ann_ivf, _DP_COSINE_TOPK_SQL),
-    "dp_embed_near_dup": Declared(_dp_embed_near_dup, _DP_EMBED_NEAR_DUP_SQL),
+    # Redundant-coverage tail (r4 lesson: the driver's correctness run
+    # can truncate before the registry end). These three each share an
+    # oracle/machinery with an earlier green entry, so a truncated run
+    # still covers every unique oracle: events_hourly_window and
+    # events_sessions are the batch twins of their stream_* siblings
+    # (identical SQL), and dp_deterministic_sample is the same
+    # content-hash bucketing as dp_deterministic_split.
+    "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
+    "events_sessions": Declared(_events_sessions, _EVENTS_SESSIONS_SQL),
+    "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
 }
 
 

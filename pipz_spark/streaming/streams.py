@@ -10,6 +10,7 @@ restart-safe — SURVEY §7.3.4).
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable, Iterator, Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -217,6 +218,12 @@ def stream_stream_join(
     return joined.select("l.*", *[c for c in suffixed.columns if c.endswith("_r")])
 
 
+# serializes the shuffle-partition conf swap in run_step_stream's
+# state_partitions path (two concurrent starts must not clobber each
+# other's temporary value)
+_START_LOCK = threading.Lock()
+
+
 def run_step_stream(
     stream: DataFrame,
     step: Step,
@@ -302,28 +309,36 @@ def run_step_stream(
     # cardinality (a handful of partitions for a finite replay rig;
     # hundreds on a wide cluster), independent of the session's batch
     # setting. Restored right after start: the value is captured into
-    # the checkpoint's offset log at query initialization.
+    # the checkpoint's offset log at query initialization (Spark
+    # clones the session conf synchronously inside start()).
+    # _START_LOCK serializes concurrent starts so two streams can't
+    # clobber each other's temporary value; a batch job planned from
+    # ANOTHER thread during this window could still observe it — if
+    # that matters, start streams before launching concurrent batch
+    # work.
     spark = stream.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        return writer.start()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _START_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            return writer.start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # replay dirs are deterministic functions of their inputs, so a suite
 # running several streaming queries reuses one materialization per
 # flavor instead of rewriting the same files per query. Memoized only
-# when the caller does NOT take ownership of the dir (memo=False for
-# rigs that append to it, e.g. the sessions sentinel).
+# when the caller does NOT take ownership of the dir (rigs that need
+# to mutate the replay — sentinel append, duplicate rounds — take a
+# cheap private _clone_replay of the shared files instead).
 _REPLAY_MEMO: dict[tuple[str, int, bool, bool], str] = {}
 
 
 def replay_events_files(
     spark: SparkSession,
     sf_dir: str,
-    n_files: int = 4,
+    n_files: int = 2,
     out_dir: str | None = None,
     order_by_ts: bool = False,
     doubled: bool = False,
@@ -331,7 +346,11 @@ def replay_events_files(
 ) -> str:
     """Materialize events as ``n_files`` parquet parts so the file
     source replays them as a genuine multi-trigger stream (one file
-    per micro-batch) instead of a single batch.
+    per micro-batch) instead of a single batch. Two parts is the
+    minimum that still crosses a micro-batch boundary — state built in
+    trigger 1 must merge with trigger 2's arrivals — and every extra
+    part bills another full trigger round (state-store commit,
+    checkpoint write) to the rig, not the operator.
 
     ``order_by_ts`` range-partitions by event time, so the replay
     arrives roughly in time order — the realistic pattern that lets
@@ -341,6 +360,7 @@ def replay_events_files(
     both copies of a row in the SAME part file, so a streaming dedup
     sees them within one micro-batch — a controlled duplicate-arrival
     scenario with an exact batch oracle (the original table)."""
+    import glob
     import tempfile
 
     from ..sources.catalog import load_table
@@ -349,7 +369,12 @@ def replay_events_files(
     if memo and out_dir is None:
         cached = _REPLAY_MEMO.get(key)
         if cached is not None:
-            return cached
+            # a tmp reaper (or an external cleanup) may have removed
+            # the memoized dir — serving a dead path would make every
+            # later streaming query read an empty stream
+            if glob.glob(os.path.join(cached, "part-*")):
+                return cached
+            del _REPLAY_MEMO[key]
     out_dir = out_dir or tempfile.mkdtemp(prefix="pipz_events_replay_")
     df = load_table(spark, "events", sf_dir)
     if doubled:
@@ -364,6 +389,34 @@ def replay_events_files(
     if memo:
         _REPLAY_MEMO[key] = out_dir
     return out_dir
+
+
+def _clone_replay(src_dir: str, copies: int = 1) -> str:
+    """Clone a replay dir's part files into a private dir the caller
+    may mutate (the shared memoized materialization must never be
+    appended to — r4's sessions rig paid a full private Spark
+    re-materialization for that; an OS-level file copy of a few parquet
+    parts is ~free). With ``copies=N`` every part appears N times, and
+    copy round k gets strictly later mtimes than round k-1, so the
+    file source delivers all of round 1 before any of round 2 —
+    duplicate arrivals land in LATER micro-batches, forcing dedup
+    state to survive a batch boundary."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    out = tempfile.mkdtemp(prefix="pipz_events_replay_priv_")
+    parts = sorted(glob.glob(os.path.join(src_dir, "part-*")))
+    base = _time.time() - 3600
+    i = 0
+    for k in range(copies):
+        for f in parts:
+            dst = os.path.join(out, f"part-{i:05d}-r{k}.snappy.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (base + i, base + i))
+            i += 1
+    return out
 
 
 def _force_file_order(out_dir: str) -> None:
@@ -454,7 +507,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ckpt_"),
         query_name="pipz-hourly-window",
         output_mode="update",
-        state_partitions=8,
+        state_partitions=4,
     )
     try:
         q.processAllAvailable()
@@ -472,20 +525,22 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap + delay, not the stream's lifetime.
 
     A finite replay never advances the watermark past its last
-    sessions, so a SENTINEL event (user_id -1, one hour past the real
-    max ts) rides in a final extra file purely to close them; the
-    sentinel's own session is filtered before landing. The same
-    lag/cumulative-sum islands SQL that checks the batch
-    ``events_sessions`` query checks this one."""
+    sessions, so a SENTINEL event (user_id -1, two hours past the real
+    max ts — clearing the 30-minute gap AND the 30-minute watermark
+    delay, since eviction is strict) rides in a final extra file purely
+    to close them; the sentinel's own session is filtered before
+    landing. The same lag/cumulative-sum islands SQL that checks the
+    batch ``events_sessions`` query checks this one."""
     import os as _os
     import tempfile
     import time as _time
 
     from ..operators.processors import transform
 
-    # memo=False: this rig APPENDS a sentinel file to the replay dir,
-    # so it must own a private copy, never the shared materialization
-    replay = replay_events_files(spark, sf_dir, order_by_ts=True, memo=False)
+    # this rig APPENDS a sentinel file to the replay, so it works on a
+    # cheap private clone of the shared materialization, never the
+    # memoized dir itself
+    replay = _clone_replay(replay_events_files(spark, sf_dir, order_by_ts=True))
     from ..sources.catalog import load_table
 
     max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
@@ -493,18 +548,27 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the LAST real session ends at max_ts + 30min gap — eviction
     # is strict (<), so the sentinel must clear gap + delay, not just
     # one of them
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + __import__("datetime").timedelta(hours=2), -1, "sentinel", 0.0, "{}")],
-        _NORMALIZED_EVENTS,
+    before = set(_os.listdir(replay))
+    # literal projection over range(1), NOT createDataFrame(list): a
+    # local-list DataFrame parallelizes into defaultParallelism Python
+    # RDD slices, and coalesce(1) then chains every slice's Python
+    # worker startup into ONE task (~6s measured at local[32]); the
+    # literal form stays JVM-side and writes in ~0.2s
+    sentinel_ts = max_ts + __import__("datetime").timedelta(hours=2)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(sentinel_ts).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
     )
     sentinel.coalesce(1).write.mode("append").parquet(replay)
     # the sentinel file must arrive LAST (see _force_file_order)
     newest = _time.time()
-    for f in sorted(
-        _os.path.join(replay, f) for f in _os.listdir(replay) if f.startswith("part-")
-    ):
-        if _os.path.getmtime(f) > newest - 3000:
-            _os.utime(f, (newest + 10, newest + 10))
+    for f in _os.listdir(replay):
+        if f.startswith("part-") and f not in before:
+            _os.utime(_os.path.join(replay, f), (newest + 10, newest + 10))
     stream = (
         spark.readStream.schema(_NORMALIZED_EVENTS)
         .option("maxFilesPerTrigger", 1)
@@ -542,7 +606,7 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_sess_ckpt_"),
         query_name="pipz-stream-sessions",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=4,
     )
     try:
         q.processAllAvailable()
@@ -601,7 +665,7 @@ def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_join_ckpt_"),
         query_name="pipz-stream-join",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=4,
     )
     try:
         q.processAllAvailable()
@@ -644,7 +708,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_totals_ckpt_"),
         query_name="pipz-stream-totals",
         output_mode="update",
-        state_partitions=8,
+        state_partitions=4,
     )
     try:
         q.processAllAvailable()
@@ -655,11 +719,12 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING-EXECUTED exact dedup, landed to parquet: replay the
-    events table DOUBLED (every row arrives twice, both copies inside
-    one micro-batch thanks to time-ordered replay), drop duplicates on
-    event_id within the watermark via the state store, and append each
-    batch's survivors. The landed table must equal the original events
-    table exactly — a hard batch oracle for the stateful dedup path.
+    events table DOUBLED (every row arrives twice — the second copy in
+    a LATER micro-batch, so the dedup state must survive the batch
+    boundary), drop duplicates on event_id within the watermark via
+    the state store, and append each batch's survivors. The landed
+    table must equal the original events table exactly — a hard batch
+    oracle for the stateful dedup path.
 
     Append output mode is the natural fit: dropDuplicates emits a key
     the first time it is seen and never again, so the sink is a plain
@@ -670,10 +735,19 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.processors import transform
 
-    replay = replay_events_files(spark, sf_dir, order_by_ts=True, doubled=True)
+    # duplicate rounds by file CLONING of the shared materialization
+    # (no second Spark write): round-1 copies carry earlier mtimes
+    # than round-2, and maxFilesPerTrigger = one full round, so
+    # trigger 1 delivers every row once and trigger 2 delivers every
+    # row again — duplicates cross the micro-batch boundary
+    shared = replay_events_files(spark, sf_dir, order_by_ts=True)
+    import glob as _glob
+
+    round_size = len(_glob.glob(os.path.join(shared, "part-*")))
+    replay = _clone_replay(shared, copies=2)
     stream = (
         spark.readStream.schema(_NORMALIZED_EVENTS)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", round_size)
         .parquet(replay)
     )
     # replay-spanning watermark (see stream_events_hourly): arrival
@@ -697,7 +771,7 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_dedup_ckpt_"),
         query_name="pipz-stream-dedup",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=4,
     )
     try:
         q.processAllAvailable()
