@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pipz_spark.datapipe import release_caches  # noqa: E402
@@ -31,6 +33,19 @@ def main() -> None:
     spark.range(100).selectExpr("id", "id * 2 as x").write.format("noop").mode(
         "overwrite"
     ).save()
+    # spawn the Python/pandas-UDF worker pool up front: the first
+    # Arrow-batched UDF in the suite otherwise bills ~1s of worker
+    # fork/handshake to whichever query happens to run it first —
+    # a bench-ordering artifact, not an operator cost
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", 32))).select(
+        _warm("id")
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float | None] = {}
     total = 0.0
     for name, decl in QUERIES.items():

@@ -138,8 +138,14 @@ def minhash_signatures_df(
     Dense integer math is where numpy beats both an expression fold
     (per-shingle array allocations) and a 120-aggregate groupBy
     (codegen planning alone cost seconds). Per-partition work, no
-    shuffle. Returns (_id, _sig array<long>)."""
+    shuffle (fan_out only rebalances when the scan under-partitions
+    — a one-file table must not serialize the minima on one core).
+    Returns (_id, _sig array<long>)."""
     import numpy as np
+
+    from ._util import fan_out
+
+    df = fan_out(df)
 
     a_co, b_co = _hash_family(num_hashes)
     a_vec = np.array(a_co, dtype="int64")[:, None]
@@ -212,10 +218,21 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
     # eager materialization: the small and big branches are separate
     # stages the scheduler may launch CONCURRENTLY — before the cache
     # is populated, each would recompute the full bucket aggregation.
-    # One cheap count pins the cache first (measured: the difference
-    # between 1× and 2-3× signature/agg passes at 10× scale).
-    grouped.count()
-    small = grouped.where(F.size("ids") <= max_bucket)
+    # The pinning action doubles as the plan-shape probe: the global
+    # max bucket size costs the same full scan a bare count() did, and
+    # when NO bucket exceeds the cap (the overwhelmingly common case —
+    # every bucket at sf0.01/0.1) the big branch, its self-join, and
+    # the union are never built at all, so the common case pays zero
+    # empty-stage overhead (r4 regression: +23-34% on the minhash/
+    # simhash queries from scheduling the always-empty big branch).
+    max_size = (
+        grouped.agg(F.max(F.size("ids")).alias("mx")).first()["mx"] or 0
+    )
+    small = (
+        grouped
+        if max_size <= max_bucket
+        else grouped.where(F.size("ids") <= max_bucket)
+    )
     n = F.size("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -232,6 +249,10 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
     small_pairs = small.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.id_a"), F.col("p.id_b")
     )
+    if max_size <= max_bucket:
+        # distinct stays: the same pair can co-bucket under several
+        # keys (bands / pigeonhole chunks), whatever the plan shape
+        return small_pairs.distinct()
     big = grouped.where(F.size("ids") > max_bucket)
     e_a = big.select(*keys, F.posexplode("ids").alias("_i", "id_a"))
     e_b = big.select(*keys, F.posexplode("ids").alias("_j", "id_b"))
@@ -250,7 +271,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 120,
     bands: int = 24,
     shingle_k: int = 5,
-    max_bucket: int = 64,
+    max_bucket: int = 256,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation: (id_a < id_b) pairs sharing at
@@ -302,9 +323,11 @@ def ngram_jaccard(
     # the pair list feeds BOTH the relevance prune and the verify
     # joins; without a pinned cache each consumer recomputes the
     # upstream candidate/estimate stages (skinny rows — cheap to hold)
+    from ._util import fan_out
+
     sides = _caches.track(pairs.select("id_a", "id_b").persist())
     sides.count()
-    relevant = df.join(
+    relevant = fan_out(df).join(
         sides.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct(),
         F.col(id_col) == F.col("_id"),
         "left_semi",
@@ -456,6 +479,9 @@ def simhash_df(
     map-side combine (one row per doc crosses the shuffle) — the fast
     path for corpus-scale runs; the expression form (`simhash` Step)
     stays for shuffle-free column attachment. Returns (_id, _h)."""
+    from ._util import fan_out
+
+    df = fan_out(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
@@ -490,7 +516,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     blocks: int | None = None,
-    max_bucket: int = 64,
+    max_bucket: int = 256,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups via the block trick: split the 64-bit hash

@@ -50,7 +50,9 @@ def fit_bigram_lm(
     the same float-determinism discipline as the engine's decimal-sum
     relational aggregates. 1e-6 quantization of a log-prob is far
     below any quality-gate resolution."""
-    grams = df.select(
+    from ._util import fan_out
+
+    grams = fan_out(df).select(
         F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram")
     ).where(F.length("bigram") == 2)
     # ONE corpus pass: bigram counts are vocabulary-sized, so
@@ -97,7 +99,9 @@ def score_bigram_lm(
     same score comes out of any engine that follows the definition,
     which is what lets the declared query hold this operator to a
     hash-checked SQL oracle."""
-    grams = df.select(
+    from ._util import fan_out
+
+    grams = fan_out(df).select(
         F.col(id_col),
         F.explode(_char_bigrams(F.lower(F.col(text_col)))).alias("bigram"),
     ).where(F.length("bigram") == 2)

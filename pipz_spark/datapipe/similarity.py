@@ -106,7 +106,13 @@ def _table_signatures_df(
 
     ``keep_vec=True`` carries the raw vector alongside each exploded
     signature row — ONE corpus scan for consumers that need vectors
-    inside the buckets, instead of a second scan + join back on id."""
+    inside the buckets, instead of a second scan + join back on id.
+
+    Deliberately NOT fan_out-rebalanced: one (n × dim) matmul per
+    Arrow batch is microseconds even for a single-split corpus, and
+    the bucket shuffle right after this projection already spreads
+    the real work (in-bucket scoring) across the cluster — an extra
+    repartition here measured strictly slower at sf0.1."""
     import numpy as np
 
     bits = len(all_planes[0])

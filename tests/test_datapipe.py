@@ -414,3 +414,33 @@ def test_lm_scores_keep_short_docs(spark, documents):
     assert scores.count() == corpus.count()
     r = scores.where(F.col("doc_id") == 777777).first()
     assert r["n_bigrams"] == 0 and r["lm_logp"] is None
+
+
+def test_fan_out_rebalances_only_when_under_partitioned(spark):
+    # a one-split scan must spread across the cluster before a
+    # CPU-bound stage; an already-wide input must pass through
+    # untouched (at scale the scan provides thousands of splits and
+    # fan_out must be a no-op)
+    from pipz_spark.datapipe._util import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par + 4)
+    out = fan_out(wide)
+    assert out.rdd.getNumPartitions() == par + 4
+    assert out is wide  # no-op, not a new plan
+
+
+def test_bucket_pairs_small_only_skips_big_branch(spark):
+    # when no bucket exceeds the cap the big-branch self-join must
+    # not appear in the plan (r4: the always-empty branch cost +23-34%
+    # on the minhash/simhash suite queries)
+    from pipz_spark.datapipe.dedup import _bucket_pairs
+
+    rows = [(b, 0, 10 * b + i) for b in range(3) for i in range(4)]
+    bucketed = spark.createDataFrame(rows, "band long, band_hash long, _id long")
+    pairs = _bucket_pairs(bucketed, ["band", "band_hash"], max_bucket=16)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert pairs.count() == 3 * 6  # 3 buckets x C(4,2), exhaustive
