@@ -222,6 +222,47 @@ class CircuitBreaker:
         self._generation += 1
         self._bus.emit(S.BREAKER_OPENED, name=self.name)
 
+    def snapshot(self) -> dict:
+        """Serializable state for checkpoint persistence. The open
+        timer is stored as REMAINING seconds, not an absolute stamp —
+        the clock is monotonic and does not survive a restart; the
+        restored breaker re-anchors the remainder on its own clock.
+        The reference breaker's state machine lives as long as the
+        process (circuitbreaker.go:136-216); the streaming analog
+        must outlive a query restart from checkpoint, so its state
+        rides with the checkpoint (see run_step_stream)."""
+        with self._lock:
+            self._maybe_half_open()
+            remaining = 0.0
+            if self._state == self.OPEN:
+                remaining = max(
+                    0.0, self.reset_timeout - (self._clock() - self._opened_at)
+                )
+            return {
+                "state": self._state,
+                "failures": self._failures,
+                "successes": self._successes,
+                "open_remaining": remaining,
+            }
+
+    def restore(self, snap: dict) -> None:
+        """Adopt a snapshot() taken by a previous incarnation. The
+        generation bumps so any call that raced the restore is
+        discarded as stale."""
+        with self._lock:
+            self._state = snap.get("state", self.CLOSED)
+            self._failures = int(snap.get("failures", 0))
+            self._successes = int(snap.get("successes", 0))
+            self._generation += 1
+            if self._state == self.OPEN:
+                remaining = min(
+                    float(snap.get("open_remaining", self.reset_timeout)),
+                    self.reset_timeout,
+                )
+                self._opened_at = self._clock() - (self.reset_timeout - remaining)
+            else:
+                self._opened_at = 0.0
+
 
 class RateLimitExceeded(RuntimeError):
     pass
@@ -293,6 +334,22 @@ class RateLimiter:
     def call(self, fn: Callable[[], T]) -> T:
         self.acquire()
         return fn()
+
+    def snapshot(self) -> dict:
+        """Serializable token count for checkpoint persistence
+        (refilled to now first, so the snapshot is current)."""
+        with self._lock:
+            self._refill()
+            return {"tokens": self._tokens}
+
+    def restore(self, snap: dict) -> None:
+        """Adopt a snapshot() from a previous incarnation. Downtime
+        grants NO refill (the refill anchor resets to now): a limiter
+        guarding a fragile sink must not greet a restart with a full
+        burst it never actually accumulated."""
+        with self._lock:
+            self._tokens = min(self.burst, float(snap.get("tokens", self.burst)))
+            self._last = self._clock()
 
 
 def worker_pool(

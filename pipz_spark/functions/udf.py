@@ -48,13 +48,26 @@ def python_apply(
     inputs: list[str],
     returns: str | T.DataType,
     output: str | None = None,
+    timeout_seconds: float | None = None,
 ) -> Step:
     """Fallible arbitrary-Python transformation (the Apply analog for
     closures Catalyst can't express). ``fn(*input_values)`` runs per
     row inside an Arrow batch; an exception becomes an error struct
     on THAT row only — the job always succeeds (apply.go:80-89 +
     error.go:156-170 semantics).
-    """
+
+    ``timeout_seconds`` gives every VALUE a hard deadline, the
+    reference's timeout connector at its native granularity
+    (timeout.go:61-154): a row whose closure overruns becomes a
+    timeout error row, and the batch moves on instead of blocking the
+    task until spark.task.reaper notices. The overrunning call is
+    ABANDONED on a leaked thread, never killed — the exact semantic
+    of the reference's goroutine timeout, which also cannot cancel a
+    hung user function, only stop waiting for it (timeout.go:117-131).
+    One leaked thread per timed-out row, freed when/if the closure
+    returns; a closure hung inside a C extension that never yields
+    the GIL can still stall the batch — that last resort stays with
+    the task reaper."""
     out_col = output or f"{name}_result"
     ret_type = returns if isinstance(returns, T.DataType) else T._parse_datatype_string(returns)
     result_schema = T.StructType(
@@ -66,13 +79,36 @@ def python_apply(
 
         values: list[Any] = []
         errs: list[str | None] = []
-        for row in zip(*cols):
-            try:
-                values.append(fn(*row))
-                errs.append(None)
-            except Exception as e:  # noqa: BLE001 — the whole point
-                values.append(None)
-                errs.append(sanitize_message(f"{type(e).__name__}: {e}"))
+        if timeout_seconds is None:
+            for row in zip(*cols):
+                try:
+                    values.append(fn(*row))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — the whole point
+                    values.append(None)
+                    errs.append(sanitize_message(f"{type(e).__name__}: {e}"))
+            return pd.DataFrame({"value": values, "err": errs})
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as _FutTimeout
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            for row in zip(*cols):
+                try:
+                    values.append(ex.submit(fn, *row).result(timeout=timeout_seconds))
+                    errs.append(None)
+                except _FutTimeout:
+                    # abandon the hung call on its thread; fresh
+                    # executor so later rows don't queue behind it
+                    ex.shutdown(wait=False)
+                    ex = ThreadPoolExecutor(max_workers=1)
+                    values.append(None)
+                    errs.append(f"timeout: exceeded {timeout_seconds}s deadline")
+                except Exception as e:  # noqa: BLE001
+                    values.append(None)
+                    errs.append(sanitize_message(f"{type(e).__name__}: {e}"))
+        finally:
+            ex.shutdown(wait=False)
         return pd.DataFrame({"value": values, "err": errs})
 
     wrapped = F.pandas_udf(batch_fn, returnType=result_schema)

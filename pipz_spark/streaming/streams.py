@@ -224,6 +224,59 @@ def stream_stream_join(
 _START_LOCK = threading.Lock()
 
 
+class _ResilienceStateStore:
+    """Breaker/limiter state riding in the streaming query's
+    checkpoint directory, so operational state survives a restart the
+    same way offsets and aggregation state do. Without it, a restarted
+    stream silently resets an OPEN breaker to CLOSED and hammers the
+    failing sink again (the reference breaker lives as long as the
+    process — circuitbreaker.go:136-216 — and a restarted streaming
+    query IS morally the same process resuming).
+
+    I/O goes through the Hadoop FileSystem API via the JVM gateway, so
+    the state lands on whatever filesystem the checkpoint itself uses
+    (local, HDFS, object store) — never a driver-local path that a
+    failover would lose. Writes go to a sibling temp file first, then
+    rename over the target: a crash mid-write leaves the previous
+    snapshot intact."""
+
+    def __init__(self, spark: SparkSession, checkpoint: str) -> None:
+        self._spark = spark
+        self._path = checkpoint.rstrip("/") + "/pipz-resilience.json"
+
+    def _fs(self):
+        jvm = self._spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._path)
+        fs = path.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return jvm, fs, path
+
+    def load(self) -> dict | None:
+        import json
+
+        jvm, fs, path = self._fs()
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def save(self, state: dict) -> None:
+        import json
+
+        jvm, fs, path = self._fs()
+        tmp = jvm.org.apache.hadoop.fs.Path(self._path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(state).encode("utf-8")))
+        finally:
+            out.close()
+        fs.delete(path, False)
+        fs.rename(tmp, path)
+
+
 def run_step_stream(
     stream: DataFrame,
     step: Step,
@@ -245,7 +298,24 @@ def run_step_stream(
     The batch is persisted so the ok/dead-letter writes share one
     computation; breaker-open or limiter-drop raises inside
     foreachBatch → the micro-batch fails and Spark retries/stops per
-    its policy, which is exactly the fail-fast contract."""
+    its policy, which is exactly the fail-fast contract.
+
+    When a ``checkpoint`` is given, breaker/limiter state is persisted
+    into it after every micro-batch (tripped state included — the
+    snapshot lands in the finally path) and restored here before the
+    query starts, so a restart from checkpoint resumes the breaker
+    OPEN instead of silently hammering a failing sink from CLOSED
+    (see _ResilienceStateStore)."""
+
+    state_store = None
+    if checkpoint and (breaker is not None or limiter is not None):
+        state_store = _ResilienceStateStore(stream.sparkSession, checkpoint)
+        snap = state_store.load()
+        if snap:
+            if breaker is not None and "breaker" in snap:
+                breaker.restore(snap["breaker"])
+            if limiter is not None and "limiter" in snap:
+                limiter.restore(snap["limiter"])
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = step.apply(batch_df, ()).persist()
@@ -288,6 +358,16 @@ def run_step_stream(
                     dead_letter=dead.count(),
                 )
         finally:
+            # persist operational state whether the batch succeeded or
+            # tripped — an OPEN transition recorded only on success
+            # would be exactly the state a restart needs and lacks
+            if state_store is not None:
+                persisted: dict = {}
+                if breaker is not None:
+                    persisted["breaker"] = breaker.snapshot()
+                if limiter is not None:
+                    persisted["limiter"] = limiter.snapshot()
+                state_store.save(persisted)
             out.unpersist()
             # free step-internal caches (switch/filter/handle persist
             # per apply) now that this batch's sink actions are done —

@@ -67,3 +67,36 @@ def test_python_map_batches_reshape(documents):
     out = apply(documents.select("doc_id", "text"))
     assert out.count() == documents.count() * 3
     assert set(out.columns) == {"doc_id", "pos", "token"}
+
+
+def test_python_apply_row_deadline(spark):
+    # timeout.go:61-154 at its native granularity: a hung closure
+    # becomes a timeout error ROW; the batch and the job keep going.
+    import time as _time
+
+    from pipz_spark import split_failed, split_ok
+    from pipz_spark.core.errors import error_path_str
+
+    def maybe_hang(x):
+        if x % 10 == 0:
+            _time.sleep(30.0)  # far past the deadline
+        return x * 2
+
+    df = spark.range(20).withColumnRenamed("id", "x")
+    step = python_apply(
+        "hangable", maybe_hang, ["x"], "long", output="y", timeout_seconds=0.5
+    )
+    t0 = _time.time()
+    out = step.apply(df.coalesce(1), ()).cache()
+    ok = split_ok(out)
+    dead = split_failed(out)
+    n_ok, n_dead = ok.count(), dead.count()
+    wall = _time.time() - t0
+    out.unpersist()
+    assert n_dead == 2  # x = 0 and 10
+    assert n_ok == 18
+    assert all(r["y"] == r["x"] * 2 for r in ok.collect())
+    msgs = [r["_pipz_error"]["message"] for r in dead.collect()]
+    assert all("timeout" in m and "0.5" in m for m in msgs)
+    # the whole point: two 30s hangs must NOT cost 60s of wall
+    assert wall < 20.0

@@ -231,3 +231,83 @@ def test_stream_stream_join_matches_batch(spark, events):
     )
     assert got.count() == batch.count()
     assert got.count() > 0
+
+
+def test_breaker_state_survives_query_restart(spark):
+    # SURVEY risk #4: the reference breaker lives as long as the
+    # process (circuitbreaker.go:136-216); the streaming analog must
+    # survive a restart from checkpoint. r4 behavior: a restarted
+    # stream silently reset an OPEN breaker to CLOSED and hammered
+    # the failing sink again.
+    stream = read_events_stream(spark, SF_DIR)
+    step = P.transform("noop", {})
+    sink_calls = {"n": 0}
+
+    def failing_sink(df, batch_id):
+        sink_calls["n"] += 1
+        raise RuntimeError("sink down")
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        breaker = CircuitBreaker("sink", failure_threshold=1, reset_timeout=9999.0)
+        q = run_step_stream(stream, step, failing_sink, breaker=breaker, checkpoint=ckpt)
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+        q.stop()
+        assert breaker.state == CircuitBreaker.OPEN
+        calls_before_restart = sink_calls["n"]
+
+        # a fresh breaker instance (new driver incarnation) must come
+        # back OPEN from the checkpoint before the first batch runs
+        restarted = CircuitBreaker("sink", failure_threshold=1, reset_timeout=9999.0)
+        stream2 = read_events_stream(spark, SF_DIR)
+        q2 = run_step_stream(
+            stream2, step, failing_sink, breaker=restarted, checkpoint=ckpt
+        )
+        assert restarted.state == CircuitBreaker.OPEN  # restored at wiring
+        with pytest.raises(Exception):
+            q2.processAllAvailable()
+        q2.stop()
+        # the restored-OPEN breaker rejected without calling the sink
+        assert sink_calls["n"] == calls_before_restart
+
+
+def test_breaker_snapshot_restore_reanchors_open_timer():
+    from pipz_spark.control.resilience import CircuitBreaker
+
+    t = {"now": 100.0}
+    b = CircuitBreaker("b", failure_threshold=1, reset_timeout=30.0, clock=lambda: t["now"])
+    with pytest.raises(RuntimeError):
+        b.call(lambda: (_ for _ in ()).throw(RuntimeError("x")))
+    t["now"] = 110.0  # 10s into the 30s window
+    snap = b.snapshot()
+    assert snap["state"] == CircuitBreaker.OPEN
+    assert abs(snap["open_remaining"] - 20.0) < 1e-9
+
+    # restore onto a DIFFERENT clock origin: the remainder re-anchors
+    t2 = {"now": 5000.0}
+    b2 = CircuitBreaker("b", failure_threshold=1, reset_timeout=30.0, clock=lambda: t2["now"])
+    b2.restore(snap)
+    assert b2.state == CircuitBreaker.OPEN
+    t2["now"] += 19.0
+    assert b2.state == CircuitBreaker.OPEN
+    t2["now"] += 2.0  # past the remaining 20s
+    assert b2.state == CircuitBreaker.HALF_OPEN
+
+
+def test_limiter_snapshot_restore_no_downtime_refill():
+    from pipz_spark.control.resilience import RateLimiter
+
+    t = {"now": 0.0}
+    lim = RateLimiter("l", rate=1.0, burst=5, mode="drop", clock=lambda: t["now"])
+    for _ in range(4):
+        lim.acquire()
+    snap = lim.snapshot()
+    assert abs(snap["tokens"] - 1.0) < 1e-9
+    t["now"] += 3600.0  # downtime must grant no refill
+    lim2 = RateLimiter("l", rate=1.0, burst=5, mode="drop", clock=lambda: t["now"])
+    lim2.restore(snap)
+    lim2.acquire()  # the one persisted token
+    from pipz_spark.control.resilience import RateLimitExceeded
+
+    with pytest.raises(RateLimitExceeded):
+        lim2.acquire()
