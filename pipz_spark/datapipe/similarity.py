@@ -389,9 +389,13 @@ def embedding_near_dup_pairs(
     single hot bucket is the same failure mode as a hot LSH band in
     ``near_dup_pairs`` and argues for more bits, not a bigger task.
 
-    The cosine matches the expression/oracle form bit-for-bit at the
-    6-decimal round: float32 → float64 widening is exact, and num/den
-    are computed in float64 before rounding."""
+    The cosine agrees with the expression/oracle form at the
+    6-decimal round in all but measure-zero cases: float32 → float64
+    widening is exact and num/den are float64, but numpy's blocked
+    matmul sums in a different order (pairwise/SIMD) than the SQL
+    left-fold, so a dot product landing within ~1 ulp of a 5e-7
+    rounding boundary could round differently — triage a future
+    oracle mismatch here before suspecting the bucketing."""
     import numpy as np
 
     if dim is None:

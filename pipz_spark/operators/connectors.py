@@ -444,6 +444,11 @@ def handle(
         b = bus if bus is not None else S.BUS
         if b.has_direct_listeners(S.HANDLE_ERROR_HANDLED):
             b.emit(S.HANDLE_ERROR_HANDLED, name=name, handled=failed.count())
+        elif b.has_listeners(S.HANDLE_ERROR_HANDLED):
+            # on_any-only audience: keep the lifecycle event VISIBLE
+            # (a generic audit logger must not silently miss it) while
+            # still refusing to buy the count() action for it
+            b.emit(S.HANDLE_ERROR_HANDLED, name=name, handled=None)
         return out
 
     step = Step(name, fn, node_type="handle", children=(child,))

@@ -357,6 +357,17 @@ def run_step_stream(
                     ok=ok.count(),
                     dead_letter=dead.count(),
                 )
+            elif bus.has_listeners(S.SEQUENCE_COMPLETED):
+                # on_any-only audience: the completion event stays
+                # visible, just without the count fields that would
+                # cost two extra actions per trigger
+                bus.emit(
+                    S.SEQUENCE_COMPLETED,
+                    name=query_name,
+                    batch_id=batch_id,
+                    ok=None,
+                    dead_letter=None,
+                )
         finally:
             # persist operational state whether the batch succeeded or
             # tripped — an OPEN transition recorded only on success

@@ -326,13 +326,16 @@ def test_handle_emits_error_handled(spark, orders):
 
 def test_handle_ignores_on_any_only_listeners(spark, orders):
     """A generic on_any logger must NOT opt handle into the extra
-    count() action; only naming the signal does (ADVICE r3)."""
+    count() action; only naming the signal does (ADVICE r3). Since r5
+    the on_any audience still SEES the lifecycle event — with the
+    count field absent (None), not a silently skipped emission
+    (ADVICE r4)."""
     from pipz_spark import P
     from pyspark.sql import functions as F
 
     bus = SignalBus()
     seen_any = []
-    bus.on_any(lambda sig, f: seen_any.append(sig))
+    bus.on_any(lambda sig, f: seen_any.append((sig, f.get("handled"))))
     pipe = P.handle(
         "guarded",
         P.apply("validate", error_when=F.col("o_totalprice") <= 0, message="bad"),
@@ -340,7 +343,7 @@ def test_handle_ignores_on_any_only_listeners(spark, orders):
         bus=bus,
     )
     pipe(orders).count()
-    assert S.HANDLE_ERROR_HANDLED not in seen_any
+    assert (S.HANDLE_ERROR_HANDLED, None) in seen_any  # visible, count-free
     # naming the signal opts in, on the SAME injected bus
     seen = []
     bus.on(S.HANDLE_ERROR_HANDLED, lambda sig, f: seen.append(f))
