@@ -200,11 +200,18 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
       the bucket's own row, one task, no join. The fast path for the
       overwhelmingly common small bucket.
     * >  ``max_bucket``: the bucket's ids re-explode and SELF-JOIN on
-      the bucket key, so a hot bucket's k² pairs spread across tasks
-      (AQE skew-split), instead of either one k²-struct row (OOM) or
-      — the previous behavior — being silently DROPPED. A viral
-      boilerplate cluster now costs what it costs, visibly, rather
-      than losing genuine near-dup pairs (r3 ADVICE: recall hole).
+      (bucket key, SALT): the right side salts each position by
+      ``_j mod ceil(k/max_bucket)`` and the left side replicates into
+      every salt, so one hot bucket's k² pairs land in ~k/max_bucket
+      shuffle partitions of ≤ k·max_bucket pairs each — a DETERMINISTIC
+      split, not a hope that AQE notices (it would not: skew-join
+      splits on shuffle INPUT bytes, and a hot bucket's input is k
+      skinny rows while its OUTPUT is k² — invisible to the
+      heuristic). Replication cost is k²/max_bucket extra skinny rows,
+      vanishing next to the pairs themselves. A viral boilerplate
+      cluster now costs what it costs, spread across tasks, rather
+      than losing genuine near-dup pairs (r3 ADVICE: recall hole) or
+      serializing k² in one task.
 
     The cap therefore selects the PLAN SHAPE, never the recall."""
     from . import _caches
@@ -254,10 +261,22 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
         # keys (bands / pigeonhole chunks), whatever the plan shape
         return small_pairs.distinct()
     big = grouped.where(F.size("ids") > max_bucket)
-    e_a = big.select(*keys, F.posexplode("ids").alias("_i", "id_a"))
-    e_b = big.select(*keys, F.posexplode("ids").alias("_j", "id_b"))
+    nsplit = F.ceil(F.size("ids") / F.lit(max_bucket)).cast("int")
+    # pair (i, j) joins exactly once: the j side carries salt j mod ns,
+    # the i side is replicated into every salt of its bucket
+    e_a = big.select(
+        *keys, nsplit.alias("_ns"), F.posexplode("ids").alias("_i", "id_a")
+    ).select(
+        *keys,
+        "_i",
+        "id_a",
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("_s"),
+    )
+    e_b = big.select(
+        *keys, nsplit.alias("_ns"), F.posexplode("ids").alias("_j", "id_b")
+    ).select(*keys, "_j", "id_b", (F.col("_j") % F.col("_ns")).alias("_s"))
     big_pairs = (
-        e_a.join(e_b, keys)
+        e_a.join(e_b, [*keys, "_s"])
         .where(F.col("_i") < F.col("_j"))
         .select("id_a", "id_b")
     )

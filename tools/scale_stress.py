@@ -133,6 +133,24 @@ def main() -> None:
         lambda: embedding_near_dup_pairs(e10, threshold=0.4, bits=3, tables=32).count())
     run(spark, "cosine_topk_lsh    ",
         lambda: cosine_topk_lsh(e10, e10.where(F.col("vec_id") < 100), k=5).count())
+
+    # ---- synthetic hot bucket (VERDICT r4 #6): a viral template
+    # cluster far above max_bucket forces the salted big-bucket
+    # branch; the evidence to watch is max_task_ms staying bounded
+    # (per-task pairs ≤ k·max_bucket by construction, never k²)
+    hot = spark.range(1500).select(
+        (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit("identical viral boilerplate template text repeated across "
+                  "the whole cluster with a tiny per-doc tail variant "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    hot_docs = d10.unionByName(hot)
+    run(spark, "minhash_hot_bucket ",
+        lambda: near_dup_pairs(hot_docs, threshold=0.7).count())
+    run(spark, "simhash_hot_bucket ",
+        lambda: simhash_near_dup_pairs(hot_docs, max_hamming=3).count())
     spark.stop()
 
 
