@@ -50,6 +50,48 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
 )
 
 
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize the events timestamp column to TIMESTAMP
+    (microseconds, session timezone — UTC per session.py).
+
+    The parquet physical type is TIMESTAMP(NANOS), which Spark has no
+    native type for, and what the reader yields has DRIFTED across
+    Spark versions: long nanos under ``nanosAsLong`` on older readers,
+    ``TIMESTAMP_NTZ`` (already truncated to micros) on Spark 4.1+.
+    Dispatch on the ACTUAL dtype instead of assuming one reader
+    behavior — the r5 breakage was exactly three sites each hardcoding
+    the old assumption:
+
+    - ``LongType``: raw nanoseconds. Integer-divide to micros —
+      float ``/1000`` on ~1.7e18 nanos loses the low bits (double has
+      a 53-bit mantissa) → ±1 µs drift.
+    - ``TimestampNTZType``: naive micros. Cast to TIMESTAMP — the
+      session timezone is pinned to UTC, so the cast is
+      value-preserving on the epoch.
+    - ``TimestampType``: already canonical.
+
+    The reference never faces this: its values are typed at compile
+    time (api.go:423-428). This normalizer is the Spark analog of
+    that compile-time guarantee — every reader of the events table
+    (batch catalog and file-source stream) funnels through it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(
+        f"events.{col}: unsupported reader dtype {dt}; expected long nanos, "
+        "TIMESTAMP_NTZ, or TIMESTAMP (new Spark reader drift? extend "
+        "normalize_events_ts)"
+    )
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     per_session = _PLAN_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
@@ -57,23 +99,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if cached is not None:
         return cached
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects
-        # outright unless nanosAsLong is on. The conf is runtime-settable,
-        # and callers (the correctness driver included) may hand us a
-        # session built without it — set it here, not only at build time.
+        # events.ts is TIMESTAMP(NANOS) in parquet, which old Spark
+        # readers reject outright unless nanosAsLong is on. The conf is
+        # runtime-settable, and callers (the correctness driver
+        # included) may hand us a session built without it — set it
+        # here, not only at build time. Spark 4.1+ ignores it and
+        # yields TIMESTAMP_NTZ; normalize_events_ts handles both.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as
-        # long (see session nanosAsLong) — normalize to a proper
-        # timestamp (micros) so downstream windows/watermarks work.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer division: float /1000 on ~1.7e18 nanos loses the
-            # low bits (double has 53-bit mantissa) → ±1 µs drift
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     per_session[key] = df
     return df
 

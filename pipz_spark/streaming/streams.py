@@ -22,20 +22,6 @@ from ..core.step import Step
 from ..control import signals as S
 from ..control.resilience import CircuitBreaker, RateLimiter
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
-# reads as long under nanosAsLong (see session.py).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -43,16 +29,28 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over events.parquet with source throttling
     (maxFilesPerTrigger — ingestion rate control lives at the SOURCE
-    in Spark, not per value). ts normalized to a real timestamp."""
+    in Spark, not per value). ts normalized to a real TIMESTAMP.
+
+    The file source needs an explicit schema, but what the parquet
+    reader yields for the TIMESTAMP(NANOS) physical type drifts
+    across Spark versions (long nanos vs TIMESTAMP_NTZ — the r5
+    breakage). So PROBE the batch reader for the actual schema
+    (footer-only, no data scan) instead of hardcoding one, then run
+    the shared normalizer — same canonicalization as the batch
+    catalog (sources/catalog.py:normalize_events_ts)."""
+    from ..sources.catalog import normalize_events_ts
+
+    # old readers reject TIMESTAMP(NANOS) without this; 4.1+ ignores it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # glob form: the file source requires a directory basePath, so
     # match the single file with a pattern (parent dir becomes base)
     df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(os.path.join(sf_dir, "events.[p]arquet"))
     )
-    # integer division — float /1000 of nanosecond epochs drifts ±1 µs
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 def windowed_agg(
