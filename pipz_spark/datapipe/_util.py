@@ -21,6 +21,43 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     whole input fits in fewer splits than there are cores).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _scan_splits_estimate(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _scan_splits_estimate(df: DataFrame) -> int:
+    """Plan-only estimate of how many input splits the scan under
+    ``df`` yields. ``df.rdd.getNumPartitions()`` answers this exactly
+    but forces a DataFrame→RDD lineage conversion per call; this uses
+    only catalog metadata: Spark packs file blocks into splits of
+    ``maxPartitionBytes``, charging ``openCostInBytes`` per file, so
+    splits ≈ ceil((total_size + n_files·open_cost) / max_split).
+    Overestimating skips a fan-out that might have helped;
+    underestimating adds a repartition that is cheap by definition
+    (the input fits in fewer splits than there are cores) — both safe.
+    """
+    try:
+        n_files = len(df.inputFiles())
+        jconf = df.sparkSession.conf
+        max_split = _bytes_conf(jconf, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        open_cost = _bytes_conf(jconf, "spark.sql.files.openCostInBytes", 4 << 20)
+        total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        # no file-based scan under this plan (in-memory relation,
+        # post-shuffle input, …) — fall back to the exact probe
+        return df.rdd.getNumPartitions()
+    if n_files == 0:
+        return df.rdd.getNumPartitions()
+    return max(1, -(-(total + n_files * open_cost) // max_split))
+
+
+def _bytes_conf(conf, key: str, default: int) -> int:
+    """Parse a Spark size conf ('134217728', '134217728b', '128m')."""
+    raw = str(conf.get(key, str(default))).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    mult = 1
+    while raw and raw[-1] in units:
+        mult *= units[raw[-1]]
+        raw = raw[:-1]
+    return int(raw) * mult if raw else default

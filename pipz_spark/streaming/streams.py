@@ -316,7 +316,17 @@ def run_step_stream(
                 limiter.restore(snap["limiter"])
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = step.apply(batch_df, ()).persist()
+        out = step.apply(batch_df, ())
+        # persist only when the batch has MULTIPLE consumers (ok +
+        # dead-letter sinks, or signal counts) — a single-sink stream
+        # consumes the plan exactly once, and persisting it would bill
+        # a storage-memory materialization to every trigger for
+        # nothing
+        multi_consumer = dead_letter_sink is not None or bus.has_listeners(
+            S.SEQUENCE_COMPLETED
+        )
+        if multi_consumer:
+            out = out.persist()
         try:
             ok = out.where(is_ok()).drop(ERROR_COL)
             dead = out.where(is_failed())
@@ -377,7 +387,8 @@ def run_step_stream(
                 if limiter is not None:
                     persisted["limiter"] = limiter.snapshot()
                 state_store.save(persisted)
-            out.unpersist()
+            if multi_consumer:
+                out.unpersist()
             # free step-internal caches (switch/filter/handle persist
             # per apply) now that this batch's sink actions are done —
             # otherwise a long-running stream accumulates cached blocks
