@@ -82,7 +82,22 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, T.TimestampNTZType):
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        # naive-as-UTC epoch via pure CALENDAR arithmetic on the wall
+        # time (unix_date + hour/minute/second are all TZ-free on
+        # NTZ), NOT a cast: cast(ntz as timestamp) interprets the wall
+        # in the SESSION zone, and callers (the correctness driver
+        # included) may hand us a session whose zone is not UTC —
+        # which would shift every epoch by the zone offset and, at
+        # DST boundaries, be ambiguous. This form yields the same
+        # epoch under any session timezone (verified UTC / New York /
+        # Tokyo).
+        epoch_us = (
+            F.unix_date(F.col(col).cast("date")).cast("long") * F.lit(86_400_000_000)
+            + F.hour(F.col(col)).cast("long") * F.lit(3_600_000_000)
+            + F.minute(F.col(col)).cast("long") * F.lit(60_000_000)
+            + (F.expr(f"extract(second from {col})") * 1_000_000).cast("long")
+        )
+        return df.withColumn(col, F.timestamp_micros(epoch_us))
     if isinstance(dt, T.TimestampType):
         return df
     raise TypeError(
