@@ -30,26 +30,39 @@ def _scan_splits_estimate(df: DataFrame) -> int:
     """Plan-only estimate of how many input splits the scan under
     ``df`` yields. ``df.rdd.getNumPartitions()`` answers this exactly
     but forces a DataFrame→RDD lineage conversion per call; this uses
-    only catalog metadata: Spark packs file blocks into splits of
-    ``maxPartitionBytes``, charging ``openCostInBytes`` per file, so
-    splits ≈ ceil((total_size + n_files·open_cost) / max_split).
-    Overestimating skips a fan-out that might have helped;
-    underestimating adds a repartition that is cheap by definition
-    (the input fits in fewer splits than there are cores) — both safe.
+    only catalog metadata, mirroring Spark's FilePartition packing:
+
+        padded        = total_size + n_files·open_cost
+        bytes_per_core = padded / default_parallelism
+        max_split     = min(maxPartitionBytes,
+                            max(openCostInBytes, bytes_per_core))
+        splits        ≈ ceil(padded / max_split)
+
+    The bytes_per_core clamp matters: it is what makes Spark split a
+    medium table across all cores even when it would fit in a couple
+    of maxPartitionBytes bins (omitting it underestimated a 32-file
+    corpus as 2 splits and made fan_out insert a useless shuffle —
+    caught by the 10× stress run). Estimate drift in either direction
+    stays safe: overestimating skips a fan-out that might have
+    helped; underestimating adds a repartition that is cheap by
+    definition (the input fits in fewer splits than there are cores).
     """
     try:
         n_files = len(df.inputFiles())
         jconf = df.sparkSession.conf
-        max_split = _bytes_conf(jconf, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        max_pb = _bytes_conf(jconf, "spark.sql.files.maxPartitionBytes", 128 << 20)
         open_cost = _bytes_conf(jconf, "spark.sql.files.openCostInBytes", 4 << 20)
         total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        cores = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
         # no file-based scan under this plan (in-memory relation,
         # post-shuffle input, …) — fall back to the exact probe
         return df.rdd.getNumPartitions()
     if n_files == 0:
         return df.rdd.getNumPartitions()
-    return max(1, -(-(total + n_files * open_cost) // max_split))
+    padded = total + n_files * open_cost
+    max_split = min(max_pb, max(open_cost, padded // max(cores, 1)))
+    return max(1, -(-padded // max(max_split, 1)))
 
 
 def _bytes_conf(conf, key: str, default: int) -> int:

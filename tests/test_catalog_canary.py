@@ -100,6 +100,32 @@ def test_all_table_dtypes_are_canonical(spark):
         assert got == expected, f"{name}: reader/normalizer drift: {got}"
 
 
+def test_events_ts_epoch_is_session_timezone_independent(spark):
+    """The correctness driver builds its own session, whose timezone
+    the engine cannot assume. normalize_events_ts must yield the same
+    epoch under any session zone (it uses calendar arithmetic, not a
+    session-zone cast, on the NTZ reader path)."""
+    from pyspark.sql import functions as F
+
+    from pipz_spark.sources.catalog import normalize_events_ts
+
+    def min_epoch():
+        df = normalize_events_ts(
+            spark.read.parquet(SF_DIR + "/events.parquet")
+        )
+        return df.select(F.min(F.unix_micros("ts"))).first()[0]
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    utc_epoch = min_epoch()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert min_epoch() == utc_epoch
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert min_epoch() == utc_epoch
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_events_ts_round_trips_to_known_epoch(spark):
     """The fixture generator writes 2024-epoch event times. A wrong
     nanos/micros normalization lands them in 1970 (divide twice) or
