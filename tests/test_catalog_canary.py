@@ -126,6 +126,33 @@ def test_events_ts_epoch_is_session_timezone_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_normalize_events_ts_long_nanos_branch(spark):
+    """Old Spark readers yield TIMESTAMP(NANOS) as long nanoseconds
+    (under nanosAsLong); the current reader yields TIMESTAMP_NTZ, so
+    this branch can only be exercised synthetically. Integer division
+    must land on the exact microsecond (float /1000 on an ~1.7e18
+    nanos epoch would drift ±1 µs: 53-bit mantissa)."""
+    from pyspark.sql import functions as F
+
+    from pipz_spark.sources.catalog import normalize_events_ts
+
+    nanos = 1704067798778549999  # .778549999s — truncates to 778549 µs
+    df = spark.createDataFrame([(nanos,)], "ts long")
+    out = normalize_events_ts(df)
+    assert out.schema["ts"].dataType.simpleString() == "timestamp"
+    assert out.select(F.unix_micros("ts")).first()[0] == 1704067798778549
+
+
+def test_normalize_events_ts_rejects_unknown_dtype(spark):
+    import pytest
+
+    from pipz_spark.sources.catalog import normalize_events_ts
+
+    df = spark.createDataFrame([("not-a-time",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported reader dtype"):
+        normalize_events_ts(df)
+
+
 def test_events_ts_round_trips_to_known_epoch(spark):
     """The fixture generator writes 2024-epoch event times. A wrong
     nanos/micros normalization lands them in 1970 (divide twice) or
