@@ -287,6 +287,7 @@ def run_step_stream(
     output_mode: str | None = None,
     bus: S.SignalBus = S.BUS,
     state_partitions: int | None = None,
+    no_data_batches: bool = True,
 ):
     """Apply a Step pipeline per micro-batch with dead-letter split,
     the sink action optionally wrapped by a CircuitBreaker and/or
@@ -402,28 +403,40 @@ def run_step_stream(
         writer = writer.outputMode(output_mode)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    if state_partitions is None:
+    if state_partitions is None and no_data_batches:
         return writer.start()
-    # the stream's state partition count is FIXED at first start from
-    # spark.sql.shuffle.partitions — size it to the stream's key
-    # cardinality (a handful of partitions for a finite replay rig;
-    # hundreds on a wide cluster), independent of the session's batch
-    # setting. Restored right after start: the value is captured into
-    # the checkpoint's offset log at query initialization (Spark
-    # clones the session conf synchronously inside start()).
+    # Session confs captured at query start (Spark clones the session
+    # conf synchronously inside start(), so restoring right after is
+    # safe):
+    # - spark.sql.shuffle.partitions FIXES the stream's state
+    #   partition count at first start — size it to the stream's key
+    #   cardinality (a handful for a finite replay rig; hundreds on a
+    #   wide cluster), independent of the session's batch setting.
+    # - noDataMicroBatches: a query whose emissions never depend on
+    #   watermark ADVANCEMENT (update-mode aggs, first-seen dedup,
+    #   inner stream-stream join) gains nothing from the zero-row
+    #   batch Spark schedules after the data runs dry (~0.8s of
+    #   state-store/commit overhead per query here); queries that DO
+    #   close state on the watermark (append-mode sessions, timeout
+    #   eviction) must keep it.
     # _START_LOCK serializes concurrent starts so two streams can't
-    # clobber each other's temporary value; a batch job planned from
-    # ANOTHER thread during this window could still observe it — if
+    # clobber each other's temporary values; a batch job planned from
+    # ANOTHER thread during this window could still observe them — if
     # that matters, start streams before launching concurrent batch
     # work.
     spark = stream.sparkSession
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
     with _START_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        prev_ndb = spark.conf.get(_NDB, "true")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        spark.conf.set(_NDB, str(no_data_batches).lower())
         try:
             return writer.start()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(_NDB, prev_ndb)
 
 
 # replay dirs are deterministic functions of their inputs, so a suite
@@ -608,6 +621,9 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="pipz-hourly-window",
         output_mode="update",
         state_partitions=4,
+        # update-mode emissions happen per data trigger; the
+        # replay-spanning watermark never closes anything
+        no_data_batches=False,
     )
     try:
         q.processAllAvailable()
@@ -766,6 +782,8 @@ def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="pipz-stream-join",
         output_mode="append",
         state_partitions=4,
+        # inner-join matches emit as they form, not on watermark close
+        no_data_batches=False,
     )
     try:
         q.processAllAvailable()
@@ -872,6 +890,8 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="pipz-stream-dedup",
         output_mode="append",
         state_partitions=4,
+        # dropDuplicates emits first-seen rows immediately
+        no_data_batches=False,
     )
     try:
         q.processAllAvailable()
