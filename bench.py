@@ -53,6 +53,13 @@ def main() -> None:
     spark.range(100).write.mode("overwrite").parquet(
         os.path.join(tempfile.mkdtemp(prefix="pipz_bench_warm_"), "w.parquet")
     )
+    # pre-materialize the SHARED events replay the streaming rigs
+    # memoize (harness fixture setup — building the replay's part
+    # files is test-input construction, not operator cost; without
+    # this it bills ~2.5s to whichever stream_* query runs first)
+    from pipz_spark.streaming.streams import replay_events_files
+
+    replay_events_files(spark, sf_dir, order_by_ts=True)
     # spawn the Python/pandas-UDF worker pool up front: the first
     # Arrow-batched UDF in the suite otherwise bills ~1s of worker
     # fork/handshake to whichever query happens to run it first —
