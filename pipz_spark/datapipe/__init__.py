@@ -15,6 +15,8 @@ multimodal decode stubs (Arrow-batched mapInPandas).
 
 from ._caches import release_caches
 from .dedup import (
+    connected_components,
+    dedup_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,
@@ -74,6 +76,8 @@ __all__ = [
     "lm_quality_scores",
     "lsh_candidate_pairs",
     "minhash_signature",
+    "connected_components",
+    "dedup_clusters",
     "near_dup_pairs",
     "ngram_jaccard",
     "quality_score",

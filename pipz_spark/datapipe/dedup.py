@@ -604,6 +604,99 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for the undirected pair graph; component =
+    the minimum node id reachable from each node.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors — one shuffle
+    (edge⨝label join + min-aggregate) per round over skinny
+    (long, long) rows; converges in O(component diameter) rounds.
+    Near-dup components are dense template clusters whose diameter is
+    1-2 (LSH puts every member of a template in shared buckets), so
+    round count stays in single digits at any corpus size — the
+    100 TB consideration is per-round shuffle VOLUME (two longs per
+    edge), not round count. Each round ``localCheckpoint``s the label
+    frame: an iterative plan otherwise nests one join per round and
+    re-executes the whole history every action. Convergence is
+    detected by the label-sum invariant — labels only ever decrease,
+    so an unchanged sum means a fixpoint (one cheap aggregate per
+    round, no full-frame comparison join).
+
+    For adversarial long-chain graphs, alternating large-star/
+    small-star contraction converges in O(log n) rounds; near-dup
+    graphs never need it, and ``max_iter`` bounds the worst case.
+    """
+    from . import _caches
+
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # symmetrize; every round reads this frame, so pin it (skinny rows)
+    edges = _caches.track(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("_cand"))
+        )
+        labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_cand", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with canonical-keeper selection — the
+    step an actual training-data pipeline runs after pair generation:
+    pairs only say "a duplicates b"; keeping one doc per duplicate
+    GROUP requires the transitive closure (a~b, b~c ⇒ drop two of
+    {a,b,c}, not one of each pair).
+
+    Returns (id_col, cluster_id, is_keeper) for EVERY input doc:
+    cluster_id = min doc id in the doc's connected component of the
+    pair graph (docs with no near-dup are their own singleton
+    cluster), is_keeper = the deterministic survivor choice
+    (min-id). Filter ``is_keeper`` to materialize the deduped corpus.
+    """
+    if pairs is None:
+        pairs = near_dup_pairs(df, threshold=threshold, id_col=id_col, text_col=text_col)
+    comp = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 __all__ = [
     "exact_dedup",
     "char_shingles",
@@ -614,4 +707,6 @@ __all__ = [
     "near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
+    "connected_components",
+    "dedup_clusters",
 ]

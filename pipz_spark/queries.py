@@ -1208,6 +1208,47 @@ WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
 """
 
 
+# Near-dup CLUSTERS: connected components of the verified pair graph
+# + canonical-keeper selection — the transitive-closure step a real
+# training pipeline needs after pair generation (a~b, b~c ⇒ keep ONE
+# of {a,b,c}). Spark side: iterative min-label propagation (skinny
+# shuffles, localCheckpoint per round); oracle: DuckDB recursive-CTE
+# transitive closure over the same exact-Jaccard pair set.
+def _dp_dedup_clusters(spark, sf):
+    from .datapipe import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf, "documents"), threshold=0.7)
+
+
+_DP_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text)-4, 1)+1)]) AS sh
+  FROM documents
+),
+sz AS (SELECT doc_id, sh, len(sh) AS n FROM s),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+lab AS (SELECT u AS node, least(u, min(v)) AS label FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(l.label, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(l.label, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+"""
+
+
 def _dp_simhash_pairs(spark, sf):
     # hamming <= 3 on a 64-bit simhash is the classic near-dup cut
     # (4 pigeonhole blocks); larger radii need proportionally more
@@ -1350,13 +1391,13 @@ QUERIES: dict[str, Declared] = {
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
     "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
     "e2e_training_pipeline": Declared(_e2e_training_pipeline, _E2E_SQL),
-    "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
     "dp_lm_quality": Declared(_dp_lm_quality, _DP_LM_QUALITY_SQL),
     "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
     "dp_dataset_profile": Declared(_dp_profile, _DP_PROFILE_SQL),
     "json_parse_props": Declared(_json_parse, _JSON_PARSE_SQL),
     "udf_python_apply": Declared(_udf_apply, _UDF_APPLY_SQL),
     "dp_near_dup_minhash": Declared(_dp_near_dup, _DP_NEAR_DUP_SQL),
+    "dp_dedup_clusters": Declared(_dp_dedup_clusters, _DP_DEDUP_CLUSTERS_SQL),
     "dp_simhash_pairs": Declared(_dp_simhash_pairs, _DP_SIMHASH_SQL),
     # Redundant-coverage tail (r4/r5 lesson: the driver's correctness
     # run truncates at 50 rows, and "identical oracle SQL" is NOT the
@@ -1369,10 +1410,13 @@ QUERIES: dict[str, Declared] = {
     # above (and the dead-letter split itself has a top-50 row via
     # c11_handle_dead_letter); dp_deterministic_sample is the same
     # content-hash bucketing as dp_deterministic_split at a different
-    # threshold.
+    # threshold; dp_regex_tokens is the same pure-JVM-expression
+    # projection machinery as dp_token_count/dp_text_stats/dp_lang_id
+    # with a different regex.
     "p2_apply_dead_letter": Declared(_p2_dead, _P2_DEAD_SQL),
     "c5_race_dead_letter": Declared(_c5_dead, _C5_DEAD_SQL),
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
+    "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
 }
 
 

@@ -444,3 +444,31 @@ def test_bucket_pairs_small_only_skips_big_branch(spark):
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert pairs.count() == 3 * 6  # 3 buckets x C(4,2), exhaustive
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (diameter 4: forces multi-round propagation),
+    # triangle 10-11-12, isolated pair 20-21
+    from pipz_spark.datapipe import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keeper_and_singletons(spark):
+    from pipz_spark.datapipe import dedup_clusters
+
+    docs = spark.createDataFrame([(i, "t") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(docs, pairs=pairs).collect()
+    }
+    # {0,3,5} one cluster kept by 0; 1,2,4 singletons keep themselves
+    assert rows == {0: (0, True), 3: (0, False), 5: (0, False),
+                    1: (1, True), 2: (2, True), 4: (4, True)}
