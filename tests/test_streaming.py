@@ -311,3 +311,81 @@ def test_limiter_snapshot_restore_no_downtime_refill():
 
     with pytest.raises(RateLimitExceeded):
         lim2.acquire()
+
+
+def test_stateful_agg_state_survives_query_restart(spark, events):
+    """100 TB restart-safety claim, exercised end to end: a windowed
+    aggregation's STATE-STORE contents must survive a driver restart
+    from checkpoint — data arriving after the restart merges into
+    windows whose earlier rows were counted by the previous
+    incarnation, and the landed output equals the batch answer with
+    no loss and no double count."""
+    import glob
+    import os
+    import shutil
+
+    from pipz_spark.sources.sinks import append_log_sink, read_latest
+    from pipz_spark.streaming.streams import (
+        _NORMALIZED_EVENTS,
+        replay_events_files,
+        run_step_stream,
+        windowed_agg,
+    )
+
+    replay = replay_events_files(spark, SF_DIR, order_by_ts=True)
+    parts = sorted(glob.glob(os.path.join(replay, "part-*")))
+    assert len(parts) >= 2
+    stage = tempfile.mkdtemp(prefix="pipz_restart_stage_")
+    ckpt = tempfile.mkdtemp(prefix="pipz_restart_ckpt_")
+    land = tempfile.mkdtemp(prefix="pipz_restart_land_")
+    log = append_log_sink(land, keys=["win_start", "event_type"])
+
+    def run_incarnation():
+        stream = (
+            spark.readStream.schema(_NORMALIZED_EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        agg = windowed_agg(
+            stream,
+            {"n": F.count(F.lit(1))},
+            window="1 hour",
+            keys=["event_type"],
+            watermark="31 days",
+        )
+
+        def ok_sink(df, batch_id):
+            log(df.select("win_start", "event_type", "n"), batch_id)
+
+        q = run_step_stream(
+            agg,
+            P.transform("noop", {}),
+            ok_sink,
+            checkpoint=ckpt,
+            query_name="pipz-restart-test",
+            output_mode="update",
+            state_partitions=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # incarnation 1 sees only the first half of the data
+    shutil.copy(parts[0], os.path.join(stage, os.path.basename(parts[0])))
+    run_incarnation()
+    # driver "restarts"; the rest of the data arrives
+    shutil.copy(parts[1], os.path.join(stage, os.path.basename(parts[1])))
+    run_incarnation()
+
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in read_latest(spark, land, keys=["win_start", "event_type"]).collect()
+    }
+    batch = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == batch
