@@ -1228,14 +1228,18 @@ WITH RECURSIVE s AS (
   FROM documents
 ),
 sz AS (SELECT doc_id, sh, len(sh) AS n FROM s),
-p AS (
+-- MATERIALIZED: without the hint DuckDB inlines these CTEs into the
+-- recursive step and re-evaluates the all-pairs Jaccard every
+-- iteration (measured 44s -> 14s at sf0.01)
+p AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sz a JOIN sz b ON a.doc_id < b.doc_id
   WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
     AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
 ),
-e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
 reach(u, v) AS (
   SELECT u, v FROM e
   UNION
