@@ -271,7 +271,86 @@ def except_with(name: str, other: DataFrame) -> Step:
     return Step(name, fn, node_type="except")
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Seq[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Seq[str] | None = None,
+    prefix: str = "asof_",
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: attach to each left row the payload of the LATEST
+    right row with the same keys and ``right_ts <= left_ts``
+    (``strict=True`` for ``<``); left rows with no prior right row
+    keep NULL payload. The canonical time-series lookup Spark has no
+    native operator for (the brief's example of a custom operator).
+
+    NOT a join at all: both sides union into one frame and a single
+    window pass per key carries the latest right payload forward
+    (``last(..., ignorenulls)`` over rows-unbounded-preceding) — ONE
+    shuffle on the keys, linear state, no range-join candidate
+    explosion (a range join on ts proximity generates O(|L|·|R|)
+    candidates per key before filtering; this is O(|L|+|R|) always).
+    Tie handling is by sort order within equal timestamps: the right
+    row sorts BEFORE the left row for non-strict (so an exactly
+    simultaneous right row is visible), AFTER it for strict.
+
+    100 TB posture: the window partitions by the join keys, so state
+    per task is one key-group's rows — the same bound as any windowed
+    analytic; a pathologically hot key wants a coarse time-bucket
+    pre-split, same mitigation as any skewed window.
+    """
+    keys = list(keys)
+    payload = list(
+        payload
+        if payload is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+    left_only = [c for c in left.columns if c not in keys and c != left_ts]
+    # common unioned shape: keys, _ts, _side, left columns (NULL on
+    # right rows), prefixed payload (NULL on left rows)
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1 if not strict else 0).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_only],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in payload],
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0 if not strict else 1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_only],
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_side.unionByName(r_side).select(
+        *keys,
+        "_ts",
+        "_side",
+        *[f"_l_{c}" for c in left_only],
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+    )
+    left_marker = 1 if not strict else 0
+    return filled.where(F.col("_side") == left_marker).select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"_l_{c}").alias(c) for c in left_only],
+        *[f"{prefix}{c}" for c in payload],
+    )
+
+
 __all__ = [
+    "as_of_join",
     "coalesce_rows",
     "group_agg",
     "persist_step",

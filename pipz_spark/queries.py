@@ -613,6 +613,39 @@ INTERSECT
 SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 """
 
+
+# As-of join (the brief's canonical example of an operator Spark
+# lacks): each purchase joined to the user's latest prior-or-equal
+# click. The engine compiles it to a union + single window pass (ONE
+# shuffle, no Join operator, no range-join candidate explosion —
+# operators/relational.py:as_of_join); the oracle is DuckDB's NATIVE
+# ASOF LEFT JOIN, i.e. two independent formulations of the semantics.
+def _rel_asof(spark, sf):
+    from .operators.relational import as_of_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = as_of_join(purchases, clicks, keys=["user_id"], payload=["value"], prefix="click_")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "click_value",
+    )
+
+
+_REL_ASOF_SQL = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+       r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 # --------------------------------------------------------------------
 # Streaming-shape batch equivalent: tumbling-window agg over events
 def _events_window(spark, sf):
@@ -1370,7 +1403,7 @@ QUERIES: dict[str, Declared] = {
     "rel_sort_limit": Declared(_rel_sort_limit, _REL_SORT_LIMIT_SQL),
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
-    "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
+    "rel_asof_join": Declared(_rel_asof, _REL_ASOF_SQL),
     "events_sessions": Declared(_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_hourly_window": Declared(_stream_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_dedup": Declared(_stream_events_dedup, _STREAM_DEDUP_SQL),
@@ -1416,11 +1449,14 @@ QUERIES: dict[str, Declared] = {
     # content-hash bucketing as dp_deterministic_split at a different
     # threshold; dp_regex_tokens is the same pure-JVM-expression
     # projection machinery as dp_token_count/dp_text_stats/dp_lang_id
-    # with a different regex.
+    # with a different regex; events_hourly_window compiles to the
+    # same expression-key hash aggregate as rel_group_agg and its
+    # exact oracle SQL is green via stream_events_hourly_window.
     "p2_apply_dead_letter": Declared(_p2_dead, _P2_DEAD_SQL),
     "c5_race_dead_letter": Declared(_c5_dead, _C5_DEAD_SQL),
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
+    "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
 }
 
 

@@ -85,3 +85,43 @@ def test_bucketed_join_no_exchange(spark, orders, lineitem):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_as_of_join_backward_and_strict(spark):
+    from pipz_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (2, 30, 300.0)], "k long, ts long, v double"
+    )
+    got = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in as_of_join(left, right, keys=["k"], payload=["v"]).collect()
+    }
+    # non-strict: equal-ts right row (1,20) is visible to left (1,20);
+    # (2,15) has no prior right -> NULL
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (2, 15): None}
+
+    strict = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in as_of_join(left, right, keys=["k"], payload=["v"], strict=True).collect()
+    }
+    # strict: (1,20) must NOT see the simultaneous right row
+    assert strict == {(1, 10): 100.0, (1, 20): 100.0, (2, 15): None}
+
+
+def test_as_of_join_single_shuffle_no_join(spark):
+    # the point of the union-window formulation: ONE exchange on the
+    # keys and no Join operator anywhere in the plan
+    from pipz_spark.operators.relational import as_of_join
+
+    left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS x")
+    right = spark.range(50).selectExpr("id % 5 AS k", "id * 2 AS ts", "id AS v")
+    plan = (
+        as_of_join(left, right, keys=["k"], payload=["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
