@@ -520,6 +520,40 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# Time-hierarchy rollup (the "hypertable rollup" / continuous-
+# aggregate shape): hour ⊂ day ⊂ month materialized in ONE Expand +
+# hash-aggregate pass instead of three scans — at 100 TB the scan is
+# the cost, and rollup reads it once for every granularity.
+def _events_time_rollup(spark, sf):
+    step = P.group_agg(
+        "time-rollup",
+        [
+            F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+        ],
+        {
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        },
+        mode="rollup",
+    )
+    return split_ok(step(_t(spark, sf, "events")))
+
+
+_EVENTS_TIME_ROLLUP_SQL = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (strftime(date_trunc('month', ts), '%Y-%m'),
+                 strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H'))
+"""
+
+
 # --------------------------------------------------------------------
 # Relational: grouped top-k (window) + global sort/limit
 def _rel_topk(spark, sf):
@@ -1457,6 +1491,9 @@ QUERIES: dict[str, Declared] = {
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
     "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
+    # time-hierarchy rollup: same Expand + hash-agg machinery as
+    # rel_rollup, over the time dimension
+    "events_time_rollup": Declared(_events_time_rollup, _EVENTS_TIME_ROLLUP_SQL),
 }
 
 
