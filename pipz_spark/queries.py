@@ -1136,6 +1136,25 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)) A
 """
 
 
+# Stratified dataset mixing: keep 10% of English, 100% of every other
+# language — the per-source/per-language quota step of corpus
+# assembly, content-hash-stable like the other sampling ops.
+def _dp_stratified(spark, sf):
+    from .datapipe import stratified_sample
+
+    step = stratified_sample(
+        "lang-mix", "doc_id", ["lang"], {"en": 0.1}, default_fraction=1.0
+    )
+    return split_ok(step(_t(spark, sf, "documents"))).select("doc_id", "lang")
+
+
+_DP_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)) AS BIGINT) % 10000
+      < CASE WHEN lang = 'en' THEN 1000 ELSE 10000 END
+"""
+
+
 def _dp_profile(spark, sf):
     from .datapipe import dataset_profile
 
@@ -1494,6 +1513,9 @@ QUERIES: dict[str, Declared] = {
     # time-hierarchy rollup: same Expand + hash-agg machinery as
     # rel_rollup, over the time dimension
     "events_time_rollup": Declared(_events_time_rollup, _EVENTS_TIME_ROLLUP_SQL),
+    # per-stratum quota sampling: same content-hash bucket machinery
+    # as dp_deterministic_sample, keyed by a CASE over the stratum
+    "dp_stratified_sample": Declared(_dp_stratified, _DP_STRATIFIED_SQL),
 }
 
 
