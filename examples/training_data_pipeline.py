@@ -1,8 +1,10 @@
 """End-to-end training-data pipeline over the documents corpus.
 
 Runnable demo of the engine as a product: quality scoring → gating →
-language ID → exact + near-dup dedup → deterministic train/val/test
-split → sharded parquet output with a dead-letter queue.
+language ID → exact dedup → near-dup CLUSTER dedup (connected
+components + canonical keeper) → stratified language mix →
+deterministic train/val/test split → sharded parquet output with a
+dead-letter queue.
 
     PYTHONPATH=/root/repo python examples/training_data_pipeline.py [sf_dir]
 
@@ -24,7 +26,6 @@ from pipz_spark.datapipe import (
     deterministic_split,
     exact_dedup,
     lang_id,
-    near_dup_pairs,
     quality_score,
     token_count,
 )
@@ -67,8 +68,25 @@ def main() -> None:
         kept = spark.read.parquet(f"{tmp}/corpus")
         print("split sizes:", {r["split"]: r["n"] for r in
                                kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()})
-        dups = near_dup_pairs(split_ok(out), threshold=0.7)
-        print(f"near-dup pairs remaining post-exact-dedup: {dups.count()}")
+        # pair generation is only half of near-dup dedup: the
+        # transitive closure groups a~b~c into ONE cluster and keeps
+        # exactly one canonical doc per group
+        from pipz_spark.datapipe import dedup_clusters, stratified_sample
+
+        kept_docs = split_ok(out)
+        clusters = dedup_clusters(kept_docs, threshold=0.7)
+        n_clustered = clusters.where(~F.col("is_keeper")).count()
+        print(f"near-dup docs dropped by cluster keeper: {n_clustered}")
+        survivors = kept_docs.join(
+            clusters.where("is_keeper").select("doc_id"), "doc_id", "left_semi"
+        )
+        # per-language quota: downsample the dominant language, keep
+        # the rest whole (content-hash-stable across runs/clusters)
+        mix = stratified_sample("lang-mix", "doc_id", ["lang"], {"en": 0.5},
+                                default_fraction=1.0)
+        mixed = split_ok(mix(survivors))
+        print("language mix after quota:", {r["lang"]: r["n"] for r in
+              mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()})
     print("plan:")
     print(prep.root.render())
     spark.stop()
