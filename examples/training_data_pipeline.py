@@ -1,10 +1,13 @@
 """End-to-end training-data pipeline over the documents corpus.
 
-Runnable demo of the engine as a product: quality scoring → gating →
+Runnable demo of the engine as a product, in the order a real corpus
+assembly requires: quality scoring → gating (dead-letter queue) →
 language ID → exact dedup → near-dup CLUSTER dedup (connected
-components + canonical keeper) → stratified language mix →
-deterministic train/val/test split → sharded parquet output with a
-dead-letter queue.
+components + canonical keeper) → stratified language quota →
+deterministic train/val/test split → sharded parquet output. Cluster
+dedup runs BEFORE the split on purpose: splitting first would leave
+near-duplicate documents straddling train and test — exactly the
+leakage dedup exists to prevent.
 
     PYTHONPATH=/root/repo python examples/training_data_pipeline.py [sf_dir]
 
@@ -20,17 +23,19 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from pipz_spark import P, get_session, split_ok
+from pipz_spark import P, get_session, split_failed, split_ok
 from pipz_spark.control import Pipeline, observed_effect, collect_observation
 from pipz_spark.datapipe import (
+    dedup_clusters,
     deterministic_split,
     exact_dedup,
     lang_id,
     quality_score,
+    stratified_sample,
     token_count,
 )
 from pipz_spark.sources.catalog import load_table
-from pipz_spark.sources.sinks import write_split
+from pipz_spark.sources.sinks import write_parquet, write_split
 
 
 def main() -> None:
@@ -41,6 +46,7 @@ def main() -> None:
     audit, obs = observed_effect(
         "audit", {"rows_in": F.count(F.lit(1)), "chars_in": F.sum("n_chars")}
     )
+    # phase 1 — row-wise prep: the only stages that can dead-letter
     prep = Pipeline(
         "corpus-prep",
         P.sequence(
@@ -55,38 +61,49 @@ def main() -> None:
             ),
             lang_id(),
             exact_dedup(),
-            deterministic_split("tvt", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
         ),
     )
     out = prep.run(spark, docs)
 
     with tempfile.TemporaryDirectory() as tmp:
-        counts = write_split(out, f"{tmp}/corpus", f"{tmp}/dead_letter")
+        # land phase-1 survivors + dead letters ONCE; everything
+        # downstream reads the parquet instead of re-executing the
+        # prep lineage per action
+        counts = write_split(out, f"{tmp}/prepped", f"{tmp}/dead_letter")
         metrics = collect_observation(obs, name="audit")
         print(f"ingested:  {metrics['rows_in']} docs, {metrics['chars_in']} chars")
         print(f"kept:      {counts['ok']}  dead-lettered: {counts['dead_letter']}")
-        kept = spark.read.parquet(f"{tmp}/corpus")
-        print("split sizes:", {r["split"]: r["n"] for r in
-                               kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()})
-        # pair generation is only half of near-dup dedup: the
-        # transitive closure groups a~b~c into ONE cluster and keeps
-        # exactly one canonical doc per group
-        from pipz_spark.datapipe import dedup_clusters, stratified_sample
+        kept = spark.read.parquet(f"{tmp}/prepped")
 
-        kept_docs = split_ok(out)
-        clusters = dedup_clusters(kept_docs, threshold=0.7)
-        n_clustered = clusters.where(~F.col("is_keeper")).count()
-        print(f"near-dup docs dropped by cluster keeper: {n_clustered}")
-        survivors = kept_docs.join(
+        # phase 2 — corpus shaping: near-dup CLUSTER dedup (pairs
+        # only say "a duplicates b"; the transitive closure keeps ONE
+        # doc per duplicate group), then the per-language quota, then
+        # the leak-proof split
+        clusters = dedup_clusters(kept, threshold=0.7)
+        print(
+            "near-dup docs dropped by cluster keeper:",
+            clusters.where(~F.col("is_keeper")).count(),
+        )
+        survivors = kept.join(
             clusters.where("is_keeper").select("doc_id"), "doc_id", "left_semi"
         )
-        # per-language quota: downsample the dominant language, keep
-        # the rest whole (content-hash-stable across runs/clusters)
-        mix = stratified_sample("lang-mix", "doc_id", ["lang"], {"en": 0.5},
-                                default_fraction=1.0)
-        mixed = split_ok(mix(survivors))
+        assemble = P.sequence(
+            "assemble",
+            stratified_sample(
+                "lang-mix", "doc_id", ["lang"], {"en": 0.5}, default_fraction=1.0
+            ),
+            deterministic_split("tvt", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+        final = split_ok(assemble(survivors))
+        write_parquet(final, f"{tmp}/corpus", partition_by=["split"])
+
+        corpus = spark.read.parquet(f"{tmp}/corpus")
+        print("split sizes:", {r["split"]: r["n"] for r in
+                               corpus.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()})
         print("language mix after quota:", {r["lang"]: r["n"] for r in
-              mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()})
+              corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()})
+        print("dead-letter sample:", split_failed(out).select("doc_id").limit(3).count(), "of",
+              counts["dead_letter"])
     print("plan:")
     print(prep.root.render())
     spark.stop()
