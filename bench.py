@@ -92,8 +92,9 @@ def main() -> None:
             release_caches()
 
     for name, decl in QUERIES.items():
+        runs: list[float] = []
         try:
-            runs = [one_run(decl)]
+            runs.append(one_run(decl))
             if not name.startswith("stream_"):
                 # min-of-repeats for batch queries; the extra-run
                 # budget stays bounded (≤2 extra, the second only when
@@ -103,15 +104,18 @@ def main() -> None:
                     runs.append(one_run(decl))
                 if runs[0] < 2.0:
                     runs.append(one_run(decl))
+        except Exception as e:  # pragma: no cover
+            # a failure must not poison the JSON line (NaN is invalid
+            # JSON) — but a transient failure on a REPEAT must not
+            # discard a valid first measurement either
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+        if runs:
             best = min(runs)
             timings[name] = round(best, 3)
             timings_max[name] = round(max(runs), 3)
             run_counts[name] = len(runs)
             total += best
-        except Exception as e:  # pragma: no cover
-            # a failed query must not poison the JSON line (NaN is
-            # invalid JSON) nor the suite total — record null
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+        else:
             timings[name] = None
             timings_max[name] = None
             run_counts[name] = 0

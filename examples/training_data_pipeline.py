@@ -23,7 +23,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from pipz_spark import P, get_session, split_failed, split_ok
+from pipz_spark import P, get_session, split_ok
 from pipz_spark.control import Pipeline, observed_effect, collect_observation
 from pipz_spark.datapipe import (
     dedup_clusters,
@@ -102,8 +102,11 @@ def main() -> None:
                                corpus.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()})
         print("language mix after quota:", {r["lang"]: r["n"] for r in
               corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()})
-        print("dead-letter sample:", split_failed(out).select("doc_id").limit(3).count(), "of",
-              counts["dead_letter"])
+        # the dead letters were already landed — read them back rather
+        # than re-executing the prep lineage for a sample
+        dead = spark.read.parquet(f"{tmp}/dead_letter")
+        print("dead-letter sample:", [r["doc_id"] for r in dead.select("doc_id").limit(3).collect()],
+              "of", counts["dead_letter"])
     print("plan:")
     print(prep.root.render())
     spark.stop()

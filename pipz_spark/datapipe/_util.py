@@ -48,15 +48,34 @@ def _scan_splits_estimate(df: DataFrame) -> int:
     definition (the input fits in fewer splits than there are cores).
     """
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
+        n_files = len(files)
         jconf = df.sparkSession.conf
         max_pb = _bytes_conf(jconf, "spark.sql.files.maxPartitionBytes", 128 << 20)
         open_cost = _bytes_conf(jconf, "spark.sql.files.openCostInBytes", 4 << 20)
-        total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # ACTUAL file bytes, not plan stats: the optimized plan's
+        # sizeInBytes is scaled down by projections/filters (a
+        # two-column read of a wide table reports a fraction of the
+        # file size), which underestimates splits and would insert a
+        # shuffle on inputs that already have enough partitions. Only
+        # local paths are stat-able from the driver; remote
+        # filesystems fall through to the exact probe.
+        import os as _os
+
+        total = 0
+        for f in files:
+            p = f[5:] if f.startswith("file:") else f
+            while p.startswith("//"):
+                p = p[1:]
+            if p.startswith("/"):
+                total += _os.path.getsize(p)
+            else:
+                raise ValueError("non-local input; use exact probe")
         cores = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
         # no file-based scan under this plan (in-memory relation,
-        # post-shuffle input, …) — fall back to the exact probe
+        # post-shuffle input, remote storage, …) — fall back to the
+        # exact probe
         return df.rdd.getNumPartitions()
     if n_files == 0:
         return df.rdd.getNumPartitions()

@@ -643,6 +643,7 @@ def connected_components(
         edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    converged = False
     for _ in range(max_iter):
         msgs = (
             edges.join(labels.withColumnRenamed("node", "u"), "u")
@@ -659,8 +660,21 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning a non-fixpoint would split true clusters
+        # into several, and dedup_clusters would then keep multiple
+        # "canonical" docs per duplicate group — the exact leakage the
+        # operator exists to prevent. Fail loudly; the caller can
+        # raise max_iter (rounds needed = max component min-label
+        # eccentricity, pathological only for long duplicate CHAINS).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the pair graph contains a component with a longer "
+            "propagation chain — raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -310,20 +310,30 @@ def as_of_join(
     )
     left_only = [c for c in left.columns if c not in keys and c != left_ts]
     # common unioned shape: keys, _ts, _side, left columns (NULL on
-    # right rows), prefixed payload (NULL on left rows)
+    # right rows), and the payload packed into ONE struct — the
+    # carry-forward must be per-ROW, not per-column: last(col,
+    # ignorenulls) on bare columns would resurrect an older non-NULL
+    # value past a newer right row whose payload field is NULL, and
+    # could mix fields from different right rows. The struct is
+    # non-NULL for every right row (even all-NULL payload fields), so
+    # last(struct, ignorenulls) atomically selects the latest row.
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload) + ">"
+    )
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1 if not strict else 0).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in left_only],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in payload],
+        null_struct.alias("_p"),
     )
     r_side = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0 if not strict else 1).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_only],
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        payload_struct.alias("_p"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -335,17 +345,14 @@ def as_of_join(
         "_ts",
         "_side",
         *[f"_l_{c}" for c in left_only],
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        F.last(F.col("_p"), ignorenulls=True).over(w).alias("_p"),
     )
     left_marker = 1 if not strict else 0
     return filled.where(F.col("_side") == left_marker).select(
         *keys,
         F.col("_ts").alias(left_ts),
         *[F.col(f"_l_{c}").alias(c) for c in left_only],
-        *[f"{prefix}{c}" for c in payload],
+        *[F.col("_p")[c].alias(f"{prefix}{c}") for c in payload],
     )
 
 

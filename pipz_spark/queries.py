@@ -524,6 +524,17 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 # aggregate shape): hour ⊂ day ⊂ month materialized in ONE Expand +
 # hash-aggregate pass instead of three scans — at 100 TB the scan is
 # the cost, and rollup reads it once for every granularity.
+#
+# NOTE on wall-clock rendering: date_trunc/date_format on the
+# canonical TIMESTAMP ts render in the SESSION zone. Every query that
+# formats wall times (this one, events_hourly_window, the stream-rig
+# 'hour' strings) assumes a UTC-rendering session to match the
+# oracle's naive timestamps — unlike the EPOCH path (unix_micros),
+# which normalize_events_ts makes session-zone-independent. The
+# engine's own sessions pin UTC (session.py); a non-UTC analysis
+# session is a deliberate user choice that shifts bucket boundaries
+# with their zone, which is the semantics a timezone-aware analyst
+# wants anyway.
 def _events_time_rollup(spark, sf):
     step = P.group_agg(
         "time-rollup",

@@ -322,8 +322,10 @@ def run_step_stream(
         # dead-letter sinks, or signal counts) — a single-sink stream
         # consumes the plan exactly once, and persisting it would bill
         # a storage-memory materialization to every trigger for
-        # nothing
-        multi_consumer = dead_letter_sink is not None or bus.has_listeners(
+        # nothing. DIRECT listeners only: an on_any-only audience gets
+        # the count-free emission (DIVERGENCES #11), which consumes
+        # nothing, so it must not trigger the persist either.
+        multi_consumer = dead_letter_sink is not None or bus.has_direct_listeners(
             S.SEQUENCE_COMPLETED
         )
         if multi_consumer:

@@ -16,7 +16,7 @@ import pytest
 
 from pipz_spark.queries import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR
 
 
 def _plan(spark, name: str) -> str:

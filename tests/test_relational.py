@@ -125,3 +125,19 @@ def test_as_of_join_single_shuffle_no_join(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_as_of_join_null_payload_row_wins(spark):
+    # ASOF semantics attach the latest prior ROW — a NULL payload on
+    # that row must come through as NULL, never resurrect an older
+    # non-NULL value, and multi-column payloads must never mix fields
+    # from different right rows
+    from pipz_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "old"), (1, 8, None, "new")],
+        "k long, ts long, v double, tag string",
+    )
+    row = as_of_join(left, right, keys=["k"], payload=["v", "tag"]).first()
+    assert row["asof_v"] is None and row["asof_tag"] == "new"
