@@ -472,3 +472,21 @@ def test_dedup_clusters_keeper_and_singletons(spark):
     # {0,3,5} one cluster kept by 0; 1,2,4 singletons keep themselves
     assert rows == {0: (0, True), 3: (0, False), 5: (0, False),
                     1: (1, True), 2: (2, True), 4: (4, True)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # a chain longer than max_iter propagation rounds must FAIL, not
+    # silently return a split cluster (multiple "keepers" per true
+    # duplicate group = train/test leakage)
+    import pytest as _pytest
+
+    from pipz_spark.datapipe import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain resolves to one component
+    got = connected_components(chain, max_iter=10).collect()
+    assert {r["component"] for r in got} == {0}
