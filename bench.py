@@ -96,12 +96,12 @@ def main() -> None:
         try:
             runs.append(one_run(decl))
             if not name.startswith("stream_"):
-                # min-of-repeats for batch queries; the extra-run
-                # budget stays bounded (≤2 extra, the second only when
-                # cheap) so the harness wall doesn't outgrow the
-                # single-shot r5 suite
-                if runs[0] < 10.0:
-                    runs.append(one_run(decl))
+                # min-of-repeats for EVERY batch query — gating the
+                # repeat on the cold first-run time would exempt
+                # exactly the heavyweight queries whose cold noise
+                # the min exists to remove; a second extra run only
+                # when cheap keeps the harness wall bounded
+                runs.append(one_run(decl))
                 if runs[0] < 2.0:
                     runs.append(one_run(decl))
         except Exception as e:  # pragma: no cover

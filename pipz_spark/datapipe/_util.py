@@ -48,6 +48,18 @@ def _scan_splits_estimate(df: DataFrame) -> int:
     definition (the input fits in fewer splits than there are cores).
     """
     try:
+        # the file-based estimate is only valid when the plan's
+        # partitioning still IS the scan's: any repartition / join /
+        # aggregate / sort / window above the scan changes the
+        # partition count, and estimating from file bytes would
+        # second-guess it (e.g. override a caller's explicit
+        # repartition(64) with a second shuffle)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(
+            tok in plan
+            for tok in ("Repartition", "Join", "Aggregate", "Sort", "Window", "Exchange")
+        ):
+            return df.rdd.getNumPartitions()
         files = df.inputFiles()
         n_files = len(files)
         jconf = df.sparkSession.conf

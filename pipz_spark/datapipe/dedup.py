@@ -692,21 +692,32 @@ def dedup_clusters(
     {a,b,c}, not one of each pair).
 
     Returns (id_col, cluster_id, is_keeper) for EVERY input doc:
-    cluster_id = min doc id in the doc's connected component of the
-    pair graph (docs with no near-dup are their own singleton
-    cluster), is_keeper = the deterministic survivor choice
-    (min-id). Filter ``is_keeper`` to materialize the deduped corpus.
+    cluster_id = the minimum doc id PRESENT IN ``df`` within the
+    doc's connected component of the pair graph (docs with no
+    near-dup are their own singleton cluster), is_keeper = the
+    deterministic survivor choice (min present id). Filter
+    ``is_keeper`` to materialize the deduped corpus.
+
+    The representative is recomputed over ``df``'s own ids rather
+    than taken from the component label: caller-supplied ``pairs``
+    may reference ids that were filtered out of ``df``, and electing
+    an absent id as keeper would silently drop the entire duplicate
+    group (every present member non-keeper) — the exact data loss
+    the operator exists to prevent. Every cluster with at least one
+    present member keeps exactly one.
     """
     if pairs is None:
         pairs = near_dup_pairs(df, threshold=threshold, id_col=id_col, text_col=text_col)
     comp = connected_components(pairs)
-    return (
+    labeled = (
         df.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
-        )
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("_comp"))
+    )
+    rep = labeled.groupBy("_comp").agg(F.min(id_col).alias("cluster_id"))
+    return (
+        labeled.join(rep, "_comp")
+        .select(id_col, "cluster_id")
         .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
     )
 

@@ -308,6 +308,15 @@ def as_of_join(
         if payload is not None
         else [c for c in right.columns if c not in keys and c != right_ts]
     )
+    # join semantics, enforced before the union: a NULL key never
+    # matches join equality, and a NULL timestamp is never "as of"
+    # anything — without this filter the window formulation would
+    # group NULL keys together (partitionBy matches NULLs) and sort
+    # NULL ts first (infinitely early), both attaching payload a real
+    # ASOF join returns NULL for
+    right = right.where(F.col(right_ts).isNotNull())
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     left_only = [c for c in left.columns if c not in keys and c != left_ts]
     # common unioned shape: keys, _ts, _side, left columns (NULL on
     # right rows), and the payload packed into ONE struct — the
@@ -335,9 +344,13 @@ def as_of_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_only],
         payload_struct.alias("_p"),
     )
+    # _p as the final sort key: multiple right rows sharing (keys, ts)
+    # would otherwise resolve by partition-sort nondeterminism;
+    # ordering by the packed payload makes the pick deterministic
+    # (greatest payload struct wins) run-to-run and cluster-to-cluster
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_side.unionByName(r_side).select(

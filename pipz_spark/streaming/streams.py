@@ -294,8 +294,14 @@ def run_step_stream(
     RateLimiter (the reference's operational connectors in their
     streaming home, SURVEY §1.5). Returns the StreamingQuery.
 
-    The batch is persisted so the ok/dead-letter writes share one
-    computation; breaker-open or limiter-drop raises inside
+    The batch is persisted ONLY when it has multiple consumers (a
+    dead-letter sink, or direct SEQUENCE_COMPLETED subscribers whose
+    counts cost extra actions); with a single sink the plan is
+    consumed once and persisting would bill a storage materialization
+    to every trigger for nothing. Consequently ``ok_sink`` is assumed
+    to run ONE action over the frame — a sink that runs several
+    (count + write, multi-format landing) should persist/unpersist
+    inside itself. Breaker-open or limiter-drop raises inside
     foreachBatch → the micro-batch fails and Spark retries/stops per
     its policy, which is exactly the fail-fast contract.
 

@@ -490,3 +490,17 @@ def test_connected_components_raises_when_unconverged(spark):
     # and with enough rounds the same chain resolves to one component
     got = connected_components(chain, max_iter=10).collect()
     assert {r["component"] for r in got} == {0}
+
+
+def test_dedup_clusters_keeper_present_when_min_id_filtered_out(spark):
+    # pairs may reference ids absent from df (caller filtered the
+    # corpus after pair generation): the keeper must be the min
+    # PRESENT id, never an absent one (which would drop the whole
+    # group on is_keeper filtering)
+    from pipz_spark.datapipe import dedup_clusters
+
+    docs = spark.createDataFrame([(3, "t"), (5, "t")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in dedup_clusters(docs, pairs=pairs).collect()}
+    assert rows == {3: (3, True), 5: (3, False)}

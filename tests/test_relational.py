@@ -141,3 +141,17 @@ def test_as_of_join_null_payload_row_wins(spark):
     )
     row = as_of_join(left, right, keys=["k"], payload=["v", "tag"]).first()
     assert row["asof_v"] is None and row["asof_tag"] == "new"
+
+
+def test_as_of_join_null_keys_and_null_ts_never_match(spark):
+    # join equality never matches NULL keys; a NULL right_ts is never
+    # "as of" anything — both must yield NULL payload like the
+    # DuckDB ASOF oracle, not a window artifact
+    from pipz_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame([(None, 10), (1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(None, 5, 7.0), (1, None, 99.0)], "k long, ts long, v double"
+    )
+    got = {r["k"]: r["asof_v"] for r in as_of_join(left, right, keys=["k"], payload=["v"]).collect()}
+    assert got == {None: None, 1: None}
