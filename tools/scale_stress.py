@@ -127,6 +127,13 @@ def main() -> None:
         lambda: near_dup_pairs(d10, threshold=0.7).count())
     run(spark, "simhash_near_dup   ",
         lambda: simhash_near_dup_pairs(d10, max_hamming=3).count())
+    # transitive closure over the 10× pair graph (250k+ edges, dense
+    # template components): rounds = component min-label eccentricity,
+    # each round one skinny (long,long) shuffle — watch max_task_ms
+    from pipz_spark.datapipe import dedup_clusters
+
+    run(spark, "dedup_clusters     ",
+        lambda: dedup_clusters(d10, threshold=0.7).where("NOT is_keeper").count())
     run(spark, "embed_near_dup 0.9 ",
         lambda: embedding_near_dup_pairs(e10, threshold=0.9).count())
     run(spark, "embed_near_dup 0.4 ",
