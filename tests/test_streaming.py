@@ -389,3 +389,64 @@ def test_stateful_agg_state_survives_query_restart(spark, events):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == batch
+
+
+def test_session_window_state_merges_across_restart(spark):
+    """The hardest state path: a session whose events STRADDLE a
+    driver restart must merge into ONE window. Incarnation 1 builds a
+    session in the state store; incarnation 2 (same checkpoint)
+    receives an event within the gap of that session's end and must
+    extend it — a lost state store would instead open a second
+    session and emit two windows. Append mode: a far-future closer
+    event advances the watermark past the merged session's end so it
+    emits exactly once."""
+    import datetime
+
+    from pipz_spark.streaming.streams import run_step_stream, session_window_agg
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(stage, offsets_s):
+        rows = [(1, t0 + datetime.timedelta(seconds=s), 1.0) for s in offsets_s]
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+            .coalesce(1).write.mode("append").parquet(stage)
+
+    stage = tempfile.mkdtemp(prefix="pipz_sess_restart_stage_")
+    ckpt = tempfile.mkdtemp(prefix="pipz_sess_restart_ckpt_")
+    land = tempfile.mkdtemp(prefix="pipz_sess_restart_land_")
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_incarnation():
+        stream = spark.readStream.schema(schema).parquet(stage)
+        agg = session_window_agg(
+            stream, {"n": F.count(F.lit(1))}, gap="5 minutes",
+            keys=["user_id"], watermark="5 minutes",
+        )
+
+        def ok_sink(df, batch_id):
+            df.select("user_id", "win_start", "win_end", "n").write.mode(
+                "append"
+            ).parquet(land)
+
+        q = run_step_stream(
+            agg, P.transform("noop", {}), ok_sink, checkpoint=ckpt,
+            query_name="pipz-sess-restart", output_mode="append",
+            state_partitions=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_file(stage, [0, 60])
+    run_incarnation()
+    # restart: an in-gap event that must MERGE, plus a far-future
+    # closer that pushes the watermark past the merged session's end
+    write_file(stage, [120, 3600])
+    run_incarnation()
+
+    rows = spark.read.parquet(land).collect()
+    got = {(r["user_id"], r["win_start"]): (r["n"], r["win_end"]) for r in rows}
+    # exactly ONE closed session: [t0, t0+120s+gap), n=3 — a lost
+    # state store would emit two windows ([0,360) n=2, [120,420) n=1)
+    assert got == {(1, t0): (3, t0 + datetime.timedelta(seconds=120 + 300))}
