@@ -5,8 +5,8 @@ Each query is forced through the no-op sink (full evaluation of every
 output column — .count() would let Catalyst prune the computation).
 
 Single-shot timings proved untrustworthy (r5 burned judge time on ±5s
-phantom regressions the builder's own runs didn't show), so short
-queries are REPEATED and the reported time is the min across runs —
+phantom regressions the builder's own runs didn't show), so every
+batch query is REPEATED and the reported time is the min across runs —
 the steady-state cost of the plan, which is what scales to 100 TB;
 cold-start JVM/codegen noise belongs to the harness, not the
 operator. ``queries`` carries the min, ``queries_max`` the max, and

@@ -2,7 +2,27 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical operators that change (or deliberately set) the frame's
+# partitioning. Matched at LINE START after the plan tree-prefix
+# characters only — a column named SortKey or a string literal
+# containing "Join" appears mid-line inside an expression list and
+# must not trip the guard.
+_PARTITIONING_NODES = re.compile(
+    r"(?m)^[\s:+\-|]*'?(Repartition|RebalancePartitions|Join|Aggregate|Sort|Window|Exchange)\b"
+)
+
+
+def _plan_sets_partitioning(df: DataFrame) -> bool:
+    """True when the optimized plan contains a node that changes the
+    scan's partitioning — a shuffle, or an explicit caller
+    repartition/coalesce. In both cases the partition layout is a
+    DECISION (Spark's or the caller's), not a scan accident."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return bool(_PARTITIONING_NODES.search(plan))
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -14,12 +34,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (measured: the whole sf0.1 minhash signature pass ran on 1 of 32
     cores, 60% of the query's wall time).
 
-    Only fans out when the scan provides fewer splits than the
+    Only fans out when the SCAN provides fewer splits than the
     session's parallelism; at real scale the input already has
     thousands of splits and this is a no-op, so the round-robin
     shuffle only ever happens when it is by definition cheap (the
-    whole input fits in fewer splits than there are cores).
+    whole input fits in fewer splits than there are cores). A frame
+    whose plan already sets its own partitioning — an upstream
+    shuffle, or a caller's explicit repartition/coalesce — passes
+    through untouched: second-guessing a chosen layout with another
+    shuffle is never this helper's call.
     """
+    if _plan_sets_partitioning(df):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if _scan_splits_estimate(df) >= target:
         return df
@@ -46,20 +72,12 @@ def _scan_splits_estimate(df: DataFrame) -> int:
     stays safe: overestimating skips a fan-out that might have
     helped; underestimating adds a repartition that is cheap by
     definition (the input fits in fewer splits than there are cores).
+
+    Only valid for plans whose partitioning is the scan's (callers
+    gate on ``_plan_sets_partitioning`` first); anything without a
+    local file scan falls back to the exact probe.
     """
     try:
-        # the file-based estimate is only valid when the plan's
-        # partitioning still IS the scan's: any repartition / join /
-        # aggregate / sort / window above the scan changes the
-        # partition count, and estimating from file bytes would
-        # second-guess it (e.g. override a caller's explicit
-        # repartition(64) with a second shuffle)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if any(
-            tok in plan
-            for tok in ("Repartition", "Join", "Aggregate", "Sort", "Window", "Exchange")
-        ):
-            return df.rdd.getNumPartitions()
         files = df.inputFiles()
         n_files = len(files)
         jconf = df.sparkSession.conf
@@ -86,8 +104,7 @@ def _scan_splits_estimate(df: DataFrame) -> int:
         cores = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
         # no file-based scan under this plan (in-memory relation,
-        # post-shuffle input, remote storage, …) — fall back to the
-        # exact probe
+        # remote storage, …) — fall back to the exact probe
         return df.rdd.getNumPartitions()
     if n_files == 0:
         return df.rdd.getNumPartitions()

@@ -706,13 +706,20 @@ def dedup_clusters(
     the operator exists to prevent. Every cluster with at least one
     present member keeps exactly one.
     """
+    from . import _caches
+
     if pairs is None:
         pairs = near_dup_pairs(df, threshold=threshold, id_col=id_col, text_col=text_col)
     comp = connected_components(pairs)
-    labeled = (
+    # pinned: both the representative aggregate and the final join
+    # read this corpus-wide join — without the persist the second
+    # consumer re-executes it per action (rep is broadcast-small, so
+    # no reusable exchange exists on the labeled side)
+    labeled = _caches.track(
         df.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(id_col, F.coalesce("component", F.col(id_col)).alias("_comp"))
+        .persist()
     )
     rep = labeled.groupBy("_comp").agg(F.min(id_col).alias("cluster_id"))
     return (

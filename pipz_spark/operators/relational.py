@@ -347,10 +347,25 @@ def as_of_join(
     # _p as the final sort key: multiple right rows sharing (keys, ts)
     # would otherwise resolve by partition-sort nondeterminism;
     # ordering by the packed payload makes the pick deterministic
-    # (greatest payload struct wins) run-to-run and cluster-to-cluster
+    # (greatest payload struct wins) run-to-run and cluster-to-cluster.
+    # Only when the payload is ORDERABLE — a map-typed column cannot
+    # appear in a sort order, and an unorderable payload keeps the
+    # (documented) nondeterministic tie rather than failing analysis.
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak = ["_p"] if all(_orderable(right.schema[c].dataType) for c in payload) else []
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side", "_p")
+        .orderBy("_ts", "_side", *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_side.unionByName(r_side).select(

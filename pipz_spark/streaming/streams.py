@@ -331,9 +331,12 @@ def run_step_stream(
         # nothing. DIRECT listeners only: an on_any-only audience gets
         # the count-free emission (DIVERGENCES #11), which consumes
         # nothing, so it must not trigger the persist either.
-        multi_consumer = dead_letter_sink is not None or bus.has_direct_listeners(
-            S.SEQUENCE_COMPLETED
-        )
+        # evaluated ONCE per batch and reused by the emission gate
+        # below: a listener registered mid-batch must not flip the
+        # count emission on after the persist decision already said no
+        # (the counts would re-execute the whole pipeline twice)
+        direct_counts = bus.has_direct_listeners(S.SEQUENCE_COMPLETED)
+        multi_consumer = dead_letter_sink is not None or direct_counts
         if multi_consumer:
             out = out.persist()
         try:
@@ -365,8 +368,9 @@ def run_step_stream(
             # extra actions on the persisted batch, so they run only
             # for subscribers that NAME the signal — a generic on_any
             # logger must not add count() jobs to every trigger
-            # (DIVERGENCES #11, same gate as handle)
-            if bus.has_direct_listeners(S.SEQUENCE_COMPLETED):
+            # (DIVERGENCES #11, same gate as handle). Reuses the
+            # batch-start snapshot so the decision matches the persist.
+            if direct_counts:
                 bus.emit(
                     S.SEQUENCE_COMPLETED,
                     name=query_name,

@@ -416,16 +416,23 @@ def test_lm_scores_keep_short_docs(spark, documents):
     assert r["n_bigrams"] == 0 and r["lm_logp"] is None
 
 
-def test_fan_out_rebalances_only_when_under_partitioned(spark):
-    # a one-split scan must spread across the cluster before a
-    # CPU-bound stage; an already-wide input must pass through
-    # untouched (at scale the scan provides thousands of splits and
-    # fan_out must be a no-op)
+def test_fan_out_rebalances_only_when_under_partitioned(spark, tmp_path):
+    # a one-split SCAN must spread across the cluster before a
+    # CPU-bound stage; a frame whose plan already sets its own
+    # partitioning (caller repartition/coalesce, upstream shuffle)
+    # must pass through untouched — second-guessing a chosen layout
+    # with another shuffle is never fan_out's call
     from pipz_spark.datapipe._util import fan_out
 
     par = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
+    # real single-file scan (the case fan_out exists for)
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    narrow = spark.read.parquet(str(tmp_path / "one"))
+    assert narrow.rdd.getNumPartitions() == 1
     assert fan_out(narrow).rdd.getNumPartitions() == par
+    # explicitly partitioned frames are respected, even below target
+    chosen = spark.range(1000).coalesce(1)
+    assert fan_out(chosen) is chosen
     wide = spark.range(1000).repartition(par + 4)
     out = fan_out(wide)
     assert out.rdd.getNumPartitions() == par + 4

@@ -155,3 +155,18 @@ def test_as_of_join_null_keys_and_null_ts_never_match(spark):
     )
     got = {r["k"]: r["asof_v"] for r in as_of_join(left, right, keys=["k"], payload=["v"]).collect()}
     assert got == {None: None, 1: None}
+
+
+def test_as_of_join_map_payload_is_supported(spark):
+    # map columns cannot appear in a sort order; the deterministic
+    # tiebreak must degrade gracefully instead of failing analysis
+    from pyspark.sql import functions as F2
+
+    from pipz_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5,)], "k long, ts long").select(
+        "k", "ts", F2.create_map(F2.lit("a"), F2.lit("b")).alias("attrs")
+    )
+    row = as_of_join(left, right, keys=["k"], payload=["attrs"]).first()
+    assert row["asof_attrs"] == {"a": "b"}

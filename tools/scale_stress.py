@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pipz_spark.datapipe import (
     cosine_topk_lsh,
+    dedup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
     near_dup_pairs,
@@ -130,8 +131,6 @@ def main() -> None:
     # transitive closure over the 10× pair graph (250k+ edges, dense
     # template components): rounds = component min-label eccentricity,
     # each round one skinny (long,long) shuffle — watch max_task_ms
-    from pipz_spark.datapipe import dedup_clusters
-
     run(spark, "dedup_clusters     ",
         lambda: dedup_clusters(d10, threshold=0.7).where("NOT is_keeper").count())
     run(spark, "embed_near_dup 0.9 ",
