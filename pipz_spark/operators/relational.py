@@ -384,8 +384,80 @@ def as_of_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    bin_width_us: int,
+    keys: Seq[str] = (),
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Interval (range) join: each left row whose ``point`` timestamp
+    falls inside a right row's ``[start, end)`` interval (``[start,
+    end]`` with ``end_inclusive=True``), optionally also matching on
+    equi ``keys``. The second canonical time operator Spark lacks
+    natively (alongside as_of_join).
+
+    Why not ``left.join(right, point_between_cond)``: a pure
+    inequality join gives Catalyst no equi-key, so the physical plan
+    is BroadcastNestedLoopJoin — O(|L|·|R|) comparisons and a
+    broadcast of a possibly huge side; at 100 TB that plan never
+    finishes. BINNING restores an equi-key: quantize time into
+    ``bin_width_us``-microsecond bins, replicate each interval onto
+    every bin it overlaps (``sequence()`` + ``explode`` — interval
+    rows grow by ceil(len/bin), a bounded, chosen factor), map each
+    point to its single bin, then SortMergeJoin on (keys…, bin) and
+    re-check the exact predicate. Each (point, interval) pair meets
+    in exactly one bin — the point's — so no post-join dedup is
+    needed. Shuffle is on the bin key: time-uniform data spreads
+    evenly; a hot bin is visible to AQE skew-join because the skew
+    exists in the JOINED rows (input-side), unlike pair-expansion
+    skew (dedup.py:200-218) which AQE cannot see.
+
+    Pick ``bin_width_us`` ≈ the typical interval length: too small
+    replicates intervals many times, too large packs many points and
+    intervals into one bin (candidate blowup toward the O(L·R) it
+    exists to avoid).
+
+    The reference has no interval semantics at all (values are
+    scalar, api.go:423-428); this is a native-engine capability in
+    the SURVEY §2.4 family.
+    """
+    keys = list(keys)
+
+    # FLOOR division, not cast-truncation: cast("long") truncates
+    # toward zero, which mis-bins pre-epoch (negative-micros)
+    # timestamps. Micros magnitudes (~1.7e15 for 2024) sit well under
+    # double's exact-integer range (2^53), so the double divide is
+    # exact enough for floor to land the right bin.
+    def _bin(c: str) -> Column:
+        return F.floor(F.unix_micros(F.col(c)) / F.lit(bin_width_us)).cast("long")
+
+    lbin = _bin(point)
+    rbin_start = _bin(start)
+    rbin_end = _bin(end)
+    l = left.withColumn("_bin", lbin)
+    # degenerate intervals (end < start) can match nothing, but
+    # sequence() would still replicate them (with an implicit -1
+    # step); drop them before the explode. NULL bounds also exit
+    # here, matching join-predicate NULL semantics.
+    r = (
+        right.where(F.col(start) <= F.col(end))
+        .withColumn("_bin", F.explode(F.sequence(rbin_start, rbin_end)))
+    )
+    exact = F.col(point) >= F.col(start)
+    exact = exact & (
+        (F.col(point) <= F.col(end)) if end_inclusive else (F.col(point) < F.col(end))
+    )
+    joined = l.join(r, on=[*keys, "_bin"], how="inner").where(exact)
+    return joined.drop("_bin")
+
+
 __all__ = [
     "as_of_join",
+    "range_join",
     "coalesce_rows",
     "group_agg",
     "persist_step",

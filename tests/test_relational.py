@@ -170,3 +170,108 @@ def test_as_of_join_map_payload_is_supported(spark):
     )
     row = as_of_join(left, right, keys=["k"], payload=["attrs"]).first()
     assert row["asof_attrs"] == {"a": "b"}
+
+
+# ---------------------------------------------------------------- range_join
+def _mk_range_frames(spark):
+    from pyspark.sql import functions as F2
+
+    # points at varied offsets; intervals shorter than, equal to, and
+    # spanning multiple 10-second bins; one degenerate (end < start),
+    # one NULL-bounded
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 5, 9, 10, 15, 29, 30, 61, 95, 119, 120, 200])],
+        "pid long, sec long",
+    ).select("pid", F2.timestamp_seconds("sec").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            (100, 0, 10),      # one bin, half-open: excludes sec=10
+            (101, 5, 35),      # spans 4 bins
+            (102, 30, 30),     # empty half-open interval
+            (103, 90, 121),    # spans bins, includes 95/119/120
+            (104, 50, 40),     # degenerate, must match nothing
+            (105, None, 60),   # NULL start, must match nothing
+        ],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F2.timestamp_seconds("s").alias("start"),
+        F2.timestamp_seconds("e").alias("end"),
+    )
+    return pts, iv
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    from pipz_spark.operators.relational import range_join
+
+    pts, iv = _mk_range_frames(spark)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "ts", "start", "end", bin_width_us=10_000_000).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (pts.ts >= iv.start) & (pts.ts < iv.end), "inner"
+        ).collect()
+    }
+    assert got == naive
+    assert (0, 100) in got and (9, 103) in got
+    assert all(iid != 104 and iid != 105 for _, iid in got)
+    # half-open: point at sec=10 sits exactly at interval 100's end
+    assert (3, 100) not in got
+
+
+def test_range_join_end_inclusive_and_keys(spark):
+    from pyspark.sql import functions as F2
+
+    from pipz_spark.operators.relational import range_join
+
+    pts, iv = _mk_range_frames(spark)
+    incl = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, iv, "ts", "start", "end", bin_width_us=10_000_000, end_inclusive=True
+        ).collect()
+    }
+    assert (3, 100) in incl and (10, 103) in incl  # end point now included
+    # equi-keys: split both sides into two groups; cross-group pairs vanish
+    pts_k = pts.withColumn("g", (F2.col("pid") % 2).cast("long"))
+    iv_k = iv.withColumn("g", (F2.col("iid") % 2).cast("long"))
+    keyed = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts_k, iv_k, "ts", "start", "end", bin_width_us=10_000_000, keys=["g"]
+        ).collect()
+    }
+    naive_keyed = {
+        (r["pid"], r["iid"])
+        for r in pts_k.alias("l")
+        .join(
+            iv_k.alias("r"),
+            (F2.col("l.g") == F2.col("r.g"))
+            & (F2.col("l.ts") >= F2.col("r.start"))
+            & (F2.col("l.ts") < F2.col("r.end")),
+            "inner",
+        )
+        .select(F2.col("l.pid"), F2.col("r.iid"))
+        .collect()
+    }
+    assert keyed == naive_keyed and keyed < incl
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    # the whole point of the binning: an equi-join (SortMergeJoin /
+    # ShuffledHashJoin / BroadcastHashJoin), never the O(L*R)
+    # BroadcastNestedLoopJoin a raw inequality join compiles to
+    from pipz_spark.operators.relational import range_join
+
+    pts, iv = _mk_range_frames(spark)
+    plan = (
+        range_join(pts, iv, "ts", "start", "end", bin_width_us=10_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
