@@ -691,6 +691,103 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+
+# Range (interval) join — the second canonical time operator Spark
+# lacks natively. Incident intervals = [first, last] error timestamp
+# within any hour having >= 5 errors; every event falling inside an
+# incident is attributed to it. The engine compiles this to a BINNED
+# equi-join (operators/relational.py:range_join — 15-minute bins,
+# interval replicated per overlapped bin, SortMergeJoin on the bin,
+# exact predicate re-checked; never BroadcastNestedLoopJoin); the
+# oracle is DuckDB's native inequality join (IEJoin) — two
+# independent physical strategies for the same semantics.
+def _rel_range_join(spark, sf):
+    from .operators.relational import range_join
+
+    ev = _t(spark, sf, "events")
+    iv = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_err"),
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+        )
+        .where(F.col("n_err") >= 5)
+        .select("hour", "start", "end")
+    )
+    j = range_join(ev, iv, "ts", "start", "end", bin_width_us=900_000_000, end_inclusive=True)
+    return j.groupBy(F.date_format("hour", "yyyy-MM-dd HH:mm").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+_REL_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT date_trunc('hour', ts) AS hour, min(ts) AS s, max(ts) AS e
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT strftime(iv.hour, '%Y-%m-%d %H:%M') AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ev.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts <= iv.e
+GROUP BY 1
+"""
+
+
+# Exact percentiles per group. Engine-path motive: Spark's
+# `percentile` is a TypedImperativeAggregate, so the physical plan is
+# ObjectHashAggregate — a different aggregation machine from the
+# codegen HashAggregate every other agg query exercises. Hash-match
+# discipline: percentiles interpolate (a + d*(b-a)) in doubles, and
+# the two engines may factor that expression differently in the last
+# bit — so both sides aggregate CENTS (exact integers; round() before
+# the cast because 2-decimal dollars are binary-inexact), where the
+# interpolation fractions (.25/.5/.75) are exactly representable and
+# the results are exact quarter-cents in both engines.
+def _rel_percentile(spark, sf):
+    o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = o.select("o_orderpriority", cents.alias("cents")).groupBy("o_orderpriority")
+    return g.agg(
+        F.expr("percentile(cents, 0.25)").alias("p25_cents"),
+        F.expr("percentile(cents, 0.5)").alias("p50_cents"),
+        F.expr("percentile(cents, 0.9)").alias("p90_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_REL_PERCENTILE_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)  AS p50_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)  AS p90_cents,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# The salted skew-buster join under the driver's exact-equality gate:
+# the salt spreads each key over `salt` tasks (for the monster-key
+# case AQE's quantile-based splitter misses), and the oracle — a
+# plain equi-join — proves salting changes the SCHEDULE, never the
+# result. rand(seed) only routes rows; it cannot appear in output.
+def _rel_salted_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    step = P.salted_join("salted-cust", c.select("o_custkey", "c_name", "c_mktsegment"),
+                         on=["o_custkey"], salt=8)
+    return split_ok(step(o)).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+_REL_SALTED_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
 # --------------------------------------------------------------------
 # Streaming-shape batch equivalent: tumbling-window agg over events
 def _events_window(spark, sf):
@@ -725,6 +822,27 @@ def _stream_events_window(spark, sf):
     from .streaming.streams import stream_events_hourly
 
     return stream_events_hourly(spark, sf)
+
+
+# Stream-static join, STREAMING-EXECUTED: the fact stream enriched
+# per micro-batch against a broadcast customer dimension, then
+# day-windowed per market segment (streaming/streams.py:
+# stream_static_join). The join itself is stateless (only the window
+# agg holds state); oracle = the plain batch join + group-by.
+def _stream_static_join(spark, sf):
+    from .streaming.streams import stream_static_join
+
+    return stream_static_join(spark, sf)
+
+
+_STREAM_STATIC_JOIN_SQL = """
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
 
 
 # Session windows (30-min gap per user) — batch shape via the same
@@ -1468,16 +1586,17 @@ QUERIES: dict[str, Declared] = {
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
     "rel_asof_join": Declared(_rel_asof, _REL_ASOF_SQL),
+    "rel_range_join": Declared(_rel_range_join, _REL_RANGE_JOIN_SQL),
+    "rel_percentile": Declared(_rel_percentile, _REL_PERCENTILE_SQL),
+    "rel_salted_join": Declared(_rel_salted_join, _REL_SALTED_JOIN_SQL),
     "events_sessions": Declared(_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_hourly_window": Declared(_stream_events_window, _EVENTS_WINDOW_SQL),
     "stream_events_dedup": Declared(_stream_events_dedup, _STREAM_DEDUP_SQL),
     "stream_events_sessions": Declared(_stream_events_sessions, _EVENTS_SESSIONS_SQL),
     "stream_events_join": Declared(_stream_events_join, _STREAM_JOIN_SQL),
     "stream_running_totals": Declared(_stream_running_totals, _STREAM_TOTALS_SQL),
-    "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
+    "stream_static_join": Declared(_stream_static_join, _STREAM_STATIC_JOIN_SQL),
     "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
-    "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),
-    "dp_lang_id": Declared(_dp_lang_id, _DP_LANG_ID_SQL),
     "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
     "dp_exact_dedup": Declared(_dp_exact_dedup, _DP_EXACT_DEDUP_SQL),
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
@@ -1490,7 +1609,6 @@ QUERIES: dict[str, Declared] = {
     "dp_ann_ivf": Declared(_dp_ann_ivf, _DP_COSINE_TOPK_SQL),
     "dp_embed_near_dup": Declared(_dp_embed_near_dup, _DP_EMBED_NEAR_DUP_SQL),
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
-    "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
     "e2e_training_pipeline": Declared(_e2e_training_pipeline, _E2E_SQL),
     "dp_lm_quality": Declared(_dp_lm_quality, _DP_LM_QUALITY_SQL),
     "dp_deterministic_split": Declared(_dp_split, _DP_SPLIT_SQL),
@@ -1515,8 +1633,19 @@ QUERIES: dict[str, Declared] = {
     # projection machinery as dp_token_count/dp_text_stats/dp_lang_id
     # with a different regex; events_hourly_window compiles to the
     # same expression-key hash aggregate as rel_group_agg and its
-    # exact oracle SQL is green via stream_events_hourly_window.
+    # exact oracle SQL is green via stream_events_hourly_window;
+    # dp_token_count/dp_quality_score/dp_lang_id are the same
+    # pure-JVM-expression Project machinery as dp_text_stats (the
+    # widest projection of the family, kept top-50 as its
+    # representative) with different expressions; dp_frame_sample is
+    # the binary-column projection dp_blob_meta covers plus the
+    # sequence+explode expansion dp_near_dup_minhash's band explode
+    # covers.
     "p2_apply_dead_letter": Declared(_p2_dead, _P2_DEAD_SQL),
+    "dp_token_count": Declared(_dp_token_count, _DP_TOKEN_COUNT_SQL),
+    "dp_quality_score": Declared(_dp_quality, _DP_QUALITY_SQL),
+    "dp_lang_id": Declared(_dp_lang_id, _DP_LANG_ID_SQL),
+    "dp_frame_sample": Declared(_dp_frame_sample, _DP_FRAME_SAMPLE_SQL),
     "c5_race_dead_letter": Declared(_c5_dead, _C5_DEAD_SQL),
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),

@@ -644,6 +644,84 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_latest(spark, land, keys=["hour", "event_type"])
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED stream-static enrichment — the most common
+    production streaming pattern: a fact stream joined per micro-batch
+    to a broadcast dimension table, then window-aggregated. Events
+    replay in 2-file micro-batches, each batch hash-joins the
+    ~|customer| dimension JVM-side (explicit ``F.broadcast``: the dim
+    rides to every task once per batch, no shuffle of the stream
+    side), and a daily window per market segment aggregates in the
+    state store, landing update-mode emissions through the same
+    merge-on-read keyed log as the hourly rig.
+
+    The stream-static join is STATELESS (only the window agg holds
+    state): at 100 TB the stream side never shuffles for the join, and
+    a dimension refresh is picked up at the next micro-batch because
+    the batch side re-resolves per trigger — the streaming analog of
+    Enrich (processors.py:enrich, enrich.go:27-35).
+
+    Oracle: plain batch join + group-by over the same tables.
+    """
+    import tempfile
+
+    from ..operators.processors import transform
+    from ..sources.catalog import load_table
+    from ..sources.sinks import append_log_sink, read_latest
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay)
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(dim), "user_id", "inner")
+    agg = windowed_agg(
+        joined,
+        {
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        },
+        window="1 day",
+        keys=["c_mktsegment"],
+        # replay-spanning watermark, same determinism corner as the
+        # hourly rig: finite replays may deliver files out of order
+        watermark="31 days",
+    )
+    fmt = transform(
+        "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_land_")
+    log = append_log_sink(land, keys=["day", "segment"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(
+            df.select(
+                "day", F.col("c_mktsegment").alias("segment"), "n", "total_value"
+            ),
+            batch_id,
+        )
+
+    q = run_step_stream(
+        agg,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ckpt_"),
+        query_name="pipz-stream-static-join",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest(spark, land, keys=["day", "segment"])
+
+
 def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING-EXECUTED session windows (30-minute gap per user),
     landed to parquet: time-ordered replay (strict per-file mtimes),

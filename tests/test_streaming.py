@@ -450,3 +450,25 @@ def test_session_window_state_merges_across_restart(spark):
     # exactly ONE closed session: [t0, t0+120s+gap), n=3 — a lost
     # state store would emit two windows ([0,360) n=2, [120,420) n=1)
     assert got == {(1, t0): (3, t0 + datetime.timedelta(seconds=120 + 300))}
+
+
+def test_stream_static_join_matches_batch(spark, events, customer):
+    # the full rig: 2-file micro-batches, per-batch broadcast hash
+    # join against the customer dim, daily window per segment, landed
+    # through the keyed merge-on-read log
+    from pipz_spark.streaming.streams import stream_static_join
+
+    got = stream_static_join(spark, SF_DIR)
+    batch = (
+        events.join(
+            customer.withColumnRenamed("c_custkey", "user_id"), "user_id", "inner"
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r["day"], r["segment"]): r["n"] for r in got.collect()}
+    b = {(r["day"], r["segment"]): r["n"] for r in batch.collect()}
+    assert g == b and len(g) > 0
