@@ -33,9 +33,11 @@ from .similarity import (
     embedding_near_dup_pairs,
 )
 from .text import (
+    chunk_documents,
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
     regex_token_count,
     text_stats,
     token_count,
@@ -89,4 +91,6 @@ __all__ = [
     "simhash_near_dup_pairs",
     "text_stats",
     "token_count",
+    "chunk_documents",
+    "redact_pii",
 ]

@@ -10,7 +10,7 @@ text column pruned in.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..core.step import Step
@@ -169,8 +169,87 @@ def fingerprint(name: str = "fingerprint", text_col: str = "text") -> Step:
     return transform(name, {"fp_md5": F.md5(norm), "fp_roll": roll})
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking — the shape every training
+    pipeline needs between raw documents and a context-window-bounded
+    model: overlapping token windows of ``size`` tokens every
+    ``stride`` tokens (overlap = size - stride).
+
+    Output: one row per chunk — (id, chunk_id, chunk, n_chunk_tokens).
+    A trailing window that would add NO new tokens (it is fully
+    contained in the previous window, which happens when the doc ends
+    inside the overlap region) is dropped; a document shorter than one
+    window yields exactly one chunk. Empty/whitespace-only documents
+    yield none.
+
+    100 TB posture: pure JVM expressions (split → filtered sequence →
+    explode → slice → array_join), no shuffle, no Python; output rows
+    per doc are ~n_tokens/stride, a bounded, chosen expansion — the
+    same arithmetic-explode pattern as multimodal frame sampling
+    (multimodal.py), on text.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # starts 0, stride, 2*stride … < n; keep a start only if its
+    # window adds tokens past the previous window's end (start-stride
+    # + size), i.e. start + size - stride < n — except start 0, which
+    # always stands
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s + F.lit(size - stride) < n),
+    )
+    exploded = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_s"))
+    )
+    return exploded.select(
+        id_col,
+        (F.col("_s") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.array_join(F.slice("_toks", F.col("_s") + 1, size), " ").alias("chunk"),
+        F.least(F.lit(size), F.size("_toks") - F.col("_s")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
+# conservative RE2-and-Java-compatible patterns (no lookaround, no
+# backreferences): the intersection that runs identically JVM-side,
+# in DuckDB (oracle), and in most downstream scrubbers
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    name: str = "redact-pii",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> Step:
+    """Scrub PII-shaped spans (emails, NANP phone numbers, IPv4
+    addresses) from a text column — the compliance pass a
+    training-data pipeline runs before anything ships to a trainer.
+    Chained JVM-side regexp_replace, one pass per pattern; order
+    matters (email first: an email can contain digits that the
+    looser patterns would mangle mid-token)."""
+    col = F.col(text_col)
+    for pat, repl in patterns:
+        col = F.regexp_replace(col, pat, repl)
+    return transform(name, {text_col: col})
+
+
 __all__ = [
     "STOPWORDS",
+    "PII_PATTERNS",
     "tokens",
     "token_count",
     "text_stats",
@@ -178,4 +257,6 @@ __all__ = [
     "regex_token_count",
     "lang_id",
     "fingerprint",
+    "chunk_documents",
+    "redact_pii",
 ]

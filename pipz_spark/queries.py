@@ -1182,6 +1182,67 @@ FROM documents
 """
 
 
+# Sliding-window chunking (datapipe/text.py:chunk_documents): 32-token
+# windows every 24 tokens; trailing windows adding no new tokens are
+# dropped, sub-window docs yield one chunk. Oracle re-derives the
+# same windows from regexp_split + range + 1-based inclusive list
+# slicing.
+def _dp_chunk(spark, sf):
+    from .datapipe import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), size=32, stride=24)
+
+
+_DP_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       s // 24 AS chunk_id,
+       array_to_string(toks[s + 1 : s + 32], ' ') AS chunk,
+       least(32, len(toks) - s) AS n_chunk_tokens
+FROM t, unnest(range(0, len(toks), 24)) AS u(s)
+WHERE s = 0 OR s + 8 < len(toks)
+"""
+
+
+# PII redaction (datapipe/text.py:redact_pii). The synthetic corpus
+# carries no PII-shaped spans, so both sides append DETERMINISTIC
+# fakes (email + NANP phone + IPv4 derived from doc_id) before
+# scrubbing — the redaction machinery has real matches to hit, and
+# the oracle must agree on every replacement boundary.
+def _dp_redact(spark, sf):
+    from .datapipe import redact_pii
+
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@mail.example.com call 415-555-%04d from 10.0.%d.1",
+                F.col("doc_id"),
+                F.col("doc_id") % 10000,
+                F.col("doc_id") % 256,
+            ),
+        ).alias("text"),
+    )
+    return split_ok(redact_pii()(aug)).select("doc_id", "text")
+
+
+_DP_REDACT_SQL = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text || printf(' contact user%d@mail.example.com call 415-555-%04d from 10.0.%d.1',
+                   doc_id, doc_id % 10000, doc_id % 256),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
+FROM documents
+"""
+
+
 # Bigram-LM quality scores (distributed fit + broadcast-join score).
 # Oracle-exact: logp is rounded to 6 decimals at fit time and summed
 # per doc as decimal(28,6) (associative), divided by the count once —
@@ -1656,6 +1717,12 @@ QUERIES: dict[str, Declared] = {
     # per-stratum quota sampling: same content-hash bucket machinery
     # as dp_deterministic_sample, keyed by a CASE over the stratum
     "dp_stratified_sample": Declared(_dp_stratified, _DP_STRATIFIED_SQL),
+    # sliding-window chunking: the sequence+explode expansion
+    # dp_frame_sample exercises plus slice/array_join projection
+    "dp_chunk_docs": Declared(_dp_chunk, _DP_CHUNK_SQL),
+    # PII scrub: chained regexp_replace — the same pure-projection
+    # machinery as the dp_text_stats family
+    "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
 }
 
 

@@ -511,3 +511,69 @@ def test_dedup_clusters_keeper_present_when_min_id_filtered_out(spark):
     rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
             for r in dedup_clusters(docs, pairs=pairs).collect()}
     assert rows == {3: (3, True), 5: (3, False)}
+
+
+def test_chunk_documents_window_semantics(spark):
+    from pipz_spark.datapipe import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                    # shorter than one window -> 1 chunk
+            (2, " ".join(f"w{i}" for i in range(8))),   # exactly 2 windows (size 4, stride 4 -> no overlap... using stride 3 below)
+            (3, ""),                         # empty -> no chunks
+            (4, "   "),                      # whitespace-only -> no chunks
+            (5, " ".join(f"x{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=4, stride=3)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk"], r["n_chunk_tokens"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, ch, n in rows:
+        by_doc.setdefault(d, []).append((c, ch, n))
+    assert by_doc[1] == [(0, "a b c", 3)]
+    assert 3 not in by_doc and 4 not in by_doc
+    # doc 5: 10 tokens, starts 0,3,6,9; start 9 adds token x9? window [9,13) covers
+    # only x9 — previous window [6,10) already covered it -> dropped
+    assert [c for c, _, _ in by_doc[5]] == [0, 1, 2]
+    assert by_doc[5][-1] == (2, "x6 x7 x8 x9", 4)
+    # every token appears in at least one chunk (coverage invariant)
+    covered = set()
+    for _, ch, _ in by_doc[5]:
+        covered.update(ch.split())
+    assert covered == {f"x{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from pipz_spark.datapipe import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for size, stride in ((0, 1), (4, 0), (4, 5)):
+        with _pytest.raises(ValueError):
+            chunk_documents(docs, size=size, stride=stride)
+
+
+def test_redact_pii_patterns(spark):
+    from pipz_spark import split_ok
+    from pipz_spark.datapipe import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co now"),
+            (2, "call 415-555-0100 or 650-555-0199"),
+            (3, "host 192.168.1.254 fine"),
+            (4, "clean text stays clean"),
+            (5, "no-match 1234-555-0100 digitsglued"),  # 4-digit prefix: \b kills it? 1234-555-0100: \d{3}-... matches '234-555-0100'? \b between 1 and 2 fails -> no match
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in split_ok(redact_pii()(docs)).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "host <IP> fine"
+    assert got[4] == "clean text stays clean"
+    assert got[5] == "no-match 1234-555-0100 digitsglued"
