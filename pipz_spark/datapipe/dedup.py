@@ -729,7 +729,55 @@ def dedup_clusters(
     )
 
 
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count
+    the distinct word n-grams it shares with ANY document of an
+    evaluation set — the standard pre-training hygiene pass (a train
+    doc containing an eval n-gram leaks the benchmark into the
+    model). Returns (id, n_collisions) for contaminated docs only;
+    anti-join against it to drop them.
+
+    Shape at 100 TB: the train side explodes to (id, gram) — linear
+    in corpus token count, the same expansion every shingle pass here
+    pays — and the eval side is grams of the BENCHMARK, which is tiny
+    by definition (thousands of docs, not billions), deduplicated and
+    broadcast (``broadcast_eval=True``): the collision join then
+    never shuffles the train side. For an unusually large eval suite
+    set ``broadcast_eval=False`` to fall back to a shuffled equi-join
+    on the gram.
+
+    Uses the same lowercased distinct word n-grams as the Jaccard
+    machinery (``word_ngrams``): docs shorter than ``n`` tokens
+    contribute their full text as one (short) gram rather than
+    silently contributing nothing.
+    """
+    from ._util import fan_out
+
+    # the gram explode is the CPU-bound stage; a single-file train
+    # scan would otherwise run it on one core (fan_out is a no-op
+    # whenever the scan already yields >= parallelism splits)
+    tg = fan_out(train).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    eg = eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g")).distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("_g")).alias("n_collisions"))
+    )
+
+
 __all__ = [
+    "contamination",
     "exact_dedup",
     "char_shingles",
     "word_ngrams",

@@ -1243,6 +1243,38 @@ FROM documents
 """
 
 
+# Benchmark decontamination (datapipe/dedup.py:contamination): eval
+# set = every 50th doc; a training doc is contaminated if it shares
+# any distinct lowercased word 4-gram with the eval set. The engine
+# broadcasts the (tiny) eval gram set so the train side never
+# shuffles; the oracle rebuilds the identical grams from regexp_split
+# + range + list slicing.
+def _dp_decontaminate(spark, sf):
+    from .datapipe.dedup import contamination
+
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    tr = d.where(F.col("doc_id") % 50 != 0)
+    return contamination(tr, ev, n=4)
+
+
+_DP_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[s + 1 : s + 4], ' ') AS g
+  FROM toks, unnest(range(0, greatest(len(t) - 3, 1))) AS u(s)
+), eg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_collisions
+FROM grams gr JOIN eg ON gr.g = eg.g
+WHERE gr.doc_id % 50 <> 0
+GROUP BY 1
+"""
+
+
 # Bigram-LM quality scores (distributed fit + broadcast-join score).
 # Oracle-exact: logp is rounded to 6 decimals at fit time and summed
 # per doc as decimal(28,6) (associative), divided by the count once —
@@ -1720,6 +1752,11 @@ QUERIES: dict[str, Declared] = {
     # sliding-window chunking: the sequence+explode expansion
     # dp_frame_sample exercises plus slice/array_join projection
     "dp_chunk_docs": Declared(_dp_chunk, _DP_CHUNK_SQL),
+    # eval-set decontamination: shingle explode + broadcast equi-join
+    # + count-distinct — each half exercised by a top-50 row
+    # (dp_near_dup_minhash's shingle/band join, rel_distinct's
+    # distinct agg); the composition gets its exact gate here
+    "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
     # PII scrub: chained regexp_replace — the same pure-projection
     # machinery as the dp_text_stats family
     "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),

@@ -577,3 +577,29 @@ def test_redact_pii_patterns(spark):
     assert got[3] == "host <IP> fine"
     assert got[4] == "clean text stays clean"
     assert got[5] == "no-match 1234-555-0100 digitsglued"
+
+
+def test_contamination_counts_shared_ngrams(spark):
+    from pipz_spark.datapipe.dedup import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),  # shares 'the quick brown fox' once
+            (2, "completely different words entirely here"),
+            (3, "the quick brown fox the quick brown fox"),  # duplicate gram counted ONCE
+            (4, "tiny doc"),                                  # shorter than n -> whole text one gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox runs"), (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_collisions"] for r in contamination(train, eval_df, n=4).collect()}
+    assert got == {1: 1, 3: 1, 4: 1}
+    # broadcast off takes the shuffled-join path, same answer
+    got2 = {
+        r["doc_id"]: r["n_collisions"]
+        for r in contamination(train, eval_df, n=4, broadcast_eval=False).collect()
+    }
+    assert got2 == got
