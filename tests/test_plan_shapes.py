@@ -48,3 +48,38 @@ def test_global_sort_limit_compiles_to_take_ordered(spark):
 )
 def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+@pytest.mark.parametrize("name", ["rel_range_join", "dp_decontaminate"])
+def test_new_joins_never_nested_loop(spark, name):
+    # range_join exists to avoid the BroadcastNestedLoopJoin a raw
+    # inequality join compiles to; contamination's collision join is
+    # an equi-join on the gram by construction
+    plan = _plan(spark, name)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # the eval side is tiny by definition; if this stops broadcasting,
+    # the full train gram explode shuffles at 100 TB
+    assert "BroadcastHashJoin" in _plan(spark, "dp_decontaminate")
+
+
+def test_stream_static_dim_join_broadcasts(spark):
+    # the BATCH shape of the stream-static join's per-trigger plan:
+    # events fact joined to the customer dim must broadcast the dim
+    from pyspark.sql import functions as F
+
+    from pipz_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    dim = load_table(spark, "customer", SF_DIR).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plan = (
+        ev.join(F.broadcast(dim), "user_id", "inner")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
