@@ -3,11 +3,12 @@
 Runnable demo of the engine as a product, in the order a real corpus
 assembly requires: quality scoring → gating (dead-letter queue) →
 language ID → exact dedup → near-dup CLUSTER dedup (connected
-components + canonical keeper) → stratified language quota →
-deterministic train/val/test split → sharded parquet output. Cluster
-dedup runs BEFORE the split on purpose: splitting first would leave
-near-duplicate documents straddling train and test — exactly the
-leakage dedup exists to prevent.
+components + canonical keeper) → benchmark decontamination →
+stratified language quota → deterministic train/val/test split →
+sharded parquet output. Cluster dedup and decontamination run BEFORE
+the split on purpose: splitting first would leave near-duplicate (or
+benchmark-contaminated) documents straddling train and test —
+exactly the leakage these stages exist to prevent.
 
     PYTHONPATH=/root/repo python examples/training_data_pipeline.py [sf_dir]
 
@@ -34,6 +35,7 @@ from pipz_spark.datapipe import (
     stratified_sample,
     token_count,
 )
+from pipz_spark.datapipe.dedup import contamination
 from pipz_spark.sources.catalog import load_table
 from pipz_spark.sources.sinks import write_parquet, write_split
 
@@ -87,6 +89,13 @@ def main() -> None:
         survivors = kept.join(
             clusters.where("is_keeper").select("doc_id"), "doc_id", "left_semi"
         )
+        # benchmark decontamination: the demo treats every 50th doc as
+        # the "benchmark" stand-in; a real pipeline loads its eval
+        # suites here. Anti-join drops any survivor sharing a 4-gram.
+        eval_set = docs.where(F.col("doc_id") % 50 == 0)
+        dirty = contamination(survivors, eval_set, n=4)
+        print("benchmark-contaminated docs dropped:", dirty.count())
+        survivors = survivors.join(dirty.select("doc_id"), "doc_id", "left_anti")
         assemble = P.sequence(
             "assemble",
             stratified_sample(

@@ -140,6 +140,51 @@ def main() -> None:
     run(spark, "cosine_topk_lsh    ",
         lambda: cosine_topk_lsh(e10, e10.where(F.col("vec_id") < 100), k=5).count())
 
+    # ---- decontamination at 10×: gram explode is linear in corpus
+    # tokens; the collision join is broadcast (eval side tiny by
+    # definition) so the train side never shuffles — expect wall to
+    # scale with the explode, max task bounded by a fan_out split
+    from pipz_spark.datapipe.dedup import contamination
+
+    ev10 = d10.where(F.col("doc_id") % 50 == 0)
+    tr10 = d10.where(F.col("doc_id") % 50 != 0)
+    run(spark, "contamination      ",
+        lambda: contamination(tr10, ev10, n=4).count())
+
+    # ---- range join at 10×: replicas shift one month each, so the
+    # corpus spans ~10 months — intervals AND points both grow 10×,
+    # join work grows linearly (each point meets ~1 interval via its
+    # bin); the failure mode this guards is candidate blowup from a
+    # mis-chosen bin width
+    from pipz_spark.operators.relational import range_join
+
+    events = load_table(spark, "events", sf)
+    big_ev = (
+        events.crossJoin(reps)
+        .select(
+            (F.col("event_id") * REPLICAS + F.col("_rep")).alias("event_id"),
+            F.expr("ts + make_interval(0, CAST(_rep AS INT), 0, 0, 0, 0, 0)").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+    )
+    big_ev.write.mode("overwrite").parquet(f"{tmp}/events10")
+    ev10x = spark.read.parquet(f"{tmp}/events10")
+
+    def _range_join_10x() -> int:
+        iv = (
+            ev10x.where(F.col("event_type") == "error")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_err"),
+                 F.min("ts").alias("start"), F.max("ts").alias("end"))
+            .where(F.col("n_err") >= 5)
+            .select("hour", "start", "end")
+        )
+        return range_join(
+            ev10x, iv, "ts", "start", "end", bin_width_us=900_000_000, end_inclusive=True
+        ).count()
+
+    run(spark, "range_join         ", _range_join_10x)
+
     # ---- synthetic hot bucket (VERDICT r4 #6): a viral template
     # cluster far above max_bucket forces the salted big-bucket
     # branch; the evidence to watch is max_task_ms staying bounded
