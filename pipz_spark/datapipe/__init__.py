@@ -34,6 +34,7 @@ from .similarity import (
 )
 from .text import (
     chunk_documents,
+    ngram_repetition,
     fingerprint,
     lang_id,
     quality_score,
@@ -92,5 +93,6 @@ __all__ = [
     "text_stats",
     "token_count",
     "chunk_documents",
+    "ngram_repetition",
     "redact_pii",
 ]

@@ -247,6 +247,52 @@ def redact_pii(
     return transform(name, {text_col: col})
 
 
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Repetition-based quality signals — the standard filter class
+    for machine-generated/boilerplate text: how much of a document is
+    repeated n-grams.
+
+    Output per doc: ``n_grams`` (total n-gram occurrences,
+    NON-distinct), ``rep_fraction`` (fraction of occurrences whose
+    gram appears more than once in the doc), ``top_fraction``
+    (occurrence share of the single most repeated gram).
+
+    Deliberately a two-level AGGREGATION, not a per-row expression: a
+    per-row `transform(grams, g -> count of g in grams)` is O(tokens²)
+    per document — fatal on million-token documents — while
+    count-per-(doc, gram) + per-doc ratios is linear, and the first
+    groupBy's map-side partial aggregation collapses each doc's
+    repeats before the (skinny) shuffle. Docs shorter than ``n``
+    tokens count their whole text as one gram (consistent with
+    word_ngrams); empty docs are excluded.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    per_gram = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    total = F.sum("_cnt")
+    return per_gram.groupBy(id_col).agg(
+        total.cast("long").alias("n_grams"),
+        F.round(
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0)) / total, 4
+        ).alias("rep_fraction"),
+        F.round(F.max("_cnt") / total, 4).alias("top_fraction"),
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "PII_PATTERNS",
@@ -258,5 +304,6 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "chunk_documents",
+    "ngram_repetition",
     "redact_pii",
 ]

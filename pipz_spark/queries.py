@@ -1243,6 +1243,35 @@ FROM documents
 """
 
 
+# Repetition-based quality signals (datapipe/text.py:
+# ngram_repetition): two-level aggregation (count per (doc, gram),
+# then per-doc ratios) — linear in tokens where the per-row nested
+# count would be quadratic; map-side partial agg collapses each
+# doc's repeats before the shuffle.
+def _dp_ngram_repetition(spark, sf):
+    from .datapipe import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf, "documents"), n=2)
+
+
+_DP_NGRAM_REP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  SELECT doc_id, array_to_string(t[s + 1 : s + 2], ' ') AS g
+  FROM toks, unnest(range(0, greatest(len(t) - 1, 1))) AS u(s)
+), c AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(cnt) AS n_grams,
+       round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 4) AS rep_fraction,
+       round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_fraction
+FROM c GROUP BY 1
+"""
+
+
 # Benchmark decontamination (datapipe/dedup.py:contamination): eval
 # set = every 50th doc; a training doc is contaminated if it shares
 # any distinct lowercased word 4-gram with the eval set. The engine
@@ -1760,6 +1789,11 @@ QUERIES: dict[str, Declared] = {
     # PII scrub: chained regexp_replace — the same pure-projection
     # machinery as the dp_text_stats family
     "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
+    # repetition ratios: gram explode + two HashAggregates — both
+    # machines individually exercised top-50 (explode via
+    # dp_near_dup_minhash, two-level agg via rel_group_agg /
+    # dp_dataset_profile); the composition gets its exact gate here
+    "dp_ngram_repetition": Declared(_dp_ngram_repetition, _DP_NGRAM_REP_SQL),
 }
 
 

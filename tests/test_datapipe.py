@@ -603,3 +603,27 @@ def test_contamination_counts_shared_ngrams(spark):
         for r in contamination(train, eval_df, n=4, broadcast_eval=False).collect()
     }
     assert got2 == got
+
+
+def test_ngram_repetition_ratios(spark):
+    from pipz_spark.datapipe import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),     # 2-grams: ab ba ab ba -> 4 grams, all repeated
+            (2, "x y z w"),       # 3 distinct grams, none repeated
+            (3, "solo"),          # shorter than n -> whole text one gram
+            (4, ""),              # excluded
+            (5, "t t t t"),       # 3 grams of 't t' -> all repeated, top = 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["rep_fraction"], r["top_fraction"])
+        for r in ngram_repetition(docs, n=2).collect()
+    }
+    assert got[1] == (4, 1.0, 0.5)
+    assert got[2] == (3, 0.0, round(1 / 3, 4))
+    assert got[3] == (1, 0.0, 1.0)
+    assert 4 not in got
+    assert got[5] == (3, 1.0, 1.0)
