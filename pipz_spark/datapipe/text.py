@@ -277,8 +277,13 @@ def ngram_repetition(
         F.sequence(F.lit(0), cnt - 1),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    from ._util import fan_out
+
+    # the gram explode + partial agg is the CPU-bound stage; a
+    # single-file scan would serialize it on one core (fan_out is a
+    # no-op whenever the scan already yields >= parallelism splits)
     per_gram = (
-        df.where(F.trim(F.col(text_col)) != "")
+        fan_out(df.where(F.trim(F.col(text_col)) != ""))
         .select(F.col(id_col), F.explode(grams).alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_cnt"))
