@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pipz_spark import P, get_session, split_ok
 from pipz_spark.control import Pipeline, observed_effect, collect_observation
 from pipz_spark.datapipe import (
+    contamination,
     dedup_clusters,
     deterministic_split,
     exact_dedup,
@@ -35,7 +36,6 @@ from pipz_spark.datapipe import (
     stratified_sample,
     token_count,
 )
-from pipz_spark.datapipe.dedup import contamination
 from pipz_spark.sources.catalog import load_table
 from pipz_spark.sources.sinks import write_parquet, write_split
 

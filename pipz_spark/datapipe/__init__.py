@@ -15,6 +15,7 @@ multimodal decode stubs (Arrow-batched mapInPandas).
 
 from ._caches import release_caches
 from .dedup import (
+    contamination,
     connected_components,
     dedup_clusters,
     exact_dedup,
@@ -93,6 +94,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "chunk_documents",
+    "contamination",
     "ngram_repetition",
     "redact_pii",
 ]

@@ -69,15 +69,23 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
+def gram_array(text: Column, n: int = 3) -> Column:
+    """NON-distinct lowercased word n-grams, in document order. The
+    single source of truth for gram construction — word_ngrams (the
+    distinct set) and ngram_repetition (occurrence counts) both build
+    on it, so the short-doc fallback (a doc below ``n`` tokens
+    contributes its whole text as one gram) cannot drift between
+    consumers."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
+    return F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    return F.array_distinct(gram_array(text, n))
 
 
 def _hash_family(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
@@ -756,17 +764,26 @@ def contamination(
     Uses the same lowercased distinct word n-grams as the Jaccard
     machinery (``word_ngrams``): docs shorter than ``n`` tokens
     contribute their full text as one (short) gram rather than
-    silently contributing nothing.
+    silently contributing nothing. EXCEPTION: empty/whitespace-only
+    docs are excluded on BOTH sides — the short-doc fallback would
+    otherwise make every blank doc's gram the empty string, and one
+    blank eval doc would then flag every blank train doc as
+    benchmark-contaminated.
     """
     from ._util import fan_out
 
+    nonblank = F.trim(F.col(text_col)) != ""
     # the gram explode is the CPU-bound stage; a single-file train
     # scan would otherwise run it on one core (fan_out is a no-op
     # whenever the scan already yields >= parallelism splits)
-    tg = fan_out(train).select(
+    tg = fan_out(train.where(nonblank)).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
     )
-    eg = eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g")).distinct()
+    eg = (
+        eval_df.where(nonblank)
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
     if broadcast_eval:
         eg = F.broadcast(eg)
     return (
@@ -778,6 +795,7 @@ def contamination(
 
 __all__ = [
     "contamination",
+    "gram_array",
     "exact_dedup",
     "char_shingles",
     "word_ngrams",

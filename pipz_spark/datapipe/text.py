@@ -271,12 +271,9 @@ def ngram_repetition(
     tokens count their whole text as one gram (consistent with
     word_ngrams); empty docs are excluded.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), cnt - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    from .dedup import gram_array
+
+    grams = gram_array(F.col(text_col), n)
     from ._util import fan_out
 
     # the gram explode + partial agg is the CPU-bound stage; a

@@ -426,30 +426,35 @@ def range_join(
     the SURVEY §2.4 family.
     """
     keys = list(keys)
+    if "_bin" in left.columns or "_bin" in right.columns:
+        # withColumn would silently overwrite it and the final drop
+        # would delete the caller's column
+        raise ValueError("range_join reserves the column name '_bin'")
 
     # FLOOR division, not cast-truncation: cast("long") truncates
     # toward zero, which mis-bins pre-epoch (negative-micros)
     # timestamps. Micros magnitudes (~1.7e15 for 2024) sit well under
     # double's exact-integer range (2^53), so the double divide is
     # exact enough for floor to land the right bin.
-    def _bin(c: str) -> Column:
-        return F.floor(F.unix_micros(F.col(c)) / F.lit(bin_width_us)).cast("long")
+    def _bin(c: Column) -> Column:
+        return F.floor(F.unix_micros(c) / F.lit(bin_width_us)).cast("long")
 
-    lbin = _bin(point)
-    rbin_start = _bin(start)
-    rbin_end = _bin(end)
-    l = left.withColumn("_bin", lbin)
+    l = left.withColumn("_bin", _bin(left[point]))
     # degenerate intervals (end < start) can match nothing, but
     # sequence() would still replicate them (with an implicit -1
     # step); drop them before the explode. NULL bounds also exit
     # here, matching join-predicate NULL semantics.
-    r = (
-        right.where(F.col(start) <= F.col(end))
-        .withColumn("_bin", F.explode(F.sequence(rbin_start, rbin_end)))
+    r = right.where(right[start] <= right[end]).withColumn(
+        "_bin", F.explode(F.sequence(_bin(right[start]), _bin(right[end])))
     )
-    exact = F.col(point) >= F.col(start)
+    # frame-qualified refs, not F.col(name): if the right side also
+    # carries a column named like ``point`` (or the left one named
+    # like ``start``/``end``), a bare name in the post-join predicate
+    # is AMBIGUOUS_REFERENCE — the qualified form resolves regardless
+    # of overlapping schemas
+    exact = left[point] >= right[start]
     exact = exact & (
-        (F.col(point) <= F.col(end)) if end_inclusive else (F.col(point) < F.col(end))
+        (left[point] <= right[end]) if end_inclusive else (left[point] < right[end])
     )
     joined = l.join(r, on=[*keys, "_bin"], how="inner").where(exact)
     return joined.drop("_bin")

@@ -744,9 +744,13 @@ GROUP BY 1
 # discipline: percentiles interpolate (a + d*(b-a)) in doubles, and
 # the two engines may factor that expression differently in the last
 # bit — so both sides aggregate CENTS (exact integers; round() before
-# the cast because 2-decimal dollars are binary-inexact), where the
-# interpolation fractions (.25/.5/.75) are exactly representable and
-# the results are exact quarter-cents in both engines.
+# the cast because 2-decimal dollars are binary-inexact) and only
+# quartile fractions are used: position = q*(n-1) and the
+# interpolation weight are then exact multiples of 0.25, every
+# product/sum below 2^53 is exact, and both engines land the
+# identical double regardless of factoring. (A 0.9 percentile would
+# NOT carry this guarantee — 0.9 is binary-inexact and the gate
+# would rest on both engines coincidentally factoring alike.)
 def _rel_percentile(spark, sf):
     o = _t(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -754,7 +758,7 @@ def _rel_percentile(spark, sf):
     return g.agg(
         F.expr("percentile(cents, 0.25)").alias("p25_cents"),
         F.expr("percentile(cents, 0.5)").alias("p50_cents"),
-        F.expr("percentile(cents, 0.9)").alias("p90_cents"),
+        F.expr("percentile(cents, 0.75)").alias("p75_cents"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -763,7 +767,7 @@ _REL_PERCENTILE_SQL = """
 SELECT o_orderpriority,
        quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
        quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)  AS p50_cents,
-       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)  AS p90_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents,
        COUNT(*) AS n
 FROM orders
 GROUP BY o_orderpriority
@@ -1279,7 +1283,7 @@ FROM c GROUP BY 1
 # shuffles; the oracle rebuilds the identical grams from regexp_split
 # + range + list slicing.
 def _dp_decontaminate(spark, sf):
-    from .datapipe.dedup import contamination
+    from .datapipe import contamination
 
     d = _t(spark, sf, "documents")
     ev = d.where(F.col("doc_id") % 50 == 0)
@@ -1290,7 +1294,7 @@ def _dp_decontaminate(spark, sf):
 _DP_DECONTAM_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), grams AS (
   SELECT DISTINCT doc_id, array_to_string(t[s + 1 : s + 4], ' ') AS g
   FROM toks, unnest(range(0, greatest(len(t) - 3, 1))) AS u(s)

@@ -627,3 +627,21 @@ def test_ngram_repetition_ratios(spark):
     assert got[3] == (1, 0.0, 1.0)
     assert 4 not in got
     assert got[5] == (3, 1.0, 1.0)
+
+
+def test_contamination_ignores_blank_docs(spark):
+    # the short-doc fallback gram of a blank doc is the empty string;
+    # without the blank guard one blank eval doc would flag every
+    # blank train doc as contaminated
+    from pipz_spark.datapipe import contamination
+
+    train = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real shared benchmark text here")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "  "), (101, "real shared benchmark text always")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_collisions"] for r in contamination(train, eval_df, n=4).collect()}
+    assert got == {3: 1}

@@ -275,3 +275,37 @@ def test_range_join_plan_has_no_nested_loop(spark):
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_range_join_overlapping_column_names_resolve(spark):
+    # the right side also carries a 'ts' column (a representative
+    # timestamp): the exact predicate must resolve via frame-
+    # qualified refs instead of raising AMBIGUOUS_REFERENCE
+    from pyspark.sql import functions as F2
+
+    from pipz_spark.operators.relational import range_join
+
+    pts, iv = _mk_range_frames(spark)
+    iv2 = iv.withColumn("ts", F2.col("start"))
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv2, "ts", "start", "end", bin_width_us=10_000_000)
+        .select(pts["pid"], iv2["iid"])
+        .collect()
+    }
+    base = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "ts", "start", "end", bin_width_us=10_000_000).collect()
+    }
+    assert got == base
+
+
+def test_range_join_reserves_bin_column(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from pipz_spark.operators.relational import range_join
+
+    pts, iv = _mk_range_frames(spark)
+    with _pytest.raises(ValueError, match="_bin"):
+        range_join(pts.withColumn("_bin", F2.lit(1)), iv, "ts", "start", "end", bin_width_us=10_000_000)

@@ -467,8 +467,13 @@ def test_stream_static_join_matches_batch(spark, events, customer):
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
             F.col("c_mktsegment").alias("segment"),
         )
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # same decimal-exact sum the rig computes, so the value
+            # path is asserted too, not just the counts
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
     )
-    g = {(r["day"], r["segment"]): r["n"] for r in got.collect()}
-    b = {(r["day"], r["segment"]): r["n"] for r in batch.collect()}
+    g = {(r["day"], r["segment"]): (r["n"], r["total_value"]) for r in got.collect()}
+    b = {(r["day"], r["segment"]): (r["n"], r["total_value"]) for r in batch.collect()}
     assert g == b and len(g) > 0
