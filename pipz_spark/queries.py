@@ -774,6 +774,59 @@ GROUP BY o_orderpriority
 """
 
 
+# GROUPING SETS — the general form of rollup/cube (rel_rollup covers
+# those): two independent grouping dimensions in ONE Expand pass over
+# the input instead of a union of two aggregations (which would scan
+# twice). DataFrame.groupingSets is Spark 4.0+ native API.
+def _rel_grouping_sets(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+_REL_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+# Offset window functions (lag/lead/ntile) — the WindowExec path with
+# OFFSET frames rather than the running-frame aggregate
+# rel_window_running exercises. Sort key includes o_orderkey so ties
+# on (custkey, date) cannot make lag/ntile nondeterministic.
+def _rel_window_lag(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_REL_WINDOW_LAG_SQL = """
+SELECT o_orderkey, o_custkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # The salted skew-buster join under the driver's exact-equality gate:
 # the salt spreads each key over `salt` tasks (for the monster-key
 # case AQE's quantile-based splitter misses), and the oracle — a
@@ -1798,6 +1851,12 @@ QUERIES: dict[str, Declared] = {
     # dp_near_dup_minhash, two-level agg via rel_group_agg /
     # dp_dataset_profile); the composition gets its exact gate here
     "dp_ngram_repetition": Declared(_dp_ngram_repetition, _DP_NGRAM_REP_SQL),
+    # grouping sets: the same Expand + hash-agg machine rel_rollup's
+    # cube exercises, with an explicit set list
+    "rel_grouping_sets": Declared(_rel_grouping_sets, _REL_GROUPING_SETS_SQL),
+    # offset window functions: same WindowExec machine as
+    # rel_window_running, offset frame instead of running frame
+    "rel_window_lag": Declared(_rel_window_lag, _REL_WINDOW_LAG_SQL),
 }
 
 
