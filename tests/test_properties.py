@@ -44,3 +44,51 @@ def test_race_totality(spark_prop, orders_prop, t1, t2):
     ok, failed = split_ok(out), split_failed(out)
     assert ok.count() + failed.count() == orders_prop.count()
     assert ok.where(F.col("v").isNull()).count() == 0
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(st.integers(min_value=-50, max_value=150), min_size=1, max_size=20),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=150),
+            st.integers(min_value=-50, max_value=150),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_s=st.sampled_from([3, 7, 10, 64]),
+    inclusive=st.booleans(),
+)
+def test_range_join_equals_naive_join(spark_prop, pts, ivs, bin_s, inclusive):
+    """For ARBITRARY points, intervals (degenerate ones included),
+    bin widths, and end-bound modes — negative/pre-epoch seconds too
+    — the binned range join returns exactly the naive inequality
+    join's pairs."""
+    from pipz_spark.operators.relational import range_join
+
+    left = spark_prop.createDataFrame(
+        [(i, s) for i, s in enumerate(pts)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("ts"))
+    right = spark_prop.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(ivs)], "iid long, a long, b long"
+    ).select(
+        "iid",
+        F.timestamp_seconds("a").alias("start"),
+        F.timestamp_seconds("b").alias("end"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            left, right, "ts", "start", "end",
+            bin_width_us=bin_s * 1_000_000, end_inclusive=inclusive,
+        ).collect()
+    }
+    upper = (
+        (left["ts"] <= right["end"]) if inclusive else (left["ts"] < right["end"])
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in left.join(right, (left["ts"] >= right["start"]) & upper, "inner").collect()
+    }
+    assert got == naive
