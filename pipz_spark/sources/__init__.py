@@ -7,6 +7,7 @@ pruning + predicate pushdown then reach the parquet scan for free.
 """
 
 from .catalog import TABLES, load_table, load_tables, register_views
+from .readers import read_csv, read_jdbc, read_json, read_orc
 from .sinks import (
     append_log_sink,
     compact_log,
@@ -18,6 +19,7 @@ from .sinks import (
     write_bucketed,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_split,
 )
@@ -31,12 +33,17 @@ __all__ = [
     "load_table",
     "load_tables",
     "merge_parquet_sink",
+    "read_csv",
+    "read_jdbc",
+    "read_json",
     "read_latest",
     "read_merged",
+    "read_orc",
     "register_views",
     "write_bucketed",
     "write_csv",
     "write_json",
+    "write_orc",
     "write_parquet",
     "write_split",
 ]

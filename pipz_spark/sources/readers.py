@@ -48,6 +48,21 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    **options: str,
+) -> DataFrame:
+    """ORC source — columnar like parquet (predicate pushdown, column
+    pruning, vectorized read all apply), for corpora landed by
+    Hive-lineage pipelines. No schema parameter: ORC carries its
+    schema in the file footer, like parquet."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

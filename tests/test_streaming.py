@@ -195,7 +195,8 @@ def test_observed_effect_signal_bus(spark, orders):
 
 
 def test_csv_json_readers_roundtrip(spark, orders, tmp_path):
-    from pipz_spark.sources.readers import read_csv, read_json
+    from pipz_spark.sources.readers import read_csv, read_json, read_orc
+    from pipz_spark.sources.sinks import write_orc
 
     sample = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").limit(100)
     sample.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "csv"))
@@ -211,6 +212,10 @@ def test_csv_json_readers_roundtrip(spark, orders, tmp_path):
     assert got_csv.count() == 100 and got_json.count() == 100
     assert got_csv.exceptAll(sample).count() == 0
     assert got_json.exceptAll(sample).count() == 0
+    # ORC: schema rides in the footer, no schema argument needed
+    write_orc(sample, str(tmp_path / "orc"))
+    got_orc = read_orc(spark, str(tmp_path / "orc"))
+    assert got_orc.count() == 100 and got_orc.exceptAll(sample).count() == 0
 
 
 def test_stream_stream_join_matches_batch(spark, events):
