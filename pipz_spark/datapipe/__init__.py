@@ -38,6 +38,7 @@ from .text import (
     ngram_repetition,
     fingerprint,
     lang_id,
+    pack_sequences,
     quality_score,
     redact_pii,
     regex_token_count,
@@ -96,5 +97,6 @@ __all__ = [
     "chunk_documents",
     "contamination",
     "ngram_repetition",
+    "pack_sequences",
     "redact_pii",
 ]

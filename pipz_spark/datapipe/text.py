@@ -295,6 +295,55 @@ def ngram_repetition(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+    tokens_col: str = "n_chunk_tokens",
+    shards: int = 32,
+) -> DataFrame:
+    """Assign chunks to fixed-capacity training packs — the
+    concat-and-chop packing LLM dataloaders run between chunking and
+    batching: conceptually concatenate every chunk's tokens in a
+    deterministic order and cut at each ``budget`` boundary; a chunk
+    belongs to the pack its FIRST token lands in (a boundary-straddling
+    chunk is the dataloader's split-or-pad decision, not this
+    operator's — ``pack_offset`` gives it the cut position).
+
+    Greedy open-a-new-pack-on-overflow packing is a non-associative
+    scan — not expressible as a window aggregate, and inherently
+    sequential. Concat-and-chop IS a window cumsum, which is why real
+    loaders use it and why it scales: chunks shard deterministically
+    by md5 of the doc id (same engine-reproducible bucketing as the
+    deterministic split, so co-sharded with it), and the only state is
+    ONE running sum per shard — a window over (shard ORDER BY doc,
+    chunk), never a global order.
+
+    Output: input columns + ``shard``, ``pack_id`` (within shard),
+    ``pack_offset`` (token offset of the chunk's first token within
+    its pack).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    doc_col, chunk_col = id_cols
+    shard = (hash_bucket(F.col(doc_col), salt="pack") % shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(doc_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("pack_id", F.floor(start / F.lit(budget)).cast("long"))
+        .withColumn("pack_offset", (start % F.lit(budget)).cast("long"))
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "PII_PATTERNS",
@@ -307,5 +356,6 @@ __all__ = [
     "fingerprint",
     "chunk_documents",
     "ngram_repetition",
+    "pack_sequences",
     "redact_pii",
 ]

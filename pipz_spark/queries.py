@@ -1329,6 +1329,42 @@ FROM c GROUP BY 1
 """
 
 
+# Sequence packing (datapipe/text.py:pack_sequences): chunking's
+# output assigned to fixed-capacity training packs via concat-and-
+# chop — md5 sharding + one window cumsum per shard; pack_id/offset
+# re-derived independently by the oracle's window SQL.
+def _dp_pack(spark, sf):
+    from .datapipe import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(_t(spark, sf, "documents"), size=32, stride=24)
+    return pack_sequences(chunks, budget=256, shards=8).select(
+        "doc_id", "chunk_id", "n_chunk_tokens", "shard", "pack_id", "pack_offset"
+    )
+
+
+_DP_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT doc_id, s // 24 AS chunk_id, least(32, len(toks) - s) AS n_chunk_tokens
+  FROM t, unnest(range(0, len(toks), 24)) AS u(s)
+  WHERE s = 0 OR s + 8 < len(toks)
+), sh AS (
+  SELECT *, CAST((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)) AS BIGINT) % 10000) % 8 AS INT) AS shard
+  FROM c
+), st AS (
+  SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id, chunk_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st0
+  FROM sh
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, shard,
+       st0 // 256 AS pack_id, st0 % 256 AS pack_offset
+FROM st
+"""
+
+
 # Benchmark decontamination (datapipe/dedup.py:contamination): eval
 # set = every 50th doc; a training doc is contaminated if it shares
 # any distinct lowercased word 4-gram with the eval set. The engine
@@ -1857,6 +1893,10 @@ QUERIES: dict[str, Declared] = {
     # offset window functions: same WindowExec machine as
     # rel_window_running, offset frame instead of running frame
     "rel_window_lag": Declared(_rel_window_lag, _REL_WINDOW_LAG_SQL),
+    # sequence packing: chunking's explode + the md5-bucket machinery
+    # of dp_deterministic_split + rel_window_running's running-frame
+    # window — the composition gets its exact gate here
+    "dp_pack_sequences": Declared(_dp_pack, _DP_PACK_SQL),
 }
 
 

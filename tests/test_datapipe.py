@@ -645,3 +645,50 @@ def test_contamination_ignores_blank_docs(spark):
     )
     got = {r["doc_id"]: r["n_collisions"] for r in contamination(train, eval_df, n=4).collect()}
     assert got == {3: 1}
+
+
+def test_pack_sequences_concat_and_chop_invariants(spark):
+    from pipz_spark.datapipe import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(d, c, n) for d, c, n in [
+            (1, 0, 100), (1, 1, 100), (2, 0, 120), (2, 1, 60), (3, 0, 300),
+        ]],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    out = pack_sequences(chunks, budget=256, shards=1).orderBy("doc_id", "chunk_id")
+    rows = [(r["doc_id"], r["chunk_id"], r["pack_id"], r["pack_offset"])
+            for r in out.collect()]
+    # shards=1 -> one global stream in (doc, chunk) order:
+    # starts: 0, 100, 200, 320, 380 with budget 256
+    assert rows == [
+        (1, 0, 0, 0), (1, 1, 0, 100), (2, 0, 0, 200), (2, 1, 1, 64), (3, 0, 1, 124),
+    ]
+    # invariants: offset < budget always; pack_id nondecreasing in
+    # stream order; start == pack_id * budget + offset is the cumsum
+    cum = 0
+    for _, _, pid, off in rows:
+        assert 0 <= off < 256
+        assert pid * 256 + off == cum
+        cum += {0: 100, 100: 100, 200: 120, 320: 60, 380: 300}[cum]
+
+
+def test_pack_sequences_sharding_is_deterministic(spark):
+    from pipz_spark.datapipe import chunk_documents, pack_sequences
+    from pipz_spark.sources.catalog import load_table
+
+    chunks = chunk_documents(load_table(spark, "documents", "/root/testdata/sf0.001"))
+    a = pack_sequences(chunks, budget=512, shards=4)
+    b = pack_sequences(chunks, budget=512, shards=4)
+    assert a.exceptAll(b).count() == 0
+    # a doc's chunks never split across shards
+    multi = (
+        a.groupBy("doc_id")
+        .agg(F.count_distinct("shard").alias("ns"))
+        .where(F.col("ns") > 1)
+    )
+    assert multi.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(chunks, budget=0)
