@@ -317,7 +317,10 @@ def pack_sequences(
     by md5 of the doc id (same engine-reproducible bucketing as the
     deterministic split, so co-sharded with it), and the only state is
     ONE running sum per shard — a window over (shard ORDER BY doc,
-    chunk), never a global order.
+    chunk), never a global order. Each shard is ONE window task, so
+    ``shards`` bounds the stage's parallelism AND its per-task data:
+    size it to at least the cluster's core count (thousands at real
+    scale — the default 32 suits local runs).
 
     Output: input columns + ``shard``, ``pack_id`` (within shard),
     ``pack_offset`` (token offset of the chunk's first token within
