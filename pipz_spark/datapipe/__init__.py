@@ -19,6 +19,7 @@ from .dedup import (
     connected_components,
     dedup_clusters,
     exact_dedup,
+    jaccard_near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signature,
     near_dup_pairs,
@@ -83,6 +84,7 @@ __all__ = [
     "minhash_signature",
     "connected_components",
     "dedup_clusters",
+    "jaccard_near_dup_pairs",
     "near_dup_pairs",
     "ngram_jaccard",
     "quality_score",

@@ -1397,6 +1397,48 @@ GROUP BY 1
 """
 
 
+# Exact word-n-gram Jaccard near-dup (datapipe/dedup.py:
+# jaccard_near_dup_pairs) — the deterministic sibling of MinHash:
+# candidates = docs sharing a gram with document frequency in
+# [2, 64] (the df-cap is part of the DECLARED semantics; the oracle
+# applies the identical rule), verify = exact Jaccard on the full
+# distinct 5-gram sets, thresholded on the rounded score both sides.
+def _dp_jaccard_ngram(spark, sf):
+    from .datapipe import jaccard_near_dup_pairs
+
+    return jaccard_near_dup_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, n=5, max_doc_freq=64
+    )
+
+
+_DP_JACCARD_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[s + 1 : s + 5], ' ')
+                        for s in range(0, greatest(len(t) - 4, 1))]) AS g
+  FROM toks
+), grams AS (
+  SELECT doc_id, unnest(g) AS g FROM sets
+), keep AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.g, sb.g)) * 1.0 /
+               (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))), 4) AS jaccard
+  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+            JOIN sets sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
 # Bigram-LM quality scores (distributed fit + broadcast-join score).
 # Oracle-exact: logp is rounded to 6 decimals at fit time and summed
 # per doc as decimal(28,6) (associative), divided by the count once —
@@ -1897,6 +1939,11 @@ QUERIES: dict[str, Declared] = {
     # of dp_deterministic_split + rel_window_running's running-frame
     # window — the composition gets its exact gate here
     "dp_pack_sequences": Declared(_dp_pack, _DP_PACK_SQL),
+    # exact n-gram Jaccard near-dup: candidate machinery =
+    # dp_near_dup_minhash's bucket-pair expansion (top-50) keyed on
+    # df-capped grams instead of LSH bands; verify = the same
+    # ngram_jaccard join shape dp_near_dup_minhash's verify runs
+    "dp_jaccard_ngram": Declared(_dp_jaccard_ngram, _DP_JACCARD_NGRAM_SQL),
 }
 
 

@@ -93,6 +93,59 @@ def test_minhash_near_dup_finds_planted_pair(spark, documents):
     assert hits[0]["jaccard"] >= 0.7
 
 
+def test_jaccard_ngram_finds_planted_pair(spark, documents):
+    from pipz_spark.datapipe import jaccard_near_dup_pairs
+
+    base = documents.limit(1).collect()[0]
+    tweaked = base["text"] + " extra tail token"
+    planted = spark.createDataFrame(
+        [(999999, tweaked, base["lang"], base["source"], len(tweaked))],
+        schema=documents.schema,
+    )
+    corpus = documents.unionByName(planted)
+    pairs = jaccard_near_dup_pairs(corpus, threshold=0.5)
+    hits = pairs.where(
+        (F.col("id_a") == base["doc_id"]) & (F.col("id_b") == 999999)
+    ).collect()
+    assert len(hits) == 1
+    assert hits[0]["jaccard"] >= 0.5
+
+
+def test_jaccard_ngram_df_cap_prunes_boilerplate(spark):
+    from pipz_spark.datapipe import jaccard_near_dup_pairs
+
+    # 40 docs sharing ONE boilerplate 5-gram header but otherwise
+    # unique (each unique tail is longer than the shared header, so
+    # true Jaccard is low) + one planted near-identical pair. With
+    # the cap below 40, the boilerplate gram generates no candidates;
+    # the planted pair still surfaces through its unique shared grams.
+    header = "lorem ipsum dolor sit amet"
+    rows = [
+        (i, f"{header} unique{i} a{i} b{i} c{i} d{i} e{i} f{i} g{i}")
+        for i in range(40)
+    ]
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_near_dup_pairs(
+        docs, threshold=0.5, n=5, max_doc_freq=8
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(100, 101)]
+
+
+def test_jaccard_ngram_no_cartesian(documents):
+    from pipz_spark.datapipe import jaccard_near_dup_pairs
+
+    plan = (
+        jaccard_near_dup_pairs(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_no_cartesian_product(documents):
     pairs = lsh_candidate_pairs(documents)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
