@@ -827,6 +827,104 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# PIVOT — a distinct aggregation machine (PivotFirst / two-phase
+# pivot aggregate) from the plain HashAggregate family. Values are
+# ENUMERATED (never inferred): inference needs an extra distinct
+# scan-and-collect of the pivot column before planning — at 100 TB a
+# full pass just to name the output columns. Sums in DECIMAL so
+# partial-agg order can't change the double.
+def _rel_pivot(spark, sf):
+    o = _t(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return piv.toDF(
+        "o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low"
+    )
+
+
+_REL_PIVOT_SQL = """
+SELECT o_orderstatus,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_notspec,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# LEFT ANTI join — the negative-membership plan node (the engine's
+# semi joins appear inside operators like ngram_jaccard's prune, but
+# anti has no other coverage). Build side is the FILTERED orders
+# projection, broadcastable when the predicate is selective; the
+# oracle is NOT EXISTS — DuckDB plans its own anti join, two engines
+# one semantics.
+def _rel_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_REL_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# RANGE-frame window — WindowExec's value-bounded frame (the third
+# frame machine after rel_window_running's running frame and
+# rel_window_lag's offset frame): each order sums its customer's
+# trailing 30 days. Range frames bound by VALUE, so equal order
+# dates are peers regardless of row order — deterministic without a
+# tiebreaker column. o_orderdate reads as TIMESTAMP_NTZ (nanos
+# parquet — the r5 events.ts drift family) and is date-valued
+# (verified: zero rows with time-of-day), so Spark orders by
+# unix_date (TZ-free on NTZ) with a [-30, 0] DAY frame; DuckDB by
+# the timestamp itself with an INTERVAL frame — identical inclusive
+# bounds on midnight values.
+def _rel_window_range(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30d"),
+    )
+
+
+_REL_WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER w AS n_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 # The salted skew-buster join under the driver's exact-equality gate:
 # the salt spreads each key over `salt` tasks (for the monster-key
 # case AQE's quantile-based splitter misses), and the oracle — a
@@ -1944,6 +2042,15 @@ QUERIES: dict[str, Declared] = {
     # df-capped grams instead of LSH bands; verify = the same
     # ngram_jaccard join shape dp_near_dup_minhash's verify runs
     "dp_jaccard_ngram": Declared(_dp_jaccard_ngram, _DP_JACCARD_NGRAM_SQL),
+    # pivot: the Expand-free two-phase pivot aggregate — same hash-agg
+    # chassis as rel_group_agg with pivot output expressions
+    "rel_pivot": Declared(_rel_pivot, _REL_PIVOT_SQL),
+    # anti join: the negated variant of the (semi-)join machine the
+    # enrich/decontaminate paths exercise positively top-50
+    "rel_anti_join": Declared(_rel_anti_join, _REL_ANTI_SQL),
+    # range frame: WindowExec chassis of rel_window_running with a
+    # value-bounded frame instead of a row frame
+    "rel_window_range": Declared(_rel_window_range, _REL_WINDOW_RANGE_SQL),
 }
 
 
