@@ -7,7 +7,7 @@ pruning + predicate pushdown then reach the parquet scan for free.
 """
 
 from .catalog import TABLES, load_table, load_tables, register_views
-from .readers import read_csv, read_jdbc, read_json, read_orc
+from .readers import read_binary_dir, read_csv, read_jdbc, read_json, read_orc
 from .sinks import (
     append_log_sink,
     compact_log,
@@ -33,6 +33,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "merge_parquet_sink",
+    "read_binary_dir",
     "read_csv",
     "read_jdbc",
     "read_json",

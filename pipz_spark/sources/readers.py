@@ -63,6 +63,40 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Media-file ingestion via Spark's ``binaryFile`` source — the
+    entry point that turns a directory of images/audio/video into the
+    (path, modificationTime, length, content BINARY) rows the
+    multimodal operators (``attach_blob``/``decode_image_features``/
+    ``sample_frames``) consume.
+
+    Scale notes:
+    * one FILE = one row; files are not splittable, so parallelism is
+      file count, grouped into tasks by
+      ``spark.sql.files.maxPartitionBytes`` — for media corpora of
+      many small files the listing and grouping are the bottleneck,
+      not the read (prefer landing media INTO parquet/webdataset-style
+      binary columns once, which every downstream scan then prunes
+      and splits properly; this reader is the first hop, not the
+      steady state).
+    * ``glob`` pushes the filename filter into the FILE LISTING
+      (pathGlobFilter) — directories of mixed media never enumerate
+      into the scan at all.
+    * the source also respects ``spark.sql.binaryFile.maxLength``;
+      oversize blobs fail loudly rather than OOMing a task."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

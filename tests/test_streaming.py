@@ -218,6 +218,36 @@ def test_csv_json_readers_roundtrip(spark, orders, tmp_path):
     assert got_orc.count() == 100 and got_orc.exceptAll(sample).count() == 0
 
 
+def test_binary_dir_ingestion(spark, tmp_path):
+    import hashlib
+
+    from pipz_spark import split_ok
+    from pipz_spark.datapipe import blob_metadata
+    from pipz_spark.sources.readers import read_binary_dir
+
+    media = tmp_path / "media" / "nested"
+    media.mkdir(parents=True)
+    payloads = {
+        "a.jpg": b"\xff\xd8\xff fake jpeg bytes",
+        "b.jpg": b"\xff\xd8\xff other bytes here",
+        "skip.txt": b"not media",
+    }
+    for fname, data in payloads.items():
+        (media / fname).write_bytes(data)
+
+    df = read_binary_dir(spark, str(tmp_path / "media"), glob="*.jpg")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    # the glob filter prunes at the LISTING: the txt never enters the scan
+    assert set(rows) == {"a.jpg", "b.jpg"}
+    assert bytes(rows["a.jpg"]["content"]) == payloads["a.jpg"]
+    assert rows["b.jpg"]["length"] == len(payloads["b.jpg"])
+    # feeds the multimodal surface directly: binary column in, typed
+    # metadata out, no decode
+    meta = split_ok(blob_metadata(blob_col="content")(df)).collect()
+    shas = {r["path"].rsplit("/", 1)[-1]: r["sha"] for r in meta}
+    assert shas["a.jpg"] == hashlib.sha256(payloads["a.jpg"]).hexdigest()
+
+
 def test_stream_stream_join_matches_batch(spark, events):
     from pipz_spark.streaming import stream_stream_join
 

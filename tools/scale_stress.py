@@ -26,6 +26,7 @@ from pipz_spark.datapipe import (
     dedup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
+    jaccard_near_dup_pairs,
     near_dup_pairs,
     release_caches,
     simhash_near_dup_pairs,
@@ -128,6 +129,14 @@ def main() -> None:
         lambda: near_dup_pairs(d10, threshold=0.7).count())
     run(spark, "simhash_near_dup   ",
         lambda: simhash_near_dup_pairs(d10, max_hamming=3).count())
+    # exact n-gram Jaccard at 10×: each replica family (10 docs)
+    # shares ~all 5-grams, so every gram's df ≈ 10 — well under the
+    # cap, and candidates grow ~45 pairs per base doc, linear in the
+    # corpus. (A >cap exact-dup cluster is the method's documented
+    # blind spot — boilerplate grams are PRUNED, which is why exact
+    # dedup runs before jaccard in the composed pipeline.)
+    run(spark, "jaccard_ngram      ",
+        lambda: jaccard_near_dup_pairs(d10, threshold=0.5).count())
     # transitive closure over the 10× pair graph (250k+ edges, dense
     # template components): rounds = component min-label eccentricity,
     # each round one skinny (long,long) shuffle — watch max_task_ms
