@@ -48,6 +48,7 @@ from .text import (
 )
 from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
 from .sampling import (
+    approx_dataset_profile,
     dataset_profile,
     deterministic_sample,
     deterministic_split,
@@ -65,6 +66,7 @@ __all__ = [
     "attach_blob",
     "blob_metadata",
     "cosine_similarity",
+    "approx_dataset_profile",
     "dataset_profile",
     "deterministic_sample",
     "deterministic_split",

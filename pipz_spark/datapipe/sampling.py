@@ -152,10 +152,49 @@ def dataset_profile(
     return Step(name, fn, node_type="profile")
 
 
+def approx_dataset_profile(
+    name: str,
+    distinct_cols: Seq[str],
+    quantile_cols: Seq[str] | None = None,
+    group_by: Seq[str] | None = None,
+    rsd: float = 0.05,
+) -> Step:
+    """Sketch-based profiling — the 100 TB face of ``dataset_profile``.
+
+    Exact COUNT(DISTINCT) shuffles every distinct value to a single
+    reducer per key; the HLL++ sketch behind
+    ``approx_count_distinct`` shuffles a few KB per partition and
+    merges associatively (map-side partials), so cardinality costs one
+    scan at any scale. Quantiles likewise: ``approx_percentile``'s
+    mergeable KLL-style sketch replaces the full sort an exact
+    median needs. Accuracy is a parameter (``rsd``, default ±5%
+    relative standard deviation), not a hope — use the exact profile
+    when the corpus fits the budget, this one when it doesn't."""
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        ok = ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in distinct_cols:
+            aggs.append(
+                F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct")
+            )
+        for c in quantile_cols or ():
+            aggs.append(
+                F.percentile_approx(c, [0.5, 0.9, 0.99], 10_000).alias(
+                    f"{c}_approx_quantiles"
+                )
+            )
+        grouped = ok.groupBy(*group_by) if group_by else ok.groupBy()
+        return grouped.agg(*aggs).withColumn(ERROR_COL, null_error())
+
+    return Step(name, fn, node_type="approx_profile")
+
+
 __all__ = [
     "hash_bucket",
     "deterministic_split",
     "deterministic_sample",
     "stratified_sample",
     "dataset_profile",
+    "approx_dataset_profile",
 ]

@@ -366,6 +366,37 @@ def test_deterministic_split_stability(documents):
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
 
 
+def test_approx_profile_tracks_exact(spark, documents):
+    from pipz_spark.datapipe import approx_dataset_profile
+
+    row = split_ok(
+        approx_dataset_profile(
+            "ap", distinct_cols=["doc_id", "lang"], quantile_cols=["n_chars"]
+        )(documents)
+    ).first()
+    exact_ids = documents.select("doc_id").distinct().count()
+    exact_langs = documents.select("lang").distinct().count()
+    assert row["n_rows"] == documents.count()
+    # HLL++ at rsd=0.05: allow 4 sigma
+    assert abs(row["doc_id_approx_distinct"] - exact_ids) <= max(4, 0.2 * exact_ids)
+    # tiny cardinalities are exact in the HLL sparse regime
+    assert row["lang_approx_distinct"] == exact_langs
+    q50, q90, q99 = row["n_chars_approx_quantiles"]
+    lo, hi = documents.selectExpr("min(n_chars)", "max(n_chars)").first()
+    assert lo <= q50 <= q90 <= q99 <= hi
+    # the sketch plan must be a plain two-phase hash aggregate: one
+    # scan, partial_approx_* map-side, NO expand/sort (the exact
+    # count-distinct shape this operator exists to avoid)
+    plan = (
+        split_ok(approx_dataset_profile("ap2", distinct_cols=["doc_id"])(documents))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_approx_count_distinct" in plan
+    assert "Expand" not in plan and "Sort" not in plan
+
+
 def test_deterministic_sample_nesting(documents):
     from pipz_spark.datapipe import deterministic_sample
 
