@@ -860,6 +860,38 @@ GROUP BY o_orderstatus
 """
 
 
+# UNPIVOT (melt) — the inverse reshape, lowered by Spark to an
+# Expand node (one input row → one output row per value column, a
+# single pass, never a UNION of per-column scans). Composed over
+# _rel_pivot so the round-trip is pinned: unpivot(pivot(orders)) must
+# equal the plain (status, priority) aggregate. NULL cells (a combo
+# absent from the data) are dropped to match GROUP BY semantics —
+# unpivot emits them, an aggregate never had them.
+def _rel_unpivot(spark, sf):
+    piv = _rel_pivot(spark, sf)
+    return piv.unpivot(
+        ["o_orderstatus"],
+        ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"],
+        "priority",
+        "total",
+    ).where(F.col("total").isNotNull())
+
+
+_REL_UNPIVOT_SQL = """
+SELECT o_orderstatus,
+       CASE o_orderpriority
+         WHEN '1-URGENT' THEN 'p_urgent'
+         WHEN '2-HIGH' THEN 'p_high'
+         WHEN '3-MEDIUM' THEN 'p_medium'
+         WHEN '4-NOT SPECIFIED' THEN 'p_notspec'
+         WHEN '5-LOW' THEN 'p_low'
+       END AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 # LEFT ANTI join — the negative-membership plan node (the engine's
 # semi joins appear inside operators like ngram_jaccard's prune, but
 # anti has no other coverage). Build side is the FILTERED orders
@@ -2051,6 +2083,10 @@ QUERIES: dict[str, Declared] = {
     # range frame: WindowExec chassis of rel_window_running with a
     # value-bounded frame instead of a row frame
     "rel_window_range": Declared(_rel_window_range, _REL_WINDOW_RANGE_SQL),
+    # unpivot: the Expand reshape (rel_rollup/grouping_sets exercise
+    # Expand for aggregation; this is the row-multiplying projection
+    # form), composed over rel_pivot as a round-trip gate
+    "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
 }
 
 

@@ -92,3 +92,57 @@ def test_range_join_equals_naive_join(spark_prop, pts, ivs, bin_s, inclusive):
         for r in left.join(right, (left["ts"] >= right["start"]) & upper, "inner").collect()
     }
     assert got == naive
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.25, 0.5, 0.75]),
+)
+def test_jaccard_ngram_exhaustive_when_uncapped(spark_prop, docs, threshold):
+    """With the df-cap not binding (cap ≥ corpus size), the candidate
+    rule "share ≥1 gram" is EXHAUSTIVE for any threshold > 0 (a pair
+    with positive Jaccard has a non-empty gram intersection), so
+    jaccard_near_dup_pairs must equal the all-pairs brute force —
+    pairs AND rounded scores — for arbitrary corpora, short docs
+    (below n tokens → whole-text fallback gram) included."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pipz_spark.datapipe import jaccard_near_dup_pairs, release_caches
+
+    n = 2
+    texts = [" ".join(toks) for toks in docs]
+    df = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_near_dup_pairs(
+            df, threshold=threshold, n=n, max_doc_freq=len(texts)
+        ).collect()
+    }
+    release_caches()
+
+    def grams(text: str) -> set[str]:
+        toks = text.strip().lower().split()
+        cnt = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[i : i + n]) for i in range(cnt)}
+
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            j = len(ga & gb) / len(ga | gb)
+            rj = float(
+                Decimal(repr(j)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
+            if rj >= threshold:
+                expect[(a, b)] = rj
+    assert got == expect
