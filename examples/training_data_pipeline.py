@@ -111,6 +111,24 @@ def main() -> None:
                                corpus.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()})
         print("language mix after quota:", {r["lang"]: r["n"] for r in
               corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()})
+        # phase 3 — sequence assembly for the trainer: sliding-window
+        # chunks over the train split, then concat-and-chop packs of a
+        # fixed token budget (what the dataloader actually consumes)
+        from pipz_spark.datapipe import chunk_documents, pack_sequences
+
+        train = corpus.where("split = 'train'")
+        chunks = chunk_documents(train, size=64, stride=48)
+        packs = pack_sequences(chunks, budget=512, shards=8)
+        stats = packs.agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("n_chunk_tokens").alias("tokens"),
+            (F.count_distinct("shard", "pack_id")).alias("packs"),
+        ).first()
+        print(
+            f"train assembly: {stats['chunks']} chunks, {stats['tokens']} tokens "
+            f"packed into {stats['packs']} x 512-token packs"
+        )
+
         # the dead letters were already landed — read them back rather
         # than re-executing the prep lineage for a sample
         dead = spark.read.parquet(f"{tmp}/dead_letter")
