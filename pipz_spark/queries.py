@@ -916,6 +916,68 @@ WHERE NOT EXISTS (
 """
 
 
+# LEFT SEMI join — positive membership without multiplying rows (an
+# inner join against orders would duplicate a customer per matching
+# order; semi emits each customer at most once and prunes the probe
+# side's columns entirely). Declared as the mirror of rel_anti_join.
+def _rel_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_REL_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# FULL OUTER join — the both-sides-preserving machine (SMJ FullOuter:
+# neither side can build a broadcast hash table that knows about the
+# OTHER side's non-matches, so Spark must sort-merge — a genuinely
+# distinct physical path from every other declared join). Two
+# per-nation aggregates joined full-outer: a nation can have
+# customers but no suppliers or vice versa, and both null-sides must
+# surface (filters chosen so BOTH directions occur at sf0.001 AND
+# sf0.01 — verified: 1 customer-missing + 5 supplier-missing nations
+# at sf0.01).
+def _rel_full_outer_join(spark, sf):
+    c = (
+        _t(spark, sf, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 8000))
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c["nk_c"] == s["nk_s"], "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+_REL_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust
+  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT COALESCE(nk_c, nk_s) AS nationkey, n_cust, n_supp
+FROM c FULL OUTER JOIN s ON c.nk_c = s.nk_s
+"""
+
+
 # RANGE-frame window — WindowExec's value-bounded frame (the third
 # frame machine after rel_window_running's running frame and
 # rel_window_lag's offset frame): each order sums its customer's
@@ -2087,6 +2149,12 @@ QUERIES: dict[str, Declared] = {
     # Expand for aggregation; this is the row-multiplying projection
     # form), composed over rel_pivot as a round-trip gate
     "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
+    # semi join: rel_anti_join's mirror polarity on the same
+    # broadcast-hash-join machine
+    "rel_semi_join": Declared(_rel_semi_join, _REL_SEMI_SQL),
+    # full outer: the both-sides-preserving SMJ path no other
+    # declared join exercises
+    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
 }
 
 
