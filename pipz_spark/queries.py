@@ -916,6 +916,60 @@ WHERE NOT EXISTS (
 """
 
 
+# TPC-H Q1-shaped pricing summary — the canonical scan-heavy
+# aggregate over the LARGEST table: predicate pushed to the parquet
+# scan, derived expressions (disc price, charge) inside whole-stage
+# codegen, 8 aggregates in one partial+final HashAggregate pass over
+# 2 grouping keys. At 100 TB this shape IS the workload: its cost is
+# one scan, the shuffle carries ≤ |distinct(flag,status)| rows per
+# partition. Hash-match discipline: sums in DECIMAL (associative —
+# partial-agg order can't move the double), averages as decimal-sum /
+# count divided ONCE; the double products (price·(1−disc)) are
+# IEEE-identical in both engines before the decimal cast; averages
+# cast the decimal sum to double BEFORE dividing (decimal/long keeps
+# decimal scale-6 in Spark but not in DuckDB — double/long is the
+# shared exact operation).
+def _rel_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    dec = "decimal(28,6)"
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(dec)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(dec)).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(dec)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(dec)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(dec)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REL_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # LEFT SEMI join — positive membership without multiplying rows (an
 # inner join against orders would duplicate a customer per matching
 # order; semi emits each customer at most once and prunes the probe
@@ -2155,6 +2209,9 @@ QUERIES: dict[str, Declared] = {
     # full outer: the both-sides-preserving SMJ path no other
     # declared join exercises
     "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
+    # TPC-H Q1 shape: rel_group_agg's hash-agg machine at 8
+    # aggregates + derived codegen expressions over the largest table
+    "rel_pricing_summary": Declared(_rel_pricing_summary, _REL_PRICING_SUMMARY_SQL),
 }
 
 
