@@ -970,6 +970,52 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# TPC-H Q3-shaped shipping priority — the canonical multi-join +
+# aggregate + top-k composition: three tables, every filter pushed
+# below its join, grouped revenue, global top-10. No broadcast hint
+# on purpose: the dims here scale WITH sf (unlike nation/region), so
+# the right physical join is a size decision — AQE broadcasts at
+# test scale and falls back to shuffled joins on a real cluster.
+# Top-k ties at rank 10 are impossible to mis-break: revenue is a
+# decimal-exact sum and o_orderkey is the explicit tiebreaker.
+def _rel_shipping_priority(spark, sf):
+    cutoff = F.lit("1997-03-15").cast("timestamp_ntz")
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+_REL_SHIPPING_PRIORITY_SQL = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
 # LEFT SEMI join — positive membership without multiplying rows (an
 # inner join against orders would duplicate a customer per matching
 # order; semi emits each customer at most once and prunes the probe
@@ -2212,6 +2258,9 @@ QUERIES: dict[str, Declared] = {
     # TPC-H Q1 shape: rel_group_agg's hash-agg machine at 8
     # aggregates + derived codegen expressions over the largest table
     "rel_pricing_summary": Declared(_rel_pricing_summary, _REL_PRICING_SUMMARY_SQL),
+    # TPC-H Q3 shape: rel_join_agg's join machine + rel_sort_limit's
+    # TakeOrdered, composed across three tables
+    "rel_shipping_priority": Declared(_rel_shipping_priority, _REL_SHIPPING_PRIORITY_SQL),
 }
 
 
