@@ -7,7 +7,7 @@ pruning + predicate pushdown then reach the parquet scan for free.
 """
 
 from .catalog import TABLES, load_table, load_tables, register_views
-from .readers import read_binary_dir, read_csv, read_jdbc, read_json, read_orc
+from .readers import read_binary_dir, read_csv, read_jdbc, read_json, read_orc, read_text
 from .sinks import (
     append_log_sink,
     compact_log,
@@ -40,6 +40,7 @@ __all__ = [
     "read_latest",
     "read_merged",
     "read_orc",
+    "read_text",
     "register_views",
     "write_bucketed",
     "write_csv",

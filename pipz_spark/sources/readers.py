@@ -63,6 +63,25 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text ingestion — one row per line (splittable: a large
+    file scans in parallel by byte range), or with ``whole=True`` one
+    row per FILE (for document-per-file corpora; parallelism becomes
+    file count, same caveat as ``read_binary_dir``). The single
+    ``value`` string column feeds the text datapipe directly.
+
+    Options go through ``DataFrameReader.text``'s own parameters —
+    the generic ``.option("wholetext", ...)`` string spelling is
+    silently ignored by the current Spark (verified), the kwarg form
+    is not."""
+    return spark.read.text(path, wholetext=whole, lineSep=line_sep)
+
+
 def read_binary_dir(
     spark: SparkSession,
     path: str,

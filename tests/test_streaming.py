@@ -248,6 +248,22 @@ def test_binary_dir_ingestion(spark, tmp_path):
     assert shas["a.jpg"] == hashlib.sha256(payloads["a.jpg"]).hexdigest()
 
 
+def test_text_reader_lines_and_whole(spark, tmp_path):
+    from pipz_spark.sources.readers import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo line\n")
+    lines = read_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two", "solo line",
+    ]
+    whole = read_text(spark, str(d), whole=True)
+    vals = sorted(r["value"] for r in whole.collect())
+    assert vals == ["line one\nline two\n", "solo line\n"]
+
+
 def test_stream_stream_join_matches_batch(spark, events):
     from pipz_spark.streaming import stream_stream_join
 
