@@ -83,3 +83,50 @@ def test_stream_static_dim_join_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    # the Q1 shape's whole value is one pruned scan + partial agg: the
+    # shipdate predicate must reach the scan's DataFilters (Catalyst
+    # rewrites the date-cast comparison into a raw timestamp bound)
+    # and the scan must not read l_orderkey/l_partkey/l_suppkey
+    plan = _plan(spark, "rel_pricing_summary")
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    scan = plan[plan.index("FileScan") :]
+    assert "l_shipdate" in scan.split("ReadSchema")[0]
+    assert "l_partkey" not in scan
+
+
+def test_shipping_priority_take_ordered_no_global_sort(spark):
+    # Q3's top-10 must be TakeOrderedAndProject (per-partition top-N),
+    # never a full Sort of the grouped output
+    plan = _plan(spark, "rel_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["rel_anti_join", "rel_semi_join"])
+def test_membership_joins_broadcast_filtered_probe(spark, name):
+    # the urgent-orders side is filtered and broadcastable; if these
+    # regress to SMJ the full customer table sorts at 100 TB for a
+    # membership test
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_range_single_exchange(spark):
+    # the value-bounded frame needs exactly one hash exchange on the
+    # partition key — a second exchange means the frame re-shuffled
+    plan = _plan(spark, "rel_window_range")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_jaccard_shuffles_hashed_grams_not_strings(spark):
+    # candidate stages key on xxhash64(gram) longs; if the raw 5-word
+    # gram strings reappear in an exchange the shuffle payload grows
+    # ~5-8x (the r6 15s -> 4s fix)
+    plan = _plan(spark, "dp_jaccard_ngram")
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
