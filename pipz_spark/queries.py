@@ -1984,6 +1984,58 @@ def _dp_dedup_clusters(spark, sf):
     return dedup_clusters(_t(spark, sf, "documents"), threshold=0.7)
 
 
+# The same transitive-closure + keeper machinery fed by a DIFFERENT
+# pair generator (exact df-capped n-gram Jaccard instead of MinHash)
+# — the composition a real pipeline chooses per corpus; the oracle
+# re-derives the identical pair rule and closes it with the same
+# recursive CTE.
+def _dp_jaccard_clusters(spark, sf):
+    from .datapipe import dedup_clusters, jaccard_near_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = jaccard_near_dup_pairs(d, threshold=0.5, n=5, max_doc_freq=64)
+    return dedup_clusters(d, pairs=pairs)
+
+
+_DP_JACCARD_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[s + 1 : s + 5], ' ')
+                        for s in range(0, greatest(len(t) - 4, 1))]) AS g
+  FROM toks
+), grams AS (
+  SELECT doc_id, unnest(g) AS g FROM sets
+), keep AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id
+), p AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.g, sb.g)) * 1.0 /
+                 (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))), 4) AS jaccard
+    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+              JOIN sets sb ON sb.doc_id = cand.id_b
+  ) WHERE jaccard >= 0.5
+), e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+), lab AS (SELECT u AS node, least(u, min(v)) AS label FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(l.label, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(l.label, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+"""
+
+
 _DP_DEDUP_CLUSTERS_SQL = r"""
 WITH RECURSIVE s AS (
   SELECT doc_id,
@@ -2261,6 +2313,9 @@ QUERIES: dict[str, Declared] = {
     # TPC-H Q3 shape: rel_join_agg's join machine + rel_sort_limit's
     # TakeOrdered, composed across three tables
     "rel_shipping_priority": Declared(_rel_shipping_priority, _REL_SHIPPING_PRIORITY_SQL),
+    # dp_dedup_clusters' closure machinery over dp_jaccard_ngram's
+    # pair generator — the cross-operator composition gate
+    "dp_jaccard_clusters": Declared(_dp_jaccard_clusters, _DP_JACCARD_CLUSTERS_SQL),
 }
 
 
