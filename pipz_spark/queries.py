@@ -1016,6 +1016,77 @@ LIMIT 10
 """
 
 
+# TPC-H Q5-shaped star join — revenue per REGION through the full
+# dimension chain lineitem⋈orders⋈customer⋈nation⋈region: the one
+# fact-fact sort-merge join the schema requires (lineitem⋈orders on
+# the orderkey both sides are keyed by) plus three genuinely tiny
+# dims (nation/region are CONSTANT-size at any sf — the textbook
+# broadcast case; customer is sf-sized, AQE decides). Completes
+# declared coverage of every test table.
+def _rel_region_star(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REL_REGION_STAR_SQL = """
+SELECT r.r_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# Part-dimension aggregate: lineitem⋈part revenue/quantity per brand
+# — the remaining dim's declared gate. part scales WITH sf, so no
+# broadcast hint (AQE broadcasts at test scale, shuffles on a real
+# cluster); the join key is the only part column read besides the
+# grouping key (column pruning down the dim).
+def _rel_part_brand_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REL_PART_BRAND_SQL = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 # LEFT SEMI join — positive membership without multiplying rows (an
 # inner join against orders would duplicate a customer per matching
 # order; semi emits each customer at most once and prunes the probe
@@ -2316,6 +2387,10 @@ QUERIES: dict[str, Declared] = {
     # dp_dedup_clusters' closure machinery over dp_jaccard_ngram's
     # pair generator — the cross-operator composition gate
     "dp_jaccard_clusters": Declared(_dp_jaccard_clusters, _DP_JACCARD_CLUSTERS_SQL),
+    # Q5-shaped region star + the part-brand aggregate: declared
+    # coverage for the last two unexercised test tables
+    "rel_region_star": Declared(_rel_region_star, _REL_REGION_STAR_SQL),
+    "rel_part_brand_agg": Declared(_rel_part_brand_agg, _REL_PART_BRAND_SQL),
 }
 
 
