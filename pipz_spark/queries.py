@@ -2234,6 +2234,152 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
 
 
 # --------------------------------------------------------------------
+# SQL-surface queries: the engine's pipelines can equivalently be
+# written as SQL over registered views (sources/catalog.py:
+# register_views); these exercise Catalyst's SUBQUERY analysis —
+# RewritePredicateSubquery turns EXISTS/NOT EXISTS into semi/anti
+# joins, and correlated scalar aggregates decorrelate into an
+# aggregate + join. Both rewrites produce exactly the join plans the
+# DataFrame-API queries above build by hand, so the declarative SQL
+# face is held to the same plans AND the same oracle.
+def _register_query_views(spark, sf, names):
+    for n in names:
+        _t(spark, sf, n).createOrReplaceTempView(n)
+
+
+def _rel_exists_subquery(spark, sf):
+    _register_query_views(spark, sf, ("customer", "orders"))
+    # EXISTS → left semi, NOT EXISTS → left anti, both in ONE plan.
+    # At 100 TB both decorrelate to hash joins on o_custkey — no
+    # per-row subquery re-execution exists in the physical plan.
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+_REL_EXISTS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def _rel_scalar_subquery(spark, sf):
+    _register_query_views(spark, sf, ("orders",))
+    # correlated scalar AGGREGATE subquery (per-customer mean) —
+    # Catalyst decorrelates it into groupBy(o_custkey) + join, i.e.
+    # ONE aggregate pass over orders, never a per-row re-scan. The
+    # mean is decimal-sum / count cast once, so partial-agg order
+    # cannot move the double and the > cut is engine-stable.
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+_REL_SCALAR_SUBQ_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+    SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+# Multiple COUNT(DISTINCT) over DIFFERENT columns in one aggregate —
+# Catalyst's RewriteDistinctAggregates path: ONE Expand (3 replicas
+# per row: one per distinct group + one for the plain count) feeding a
+# two-phase aggregate, instead of three scans unioned. The 100 TB
+# consideration is exactly that single-scan property — lineitem is the
+# largest table and this shape answers "how many distinct parts /
+# suppliers per flag" in one pass.
+def _rel_multi_count_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_REL_MULTI_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# Funnel analysis over the events stream table: per user, first
+# signup and the first purchase AFTER it — the conversion query every
+# product-analytics deployment of the reference runs. Two filtered
+# aggregates over ONE events scan lineage; the signup frame is
+# |users|-sized (tiny, broadcast), so the composition costs one scan
+# + one broadcast join at any scale. Timestamps exported as
+# epoch-micros (catalog-canonical TIMESTAMP → unix_micros).
+def _events_funnel(spark, sf):
+    ev = _t(spark, sf, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(signups), "user_id")
+        .where(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return first_purchase.select(
+        "user_id",
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("purchase_ts").alias("first_purchase_us"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias("lag_us"),
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+  GROUP BY e.user_id, s.signup_ts)
+SELECT user_id,
+       epoch_us(signup_ts) AS signup_us,
+       epoch_us(purchase_ts) AS first_purchase_us,
+       epoch_us(purchase_ts) - epoch_us(signup_ts) AS lag_us
+FROM p
+"""
+
+
+# --------------------------------------------------------------------
 QUERIES: dict[str, Declared] = {
     "p1_transform": Declared(_p1, _P1_SQL),
     "p2_apply_ok": Declared(_p2_ok, _P2_OK_SQL),
@@ -2391,6 +2537,24 @@ QUERIES: dict[str, Declared] = {
     # coverage for the last two unexercised test tables
     "rel_region_star": Declared(_rel_region_star, _REL_REGION_STAR_SQL),
     "rel_part_brand_agg": Declared(_rel_part_brand_agg, _REL_PART_BRAND_SQL),
+    # SQL subquery surface: Catalyst REWRITES both into the join
+    # machines already gated top-50 — EXISTS/NOT EXISTS into the
+    # semi/anti BroadcastHashJoins of rel_semi_join/rel_anti_join
+    # (plan canary pins the rewrite), the correlated scalar aggregate
+    # into rel_join_agg's aggregate+join. What's new is the analyzer
+    # path, not the execution machine.
+    "rel_exists_subquery": Declared(_rel_exists_subquery, _REL_EXISTS_SQL),
+    "rel_scalar_subquery": Declared(_rel_scalar_subquery, _REL_SCALAR_SUBQ_SQL),
+    # RewriteDistinctAggregates: Expand (rel_rollup/grouping_sets,
+    # top-50 via rel_rollup) + two-phase hash agg (rel_group_agg) —
+    # the composition's plan shape is canary-pinned
+    "rel_multi_count_distinct": Declared(
+        _rel_multi_count_distinct, _REL_MULTI_DISTINCT_SQL
+    ),
+    # funnel = two filtered min-aggregates (rel_group_agg machine)
+    # composed by the broadcast join p5_enrich gates, over the events
+    # scan events_sessions/events_hourly_window exercise
+    "events_funnel": Declared(_events_funnel, _EVENTS_FUNNEL_SQL),
 }
 
 

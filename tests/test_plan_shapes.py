@@ -136,3 +136,41 @@ def test_jaccard_shuffles_hashed_grams_not_strings(spark):
     plan = _plan(spark, "dp_jaccard_ngram")
     assert "xxhash64" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_exists_subquery_rewrites_to_semi_and_anti_joins(spark):
+    # RewritePredicateSubquery must turn EXISTS/NOT EXISTS into hash
+    # joins — a surviving per-row subquery would re-scan orders once
+    # per customer row at 100 TB
+    plan = _plan(spark, "rel_exists_subquery")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_one_aggregate(spark):
+    # the correlated per-customer mean must decorrelate into ONE
+    # groupBy(o_custkey) aggregate joined back — never a scalar
+    # subquery evaluated per row
+    plan = _plan(spark, "rel_scalar_subquery")
+    assert "HashAggregate" in plan
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_multi_count_distinct_expands_single_scan(spark):
+    # RewriteDistinctAggregates: one Expand feeding the two-phase
+    # aggregate — three separate scans of lineitem would triple the
+    # dominant cost
+    plan = _plan(spark, "rel_multi_count_distinct")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_events_funnel_broadcasts_signups(spark):
+    # the per-user signup frame is |users|-sized; if it stops
+    # broadcasting the purchase scan shuffles on user_id for a
+    # dimension-sized build side
+    plan = _plan(spark, "events_funnel")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
