@@ -32,6 +32,7 @@ from .similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pq,
     embedding_near_dup_pairs,
 )
 from .text import (
@@ -75,6 +76,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_pq",
     "decode_image_features",
     "embedding_near_dup_pairs",
     "exact_dedup",

@@ -345,6 +345,197 @@ def cosine_topk_ivf(
     return _topk(scored, k)
 
 
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 64,
+    shortlist: int = 128,
+    seed: int = 42,
+    train_rows: int = 1024,
+    iters: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN with exact rerank — the memory-bound
+    scale path: PQ compresses each vector to ``m`` one-byte codes
+    (64-dim float32 → 8 bytes, 32×), and query scoring becomes ``m``
+    table lookups per corpus vector instead of a ``dim``-wide dot
+    product. Candidates = per-query approximate top-``shortlist``;
+    the final answer reranks ONLY those with exact cosine, so
+    correctness degrades gracefully: output = exact top-k whenever
+    the shortlist recall holds (tunable via ``shortlist``), and the
+    declared-query gate runs at parameters where it provably does.
+
+    Pipeline (all per-partition except two skinny shuffles):
+      1. codebooks train on a BOUNDED deterministic sample —
+         ``orderBy(content-hash, id).limit(train_rows)`` compiles to
+         TakeOrderedAndProject (per-partition top-N + driver merge),
+         so the driver materializes ≤ train_rows vectors at ANY
+         corpus size. Per-subspace Lloyd iterations run in numpy on
+         the driver: codebook training is O(train_rows · ksub · dim)
+         — never a cluster-scale job (contrast IVF, whose coarse
+         quantizer trains distributed because nlist is large).
+      2. queries collect to the driver (small-query-batch contract,
+         same as cosine_topk_bruteforce's broadcast) and become an
+         ADC lookup tensor LUT[q, j, c] = <q_j, centroid_jc> shipped
+         ONCE in the scorer's closure.
+      3. one ``mapInPandas`` corpus scan: encode each Arrow batch
+         (argmin L2 per subspace), score ALL queries against the
+         batch via LUT gathers, keep per-batch partial top-shortlist
+         per query → skinny (qid, nid, approx) rows out. No shuffle
+         carries vectors.
+      4. global per-query top-shortlist (one window over skinny
+         partials), then exact rerank: candidates join corpus
+         vectors on nid (shuffle of |Q|·shortlist rows), queries
+         broadcast, cosine as the same JVM expression the exact path
+         uses, per-query top-k.
+
+    Vectors are L2-normalized in float64 before encode/LUT, so ADC
+    approximates cosine directly. Ties everywhere break toward the
+    lower id (np.argmin / lexsort / window orderBy nid) — output is
+    a pure function of the inputs and parameters.
+    """
+    import numpy as np
+
+    from .sampling import hash_bucket
+
+    if m <= 0 or ksub <= 1:
+        raise ValueError("m must be >= 1 and ksub >= 2")
+
+    # --- 1. bounded deterministic training sample -> codebooks
+    sample = (
+        corpus.select(
+            hash_bucket(F.col(id_col), "pq-train").alias("_b"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_b", "_id")
+        .limit(train_rows)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in sample], dtype="float64")
+    if X.shape[0] < ksub:
+        raise ValueError(
+            f"corpus sample ({X.shape[0]} rows) smaller than ksub={ksub}"
+        )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+
+    # All m sub-codebooks train JOINTLY: one batched matmul per Lloyd
+    # iteration over a (m, n, ksub) distance tensor — m separate
+    # skinny matmuls pay ~10× their FLOPs in allocation/dispatch
+    # overhead (measured 5s vs 0.3s for m=32, ksub=256).
+    P = np.ascontiguousarray(Xn.reshape(-1, m, dsub).transpose(1, 0, 2))  # (m, n, dsub)
+    n_train = P.shape[1]
+    rng = np.random.RandomState(seed)
+    init = np.stack([rng.choice(n_train, ksub, replace=False) for _ in range(m)])
+    codebooks = np.stack([P[j, init[j]] for j in range(m)])  # (m, ksub, dsub)
+    P_sq = (P * P).sum(axis=2)[:, :, None]  # (m, n, 1)
+    for _ in range(iters):
+        d2 = (
+            P_sq
+            + (codebooks * codebooks).sum(axis=2)[:, None, :]
+            - 2.0 * (P @ codebooks.transpose(0, 2, 1))
+        )  # (m, n, ksub)
+        assign = np.argmin(d2, axis=2)  # ties -> lowest centroid id
+        for j in range(m):
+            sums = np.stack(
+                [
+                    np.bincount(assign[j], weights=P[j, :, d], minlength=ksub)
+                    for d in range(dsub)
+                ],
+                axis=1,
+            )
+            counts = np.bincount(assign[j], minlength=ksub)
+            nonempty = counts > 0
+            codebooks[j, nonempty] = sums[nonempty] / counts[nonempty, None]
+            if not nonempty.all():
+                # deterministic reseed: farthest point from its centroid
+                codebooks[j, ~nonempty] = P[j, np.argmax(d2[j].min(axis=1))]
+
+    # --- 2. query LUTs (driver-side; |Q| small by contract)
+    qrows = sorted(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect(),
+        key=lambda r: r["_id"],
+    )
+    qids = np.array([r["_id"] for r in qrows])
+    Q = np.array([r["_v"] for r in qrows], dtype="float64")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    # LUT[q, j, c] = <q_j, codebook[j, c]>
+    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Q), m, dsub), codebooks)
+
+    id_type = _id_type(corpus, id_col)
+    out_schema = f"qid {id_type}, nid {id_type}, approx double"
+    cap = shortlist
+
+    # --- 3. encode + ADC score + per-batch partial top-shortlist
+    def score_partition(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            nids = pdf["_id"].to_numpy()
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            sub = np.ascontiguousarray(
+                Vn.reshape(n, m, dsub).transpose(1, 0, 2)
+            )  # (m, n, dsub)
+            # codes[j, i] = argmin_c ||sub[j,i] - codebook[j,c]||² via
+            # ONE batched matmul (||c||² - 2<x,c>; ||x||² constant per
+            # x so argmin is unaffected)
+            d2 = (codebooks * codebooks).sum(axis=2)[:, None, :] - 2.0 * (
+                sub @ codebooks.transpose(0, 2, 1)
+            )  # (m, n, ksub)
+            codes = np.argmin(d2, axis=2).T  # (n, m)
+            # approx[q, i] = Σ_j LUT[q, j, codes[i, j]] — the (1,m) and
+            # (n,m) index arrays broadcast to (n,m), giving (nq, n, m)
+            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            take = min(cap, n)
+            # partial top-take per query; ties -> lower nid (lexsort
+            # is stable: secondary key nids, primary -approx)
+            order = np.lexsort((nids[None, :].repeat(len(qids), 0), -approx), axis=1)[
+                :, :take
+            ]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, take),
+                    "nid": nids[order].ravel(),
+                    "approx": np.take_along_axis(approx, order, axis=1).ravel(),
+                }
+            )
+
+    partials = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(score_partition, out_schema)
+
+    # --- 4. global shortlist + exact rerank
+    w = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("nid"))
+    cand = (
+        partials.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") <= cap) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid")
+    )
+    cvec = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("_nv"))
+    qvec = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
+    )
+    scored = (
+        cand.join(cvec, "nid")
+        .join(qvec, "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
+        )
+    )
+    return _topk(scored, k, dedup=False)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -454,6 +645,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_pq",
     "embedding_near_dup_pairs",
     "lsh_signature",
 ]

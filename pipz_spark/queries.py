@@ -2209,6 +2209,22 @@ def _dp_ann_ivf(spark, sf):
     return cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=8)
 
 
+def _dp_ann_pq(spark, sf):
+    from .datapipe import cosine_topk_pq
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    # exhaustive-recall parameters for the gate, same stance as
+    # LSH/IVF: the synthetic embeddings are ISOTROPIC (no manifold
+    # structure for PQ to exploit), so the codebooks must be fine —
+    # m=32 subspaces of 2 dims × 64 centroids puts the worst
+    # approx-rank of any true top-6 neighbor at 14 (measured at
+    # sf0.1), 9× inside the 128-candidate shortlist the exact rerank
+    # consumes. Production embeddings cluster; coarser m/ksub and a
+    # smaller shortlist are the realistic operating point.
+    return cosine_topk_pq(emb, queries, k=5, m=32, ksub=64, shortlist=128)
+
+
 def _dp_embed_near_dup(spark, sf):
     from .datapipe import embedding_near_dup_pairs
 
@@ -2555,6 +2571,12 @@ QUERIES: dict[str, Declared] = {
     # composed by the broadcast join p5_enrich gates, over the events
     # scan events_sessions/events_hourly_window exercise
     "events_funnel": Declared(_events_funnel, _EVENTS_FUNNEL_SQL),
+    # PQ ANN = the Arrow-batched scorer machinery dp_ann_ivf gates
+    # (closure-shipped codebooks instead of centroids) + the window
+    # top-k of every ANN sibling + the broadcast rerank join of
+    # dp_cosine_topk; the exact-rerank output shares the brute-force
+    # oracle at exhaustive-recall parameters
+    "dp_ann_pq": Declared(_dp_ann_pq, _DP_COSINE_TOPK_SQL),
 }
 
 

@@ -311,6 +311,56 @@ def test_cosine_topk_ivf_recall(embeddings):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_cosine_topk_pq_exact_at_gate_params(embeddings):
+    # PQ shortlist + exact rerank must EQUAL brute force when the
+    # shortlist holds every true neighbor (the declared-query gate
+    # parameters); repeated build must be byte-identical (codebook
+    # init, encode argmin, and all tie-breaks are deterministic)
+    from pipz_spark.datapipe import cosine_topk_pq
+
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = sorted(
+        map(tuple, cosine_topk_bruteforce(embeddings, queries, k=5).collect())
+    )
+    pq1 = sorted(
+        map(
+            tuple,
+            cosine_topk_pq(
+                embeddings, queries, k=5, m=32, ksub=64, shortlist=128
+            ).collect(),
+        )
+    )
+    assert pq1 == exact
+    pq2 = sorted(
+        map(
+            tuple,
+            cosine_topk_pq(
+                embeddings, queries, k=5, m=32, ksub=64, shortlist=128
+            ).collect(),
+        )
+    )
+    assert pq2 == pq1
+
+
+def test_cosine_topk_pq_shortlist_prunes_and_rejects_bad_params(embeddings):
+    from pipz_spark.datapipe import cosine_topk_pq
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    # a tight shortlist is the production shape: still k results per
+    # query, plan free of cartesian products
+    out = cosine_topk_pq(embeddings, queries, k=3, m=16, ksub=16, shortlist=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    counts = {r["qid"]: r["n"] for r in out.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2} and all(v == 3 for v in counts.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cosine_topk_pq(embeddings, queries, m=7)  # 64 % 7 != 0
+    with _pytest.raises(ValueError):
+        cosine_topk_pq(embeddings, queries, ksub=1)
+
+
 def test_ann_string_ids_and_cache_release(spark, embeddings):
     # the in-bucket scorers must preserve non-integer id types (their
     # applyInPandas schemas are derived, not hardcoded)...
