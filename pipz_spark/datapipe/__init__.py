@@ -55,6 +55,7 @@ from .sampling import (
     deterministic_split,
     hash_bucket,
     stratified_sample,
+    temperature_resample,
 )
 from .multimodal import (
     attach_blob,
@@ -73,6 +74,7 @@ __all__ = [
     "deterministic_split",
     "hash_bucket",
     "stratified_sample",
+    "temperature_resample",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",

@@ -122,6 +122,85 @@ def stratified_sample(
     return Step(name, fn, node_type="stratified_sample")
 
 
+def temperature_resample(
+    name: str,
+    key_col: str,
+    stratum_col: str,
+    target_fraction: float,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> Step:
+    """Temperature-flattened mixture resampling: per-stratum keep
+    rates chosen so the SAMPLED mixture follows w_s ∝ n_s^alpha
+    (alpha < 1 upweights rare strata — the standard rebalancing for
+    multi-source/multi-lingual training corpora) at an overall target
+    size of ``target_fraction`` × corpus. Rates are derived from the
+    corpus itself (one count aggregate), capped at 1.0 (a stratum is
+    never oversampled — membership stays deterministic), and applied
+    through the same content-hash bucketing as deterministic_sample,
+    so membership is a pure function of the row.
+
+    Cross-engine exactness (the oracle replays this in SQL): the only
+    irrational step, n^alpha, is pinned by routing alpha=0.5 through
+    IEEE-correctly-rounded sqrt and snapping the weight to
+    DECIMAL(28,10) BEFORE the weight-sum — decimal addition is exact,
+    so partial-agg order cannot move the rates. Other alphas use
+    pow(), whose last-ulp rounding is libm-specific; the declared
+    query gates alpha=0.5.
+
+    100 TB posture: two passes over the input (count + filter) with a
+    |strata|-row broadcast in between — rates never shuffle the fact
+    table.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError("target_fraction must be in (0, 1]")
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        stratum = F.coalesce(
+            F.col(stratum_col).cast("string"), F.lit("__pipz_null__")
+        )
+        weight = (
+            F.sqrt(F.col("_n").cast("double"))
+            if alpha == 0.5
+            else F.pow(F.col("_n").cast("double"), F.lit(alpha))
+        )
+        counts = (
+            df.where(is_ok())
+            .groupBy(stratum.alias("_s"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_w", weight.cast("decimal(28,10)"))
+        )
+        totals = counts.agg(
+            F.sum("_n").cast("double").alias("_tot"),
+            F.sum("_w").cast("double").alias("_wsum"),
+        )
+        rates = (
+            counts.crossJoin(F.broadcast(totals))
+            .withColumn(
+                "_keep",
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_fraction)
+                    * F.col("_tot")
+                    * (F.col("_w").cast("double") / F.col("_wsum"))
+                    / F.col("_n").cast("double"),
+                ),
+            )
+            .select("_s", "_keep")
+        )
+        bucket = hash_bucket(F.col(key_col), salt)
+        joined = df.join(F.broadcast(rates), stratum == F.col("_s"), "left")
+        keep = bucket.cast("double") < F.coalesce(F.col("_keep"), F.lit(0.0)) * 10000.0
+        return joined.where(keep | F.col(ERROR_COL).isNotNull()).drop("_s", "_keep")
+
+    return Step(
+        name,
+        fn,
+        node_type="temperature_resample",
+        metadata={"alpha": alpha, "target_fraction": target_fraction},
+    )
+
+
 def dataset_profile(
     name: str,
     numeric_cols: Seq[str],
@@ -195,6 +274,7 @@ __all__ = [
     "deterministic_split",
     "deterministic_sample",
     "stratified_sample",
+    "temperature_resample",
     "dataset_profile",
     "approx_dataset_profile",
 ]

@@ -2395,6 +2395,39 @@ FROM p
 """
 
 
+# Temperature-flattened mixture resampling over the skewed lang
+# column (en is 3.4× fr at sf0.01): keep rates derive from the corpus
+# counts with the n^0.5 flattening every multi-lingual corpus prep
+# applies, then membership is the md5-bucket function the other
+# sampling queries gate. The oracle replays the rate arithmetic
+# exactly (sqrt snapped to DECIMAL(28,10) before the weight sum, all
+# double ops in identical order).
+def _dp_temperature(spark, sf):
+    from .datapipe import temperature_resample
+
+    step = temperature_resample("lang-temp", "doc_id", "lang", 0.5)
+    return split_ok(step(_t(spark, sf, "documents"))).select("doc_id", "lang")
+
+
+_DP_TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '__pipz_null__') AS s,
+         COUNT(*) AS n,
+         CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,10)) AS w
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot, CAST(SUM(w) AS DOUBLE) AS wsum FROM c),
+r AS (
+  SELECT s, LEAST(1.0, 0.5 * t.tot * (CAST(c.w AS DOUBLE) / t.wsum)
+                       / CAST(c.n AS DOUBLE)) AS keep
+  FROM c, t)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN r ON coalesce(CAST(d.lang AS VARCHAR), '__pipz_null__') = r.s
+WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8)) AS BIGINT) % 10000 AS DOUBLE)
+      < r.keep * 10000.0
+"""
+
+
 # --------------------------------------------------------------------
 QUERIES: dict[str, Declared] = {
     "p1_transform": Declared(_p1, _P1_SQL),
@@ -2577,6 +2610,12 @@ QUERIES: dict[str, Declared] = {
     # dp_cosine_topk; the exact-rerank output shares the brute-force
     # oracle at exhaustive-recall parameters
     "dp_ann_pq": Declared(_dp_ann_pq, _DP_COSINE_TOPK_SQL),
+    # temperature resample = dp_dataset_profile's count aggregate +
+    # the md5-bucket membership of dp_deterministic_sample, composed
+    # through a broadcast rates join (p5_enrich machine); the rate
+    # ARITHMETIC (decimal-snapped sqrt weights) is the new surface
+    # and gets its exact gate here
+    "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
 }
 
 

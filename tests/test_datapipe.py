@@ -471,6 +471,38 @@ def test_stratified_sample(documents):
     assert n_en_kept < n_en_all * 0.3  # en sampled down
 
 
+def test_temperature_resample_flattens_mixture(documents):
+    from pipz_spark.datapipe import temperature_resample
+
+    step = temperature_resample("flatten", "doc_id", "lang", 0.5, alpha=0.5)
+    out = split_ok(step(documents))
+    all_counts = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # rare strata keep a HIGHER fraction than common ones (that is the
+    # flattening), and the overall size lands near the 50% target
+    rates = {s: kept_counts.get(s, 0) / n for s, n in all_counts.items()}
+    common = max(all_counts, key=all_counts.get)
+    rare = min(all_counts, key=all_counts.get)
+    assert rates[rare] > rates[common]
+    total_kept = sum(kept_counts.values())
+    assert 0.4 <= total_kept / sum(all_counts.values()) <= 0.6
+    # deterministic: same membership on a re-run
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in split_ok(step(documents)).select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_temperature_resample_rejects_bad_fraction(spark):
+    from pipz_spark.datapipe import temperature_resample
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_resample("t", "doc_id", "lang", 0.0)
+    with _pytest.raises(ValueError):
+        temperature_resample("t", "doc_id", "lang", 1.5)
+
+
 def test_regex_token_count(documents):
     from pipz_spark.datapipe import regex_token_count
 
