@@ -180,6 +180,68 @@ def running_totals(events: DataFrame, timeout_minutes: int | None = None) -> Dat
     )
 
 
+def running_totals_tws(events: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
+    """``running_totals`` on the transformWithStateInPandas API
+    (Spark 4.x arbitrary-state v2) — same exact scaled-integer
+    accumulator, same output schema, same oracle. Where the v1
+    (applyInPandasWithState) operator carries ONE opaque state tuple
+    per key, v2 exposes NAMED state variables with per-variable
+    schemas and native TTL; at scale that means state can evolve
+    (add a variable without rewriting the checkpoint) and eviction is
+    declarative (``ttl_minutes``) instead of hand-rolled timeout
+    bookkeeping. Both run on the same state store; keeping the two
+    implementations oracle-equal pins the engine's stateful semantics
+    across the API generations.
+
+    Runtime dependency: the v2 runner's driver-side control channel
+    imports the ``protobuf`` python package at query start —
+    environments without it fail with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE; use
+    ``running_totals`` (v1) there. The operator itself is plain
+    pandas either way."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl_ms = ttl_minutes * 60 * 1000 if ttl_minutes is not None else None
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA, ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            n, total_scaled = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total_scaled += int(
+                    np.rint(pdf["value"].to_numpy() * 10000.0).astype("int64").sum()
+                )
+            self._state.update((n, total_scaled))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_scaled / 10000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -80,6 +80,29 @@ def test_running_totals_stateful(spark, events):
         assert abs(g[r["user_id"]][1] - r["total_value"]) < 1e-6
 
 
+def test_running_totals_tws_matches_v1_and_batch(spark, events):
+    # the transformWithStateInPandas (state v2) implementation must
+    # produce the same final per-user state as applyInPandasWithState
+    # and the batch aggregate — stateful semantics pinned across API
+    # generations. The v2 runner's control channel needs the protobuf
+    # python package; environments without it can only run the v1
+    # operator (running_totals_tws documents this), so skip there.
+    pytest.importorskip("google.protobuf")
+    from pipz_spark.streaming.streams import running_totals_tws
+
+    stream = read_events_stream(spark, SF_DIR)
+    out = _run_to_memory(spark, running_totals_tws(stream), "running_tws")
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    assert len(g) == batch.count()
+    for r in batch.collect():
+        assert g[r["user_id"]][0] == r["n_events"]
+        assert abs(g[r["user_id"]][1] - r["total_value"]) < 1e-6
+
+
 def test_run_step_stream_dead_letter_split(spark, events):
     stream = read_events_stream(spark, SF_DIR)
     step = P.apply("validate", error_when=F.col("value") < 0, message="negative value")
