@@ -148,6 +148,17 @@ def main() -> None:
         lambda: embedding_near_dup_pairs(e10, threshold=0.4, bits=3, tables=32).count())
     run(spark, "cosine_topk_lsh    ",
         lambda: cosine_topk_lsh(e10, e10.where(F.col("vec_id") < 100), k=5).count())
+    # PQ at 10×: codebook training stays O(train_rows) on the driver
+    # regardless of corpus size (TakeOrdered sample); the encode+ADC
+    # scan is linear and shuffle carries only (qid, nid, approx)
+    # partials — watch shuffle_mb staying ~flat vs the LSH line
+    from pipz_spark.datapipe import cosine_topk_pq
+
+    run(spark, "cosine_topk_pq     ",
+        lambda: cosine_topk_pq(
+            e10, e10.where(F.col("vec_id") < 100), k=5, m=32, ksub=64,
+            shortlist=128,
+        ).count())
 
     # ---- decontamination at 10×: gram explode is linear in corpus
     # tokens; the collision join is broadcast (eval side tiny by
