@@ -2395,6 +2395,69 @@ FROM p
 """
 
 
+# Cohort retention over the events table: users grouped by their
+# first-activity week, then distinct-user counts per (cohort, week
+# offset) — THE product-analytics companion to the funnel query. One
+# distinct pass builds the |users × weeks| activity frame; the cohort
+# frame is |users|-sized and broadcasts; offsets are exact (weeks
+# differ by multiples of 7 days, so days/7 is integer-valued in
+# double on both engines — truncation vs rounding cannot diverge).
+def _events_retention(spark, sf):
+    ev = _t(spark, sf, "events")
+    weeks = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_us"), "week_offset", "n_users"
+        )
+    )
+
+
+_EVENTS_RETENTION_SQL = """
+WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT epoch_us(c.cohort_week) AS cohort_us,
+       CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT) AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM w JOIN c ON w.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# INTERSECT ALL / EXCEPT ALL — the MULTISET set operations (Spark
+# lowers both to a count-tagged aggregate + Generate replication, a
+# different machine from the distinct-based intersect/except that
+# rel_setops gates). Tagged union so one declared query pins both
+# polarities.
+def _rel_setops_all(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("key"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("key"))
+    return (
+        c.intersectAll(s)
+        .withColumn("op", F.lit("intersect_all"))
+        .unionByName(c.exceptAll(s).withColumn("op", F.lit("except_all")))
+    )
+
+
+_REL_SETOPS_ALL_SQL = """
+SELECT key, 'intersect_all' AS op FROM (
+  SELECT c_nationkey AS key FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS key FROM supplier)
+UNION ALL
+SELECT key, 'except_all' AS op FROM (
+  SELECT c_nationkey AS key FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS key FROM supplier)
+"""
+
+
 # Temperature-flattened mixture resampling over the skewed lang
 # column (en is 3.4× fr at sf0.01): keep rates derive from the corpus
 # counts with the n^0.5 flattening every multi-lingual corpus prep
@@ -2616,6 +2679,15 @@ QUERIES: dict[str, Declared] = {
     # ARITHMETIC (decimal-snapped sqrt weights) is the new surface
     # and gets its exact gate here
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
+    # retention = the distinct pass of rel_distinct + rel_group_agg's
+    # aggregate + p5_enrich's broadcast join, composed over the events
+    # scan; the cohort arithmetic gets its exact gate here
+    "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
+    # multiset set-ops: Spark's count-tagged aggregate + Generate
+    # lowering — the replication half is the Generate machinery the
+    # band/frame explodes gate; the distinct-setop polarity is
+    # rel_setops (top-50)
+    "rel_setops_all": Declared(_rel_setops_all, _REL_SETOPS_ALL_SQL),
 }
 
 

@@ -174,3 +174,20 @@ def test_events_funnel_broadcasts_signups(spark):
     plan = _plan(spark, "events_funnel")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_retention_broadcasts_cohorts_and_dedups_once(spark):
+    # the |users|-sized cohort frame must broadcast; the activity
+    # distinct is one aggregate, not a shuffle per reference
+    plan = _plan(spark, "events_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_setops_all_uses_generate_replication(spark):
+    # INTERSECT ALL / EXCEPT ALL lower to the count-tagged aggregate +
+    # Generate replication — a CartesianProduct or nested loop here
+    # would mean the multiset semantics regressed to a join
+    plan = _plan(spark, "rel_setops_all")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
