@@ -509,8 +509,17 @@ def cosine_topk_pq(
                 }
             )
 
-    partials = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    # UNLIKE the signature UDFs (one matmul per batch — not worth a
+    # shuffle), the ADC scan does real per-row work: encode + an
+    # (nq × n) LUT gather + per-query partial sort. A small corpus
+    # arriving as 1-3 file splits serializes that on as many cores
+    # (measured 4.6 s max task at 20k vectors / 3 splits → ~0.5 s
+    # fanned out); at real scale the scan has thousands of splits and
+    # fan_out is a no-op.
+    from ._util import fan_out
+
+    partials = fan_out(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     ).mapInPandas(score_partition, out_schema)
 
     # --- 4. global shortlist + exact rerank
