@@ -2527,7 +2527,14 @@ QUERIES: dict[str, Declared] = {
     "stream_running_totals": Declared(_stream_running_totals, _STREAM_TOTALS_SQL),
     "stream_static_join": Declared(_stream_static_join, _STREAM_STATIC_JOIN_SQL),
     "dp_text_stats": Declared(_dp_text_stats, _DP_TEXT_STATS_SQL),
-    "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
+    # full outer is TOP-50 by the unique-code-path rule (r5 lesson):
+    # the both-sides-preserving SMJ path has no other declared join,
+    # so it must sit inside the driver's 50-row correctness window.
+    # It displaced dp_fingerprint, whose rolling-hash expressions are
+    # the same pure-JVM Project machine as dp_text_stats (the
+    # family's top-50 representative — the identical argument that
+    # already parks dp_regex_tokens/dp_token_count in the tail).
+    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
     "dp_exact_dedup": Declared(_dp_exact_dedup, _DP_EXACT_DEDUP_SQL),
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     # ANN queries run at exhaustive-recall parameters (see the query
@@ -2633,9 +2640,10 @@ QUERIES: dict[str, Declared] = {
     # semi join: rel_anti_join's mirror polarity on the same
     # broadcast-hash-join machine
     "rel_semi_join": Declared(_rel_semi_join, _REL_SEMI_SQL),
-    # full outer: the both-sides-preserving SMJ path no other
-    # declared join exercises
-    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
+    # rolling-hash fingerprints: the same pure-JVM-expression Project
+    # machine as dp_text_stats (top-50 family representative); moved
+    # to the tail to make room for rel_full_outer_join's unique path
+    "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
     # TPC-H Q1 shape: rel_group_agg's hash-agg machine at 8
     # aggregates + derived codegen expressions over the largest table
     "rel_pricing_summary": Declared(_rel_pricing_summary, _REL_PRICING_SUMMARY_SQL),
