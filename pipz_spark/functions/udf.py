@@ -130,6 +130,83 @@ def python_apply(
     return Step(name, step_fn, node_type="python_apply", metadata={"inputs": inputs})
 
 
+def python_flat_map(
+    name: str,
+    fn: Callable[..., "object"],
+    inputs: list[str],
+    returns: str,
+    keep: list[str] | None = None,
+) -> Step:
+    """Fallible arbitrary-Python row EXPANSION — the table-function
+    member of the UDF surface, built on Spark's native Python UDTF +
+    lateral join (the engine-integrated form of flatMap: Catalyst
+    plans the expansion as a Generate-style lateral, so filters and
+    projections around it still optimize).
+
+    ``fn(*input_values)`` runs once per ok row and returns/yields an
+    iterable of tuples matching ``returns`` (a DDL struct string,
+    e.g. ``"chunk string, idx int"``); each tuple becomes an output
+    row carrying the ``keep`` columns (default: every input column).
+    Zero yields drop the row — flatMap semantics. An exception
+    becomes a dead-letter row for THAT input row only (error struct,
+    no expansion), same policy as python_apply: one poison row never
+    fails the job.
+
+    Implementation note: the error ride-along is a sentinel column
+    INSIDE the UDTF output (success rows carry NULL), because a
+    lateral join drops zero-output rows — an erroring row must still
+    produce its dead-letter carrier. Errored INPUT rows bypass the
+    lateral entirely and pass through unexpanded."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    out_schema = T.StructType.fromDDL(returns)
+    if any(f.name == "_pz_err" for f in out_schema.fields):
+        raise ValueError("returns schema may not contain the reserved field _pz_err")
+    udtf_type = T.StructType(
+        list(out_schema.fields) + [T.StructField("_pz_err", T.StringType())]
+    )
+    n_out = len(out_schema.fields)
+
+    class _FlatMap:
+        def eval(self, *args):
+            try:
+                for row in fn(*args):
+                    yield (*row, None)
+            except Exception as e:  # noqa: BLE001
+                yield tuple([None] * n_out) + (
+                    sanitize_message(f"{type(e).__name__}: {e}"),
+                )
+
+    gen = _udtf(_FlatMap, returnType=udtf_type)
+
+    def step_fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        carried = keep if keep is not None else [
+            c for c in df.columns if c != ERROR_COL
+        ]
+        ok = df.where(is_ok())
+        failed = df.where(~is_ok())
+        expanded = ok.lateralJoin(gen(*[F.col(c).outer() for c in inputs]))
+        err_msg = F.col("_pz_err")
+        expanded = expanded.select(
+            *carried,
+            *[f.name for f in out_schema.fields],
+            F.when(
+                err_msg.isNotNull(), make_error(list(path), err_msg)
+            ).otherwise(F.col(ERROR_COL)).alias(ERROR_COL),
+        )
+        passthrough = failed.select(
+            *carried,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_schema.fields
+            ],
+            F.col(ERROR_COL),
+        )
+        return expanded.unionByName(passthrough)
+
+    return Step(name, step_fn, node_type="python_flat_map", metadata={"inputs": inputs})
+
+
 def python_map_batches(
     name: str,
     fn: Callable[["object"], "object"],

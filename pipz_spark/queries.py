@@ -2395,6 +2395,36 @@ FROM p
 """
 
 
+# UDTF surface: python_flat_map tokenizes each document through
+# Spark's native Python UDTF + lateral join — the table-function
+# member of the UDF escape hatch (python_apply covers scalar). The
+# oracle replays the expansion with unnest + generate_subscripts;
+# exact equality pins both the expansion semantics and the
+# carried-column plumbing.
+def _udtf_flat_map(spark, sf):
+    from .functions import python_flat_map
+
+    def split_words(text):
+        if text is None or not text.strip():
+            return
+        for i, w in enumerate(text.strip().split()):
+            yield (w, i)
+
+    step = python_flat_map(
+        "tokenize", split_words, ["text"], "chunk string, idx int", keep=["doc_id"]
+    )
+    return split_ok(step(_t(spark, sf, "documents"))).select("doc_id", "chunk", "idx")
+
+
+_UDTF_FLAT_MAP_SQL = r"""
+SELECT doc_id,
+       unnest(string_split_regex(trim(text), '\s+')) AS chunk,
+       CAST(generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS INT) AS idx
+FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+"""
+
+
 # Cohort retention over the events table: users grouped by their
 # first-activity week, then distinct-user counts per (cohort, week
 # offset) — THE product-analytics companion to the funnel query. One
@@ -2696,6 +2726,12 @@ QUERIES: dict[str, Declared] = {
     # band/frame explodes gate; the distinct-setop polarity is
     # rel_setops (top-50)
     "rel_setops_all": Declared(_rel_setops_all, _REL_SETOPS_ALL_SQL),
+    # UDTF flat map: the Python-worker machinery udf_python_apply
+    # gates (top-50) on the lateral/Generate expansion the band and
+    # frame explodes gate; the per-row dead-letter policy is shared
+    # with python_apply and pytest-covered for the zero-yield and
+    # poison-row corners
+    "udtf_flat_map": Declared(_udtf_flat_map, _UDTF_FLAT_MAP_SQL),
 }
 
 

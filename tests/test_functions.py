@@ -100,3 +100,72 @@ def test_python_apply_row_deadline(spark):
     assert all("timeout" in m and "0.5" in m for m in msgs)
     # the whole point: two 30s hangs must NOT cost 60s of wall
     assert wall < 20.0
+
+
+def test_python_flat_map_expansion_deadletter_and_passthrough(spark):
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.functions import python_flat_map
+
+    df = ensure_error_column(
+        spark.createDataFrame(
+            [(1, "a b c"), (2, ""), (3, None), (4, "boom x")],
+            "id long, text string",
+        )
+    )
+
+    def split_words(text):
+        if text is None:
+            raise ValueError("null text")
+        if "boom" in text:
+            raise RuntimeError("boom row")
+        for i, w in enumerate(text.split()):
+            yield (w, i)
+
+    step = python_flat_map(
+        "split", split_words, ["text"], "chunk string, idx int", keep=["id"]
+    )
+    out = step(df)
+    ok = split_ok(out)
+    # row 1 expands to 3; row 2 yields zero rows (flatMap drop)
+    assert sorted((r["id"], r["chunk"], r["idx"]) for r in ok.collect()) == [
+        (1, "a", 0),
+        (1, "b", 1),
+        (1, "c", 2),
+    ]
+    dead = {r["id"]: r[ERROR_COL]["message"] for r in split_failed(out).collect()}
+    assert set(dead) == {3, 4}
+    assert "ValueError" in dead[3] and "RuntimeError" in dead[4]
+
+
+def test_python_flat_map_preserves_incoming_dead_letters(spark):
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.functions import python_flat_map
+
+    df = ensure_error_column(
+        spark.createDataFrame([(1, "x y"), (2, "z")], "id long, text string")
+    )
+    poison = P.apply("gate", error_when=F.col("id") == 2, message="pre-existing")
+    step = python_flat_map(
+        "split",
+        lambda t: [(w,) for w in t.split()],
+        ["text"],
+        "chunk string",
+        keep=["id"],
+    )
+    out = step(poison(df))
+    # row 2 entered already failed: it must pass through UNEXPANDED
+    # with its ORIGINAL error, never reach fn
+    dead = split_failed(out).collect()
+    assert len(dead) == 1 and dead[0]["id"] == 2
+    assert dead[0][ERROR_COL]["message"] == "pre-existing"
+    assert dead[0]["chunk"] is None
+    assert sorted(r["chunk"] for r in split_ok(out).collect()) == ["x", "y"]
+
+
+def test_python_flat_map_rejects_reserved_field(spark):
+    import pytest as _pytest
+
+    from pipz_spark.functions import python_flat_map
+
+    with _pytest.raises(ValueError):
+        python_flat_map("bad", lambda t: [], ["text"], "_pz_err string")
