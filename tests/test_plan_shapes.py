@@ -13,6 +13,7 @@ canonical non-scalable plan.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pipz_spark.queries import QUERIES
 
@@ -191,3 +192,27 @@ def test_setops_all_uses_generate_replication(spark):
     plan = _plan(spark, "rel_setops_all")
     assert "Generate" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    # hive-style partitioned layout + a partition-column filter must
+    # prune at PLANNING time (PartitionFilters on the scan), reading
+    # only the matching directory — at 100 TB this is the difference
+    # between scanning one priority and scanning all of them
+    from pipz_spark.sources.catalog import load_table
+    from pipz_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, "orders", SF_DIR)
+    path = str(tmp_path / "orders_part")
+    write_parquet(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        path,
+        partition_by=["o_orderpriority"],
+    )
+    back = spark.read.parquet(path).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    n_urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == n_urgent
