@@ -2395,6 +2395,29 @@ FROM p
 """
 
 
+# Spark 4 VARIANT path for semi-structured props: parse_json lowers
+# to the shredded binary Variant encoding and variant_get extracts
+# typed fields WITHOUT a declared schema — the open-schema companion
+# to json_parse_props' from_json (which needs the struct declared up
+# front). At 100 TB the variant encoding is the one that survives
+# schema drift: a new props key needs no job change, and extraction
+# stays a codegen expression. try_parse_json so a malformed document
+# nulls (and is dead-lettered) instead of failing the task.
+def _json_variant_get(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.variant_get(F.try_parse_json(F.col("props")), "$.k", "long").alias("k"),
+    )
+    step = P.apply(
+        "variant-props",
+        updates={"k": F.col("k")},
+        error_when=F.col("k").isNull(),
+        message="unparseable props",
+    )
+    return split_ok(step(ev)).select("event_id", "event_type", "k")
+
+
 # UDTF surface: python_flat_map tokenizes each document through
 # Spark's native Python UDTF + lateral join — the table-function
 # member of the UDF escape hatch (python_apply covers scalar). The
@@ -2732,6 +2755,10 @@ QUERIES: dict[str, Declared] = {
     # with python_apply and pytest-covered for the zero-yield and
     # poison-row corners
     "udtf_flat_map": Declared(_udtf_flat_map, _UDTF_FLAT_MAP_SQL),
+    # VARIANT extraction shares json_parse_props' oracle and Either
+    # plumbing (top-50); the new surface is the parse_json/
+    # variant_get lowering, which the same exact gate pins here
+    "json_variant_get": Declared(_json_variant_get, _JSON_PARSE_SQL),
 }
 
 
