@@ -165,3 +165,34 @@ def test_events_ts_round_trips_to_known_epoch(spark):
     assert isinstance(lo, datetime.datetime)
     assert 2024 <= lo.year <= 2026, f"min(ts)={lo}: nanos/micros drift"
     assert 2024 <= hi.year <= 2026, f"max(ts)={hi}: nanos/micros drift"
+
+
+def test_hash_bucket_pins_md5_conv_semantics(spark):
+    """The sampling/split oracles replicate hash_bucket in SQL
+    (md5 + first-8-hex-chars + base-16 parse + mod 10000). If either
+    engine's md5/conv behavior drifts, every sampling query flips
+    membership silently — pin one known value per path (string key,
+    long key, NULL sentinel) against values DuckDB agrees on."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pipz_spark.datapipe.sampling import hash_bucket
+
+    got = (
+        spark.range(1)
+        .select(
+            hash_bucket(F.lit("42"), "sample").alias("s"),
+            hash_bucket(F.lit(42).cast("long"), "sample").alias("l"),
+            hash_bucket(F.lit(None).cast("string"), "sample").alias("n"),
+        )
+        .first()
+    )
+    # long keys cast to string first, so "42" and 42 must agree
+    assert got["s"] == got["l"]
+    o = duckdb.sql(
+        "SELECT CAST(('0x' || substring(md5('42' || 'sample'), 1, 8)) AS BIGINT) % 10000 AS s, "
+        "CAST(('0x' || substring(md5('__pipz_null__' || 'sample'), 1, 8)) AS BIGINT) % 10000 AS n"
+    ).fetchone()
+    assert got["s"] == o[0], "md5/conv drift vs DuckDB on string keys"
+    assert got["n"] == o[1], "NULL-sentinel bucketing drift vs DuckDB"

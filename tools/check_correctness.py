@@ -17,7 +17,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# the driver gates at sf0.01; override (e.g. sf0.1) to validate the
+# same oracles at 10× the data — engine-vs-engine agreement that
+# holds across scale factors is much stronger evidence than one point
+import os
+
+SF_DIR = os.environ.get("PIPZ_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(df):
