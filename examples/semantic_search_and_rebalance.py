@@ -1,0 +1,78 @@
+"""Semantic similarity + mixture rebalancing over the embeddings and
+documents corpora.
+
+Runnable demo of the round-6 similarity/sampling surface, in the
+order an embedding-aware corpus pass runs them: semantic near-dup
+pairs → cluster dedup on the embedding graph → ANN top-k retrieval
+three ways (LSH / IVF / PQ+rerank, one call each, same output shape)
+→ temperature-flattened language rebalancing of the surviving docs.
+
+    PYTHONPATH=/root/repo python examples/semantic_search_and_rebalance.py [sf_dir]
+
+Scale posture per stage: near-dup candidates come from multi-table
+hyperplane buckets (equi-join, never all-pairs); cluster labels are
+skinny (long,long) propagation shuffles; the three ANN paths share
+the no-cross-join discipline — PQ additionally shuffles only
+(qid, nid, approx) partials, the smallest footprint of the three;
+temperature rates are a |strata|-row broadcast. The same composition
+runs unchanged on a cluster.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from pipz_spark import get_session, split_ok
+from pipz_spark.datapipe import (
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    cosine_topk_pq,
+    dedup_clusters,
+    embedding_near_dup_pairs,
+    temperature_resample,
+)
+from pipz_spark.sources.catalog import load_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_session("semantic-search-demo")
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+
+    # 1. semantic near-dups: cosine >= 0.4 via bucketed candidates
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, bits=3, tables=32)
+    print(f"semantic near-dup pairs: {pairs.count()}")
+
+    # 2. cluster dedup driven by the embedding pair graph
+    clusters = dedup_clusters(
+        emb.select("vec_id"), pairs=pairs.selectExpr("id_a", "id_b"), id_col="vec_id"
+    )
+    n_dropped = clusters.where("NOT is_keeper").count()
+    print(f"semantic duplicates dropped: {n_dropped}")
+
+    # 3. the same top-k question, three index strategies
+    queries = emb.where(F.col("vec_id") < 5)
+    for label, fn in (
+        ("lsh", lambda: cosine_topk_lsh(emb, queries, k=3, bits=3, tables=24)),
+        ("ivf", lambda: cosine_topk_ivf(emb, queries, k=3, nlist=8, nprobe=8)),
+        ("pq ", lambda: cosine_topk_pq(emb, queries, k=3, m=32, ksub=64, shortlist=64)),
+    ):
+        top = fn()
+        hit = top.where("rank = 1").orderBy("qid").first()
+        print(f"ann[{label}]: {top.count()} results; q{hit['qid']} top nid={hit['nid']} cos={hit['cos']}")
+
+    # 4. flatten the language mixture of the doc corpus at 50% target
+    step = temperature_resample("lang-flatten", "doc_id", "lang", 0.5)
+    kept = split_ok(step(docs))
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang in sorted(before):
+        print(f"  {lang}: {before[lang]:4d} -> {after.get(lang, 0):4d}"
+              f"  (rate {after.get(lang, 0) / before[lang]:.2f})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
