@@ -2395,6 +2395,29 @@ FROM p
 """
 
 
+# Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+# Spark 4 native): concatenation is NON-associative, so without the
+# WITHIN GROUP order the result depends on partial-agg merge order —
+# the declared form pins the ordered variant, the only one that can
+# hash-match across engines (and the only one a user should ship).
+# Small group count (5 regions' nations) keeps the strings bounded.
+def _rel_listagg(spark, sf):
+    n = _t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_REL_LISTAGG_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
 # Spark 4 VARIANT path for semi-structured props: parse_json lowers
 # to the shredded binary Variant encoding and variant_get extracts
 # typed fields WITHOUT a declared schema — the open-schema companion
@@ -2759,6 +2782,10 @@ QUERIES: dict[str, Declared] = {
     # plumbing (top-50); the new surface is the parse_json/
     # variant_get lowering, which the same exact gate pins here
     "json_variant_get": Declared(_json_variant_get, _JSON_PARSE_SQL),
+    # ordered LISTAGG: SortAggregate/ObjectHashAggregate machinery
+    # with an order-pinned non-associative merge — the agg chassis is
+    # rel_group_agg's (top-50); the ordered-concat lowering gates here
+    "rel_listagg": Declared(_rel_listagg, _REL_LISTAGG_SQL),
 }
 
 
