@@ -734,8 +734,15 @@ def connected_components(
     edges = _caches.track(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     )
+    # init fuses the FIRST propagation round: with every label equal
+    # to its node id, round 1's join+min is just min over neighbors —
+    # one aggregate over the edge list, no join. Saves a full
+    # join+checkpoint round on every call (dense near-dup components
+    # then converge in the next round and confirm in the one after).
     labels = (
-        edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mv"))
+        .select("node", F.least(F.col("node"), F.col("_mv")).alias("label"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     converged = False
