@@ -103,7 +103,13 @@ def quality_score(name: str = "quality-score", text_col: str = "text") -> Step:
         + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
     )
-    return transform(name, {"quality": F.round(score, 4)})
+    # floor(x·10⁴ + 0.5), NOT round(x, 4): engines disagree on round's
+    # tie handling for doubles (Spark HALF_UP on the binary value,
+    # DuckDB on the shortest decimal rendering — a real 2-in-5000-row
+    # divergence at sf0.1), while floor of the identical IEEE double
+    # is bit-deterministic everywhere
+    quantized = F.floor(score * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return transform(name, {"quality": quantized})
 
 
 def lang_id(name: str = "lang-id", text_col: str = "text") -> Step:

@@ -1424,9 +1424,10 @@ WITH s AS (
          length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct
   FROM documents)
 SELECT doc_id,
-       round(0.5 * least(n_tok / 64.0, 1.0)
-             + 0.4 * least((stops / n_tok) * 4, 1.0)
-             + 0.1 * (1.0 - least((punct / n_chars) * 10, 1.0)), 4) AS quality
+       floor((0.5 * least(n_tok / 64.0, 1.0)
+              + 0.4 * least((stops / n_tok) * 4, 1.0)
+              + 0.1 * (1.0 - least((punct / n_chars) * 10, 1.0))) * 10000.0 + 0.5)
+       / 10000.0 AS quality
 FROM s
 """
 
@@ -1556,12 +1557,13 @@ _EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 _E2E_SQL = rf"""
 WITH q AS (
   SELECT doc_id, text,
-         round(0.5 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
-               + 0.4 * least((len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                                              t -> list_contains([{_EN_SQL}], t)))
-                              / len(string_split_regex(trim(text), '\s+'))) * 4, 1.0)
-               + 0.1 * (1.0 - least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                                     / length(text)) * 10, 1.0)), 4) AS quality
+         floor((0.5 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+                + 0.4 * least((len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                               t -> list_contains([{_EN_SQL}], t)))
+                               / len(string_split_regex(trim(text), '\s+'))) * 4, 1.0)
+                + 0.1 * (1.0 - least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                                      / length(text)) * 10, 1.0))) * 10000.0 + 0.5)
+         / 10000.0 AS quality
   FROM documents),
 gated AS (SELECT * FROM q WHERE quality >= 0.5),
 deduped AS (
