@@ -2397,6 +2397,83 @@ FROM p
 """
 
 
+# Sequence mining over the event stream: the 10 most common 3-step
+# per-user event paths — two offset window functions build the path
+# in ONE pass over the user-partitioned sort (no self-joins), then a
+# hash aggregate + TakeOrdered. Ties at the cut break on the path
+# strings, so the top-10 is fully deterministic.
+def _events_top_paths(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        paths.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )
+
+
+_EVENTS_TOP_PATHS_SQL = """
+WITH p AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, COUNT(*) AS n
+FROM p WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 10
+"""
+
+
+# Z-score anomaly detection per event type: per-group moments from
+# DECIMAL-EXACT sums (count / Σv / Σv² — associative, so partial-agg
+# order cannot move them), broadcast back, z computed in ONE fixed
+# double-op order both engines replay bit-identically. The two-pass
+# + broadcast shape is the 100 TB norm: the stats frame is
+# |event_type|-sized, the fact table never shuffles.
+def _events_anomaly(spark, sf):
+    ev = _t(spark, sf, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(vdec).cast("double").alias("_s"),
+        F.sum(vdec * vdec).cast("double").alias("_ss"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_ss") / F.col("_n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", z)
+        .where(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - st.s / st.n) / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) AS z
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs((e.value - st.s / st.n) / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n))) > 3.0
+"""
+
+
 # Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
 # Spark 4 native): concatenation is NON-associative, so without the
 # WITHIN GROUP order the result depends on partial-agg merge order —
@@ -2788,6 +2865,13 @@ QUERIES: dict[str, Declared] = {
     # with an order-pinned non-associative merge — the agg chassis is
     # rel_group_agg's (top-50); the ordered-concat lowering gates here
     "rel_listagg": Declared(_rel_listagg, _REL_LISTAGG_SQL),
+    # path mining = rel_window_lag's offset WindowExec + rel_sort_
+    # limit's TakeOrdered over rel_group_agg's hash agg
+    "events_top_paths": Declared(_events_top_paths, _EVENTS_TOP_PATHS_SQL),
+    # anomaly z-scores = rel_group_agg's decimal-exact moments +
+    # p5_enrich's broadcast join; the fixed-order double arithmetic
+    # gets its exact gate here
+    "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
 }
 
 
