@@ -216,3 +216,21 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     )[1][:200]
     n_urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
     assert back.count() == n_urgent
+
+
+def test_top_paths_single_window_pass_no_self_join(spark):
+    # the 3-step paths come from two lead() offsets over ONE
+    # user-partitioned sort — a self-join formulation would scan and
+    # shuffle events three times
+    plan = _plan(spark, "events_top_paths")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anomaly_broadcasts_stats(spark):
+    # the per-type stats frame is |event_type|-sized; a sort-merge
+    # join here would shuffle the full events table for a 5-row build
+    plan = _plan(spark, "events_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
