@@ -154,6 +154,14 @@ def temperature_resample(
     """
     if not 0.0 < target_fraction <= 1.0:
         raise ValueError("target_fraction must be in (0, 1]")
+    # alpha ∈ (0, 1] is the flattening regime this operator exists
+    # for (1 = proportional, →0 = uniform). alpha > 1 would also
+    # overflow the DECIMAL(28,10) weight snap on large strata — the
+    # non-ANSI cast then yields NULL and the stratum would be
+    # SILENTLY dropped (rate coalesces to 0), so reject rather than
+    # risk that failure mode.
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1] (temperature flattening)")
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         stratum = F.coalesce(

@@ -455,8 +455,14 @@ def cosine_topk_pq(
             nonempty = counts > 0
             codebooks[j, nonempty] = sums[nonempty] / counts[nonempty, None]
             if not nonempty.all():
-                # deterministic reseed: farthest point from its centroid
-                codebooks[j, ~nonempty] = P[j, np.argmax(d2[j].min(axis=1))]
+                # deterministic reseed with DISTINCT points: the k
+                # farthest-from-their-centroid points, one per empty
+                # slot — a single shared reseed point would make every
+                # empty centroid identical, and argmin's lowest-index
+                # tie-break would then starve all but one forever
+                n_empty = int((~nonempty).sum())
+                far = np.argsort(-d2[j].min(axis=1), kind="stable")[:n_empty]
+                codebooks[j, ~nonempty] = P[j, far]
 
     # --- 2. query LUTs (driver-side; |Q| small by contract)
     qrows = sorted(

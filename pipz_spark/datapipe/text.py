@@ -61,6 +61,18 @@ def token_count(name: str = "token-count", text_col: str = "text") -> Step:
     )
 
 
+def quantize4(x: Column) -> Column:
+    """Quantize a double to 4 decimals as floor(x·10⁴ + 0.5)/10⁴ —
+    NOT round(x, 4): engines disagree on round's tie handling for
+    doubles (Spark HALF_UP on the binary value, DuckDB on the
+    shortest decimal rendering — a real 2-in-5000-row divergence at
+    sf0.1), while floor of the identical IEEE double is
+    bit-deterministic everywhere. Every oracle-gated 4-decimal ratio
+    in this module goes through this ONE helper; the oracle SQL
+    mirrors it as floor(x * 10000.0 + 0.5) / 10000.0."""
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def text_stats(name: str = "text-stats", text_col: str = "text") -> Step:
     """Deterministic per-document statistics used by quality scoring."""
     text = F.col(text_col)
@@ -74,12 +86,12 @@ def text_stats(name: str = "text-stats", text_col: str = "text") -> Step:
         name,
         {
             "n_tokens": n_tok.cast("long"),
-            "avg_token_len": F.round(
-                (F.length(F.regexp_replace(text, r"\s+", "")) / n_tok), 4
+            "avg_token_len": quantize4(
+                F.length(F.regexp_replace(text, r"\s+", "")) / n_tok
             ),
-            "punct_ratio": F.round(punct / n_chars, 4),
-            "upper_ratio": F.round(upper / n_chars, 4),
-            "stopword_ratio": F.round(en_stops / n_tok, 4),
+            "punct_ratio": quantize4(punct / n_chars),
+            "upper_ratio": quantize4(upper / n_chars),
+            "stopword_ratio": quantize4(en_stops / n_tok),
         },
     )
 
@@ -103,13 +115,7 @@ def quality_score(name: str = "quality-score", text_col: str = "text") -> Step:
         + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
     )
-    # floor(x·10⁴ + 0.5), NOT round(x, 4): engines disagree on round's
-    # tie handling for doubles (Spark HALF_UP on the binary value,
-    # DuckDB on the shortest decimal rendering — a real 2-in-5000-row
-    # divergence at sf0.1), while floor of the identical IEEE double
-    # is bit-deterministic everywhere
-    quantized = F.floor(score * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
-    return transform(name, {"quality": quantized})
+    return transform(name, {"quality": quantize4(score)})
 
 
 def lang_id(name: str = "lang-id", text_col: str = "text") -> Step:

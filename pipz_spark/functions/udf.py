@@ -169,13 +169,28 @@ def python_flat_map(
 
     class _FlatMap:
         def eval(self, *args):
+            # BUFFER the full expansion before yielding anything: a
+            # generator fn that raises mid-iteration must not leak its
+            # already-produced prefix as OK rows next to the dead
+            # letter ("no expansion" means none). Arity is checked
+            # inside the try for the same reason — a wrong-width tuple
+            # would otherwise only explode in the output serializer,
+            # outside per-row capture, failing the whole task.
             try:
+                out = []
                 for row in fn(*args):
-                    yield (*row, None)
+                    row = tuple(row)
+                    if len(row) != n_out:
+                        raise ValueError(
+                            f"fn yielded {len(row)} fields, schema has {n_out}"
+                        )
+                    out.append((*row, None))
             except Exception as e:  # noqa: BLE001
                 yield tuple([None] * n_out) + (
                     sanitize_message(f"{type(e).__name__}: {e}"),
                 )
+            else:
+                yield from out
 
     gen = _udtf(_FlatMap, returnType=udtf_type)
 

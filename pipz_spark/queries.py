@@ -1397,13 +1397,13 @@ _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 _DP_TEXT_STATS_SQL = rf"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-       round(length(regexp_replace(text, '\s+', '', 'g'))
-             / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
-       round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text), 4) AS punct_ratio,
-       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text), 4) AS upper_ratio,
-       round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+       floor(length(regexp_replace(text, '\s+', '', 'g'))
+             / len(string_split_regex(trim(text), '\s+')) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+       floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       floor(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text) * 10000.0 + 0.5) / 10000.0 AS upper_ratio,
+       floor(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                              t -> list_contains([{_EN}], t)))
-             / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio
+             / len(string_split_regex(trim(text), '\s+')) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
 FROM documents
 """
 
@@ -2451,7 +2451,12 @@ def _events_anomaly(spark, sf):
     )
     joined = ev.join(F.broadcast(stats), "event_type")
     mean = F.col("_s") / F.col("_n")
-    var = F.col("_ss") / F.col("_n") - mean * mean
+    # greatest(·, 0): cancellation can drive ss/n − mean² a few ulps
+    # negative on (near-)constant groups, where DuckDB's sqrt ERRORS
+    # while Spark yields NaN — clamp on both sides; the resulting
+    # sqrt(0) makes z NULL (x/0.0 is NULL in both engines), and the
+    # |z| filter drops NULLs consistently
+    var = F.greatest(F.col("_ss") / F.col("_n") - mean * mean, F.lit(0.0))
     z = (F.col("value") - mean) / F.sqrt(var)
     return (
         joined.withColumn("z", z)
@@ -2468,9 +2473,11 @@ WITH st AS (
          CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
   FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, e.value,
-       (e.value - st.s / st.n) / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) AS z
+       (e.value - st.s / st.n)
+       / sqrt(greatest(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0)) AS z
 FROM events e JOIN st ON e.event_type = st.event_type
-WHERE abs((e.value - st.s / st.n) / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n))) > 3.0
+WHERE abs((e.value - st.s / st.n)
+          / sqrt(greatest(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0))) > 3.0
 """
 
 

@@ -238,7 +238,10 @@ def running_totals_tws(events: DataFrame, ttl_minutes: int | None = None) -> Dat
         statefulProcessor=_RunningTotals(),
         outputStructType=_RUNNING_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        # TTL state REQUIRES a clock: Spark rejects ttl under
+        # timeMode=None at query start
+        # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)
+        timeMode="ProcessingTime" if ttl_minutes is not None else "None",
     )
 
 

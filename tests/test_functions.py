@@ -137,6 +137,40 @@ def test_python_flat_map_expansion_deadletter_and_passthrough(spark):
     assert "ValueError" in dead[3] and "RuntimeError" in dead[4]
 
 
+def test_python_flat_map_quarantines_partial_expansions(spark):
+    # a generator that yields a prefix THEN raises must contribute
+    # zero OK rows (the buffered-expansion contract) — and a
+    # wrong-arity tuple is a per-row dead letter, never a task failure
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.functions import python_flat_map
+
+    df = ensure_error_column(
+        spark.createDataFrame(
+            [(1, "a b mid_boom c"), (2, "x y"), (3, "wide")],
+            "id long, text string",
+        )
+    )
+
+    def gen(text):
+        for i, w in enumerate(text.split()):
+            if w == "mid_boom":
+                raise RuntimeError("mid-iteration")
+            if w == "wide":
+                yield (w, i, "extra")
+            else:
+                yield (w, i)
+
+    step = python_flat_map("g", gen, ["text"], "chunk string, idx int", keep=["id"])
+    out = step(df)
+    ok_rows = sorted((r["id"], r["chunk"]) for r in split_ok(out).collect())
+    # row 1's pre-raise prefix ("a", "b") must NOT appear
+    assert ok_rows == [(2, "x"), (2, "y")]
+    dead = {r["id"]: r[ERROR_COL]["message"] for r in split_failed(out).collect()}
+    assert set(dead) == {1, 3}
+    assert "mid-iteration" in dead[1]
+    assert "3 fields" in dead[3]
+
+
 def test_python_flat_map_preserves_incoming_dead_letters(spark):
     from pipz_spark.core.errors import ensure_error_column
     from pipz_spark.functions import python_flat_map
