@@ -537,6 +537,87 @@ def near_dup_pairs(
     )
 
 
+def cross_near_dup_pairs(
+    new: DataFrame,
+    ref: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 120,
+    bands: int = 24,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Incremental-crawl dedup: which NEW documents near-duplicate any
+    REFERENCE document. The operator every growing corpus needs —
+    dedup the incoming batch AGAINST the existing corpus without ever
+    re-pairing the corpus with itself.
+
+    Both sides are banded with the SAME seeded MinHash family, so a
+    new/ref pair collides exactly as it would inside one corpus;
+    candidates come from an equi-join of the two banded frames on
+    (band, band_hash) — strictly new×ref, never new×new or ref×ref —
+    and survivors are exact-Jaccard verified against each corpus's
+    own shingle projection (the two corpora may share id values, so
+    sides never union).
+
+    100 TB posture: the candidate stage is a plain bucketed JOIN (not
+    a within-bucket self-pairing), so a hot template bucket is
+    ordinary join skew that AQE's skew-join splitting handles — the
+    manual salting the self-join path needs (``_bucket_pairs``) is
+    unnecessary here. Ref-side banding is recomputable or cacheable
+    across incremental batches; the new side is one scan per batch.
+
+    Returns (new_id, ref_id, jaccard) at/above ``threshold``.
+    """
+    from ._util import fan_out
+
+    rows = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures_df(
+            df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k,
+        )
+        return sigs.select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows + 1, rows)),
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    cand = (
+        banded(new)
+        .withColumnRenamed("_id", "new_id")
+        .join(
+            banded(ref).withColumnRenamed("_id", "ref_id"),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "ref_id")
+        .dropDuplicates()
+    )
+
+    def sh_proj(df: DataFrame, out_id: str) -> DataFrame:
+        return fan_out(df).select(
+            F.col(id_col).alias(out_id),
+            char_shingles(F.col(text_col), shingle_k).alias(f"_sh_{out_id}"),
+        )
+
+    joined = cand.join(sh_proj(new, "new_id"), "new_id").join(
+        sh_proj(ref, "ref_id"), "ref_id"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("_sh_new_id", "_sh_ref_id"))
+        / F.size(F.array_union("_sh_new_id", "_sh_ref_id")),
+        4,
+    )
+    return joined.select("new_id", "ref_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def _simhash_expr(text: Column, bits: int = 64) -> Column:
     """SimHash over whitespace tokens: per bit, sum ±1 votes from each
     token's xxhash64; bit = vote > 0. One fold; the bit vector packs

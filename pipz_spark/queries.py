@@ -2397,6 +2397,42 @@ FROM p
 """
 
 
+# Incremental cross-corpus dedup: odd doc_ids play the incoming
+# crawl, even ids the existing corpus; the operator finds new docs
+# near-duplicating reference docs without ever pairing either corpus
+# with itself. Recall stance is dp_near_dup_minhash's (same 24×5
+# banding at j=0.7, per-pair miss ~1.2e-2, empirically exact on the
+# test corpus); the oracle is the exhaustive cross all-pairs Jaccard
+# with the same length precondition.
+def _dp_cross_dedup(spark, sf):
+    from .datapipe import cross_near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return cross_near_dup_pairs(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        threshold=0.7,
+    )
+
+
+_DP_CROSS_DEDUP_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text)-4, 1)+1)]) AS sh
+  FROM documents
+),
+sz AS (SELECT doc_id, sh, len(sh) AS n FROM s)
+SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+FROM sz a JOIN sz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
+"""
+
+
 # Sequence mining over the event stream: the 10 most common 3-step
 # per-user event paths — two offset window functions build the path
 # in ONE pass over the user-partitioned sort (no self-joins), then a
@@ -2879,6 +2915,10 @@ QUERIES: dict[str, Declared] = {
     # p5_enrich's broadcast join; the fixed-order double arithmetic
     # gets its exact gate here
     "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
+    # cross-corpus dedup = dp_near_dup_minhash's banding machinery
+    # (top-50) with the pair stage as a plain two-sided equi-join
+    # (rel_join_agg's machine) and the same exact-Jaccard verify
+    "dp_cross_dedup": Declared(_dp_cross_dedup, _DP_CROSS_DEDUP_SQL),
 }
 
 

@@ -471,6 +471,32 @@ def test_stratified_sample(documents):
     assert n_en_kept < n_en_all * 0.3  # en sampled down
 
 
+def test_cross_near_dup_sides_never_pair_within(spark):
+    from pipz_spark.datapipe import cross_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # ids COLLIDE across corpora on purpose: new#1 and ref#1 are
+    # different documents — a naive union of sides would conflate them
+    new = spark.createDataFrame(
+        [(1, base), (2, "totally different content here nothing shared")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1, "unrelated reference text entirely"), (7, base), (8, base + " tail")],
+        "doc_id long, text string",
+    )
+    out = cross_near_dup_pairs(new, ref, threshold=0.7).collect()
+    pairs = {(r["new_id"], r["ref_id"]) for r in out}
+    # new#1 duplicates ref#7 (identical) and ref#8 (near); nothing
+    # pairs new#1 with ref#1 despite the id collision, and no
+    # within-side pair (7,8) can appear by construction
+    assert (1, 7) in pairs
+    assert (1, 1) not in pairs
+    assert all(r["jaccard"] >= 0.7 for r in out)
+    ids_new = {p[0] for p in pairs}
+    assert 2 not in ids_new  # dissimilar new doc untouched
+
+
 def test_temperature_resample_flattens_mixture(documents):
     from pipz_spark.datapipe import temperature_resample
 
