@@ -15,6 +15,7 @@ multimodal decode stubs (Arrow-batched mapInPandas).
 
 from ._caches import release_caches
 from .dedup import (
+    banded_signatures,
     cross_near_dup_pairs,
     contamination,
     connected_components,
@@ -81,6 +82,7 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_pq",
     "decode_image_features",
+    "banded_signatures",
     "cross_near_dup_pairs",
     "embedding_near_dup_pairs",
     "exact_dedup",

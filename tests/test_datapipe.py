@@ -497,6 +497,34 @@ def test_cross_near_dup_sides_never_pair_within(spark):
     assert 2 not in ids_new  # dissimilar new doc untouched
 
 
+def test_cross_near_dup_precomputed_index_equivalent(spark, tmp_path):
+    # the production shape: band the reference corpus ONCE, persist,
+    # and dedup batches against the stored index — results must equal
+    # the direct two-sided call
+    from pipz_spark.datapipe import cross_near_dup_pairs
+    from pipz_spark.datapipe.dedup import minhash_signatures_df
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(7, base), (8, base + " tail"), (9, "noise words only here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    idx_path = str(tmp_path / "ref_sigs")
+    # the stored index is the compact signature frame; num_hashes must
+    # match the batch-side family
+    minhash_signatures_df(ref, num_hashes=120).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    direct = sorted(map(tuple, cross_near_dup_pairs(new, ref, threshold=0.7).collect()))
+    via_idx = sorted(
+        map(
+            tuple,
+            cross_near_dup_pairs(new, ref, threshold=0.7, ref_sigs=idx).collect(),
+        )
+    )
+    assert via_idx == direct and direct
+
+
 def test_temperature_resample_flattens_mixture(documents):
     from pipz_spark.datapipe import temperature_resample
 

@@ -142,6 +142,18 @@ def main() -> None:
     # each round one skinny (long,long) shuffle — watch max_task_ms
     run(spark, "dedup_clusters     ",
         lambda: dedup_clusters(d10, threshold=0.7).where("NOT is_keeper").count())
+    # cross-corpus dedup at 10×: template families straddle the
+    # odd/even split, so every family is a hot (band, band_hash) JOIN
+    # key — the evidence to watch is max_task_ms staying bounded via
+    # AQE skew-splitting of an ordinary join (no manual salting here)
+    from pipz_spark.datapipe import cross_near_dup_pairs
+
+    run(spark, "cross_near_dup     ",
+        lambda: cross_near_dup_pairs(
+            d10.where(F.col("doc_id") % 2 == 1),
+            d10.where(F.col("doc_id") % 2 == 0),
+            threshold=0.7,
+        ).count())
     run(spark, "embed_near_dup 0.9 ",
         lambda: embedding_near_dup_pairs(e10, threshold=0.9).count())
     run(spark, "embed_near_dup 0.4 ",
