@@ -2397,6 +2397,62 @@ FROM p
 """
 
 
+# Time-series gap-fill with forward fill — the resample operator
+# every metrics/hypertable workload needs: a complete hourly grid per
+# series (generated, not scanned), left-joined observations, zeros
+# for missing counts and last-observation-carried-forward for the
+# value. The grid is |hours|×|series| (tiny — built from the bounds
+# aggregate, never from the fact table), the fill is one
+# running-frame window; hours before a series' first observation stay
+# NULL on both engines.
+def _events_gap_fill(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    filled = grid.join(hourly, ["hour", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        F.unix_micros("hour").alias("hour_us"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("total", ignorenulls=True).over(w).alias("ff_total"),
+    )
+
+
+_EVENTS_GAP_FILL_SQL = """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           FROM events GROUP BY 1, 2),
+b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+g AS (SELECT gs.hour, t.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b) gs,
+           (SELECT DISTINCT event_type FROM events) t)
+SELECT epoch_us(g.hour) AS hour_us, g.event_type,
+       coalesce(h.n, 0) AS n,
+       last_value(h.total IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_total
+FROM g LEFT JOIN h ON g.hour = h.hour AND g.event_type = h.event_type
+"""
+
+
 # Incremental cross-corpus dedup: odd doc_ids play the incoming
 # crawl, even ids the existing corpus; the operator finds new docs
 # near-duplicating reference docs without ever pairing either corpus
@@ -2919,6 +2975,10 @@ QUERIES: dict[str, Declared] = {
     # (top-50) with the pair stage as a plain two-sided equi-join
     # (rel_join_agg's machine) and the same exact-Jaccard verify
     "dp_cross_dedup": Declared(_dp_cross_dedup, _DP_CROSS_DEDUP_SQL),
+    # gap-fill = a generated grid (sequence explode) + the left join
+    # and running-frame window machines already gated; the
+    # last-ignore-nulls forward fill gets its exact gate here
+    "events_gap_fill": Declared(_events_gap_fill, _EVENTS_GAP_FILL_SQL),
 }
 
 
