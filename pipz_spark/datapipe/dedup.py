@@ -291,6 +291,101 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def _cross_bucket_pairs(
+    nb: DataFrame, rb: DataFrame, keys: list[str], max_bucket: int = 1024
+) -> DataFrame:
+    """(new_id, ref_id) pairs co-bucketed on ``keys``, STRICTLY
+    cross-side, exhaustive and skew-safe — the two-corpus sibling of
+    ``_bucket_pairs``, sharing its core analysis: a hot bucket's
+    shuffle INPUT is skinny rows while its OUTPUT is |new|·|ref|
+    pairs, invisible to AQE's input-byte skew heuristic, so any split
+    must be deterministic.
+
+    Plan fork, decided by two SKINNY count aggregations (map-side
+    partials — the common no-hot-bucket case pays only those, never
+    an array build):
+
+    * every co-occupied bucket ≤ ``max_bucket`` per side: one plain
+      equi-join on ``keys`` — the r6-measured fast path.
+    * oversized buckets (tiny broadcast set): routed out by semi/anti
+      joins and joined on (keys, salt_n, salt_r) — each side salts by
+      xxhash64(id) mod ⌈side/max_bucket⌉ and replicates across the
+      OTHER side's salts, bounding every task's pair output at
+      ~max_bucket² whatever the bucket sizes. The cap selects the
+      PLAN SHAPE, never recall."""
+    from . import _caches
+
+    sizes = (
+        nb.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nn"))
+        .join(rb.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nr")), keys)
+    )
+    big_keys = _caches.track(
+        sizes.where((F.col("_nn") > max_bucket) | (F.col("_nr") > max_bucket)).persist()
+    )
+    has_big = big_keys.limit(1).count() > 0
+    if not has_big:
+        return (
+            nb.join(rb, keys).select("new_id", "ref_id").dropDuplicates()
+        )
+    bk = F.broadcast(big_keys)
+    nb_small = nb.join(bk.select(*keys), keys, "left_anti")
+    rb_small = rb.join(bk.select(*keys), keys, "left_anti")
+    small_pairs = nb_small.join(rb_small, keys).select("new_id", "ref_id")
+    nsn = F.ceil(F.col("_nn") / F.lit(max_bucket)).cast("int")
+    nsr = F.ceil(F.col("_nr") / F.lit(max_bucket)).cast("int")
+    nb_big = (
+        nb.join(bk, keys)
+        .select(
+            *keys,
+            "new_id",
+            F.pmod(F.xxhash64("new_id"), nsn).cast("int").alias("_sn"),
+            F.explode(F.sequence(F.lit(0), nsr - 1)).alias("_sr"),
+        )
+    )
+    rb_big = (
+        rb.join(bk, keys)
+        .select(
+            *keys,
+            "ref_id",
+            F.explode(F.sequence(F.lit(0), nsn - 1)).alias("_sn"),
+            F.pmod(F.xxhash64("ref_id"), nsr).cast("int").alias("_sr"),
+        )
+    )
+    big_pairs = nb_big.join(rb_big, [*keys, "_sn", "_sr"]).select("new_id", "ref_id")
+    return small_pairs.unionByName(big_pairs).dropDuplicates()
+
+
+def _minhash_estimate_filter(
+    cand: DataFrame,
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """Prune candidate pairs by the MinHash Jaccard ESTIMATE (fraction
+    of agreeing signature slots) at ``threshold`` minus a 3σ margin —
+    the shared middle stage of both the self-join (``near_dup_pairs``)
+    and cross-corpus (``cross_near_dup_pairs``) paths; one definition
+    so the margin/estimator can never drift between them. The margin
+    keeps every true pair (the exact verify downstream is the final
+    word); the filter exists because the estimate moves 2·num_hashes
+    longs per candidate while the verify moves whole shingle arrays."""
+    margin = 3.0 / (num_hashes ** 0.5)
+    return (
+        cand.join(sigs_a.select(F.col("_id").alias(key_a), F.col("_sig").alias("_sa")), key_a)
+        .join(sigs_b.select(F.col("_id").alias(key_b), F.col("_sig").alias("_sb")), key_b)
+        .withColumn(
+            "_est",
+            F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_hashes),
+        )
+        .where(F.col("_est") >= threshold - margin)
+        .select(key_a, key_b)
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -306,21 +401,12 @@ def lsh_candidate_pairs(
     never a cross join. ``max_bucket`` picks the pair-expansion plan
     per bucket size (see ``_bucket_pairs``); no bucket is dropped, so
     banding recall is exactly the S-curve, with no silent cap."""
-    rows = num_hashes // bands
     if sigs is None:
         sigs = minhash_signatures_df(
             df, id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, shingle_k=shingle_k,
         )
-    banded = sigs.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows + 1, rows)),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = banded_signatures(sigs, num_hashes=num_hashes, bands=bands)
     return _bucket_pairs(banded, ["band", "band_hash"], max_bucket)
 
 
@@ -520,17 +606,8 @@ def near_dup_pairs(
         sigs=sigs,
     )
     if estimate_filter:
-        margin = 3.0 / (num_hashes ** 0.5)
-        cand = (
-            cand.join(sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
-            .join(sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
-            .withColumn(
-                "_est",
-                F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
-                / F.lit(num_hashes),
-            )
-            .where(F.col("_est") >= threshold - margin)
-            .select("id_a", "id_b")
+        cand = _minhash_estimate_filter(
+            cand, sigs, sigs, "id_a", "id_b", threshold, num_hashes
         )
     return ngram_jaccard(df, cand, id_col=id_col, text_col=text_col, shingle_k=shingle_k).where(
         F.col("jaccard") >= threshold
@@ -570,6 +647,7 @@ def cross_near_dup_pairs(
     num_hashes: int = 120,
     bands: int = 24,
     shingle_k: int = 5,
+    max_bucket: int = 1024,
     ref_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-crawl dedup: which NEW documents near-duplicate any
@@ -578,24 +656,27 @@ def cross_near_dup_pairs(
     re-pairing the corpus with itself.
 
     Both sides are banded with the SAME seeded MinHash family, so a
-    new/ref pair collides exactly as it would inside one corpus;
-    candidates come from an equi-join of the two banded frames on
-    (band, band_hash) — strictly new×ref, never new×new or ref×ref.
-    The same three-stage discipline as ``near_dup_pairs`` applies:
-    banded candidates → minhash-ESTIMATE filter at threshold minus a
-    3σ margin (measured 2.4M → ~140k candidates on the 10× stress
-    corpus — without it the exact verify drags 17× the array freight)
-    → exact shingle Jaccard against each corpus's own projection
-    (the two corpora may share id values, so sides never union).
+    new/ref pair collides exactly as it would inside one corpus.
+    The three-stage discipline of ``near_dup_pairs`` applies: banded
+    candidates — strictly new×ref via ``_cross_bucket_pairs``, whose
+    grid salting bounds every task at max_bucket² pairs even for a
+    viral template bucket (output-side skew is invisible to AQE; same
+    analysis as ``_bucket_pairs``) — then the shared minhash-ESTIMATE
+    filter at threshold minus 3σ (measured 2.4M → ~140k candidates on
+    the 10× stress corpus), then exact shingle Jaccard with each side
+    semi-join-pruned to the docs that actually appear in a candidate
+    (the headline case is a small batch vs a huge corpus — shingling
+    the whole reference every batch would dwarf the query itself).
+    The two corpora may share id values, so sides never union.
 
-    100 TB posture: the candidate stage is a plain bucketed JOIN (not
-    a within-bucket self-pairing), so a hot template bucket is
-    ordinary join skew, AQE-splittable — the manual salting the
-    self-join path needs (``_bucket_pairs``) is unnecessary here.
-    Pass ``ref_sigs`` (a materialized ``minhash_signatures_df`` frame
-    for the corpus, SAME num_hashes/shingle_k) to skip re-signing the
-    reference on every incremental batch; banding derives from it as
-    pure expressions either way.
+    Pass ``ref_sigs`` — a materialized ``minhash_signatures_df`` frame
+    built with the SAME num_hashes/shingle_k — to skip re-signing the
+    reference corpus on every incremental batch. The frame is
+    validated (signature width must equal ``num_hashes``: mismatched
+    families collide on NOTHING and would silently return empty) and
+    is used as the caller owns it: this function never persists or
+    cache-tracks a caller-supplied index, so ``release_caches()``
+    between batches cannot unpersist it.
 
     Returns (new_id, ref_id, jaccard) at/above ``threshold``.
     """
@@ -608,39 +689,46 @@ def cross_near_dup_pairs(
             num_hashes=num_hashes, shingle_k=shingle_k,
         )
 
-    # both signature frames feed the banding AND the estimate filter —
-    # pin them so the two consumers don't recompute the UDF pass
+    # signatures feed the banding AND the estimate filter — pin the
+    # frames THIS call creates; a caller-supplied index is the
+    # caller's to manage
     sn = _caches.track(sign(new).persist())
     sn.count()
-    sr = _caches.track((ref_sigs if ref_sigs is not None else sign(ref)).persist())
-    sr.count()
+    if ref_sigs is not None:
+        first = ref_sigs.select(F.size("_sig").alias("_w")).first()
+        if first is not None and first["_w"] != num_hashes:
+            raise ValueError(
+                f"ref_sigs signature width {first['_w']} != num_hashes="
+                f"{num_hashes}: the index was built with a different "
+                "MinHash family and would collide on nothing"
+            )
+        sr = ref_sigs
+    else:
+        sr = _caches.track(sign(ref).persist())
+        sr.count()
 
-    cand = (
+    cand = _cross_bucket_pairs(
         banded_signatures(sn, num_hashes=num_hashes, bands=bands)
-        .withColumnRenamed("_id", "new_id")
-        .join(
-            banded_signatures(sr, num_hashes=num_hashes, bands=bands)
-            .withColumnRenamed("_id", "ref_id"),
-            ["band", "band_hash"],
-        )
-        .select("new_id", "ref_id")
-        .dropDuplicates()
+        .withColumnRenamed("_id", "new_id"),
+        banded_signatures(sr, num_hashes=num_hashes, bands=bands)
+        .withColumnRenamed("_id", "ref_id"),
+        ["band", "band_hash"],
+        max_bucket,
     )
-    margin = 3.0 / (num_hashes ** 0.5)
-    cand = (
-        cand.join(sn.select(F.col("_id").alias("new_id"), F.col("_sig").alias("_sa")), "new_id")
-        .join(sr.select(F.col("_id").alias("ref_id"), F.col("_sig").alias("_sb")), "ref_id")
-        .withColumn(
-            "_est",
-            F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
-            / F.lit(num_hashes),
-        )
-        .where(F.col("_est") >= threshold - margin)
-        .select("new_id", "ref_id")
+    cand = _caches.track(
+        _minhash_estimate_filter(
+            cand, sn, sr, "new_id", "ref_id", threshold, num_hashes
+        ).persist()
     )
+    cand.count()  # pin before the semi-join prune and verify join race it
 
     def sh_proj(df: DataFrame, out_id: str) -> DataFrame:
-        return fan_out(df).select(
+        relevant = fan_out(df).join(
+            cand.select(F.col(out_id).alias("_cid")).distinct(),
+            F.col(id_col) == F.col("_cid"),
+            "left_semi",
+        )
+        return relevant.select(
             F.col(id_col).alias(out_id),
             char_shingles(F.col(text_col), shingle_k).alias(f"_sh_{out_id}"),
         )
