@@ -497,6 +497,29 @@ def test_cross_near_dup_sides_never_pair_within(spark):
     assert 2 not in ids_new  # dissimilar new doc untouched
 
 
+def test_cross_bucket_pairs_salted_branch_exhaustive(spark):
+    # a viral bucket far above max_bucket must produce the EXACT full
+    # cross product through the salted grid join — the deterministic
+    # split exists because AQE cannot see output-side skew; recall
+    # must never pay for it
+    from pipz_spark.datapipe.dedup import _cross_bucket_pairs
+    from pipz_spark.datapipe import release_caches
+
+    nb = spark.range(30).select(
+        F.lit(1).alias("k"), F.col("id").alias("new_id")
+    )
+    rb = spark.range(40).select(
+        F.lit(1).alias("k"), (F.col("id") + 1000).alias("ref_id")
+    )
+    out = _cross_bucket_pairs(nb, rb, ["k"], max_bucket=8)
+    assert out.count() == 30 * 40
+    assert out.distinct().count() == 30 * 40
+    # and the plain-join fast path gives the same answer
+    fast = _cross_bucket_pairs(nb, rb, ["k"], max_bucket=64)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, out.collect()))
+    release_caches()
+
+
 def test_cross_near_dup_precomputed_index_equivalent(spark, tmp_path):
     # the production shape: band the reference corpus ONCE, persist,
     # and dedup batches against the stored index — results must equal
