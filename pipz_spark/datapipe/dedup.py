@@ -461,13 +461,19 @@ def ngram_jaccard(
     joined = sides.join(
         sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    # quantize4, NOT round(·, 4): round's double tie handling
+    # diverges between Spark and DuckDB (see text.quantize4's
+    # docstring — a real sf0.1 divergence); every threshold filter
+    # downstream compares the quantized value, so the quantizer must
+    # be the engine-portable floor form (r6 advisor finding)
+    from .text import quantize4
+
     return joined.select(
         "id_a",
         "id_b",
-        F.round(
+        quantize4(
             F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-            4,
+            / F.size(F.array_union("sh_a", "sh_b"))
         ).alias("jaccard"),
     )
 
@@ -736,10 +742,14 @@ def cross_near_dup_pairs(
     joined = cand.join(sh_proj(new, "new_id"), "new_id").join(
         sh_proj(ref, "ref_id"), "ref_id"
     )
-    jac = F.round(
+    # same engine-portable quantizer as ngram_jaccard (r6 advisor:
+    # the threshold filter on a round(·,4) value carries round's
+    # cross-engine tie divergence)
+    from .text import quantize4
+
+    jac = quantize4(
         F.size(F.array_intersect("_sh_new_id", "_sh_ref_id"))
-        / F.size(F.array_union("_sh_new_id", "_sh_ref_id")),
-        4,
+        / F.size(F.array_union("_sh_new_id", "_sh_ref_id"))
     )
     return joined.select("new_id", "ref_id", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold

@@ -469,6 +469,16 @@ def cosine_topk_pq(
         queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect(),
         key=lambda r: r["_id"],
     )
+    if not qrows:
+        # degrade to an empty result like the bruteforce/LSH/IVF
+        # siblings (their joins yield zero rows naturally); without
+        # this, np.linalg.norm(axis=1) on the (0,) query matrix
+        # raises AxisError before any Spark job runs (r6 advisor)
+        id_t = _id_type(corpus, id_col)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"qid {id_t}, nid {id_t}, cos double, rank int"
+        )
     qids = np.array([r["_id"] for r in qrows])
     Q = np.array([r["_v"] for r in qrows], dtype="float64")
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)

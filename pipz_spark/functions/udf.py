@@ -162,6 +162,20 @@ def python_flat_map(
     out_schema = T.StructType.fromDDL(returns)
     if any(f.name == "_pz_err" for f in out_schema.fields):
         raise ValueError("returns schema may not contain the reserved field _pz_err")
+    # output columns = carried inputs + returns fields; a name
+    # collision would surface only as a confusing AnalysisException
+    # when the step runs (r6 advisor finding) — fail loudly at
+    # construction like the _pz_err reserved-name check above.
+    # ``keep=None`` carries EVERY input column, so the dataframe-
+    # dependent half of that check re-runs in step_fn below.
+    out_names = {f.name for f in out_schema.fields}
+    clash = out_names & set(inputs if keep is None else [*keep, *inputs])
+    if clash:
+        raise ValueError(
+            f"returns schema field(s) {sorted(clash)} collide with "
+            "carried input columns; rename the output field or drop "
+            "the column from keep"
+        )
     udtf_type = T.StructType(
         list(out_schema.fields) + [T.StructField("_pz_err", T.StringType())]
     )
@@ -198,6 +212,13 @@ def python_flat_map(
         carried = keep if keep is not None else [
             c for c in df.columns if c != ERROR_COL
         ]
+        clash = out_names & set(carried)
+        if clash:
+            raise ValueError(
+                f"returns schema field(s) {sorted(clash)} collide with "
+                "carried column(s) of the input dataframe; pass keep= "
+                "to exclude them or rename the output field"
+            )
         ok = df.where(is_ok())
         failed = df.where(~is_ok())
         expanded = ok.lateralJoin(gen(*[F.col(c).outer() for c in inputs]))

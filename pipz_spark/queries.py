@@ -1795,8 +1795,9 @@ WITH toks AS (
   WHERE a.doc_id < b.doc_id
 ), scored AS (
   SELECT id_a, id_b,
-         round(len(list_intersect(sa.g, sb.g)) * 1.0 /
-               (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))), 4) AS jaccard
+         floor(len(list_intersect(sa.g, sb.g)) * 1.0 /
+               (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))
+               * 10000.0 + 0.5) / 10000.0 AS jaccard
   FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
             JOIN sets sb ON sb.doc_id = cand.id_b
 )
@@ -2036,12 +2037,14 @@ WITH s AS (
 ),
 sz AS (SELECT doc_id, sh, len(sh) AS n FROM s)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+             * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM sz a JOIN sz b ON a.doc_id < b.doc_id
 WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
-  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
+  AND floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+            * 10000.0 + 0.5) / 10000.0 >= 0.7
 """
 
 
@@ -2090,8 +2093,9 @@ WITH RECURSIVE toks AS (
 ), p AS MATERIALIZED (
   SELECT id_a, id_b FROM (
     SELECT id_a, id_b,
-           round(len(list_intersect(sa.g, sb.g)) * 1.0 /
-                 (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g))), 4) AS jaccard
+           floor(len(list_intersect(sa.g, sb.g)) * 1.0 /
+                 (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
               JOIN sets sb ON sb.doc_id = cand.id_b
   ) WHERE jaccard >= 0.5
@@ -2124,8 +2128,9 @@ p AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sz a JOIN sz b ON a.doc_id < b.doc_id
   WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
-    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
+    AND floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+              * 10000.0 + 0.5) / 10000.0 >= 0.7
 ),
 e AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
@@ -2354,9 +2359,13 @@ GROUP BY l_returnflag
 # Funnel analysis over the events stream table: per user, first
 # signup and the first purchase AFTER it — the conversion query every
 # product-analytics deployment of the reference runs. Two filtered
-# aggregates over ONE events scan lineage; the signup frame is
-# |users|-sized (tiny, broadcast), so the composition costs one scan
-# + one broadcast join at any scale. Timestamps exported as
+# aggregates over ONE events scan lineage. The signup frame is
+# |signup users|-sized — small at test SFs but it GROWS with the fact
+# table, so the join is deliberately unhinted: AQE converts it to a
+# broadcast at runtime when the frame is actually under the
+# threshold, and falls back to a shuffled join when |users| has grown
+# past executor memory (a forced F.broadcast here would OOM the job
+# at the 100 TB posture — r6 advisor finding). Timestamps exported as
 # epoch-micros (catalog-canonical TIMESTAMP → unix_micros).
 def _events_funnel(spark, sf):
     ev = _t(spark, sf, "events")
@@ -2367,7 +2376,7 @@ def _events_funnel(spark, sf):
     )
     first_purchase = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(signups), "user_id")
+        .join(signups, "user_id")
         .where(F.col("ts") > F.col("signup_ts"))
         .groupBy("user_id", "signup_ts")
         .agg(F.min("ts").alias("purchase_ts"))
@@ -2480,12 +2489,14 @@ WITH s AS (
 ),
 sz AS (SELECT doc_id, sh, len(sh) AS n FROM s)
 SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+             * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM sz a JOIN sz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
-  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.7
+  AND floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+            * 10000.0 + 0.5) / 10000.0 >= 0.7
 """
 
 
@@ -2545,11 +2556,14 @@ def _events_anomaly(spark, sf):
     mean = F.col("_s") / F.col("_n")
     # greatest(·, 0): cancellation can drive ss/n − mean² a few ulps
     # negative on (near-)constant groups, where DuckDB's sqrt ERRORS
-    # while Spark yields NaN — clamp on both sides; the resulting
-    # sqrt(0) makes z NULL (x/0.0 is NULL in both engines), and the
-    # |z| filter drops NULLs consistently
+    # while Spark yields NaN — clamp on both sides. The zero-variance
+    # denominator is made NULL EXPLICITLY via nullif rather than by
+    # x/0.0 semantics: Spark's non-ANSI divide yields NULL there but
+    # DuckDB under ieee_floating_point_ops=true yields ±inf (r6
+    # advisor finding — a version-dependent latent divergence), so
+    # both engines are pinned to NULL→dropped by the |z| filter.
     var = F.greatest(F.col("_ss") / F.col("_n") - mean * mean, F.lit(0.0))
-    z = (F.col("value") - mean) / F.sqrt(var)
+    z = (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
     return (
         joined.withColumn("z", z)
         .where(F.abs(F.col("z")) > 3.0)
@@ -2566,10 +2580,10 @@ WITH st AS (
   FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, e.value,
        (e.value - st.s / st.n)
-       / sqrt(greatest(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0)) AS z
+       / nullif(sqrt(greatest(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0)), 0.0) AS z
 FROM events e JOIN st ON e.event_type = st.event_type
 WHERE abs((e.value - st.s / st.n)
-          / sqrt(greatest(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0))) > 3.0
+          / nullif(sqrt(greatest(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0)), 0.0)) > 3.0
 """
 
 
@@ -2653,7 +2667,10 @@ WHERE text IS NOT NULL AND trim(text) <> ''
 # first-activity week, then distinct-user counts per (cohort, week
 # offset) — THE product-analytics companion to the funnel query. One
 # distinct pass builds the |users × weeks| activity frame; the cohort
-# frame is |users|-sized and broadcasts; offsets are exact (weeks
+# frame is |users|-sized — it scales with the fact table, so the join
+# carries no broadcast hint (AQE broadcasts it at runtime while it
+# fits and shuffles it when it doesn't; a forced hint would OOM at
+# the 100 TB posture — r6 advisor finding). Offsets are exact (weeks
 # differ by multiples of 7 days, so days/7 is integer-valued in
 # double on both engines — truncation vs rounding cannot diverge).
 def _events_retention(spark, sf):
@@ -2661,7 +2678,7 @@ def _events_retention(spark, sf):
     weeks = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
     cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        weeks.join(F.broadcast(cohort), "user_id")
+        weeks.join(cohort, "user_id")
         .groupBy(
             "cohort_week",
             (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),

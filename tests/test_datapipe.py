@@ -361,6 +361,20 @@ def test_cosine_topk_pq_shortlist_prunes_and_rejects_bad_params(embeddings):
         cosine_topk_pq(embeddings, queries, ksub=1)
 
 
+def test_cosine_topk_pq_empty_queries_degrades_to_empty(embeddings):
+    # the bruteforce/LSH/IVF siblings yield zero rows naturally via
+    # their joins; PQ's driver-side LUT build crashed in numpy before
+    # any Spark job on a (0,) query matrix (r6 advisor) — it must
+    # short-circuit to an empty frame with the standard schema
+    from pipz_spark.datapipe import cosine_topk_pq
+
+    out = cosine_topk_pq(
+        embeddings, embeddings.where(F.col("vec_id") < 0), k=3, m=16, ksub=16
+    )
+    assert out.columns == ["qid", "nid", "cos", "rank"]
+    assert out.count() == 0
+
+
 def test_ann_string_ids_and_cache_release(spark, embeddings):
     # the in-bucket scorers must preserve non-integer id types (their
     # applyInPandas schemas are derived, not hardcoded)...

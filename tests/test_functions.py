@@ -203,3 +203,30 @@ def test_python_flat_map_rejects_reserved_field(spark):
 
     with _pytest.raises(ValueError):
         python_flat_map("bad", lambda t: [], ["text"], "_pz_err string")
+
+
+def test_python_flat_map_rejects_output_colliding_with_carried(spark):
+    # a returns field named like a carried column would only surface
+    # as an ambiguous-column AnalysisException when the step runs —
+    # the construction-time check fails loudly instead (r6 advisor)
+    import pytest as _pytest
+
+    from pipz_spark.functions import python_flat_map
+
+    # explicit keep: caught at construction
+    with _pytest.raises(ValueError, match="collide"):
+        python_flat_map(
+            "bad", lambda t: [], ["text"], "text string, idx int", keep=["text"]
+        )
+    # input column re-emitted: caught at construction too (inputs are
+    # carried by the keep=None default)
+    with _pytest.raises(ValueError, match="collide"):
+        python_flat_map("bad", lambda t: [], ["text"], "text string, idx int")
+    # keep=None + collision with a NON-input dataframe column: only
+    # detectable against the real dataframe, caught in step_fn
+    step = python_flat_map("bad", lambda t: [(len(t),)], ["text"], "extra int")
+    df = spark.createDataFrame([("a", 1)], "text string, extra int")
+    from pipz_spark.core.errors import ensure_error_column
+
+    with _pytest.raises(ValueError, match="collide"):
+        step(ensure_error_column(df))

@@ -168,21 +168,25 @@ def test_multi_count_distinct_expands_single_scan(spark):
     assert plan.count("Scan parquet") == 1
 
 
-def test_events_funnel_broadcasts_signups(spark):
-    # the per-user signup frame is |users|-sized; if it stops
-    # broadcasting the purchase scan shuffles on user_id for a
-    # dimension-sized build side
+def test_events_funnel_join_is_unhinted_equi_join(spark):
+    # the per-user signup frame GROWS with the fact table, so the
+    # join must NOT carry a forced broadcast hint (it would OOM at
+    # the 100 TB posture — r6 advisor finding). AQE picks broadcast
+    # at runtime while the frame is small; the canary pins only what
+    # holds at every scale: an equi-join on user_id, never a
+    # nested-loop/cartesian, under an adaptive root.
     plan = _plan(spark, "events_funnel")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "AdaptiveSparkPlan" in plan
 
 
-def test_retention_broadcasts_cohorts_and_dedups_once(spark):
-    # the |users|-sized cohort frame must broadcast; the activity
-    # distinct is one aggregate, not a shuffle per reference
+def test_retention_join_unhinted_and_dedups_once(spark):
+    # same scaling contract as the funnel: no forced broadcast of the
+    # |users|-sized cohort frame; the activity distinct stays one
+    # aggregate, not a shuffle per reference
     plan = _plan(spark, "events_retention")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "AdaptiveSparkPlan" in plan
 
 
 def test_setops_all_uses_generate_replication(spark):
