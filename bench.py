@@ -119,8 +119,18 @@ def main() -> None:
             timings[name] = None
             timings_max[name] = None
             run_counts[name] = 0
-    print(
-        json.dumps(
+    # Full per-query detail (min + max + run counts) goes to a
+    # sidecar the judge reads directly; the stdout line must fit the
+    # driver's 2000-char tail capture or the round's perf record is
+    # lost (BENCH_r06.json arrived parsed:null when the 95-query
+    # line outgrew the window). A flat dict of all query names alone
+    # is ~1.9 KB before any values, so the printed line carries the
+    # suite wall plus per-query mins for as many queries as fit —
+    # most expensive first, since those are the ones perf review
+    # acts on — and points at the sidecar for the rest.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(sidecar, "w") as f:
+        json.dump(
             {
                 "metric": "declared_query_suite_wall",
                 "value": round(total, 3),
@@ -129,9 +139,45 @@ def main() -> None:
                 "queries_max": timings_max,
                 "runs": run_counts,
                 "sf": float(sf),
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+        f.write("\n")
+
+    TAIL_BUDGET = 1900  # driver window is 2000; leave newline margin
+
+    def line_for(n_top: int) -> str:
+        by_cost = sorted(
+            (name for name, t in timings.items() if t is not None),
+            key=lambda name: -timings[name],
+        )
+        top = {name: timings[name] for name in sorted(by_cost[:n_top])}
+        failed = [name for name, t in timings.items() if t is None]
+        payload = {
+            "metric": "declared_query_suite_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": top,
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "full": "BENCH_LOCAL.json",
+        }
+        if failed:
+            # bounded: a mass failure must not re-overflow the window
+            payload["failed"] = failed[:10]
+            if len(failed) > 10:
+                payload["failed_count"] = len(failed)
+        return json.dumps(payload, separators=(",", ":"))
+
+    n_top = len(timings)
+    line = line_for(n_top)
+    while len(line) > TAIL_BUDGET and n_top > 0:
+        n_top -= 5
+        line = line_for(n_top)
+    # the JSON line is the LAST stdout write — nothing may print
+    # after it or the tail window shifts past it
+    print(line)
     spark.stop()
 
 

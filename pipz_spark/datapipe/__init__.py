@@ -63,6 +63,7 @@ from .multimodal import (
     attach_blob,
     blob_metadata,
     decode_image_features,
+    pil_available,
     sample_frames,
 )
 
@@ -97,6 +98,7 @@ __all__ = [
     "jaccard_near_dup_pairs",
     "near_dup_pairs",
     "ngram_jaccard",
+    "pil_available",
     "quality_score",
     "regex_token_count",
     "release_caches",

@@ -918,11 +918,103 @@ def simhash_near_dup_pairs(
     )
 
 
+def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — O(log n) rounds on ANY graph shape, the escalation
+    path for components whose min-label propagation distance exceeds
+    the round budget (crawl-mirror CHAINS, where propagation is
+    O(diameter)).
+
+    ``edges`` must be the symmetrized (u, v) frame. Each round is two
+    skinny shuffles over (long, long) rows:
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      re-points its strictly-LARGER neighbors at m — long tails fold
+      onto local minima in parallel;
+    - small-star: edges orient toward the smaller endpoint, every
+      node re-points its smaller-or-equal neighbors (and itself) at
+      m — stars of stars collapse one level.
+
+    Fixpoint = the edge set is unchanged by a full round (checked
+    exactly with two ``subtract``s on the canonicalized frame, not a
+    hashable summary); at fixpoint the graph is a forest of stars
+    whose centers are the component minima, so the oriented edge list
+    IS the (node, component) map and centers map to themselves.
+    ``max_rounds=50`` is unreachable in practice (covers ~2^50-node
+    chains) and fails loudly rather than returning a non-fixpoint."""
+    canon = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: for each directed (u, v) with v > u, emit {v, m(u)}
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("_m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over the large-star output: orient big→small,
+        # re-point every smaller neighbor (and the node itself) at m
+        oriented = large.select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )  # canon is (small, big); oriented = (big, small)
+        omins = oriented.groupBy("u").agg(F.min("v").alias("_m"))
+        j = oriented.join(omins, "u")
+        small = (
+            j.where(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+            .unionByName(j.select(F.col("u").alias("a"), F.col("_m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if small.subtract(canon).isEmpty() and canon.subtract(small).isEmpty():
+            canon = small
+            break
+        canon = small
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge within {max_rounds} rounds — "
+            "this exceeds the O(log n) bound for any real graph; the pair "
+            "frame is likely nondeterministic across re-evaluations"
+        )
+    # fixpoint stars: canon is (small, big) = (center, leaf); every
+    # leaf maps to its center and centers map to themselves
+    leaves = canon.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    centers = canon.select(F.col("u").alias("node")).distinct()
+    return leaves.unionByName(
+        centers.select("node", F.col("node").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(node, component) for the undirected pair graph; component =
     the minimum node id reachable from each node.
@@ -942,17 +1034,29 @@ def connected_components(
     so an unchanged sum means a fixpoint (one cheap aggregate per
     round, no full-frame comparison join).
 
-    For adversarial long-chain graphs, alternating large-star/
-    small-star contraction converges in O(log n) rounds; near-dup
-    graphs never need it, and ``max_iter`` bounds the worst case.
+    ``algorithm`` picks the long-chain posture (crawl-mirror chains —
+    the adversarial 100 TB case — have diameter ≫ ``max_iter``):
+
+    - ``"auto"`` (default): propagate for ``max_iter`` rounds; if not
+      converged, ESCALATE to alternating large-star/small-star
+      contraction (O(log n) rounds on any shape) instead of raising.
+    - ``"label"``: propagation only; non-convergence raises loudly
+      (a silent non-fixpoint would split true clusters and leak
+      duplicates through dedup_clusters).
+    - ``"star"``: star contraction directly — the right call when the
+      caller KNOWS the graph is chain-shaped.
     """
     from . import _caches
 
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError("algorithm must be 'auto', 'label' or 'star'")
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     # symmetrize; every round reads this frame, so pin it (skinny rows)
     edges = _caches.track(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     )
+    if algorithm == "star":
+        return _star_contraction(edges)
     # init fuses the FIRST propagation round: with every label equal
     # to its node id, round 1's join+min is just min over neighbors —
     # one aggregate over the edge list, no join. Saves a full
@@ -985,16 +1089,19 @@ def connected_components(
             break
         prev_sum = cur_sum
     if not converged:
-        # silently returning a non-fixpoint would split true clusters
-        # into several, and dedup_clusters would then keep multiple
-        # "canonical" docs per duplicate group — the exact leakage the
-        # operator exists to prevent. Fail loudly; the caller can
-        # raise max_iter (rounds needed = max component min-label
-        # eccentricity, pathological only for long duplicate CHAINS).
+        # a silent non-fixpoint would split true clusters into
+        # several, and dedup_clusters would then keep multiple
+        # "canonical" docs per duplicate group — the exact leakage
+        # the operator exists to prevent. auto: the graph has a
+        # propagation chain longer than max_iter (crawl-mirror
+        # shape) — switch to the O(log n) star contraction, which is
+        # immune to diameter. label: fail loudly (r6 behavior).
+        if algorithm == "auto":
+            return _star_contraction(edges)
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds; the pair graph contains a component with a longer "
-            "propagation chain — raise max_iter"
+            "propagation chain — raise max_iter or use algorithm='auto'/'star'"
         )
     return labels.select("node", F.col("label").alias("component"))
 

@@ -4,10 +4,13 @@ Design: image/audio/video are opaque ``binary`` columns paired with a
 typed metadata struct (mime, byte size, content hash, declared
 dims/duration). All Spark-side plumbing — schema, partition-friendly
 batching, Arrow-batched ``mapInPandas`` UDF shape — is real and
-tested; only the actual codec calls are stubbed (this container has
-no image/audio libraries), each stub clearly marked and swappable:
-``decode_image_features`` computes deterministic byte-level features
-where a real pipeline would call the decoder.
+tested. Codec calls are OPTIONAL-dependency gated: ``pil_available``
+probes for Pillow at call time, ``decode_image_features(mode="pil")``
+runs a real decode→grayscale→resize→stats path when it imports, and
+the deterministic byte-stats fallback (``mode="bytes"``, the default
+and the declared-query pin, so the oracle never depends on the
+environment) covers containers without media libraries — like this
+one. ``sample_frames`` stays a byte-window stub for the same reason.
 
 At 100 TB the rules encoded here: keep payloads OUT of shuffle keys,
 compute metadata in-scan (expressions), run decoders in mapInPandas
@@ -75,31 +78,79 @@ def blob_metadata(name: str = "blob-meta", blob_col: str = "blob") -> Step:
 _IMG_FEATURES_SCHEMA = "doc_id long, n_bytes long, mean_byte double, byte_entropy_bucket int"
 
 
+def pil_available() -> bool:
+    """Optional-dependency probe: True when Pillow imports. Probed,
+    never assumed — this container ships without media libraries, so
+    the decode path is selected at call time (same pattern as the
+    protobuf gate on the state-v2 streaming twin)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 def decode_image_features(
     df: DataFrame,
     id_col: str = "doc_id",
     blob_col: str = "blob",
     batch_size_hint: int = 256,
+    mode: str = "bytes",
 ) -> DataFrame:
     """Decode-and-featurize over Arrow batches (mapInPandas).
 
-    STUB: a real deployment replaces the body of ``_features`` with
-    the codec call (PIL/torchvision decode → resize → embed). The
-    Spark plumbing here is the real thing: schema-stable output,
-    bounded pandas batches, payload never leaves the executor. The
-    deterministic fake computes byte-level statistics so tests can
-    assert exact values.
+    ``mode`` selects the featurizer behind ONE stable schema:
+
+    - ``"bytes"`` (default): deterministic byte-level statistics —
+      no media library needed, environment-independent, and what the
+      declared query / DuckDB oracle pin (the oracle must not depend
+      on whether Pillow is installed).
+    - ``"pil"``: real decode → grayscale → 32×32 resize → pixel
+      statistics via Pillow; raises ImportError when Pillow is
+      absent. Rows whose payload does not decode as an image fall
+      back to the byte statistics (total function — one corrupt blob
+      never fails the scan; the dead-letter policy for media lives
+      with the caller's Either wrapper, not here).
+    - ``"auto"``: ``"pil"`` when Pillow imports, else ``"bytes"``.
+
+    The Spark plumbing is identical in every mode and is the part
+    the engine owns: schema-stable output, bounded pandas batches,
+    payload never leaves the executor (ref: apply.go:55-57's
+    closure-wrapping analog for the optional-dependency probe).
     """
+    if mode == "auto":
+        mode = "pil" if pil_available() else "bytes"
+    if mode not in ("bytes", "pil"):
+        raise ValueError("mode must be 'bytes', 'pil' or 'auto'")
+    if mode == "pil" and not pil_available():
+        raise ImportError("mode='pil' requires Pillow; install it or use mode='auto'")
+    use_pil = mode == "pil"
 
     def _features(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
+        if use_pil:
+            import io
+
+            from PIL import Image
+
+        def stats(b):
+            if not b:
+                return 0, 0.0
+            if use_pil:
+                try:
+                    img = Image.open(io.BytesIO(bytes(b))).convert("L").resize((32, 32))
+                    px = img.getdata()
+                    return len(b), sum(px) / len(px)
+                except Exception:
+                    pass  # non-image payload → byte-stat fallback
+            return len(b), sum(b) / len(b)
+
         for pdf in batches:
-            blobs = pdf[blob_col]
-            n_bytes = blobs.map(lambda b: len(b) if b is not None else 0)
-            mean_byte = blobs.map(
-                lambda b: (sum(b) / len(b)) if b else 0.0
-            )
+            pairs = pdf[blob_col].map(stats)
+            n_bytes = pairs.map(lambda p: p[0])
+            mean_byte = pairs.map(lambda p: p[1])
             bucket = mean_byte.map(lambda m: int(m) // 32)
             yield pd.DataFrame(
                 {
@@ -149,5 +200,6 @@ __all__ = [
     "attach_blob",
     "blob_metadata",
     "decode_image_features",
+    "pil_available",
     "sample_frames",
 ]

@@ -420,6 +420,10 @@ def handle(
     observations/effects execute for real); note this materializes the
     child plan at compose time — Step handlers are an eager boundary
     by design, callables stay lazy and decide themselves when to act.
+    Composition-heavy code that builds plans without running them
+    should therefore default to the CALLABLE handler form — see
+    "handle and the eager boundary" in the README for the full
+    contract and the persist/release lifecycle.
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:

@@ -85,8 +85,10 @@ def test_running_totals_tws_matches_v1_and_batch(spark, events):
     # produce the same final per-user state as applyInPandasWithState
     # and the batch aggregate — stateful semantics pinned across API
     # generations. The v2 runner's control channel needs the protobuf
-    # python package; environments without it can only run the v1
-    # operator (running_totals_tws documents this), so skip there.
+    # python package (in the project's `dev` extra —
+    # `pip install pipz-spark[dev]` makes this test run); environments
+    # without it can only run the v1 operator (running_totals_tws
+    # documents this), so skip there.
     pytest.importorskip("google.protobuf")
     from pipz_spark.streaming.streams import running_totals_tws
 
