@@ -7,7 +7,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The catalog itself lives in ``pipz_spark.queries`` (one Declared
 entry per implemented operator from SURVEY.md §2 plus the datapipe
-operators); this file just adapts it to the driver's shape.
+operators); this file just adapts it to the driver's shape. The
+driver truncates its gate at the first 50 entries, so the registry's
+insertion order is curated and ROTATES per round — see the comment
+block above ``QUERIES`` in pipz_spark/queries.py; everything past
+the window is gated locally by tests/test_tail_oracle.py and
+tools/check_correctness.py.
 """
 
 from __future__ import annotations
