@@ -161,6 +161,10 @@ def main() -> None:
             "queries": top,
             "sf": float(sf),
             "n_queries": len(timings),
+            # the omitted entries are the CHEAPEST; their summed min
+            # lets a reader reconcile queries+rest against value
+            # without opening the sidecar
+            "rest_sec": round(sum(timings[n] for n in by_cost[n_top:]), 3),
             "full": "BENCH_LOCAL.json",
         }
         if failed:
