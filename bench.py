@@ -177,7 +177,10 @@ def main() -> None:
     n_top = len(timings)
     line = line_for(n_top)
     while len(line) > TAIL_BUDGET and n_top > 0:
-        n_top -= 5
+        # clamped: a bare -5 could go negative, and line_for's slice
+        # would then INVERT (all but the cheapest 5) — the overflow
+        # guard must never itself emit an oversized line
+        n_top = max(0, n_top - 5)
         line = line_for(n_top)
     # the JSON line is the LAST stdout write — nothing may print
     # after it or the tail window shifts past it

@@ -937,8 +937,9 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
       m — stars of stars collapse one level.
 
     Fixpoint = the edge set is unchanged by a full round (checked
-    exactly with two ``subtract``s on the canonicalized frame, not a
-    hashable summary); at fixpoint the graph is a forest of stars
+    exactly — equal count + one empty set-difference on the distinct
+    canonicalized frame — not a hashable summary); at fixpoint the
+    graph is a forest of stars
     whose centers are the component minima, so the oriented edge list
     IS the (node, component) map and centers map to themselves.
     ``max_rounds=50`` is unreachable in practice (covers ~2^50-node
@@ -990,7 +991,11 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        if small.subtract(canon).isEmpty() and canon.subtract(small).isEmpty():
+        # both frames are distinct, so equal cardinality plus an empty
+        # one-way difference IS set equality — one subtract shuffle
+        # per round instead of two (the check runs O(log n) times on
+        # exactly the large-graph case this path exists for)
+        if small.count() == canon.count() and small.subtract(canon).isEmpty():
             canon = small
             break
         canon = small
@@ -1004,9 +1009,21 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # leaf maps to its center and centers map to themselves
     leaves = canon.select(F.col("v").alias("node"), F.col("u").alias("component"))
     centers = canon.select(F.col("u").alias("node")).distinct()
-    return leaves.unionByName(
+    mapped = leaves.unionByName(
         centers.select("node", F.col("node").alias("component"))
     )
+    # node-universe contract parity with the label path: a node whose
+    # only pairs are self-loops has no canonical edge (u != v filtered
+    # it) but the label path still emits it as its own singleton —
+    # the star path must return the SAME (node, component) universe
+    # or an auto-escalation would silently drop nodes from the map
+    singletons = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .join(mapped, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return mapped.unionByName(singletons)
 
 
 def connected_components(

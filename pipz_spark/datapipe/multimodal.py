@@ -108,7 +108,10 @@ def decode_image_features(
       on whether Pillow is installed).
     - ``"pil"``: real decode → grayscale → 32×32 resize → pixel
       statistics via Pillow; raises ImportError when Pillow is
-      absent. Rows whose payload does not decode as an image fall
+      absent. The availability probe runs on the DRIVER — on a
+      cluster, executors need Pillow in their own image too (a
+      mismatch fails the scan with an error naming exactly that).
+      Rows whose payload does not decode as an image fall
       back to the byte statistics (total function — one corrupt blob
       never fails the scan; the dead-letter policy for media lives
       with the caller's Either wrapper, not here).
@@ -133,7 +136,18 @@ def decode_image_features(
         if use_pil:
             import io
 
-            from PIL import Image
+            try:
+                from PIL import Image
+            except ImportError as e:
+                # the call-time probe ran on the DRIVER; this closure
+                # runs on executors, and on a real cluster the venvs
+                # can differ — name the actual problem instead of
+                # failing every task with a bare ImportError
+                raise ImportError(
+                    "mode='pil' resolved on the driver but Pillow is not "
+                    "importable on this executor — install Pillow in the "
+                    "executor image or use mode='bytes'"
+                ) from e
 
         def stats(b):
             if not b:

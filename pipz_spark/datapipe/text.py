@@ -298,12 +298,15 @@ def ngram_repetition(
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     total = F.sum("_cnt")
+    # quantize4, not round(·, 4): these are exactly the small-integer
+    # count ratios whose 5th decimal can render as a tie, where
+    # Spark's and DuckDB's round disagree (see quantize4's docstring)
     return per_gram.groupBy(id_col).agg(
         total.cast("long").alias("n_grams"),
-        F.round(
-            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0)) / total, 4
+        quantize4(
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0)) / total
         ).alias("rep_fraction"),
-        F.round(F.max("_cnt") / total, 4).alias("top_fraction"),
+        quantize4(F.max("_cnt") / total).alias("top_fraction"),
     )
 
 

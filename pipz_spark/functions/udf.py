@@ -169,6 +169,8 @@ def python_flat_map(
     # ``keep=None`` carries EVERY input column, so the dataframe-
     # dependent half of that check re-runs in step_fn below.
     out_names = {f.name for f in out_schema.fields}
+    if ERROR_COL in out_names:
+        raise ValueError(f"returns schema may not contain the reserved field {ERROR_COL}")
     clash = out_names & set(inputs if keep is None else [*keep, *inputs])
     if clash:
         raise ValueError(
@@ -212,12 +214,17 @@ def python_flat_map(
         carried = keep if keep is not None else [
             c for c in df.columns if c != ERROR_COL
         ]
-        clash = out_names & set(carried)
+        # checked against ALL dataframe columns, not just carried:
+        # lateralJoin's output holds every left column, so an output
+        # field named like ANY input column — even one the select
+        # would drop — is an ambiguous reference at plan time
+        clash = out_names & set(df.columns)
         if clash:
             raise ValueError(
                 f"returns schema field(s) {sorted(clash)} collide with "
-                "carried column(s) of the input dataframe; pass keep= "
-                "to exclude them or rename the output field"
+                "column(s) of the input dataframe; rename the output "
+                "field (dropping the column via keep= is not enough — "
+                "the lateral join still carries it)"
             )
         ok = df.where(is_ok())
         failed = df.where(~is_ok())

@@ -1715,8 +1715,10 @@ WITH toks AS (
 )
 SELECT doc_id,
        SUM(cnt) AS n_grams,
-       round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 4) AS rep_fraction,
-       round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_fraction
+       floor(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS rep_fraction,
+       floor(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS top_fraction
 FROM c GROUP BY 1
 """
 
@@ -2571,8 +2573,11 @@ LIMIT 10
 # double-op order both engines replay bit-identically. The two-pass
 # + broadcast shape is the 100 TB norm: the stats frame is
 # |event_type|-sized, the fact table never shuffles.
-def _events_anomaly(spark, sf):
-    ev = _t(spark, sf, "events")
+def build_anomaly_z(ev: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """The two-pass z-score shape over any events-shaped frame —
+    SHARED by the declared query and tools/scale_stress.py's 10× row
+    so a numeric fix can never fork between what is gated and what is
+    measured (r7 review finding)."""
     vdec = F.col("value").cast("decimal(18,4)")
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
@@ -2593,9 +2598,13 @@ def _events_anomaly(spark, sf):
     z = (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
     return (
         joined.withColumn("z", z)
-        .where(F.abs(F.col("z")) > 3.0)
+        .where(F.abs(F.col("z")) > z_threshold)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+def _events_anomaly(spark, sf):
+    return build_anomaly_z(_t(spark, sf, "events"))
 
 
 _EVENTS_ANOMALY_SQL = """
@@ -2798,9 +2807,9 @@ WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 
 # ever leaves the gate entirely, and the remaining slots cycle
 # through queries that have not yet earned a driver-green row.
 #
-# r7 window = 22 anchors + 28 first-time entries (every r6-window
+# r7 window = 23 anchors + 27 first-time entries (every r6-window
 # query displaced below was driver-green in CORRECTNESS_r06.json;
-# the 28 promotions were judge-oracle-green in r6's independent run,
+# the 27 promotions were judge-oracle-green in r6's independent run,
 # except rel_cube which is new this round). tools/check_correctness.py
 # re-validates ALL entries locally regardless of window position.
 QUERIES: dict[str, Declared] = {
@@ -2855,7 +2864,12 @@ QUERIES: dict[str, Declared] = {
     "rel_grouping_sets": Declared(_rel_grouping_sets, _REL_GROUPING_SETS_SQL),
     "rel_pivot": Declared(_rel_pivot, _REL_PIVOT_SQL),
     "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
-    "rel_semi_join": Declared(_rel_semi_join, _REL_SEMI_SQL),
+    # full outer is an ANCHOR by the unique-code-path rule (the r6
+    # comment that moved it INTO the window still holds: no other
+    # window join exercises the both-sides-preserving SMJ path); it
+    # displaced rel_semi_join, whose semi-join machine the window
+    # still pins via rel_exists_subquery's decorrelation rewrite
+    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
     "rel_anti_join": Declared(_rel_anti_join, _REL_ANTI_SQL),
     "rel_exists_subquery": Declared(_rel_exists_subquery, _REL_EXISTS_SQL),
     "rel_scalar_subquery": Declared(_rel_scalar_subquery, _REL_SCALAR_SUBQ_SQL),
@@ -2905,7 +2919,7 @@ QUERIES: dict[str, Declared] = {
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
     "rel_percentile": Declared(_rel_percentile, _REL_PERCENTILE_SQL),
-    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
+    "rel_semi_join": Declared(_rel_semi_join, _REL_SEMI_SQL),
     "dp_ann_lsh": Declared(_dp_ann_lsh, _DP_COSINE_TOPK_SQL),
     "dp_ann_ivf": Declared(_dp_ann_ivf, _DP_COSINE_TOPK_SQL),
     "dp_embed_near_dup": Declared(_dp_embed_near_dup, _DP_EMBED_NEAR_DUP_SQL),

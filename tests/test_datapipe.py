@@ -816,6 +816,24 @@ def test_connected_components_auto_escalates_long_chain(spark):
     assert set(got.values()) == {0}
 
 
+def test_star_contraction_preserves_self_loop_nodes(spark):
+    # node-universe parity: a node whose only pair is a self-loop is
+    # a singleton in the label path's output; the star path filters
+    # self-edges from its canonical frame, so it must re-emit such
+    # nodes or an auto-escalation silently shrinks the map
+    # (r7 review finding)
+    from pipz_spark.datapipe import connected_components
+
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    expected = {7: 7, 1: 1, 2: 1}
+    for algo in ("label", "star"):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == expected, algo
+
+
 def test_star_contraction_matches_label_propagation_on_random_graphs(spark):
     # property check: on random graphs (mixed chains, cliques,
     # singleton-free scatter) the direct star-contraction path must

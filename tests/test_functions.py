@@ -203,6 +203,8 @@ def test_python_flat_map_rejects_reserved_field(spark):
 
     with _pytest.raises(ValueError):
         python_flat_map("bad", lambda t: [], ["text"], "_pz_err string")
+    with _pytest.raises(ValueError):
+        python_flat_map("bad", lambda t: [], ["text"], "_pipz_error string")
 
 
 def test_python_flat_map_rejects_output_colliding_with_carried(spark):
@@ -222,11 +224,21 @@ def test_python_flat_map_rejects_output_colliding_with_carried(spark):
     # carried by the keep=None default)
     with _pytest.raises(ValueError, match="collide"):
         python_flat_map("bad", lambda t: [], ["text"], "text string, idx int")
-    # keep=None + collision with a NON-input dataframe column: only
-    # detectable against the real dataframe, caught in step_fn
-    step = python_flat_map("bad", lambda t: [(len(t),)], ["text"], "extra int")
-    df = spark.createDataFrame([("a", 1)], "text string, extra int")
+    # collision with a NON-input dataframe column: only detectable
+    # against the real dataframe, caught in step_fn — and the check
+    # runs against ALL df columns, not just carried ones, because
+    # lateralJoin's output holds every left column even when keep=
+    # would drop it from the final select (r7 review finding)
     from pipz_spark.core.errors import ensure_error_column
 
+    df = ensure_error_column(
+        spark.createDataFrame([("a", 1)], "text string, extra int")
+    )
+    step = python_flat_map("bad", lambda t: [(len(t),)], ["text"], "extra int")
     with _pytest.raises(ValueError, match="collide"):
-        step(ensure_error_column(df))
+        step(df)
+    kept = python_flat_map(
+        "bad", lambda t: [(len(t),)], ["text"], "extra int", keep=["text"]
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        kept(df)

@@ -230,25 +230,12 @@ def main() -> None:
     # no matter how the fact table grows, so the evidence to watch is
     # shuffle_mb ≈ the tiny stats aggregate (the fact scan itself
     # must NOT shuffle; z is computed in the scan projection after
-    # the broadcast join)
-    def _anomaly_10x() -> int:
-        vdec = F.col("value").cast("decimal(18,4)")
-        stats = ev10x.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("double").alias("_n"),
-            F.sum(vdec).cast("double").alias("_s"),
-            F.sum(vdec * vdec).cast("double").alias("_ss"),
-        )
-        mean = F.col("_s") / F.col("_n")
-        var = F.greatest(F.col("_ss") / F.col("_n") - mean * mean, F.lit(0.0))
-        z = (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
-        return (
-            ev10x.join(F.broadcast(stats), "event_type")
-            .withColumn("z", z)
-            .where(F.abs(F.col("z")) > 3.0)
-            .count()
-        )
+    # the broadcast join). The EXACT declared-query builder runs here
+    # (shared helper) so the stress evidence measures the gated plan.
+    from pipz_spark.queries import build_anomaly_z
 
-    run(spark, "events_anomaly     ", _anomaly_10x)
+    run(spark, "events_anomaly     ",
+        lambda: build_anomaly_z(ev10x).count())
 
     # ---- synthetic hot bucket (VERDICT r4 #6): a viral template
     # cluster far above max_bucket forces the salted big-bucket
