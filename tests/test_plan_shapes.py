@@ -159,6 +159,16 @@ def test_scalar_subquery_decorrelates_to_one_aggregate(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_cube_expands_single_scan_with_partial_agg(spark):
+    # all four grouping sets of the cube must come from ONE scan via
+    # Expand (not four scans), with map-side partial aggregation
+    # before the single exchange — the shape that reads 100 TB once
+    plan = _plan(spark, "rel_cube")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
+
+
 def test_multi_count_distinct_expands_single_scan(spark):
     # RewriteDistinctAggregates: one Expand feeding the two-phase
     # aggregate — three separate scans of lineitem would triple the
