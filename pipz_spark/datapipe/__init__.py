@@ -54,6 +54,7 @@ from .sampling import (
     approx_dataset_profile,
     dataset_profile,
     deterministic_sample,
+    deterministic_shuffle,
     deterministic_split,
     hash_bucket,
     stratified_sample,
@@ -74,6 +75,7 @@ __all__ = [
     "approx_dataset_profile",
     "dataset_profile",
     "deterministic_sample",
+    "deterministic_shuffle",
     "deterministic_split",
     "hash_bucket",
     "stratified_sample",

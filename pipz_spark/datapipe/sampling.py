@@ -209,6 +209,48 @@ def temperature_resample(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global shuffle for training export — adds
+    ``shard`` (int in [0, n_shards)) and ``shuffle_rank`` (long,
+    1-based within the shard). The global training order is
+    ``(shard, shuffle_rank)``; writing one file per shard and reading
+    shards in order replays the exact same example order on any run,
+    cluster size, or engine.
+
+    Both columns are pure functions of the row: shard comes from hex
+    chars 9-16 of md5(key || salt) mod n_shards, the within-shard
+    order from (full md5 hex, key) — md5 renders lowercase hex in
+    every engine, so the DuckDB oracle replays the order exactly, and
+    the (hash, key) pair is a total order (hash collisions tie-break
+    on the key).
+
+    Scale shape: this is the SHARDED form of a shuffle, not a global
+    sort — one hash shuffle on ``shard`` (n_shards partitions of
+    |corpus|/n_shards rows) and a within-partition sort. A single
+    ``orderBy(hash)`` would range-partition and sort the whole corpus
+    for a total order nobody consumes as one stream; per-shard order
+    is what a data loader actually reads. NULL keys hash via the same
+    sentinel as every sampler here.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("__pipz_null__"))
+    h = F.md5(F.concat(key_str, F.lit(salt)))
+    shard = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % n_shards).cast("int")
+    from pyspark.sql import Window
+
+    out = df.withColumn("shard", shard).withColumn("_h", h)
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), key_str)
+    return out.withColumn(
+        "shuffle_rank", F.row_number().over(w).cast("long")
+    ).drop("_h")
+
+
 def dataset_profile(
     name: str,
     numeric_cols: Seq[str],
@@ -281,6 +323,7 @@ __all__ = [
     "hash_bucket",
     "deterministic_split",
     "deterministic_sample",
+    "deterministic_shuffle",
     "stratified_sample",
     "temperature_resample",
     "dataset_profile",

@@ -2798,6 +2798,31 @@ WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 
 """
 
 
+# Deterministic training-export shuffle: shard + within-shard rank,
+# both pure functions of (doc_id, salt) so the example order replays
+# identically on any run, cluster size, or engine. The SHARDED form —
+# one hash shuffle + per-shard sort — never a global total sort.
+def _dp_shuffle(spark, sf):
+    from .datapipe import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _t(spark, sf, "documents"), "doc_id", n_shards=64
+    ).select("doc_id", "shard", "shuffle_rank")
+
+
+_DP_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS hx
+  FROM documents)
+SELECT doc_id,
+       CAST(CAST(('0x' || substring(hx, 9, 8)) AS BIGINT) % 64 AS INT) AS shard,
+       row_number() OVER (
+         PARTITION BY CAST(('0x' || substring(hx, 9, 8)) AS BIGINT) % 64
+         ORDER BY hx, CAST(doc_id AS VARCHAR)) AS shuffle_rank
+FROM h
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -2949,6 +2974,11 @@ QUERIES: dict[str, Declared] = {
     "dp_pack_sequences": Declared(_dp_pack, _DP_PACK_SQL),
     "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
+    # deterministic shuffle = the md5-bucket machinery of the
+    # deterministic_split family + the row_number WindowExec the
+    # top-k/window anchors gate; the rank-replay composition gets its
+    # exact gate here (new r7; tail per the unique-code-path rule)
+    "dp_shuffle_shards": Declared(_dp_shuffle, _DP_SHUFFLE_SQL),
 }
 
 

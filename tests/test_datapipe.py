@@ -750,6 +750,43 @@ def test_bucket_pairs_small_only_skips_big_branch(spark):
     assert pairs.count() == 3 * 6  # 3 buckets x C(4,2), exhaustive
 
 
+def test_deterministic_shuffle_stable_and_contiguous(spark, documents):
+    # the export-order contract: (shard, shuffle_rank) is a pure
+    # function of (key, salt) — identical across runs AND input
+    # partitionings — and ranks are contiguous 1..|shard| so shard
+    # files replay as a gapless stream
+    from pipz_spark.datapipe import deterministic_shuffle
+
+    a = {
+        r["doc_id"]: (r["shard"], r["shuffle_rank"])
+        for r in deterministic_shuffle(documents, n_shards=8).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["shuffle_rank"])
+        for r in deterministic_shuffle(documents.repartition(13), n_shards=8).collect()
+    }
+    assert a == b and len(a) == documents.count()
+    assert all(0 <= s < 8 for s, _ in a.values())
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in a.values())
+    ranks = {}
+    for s, r in a.values():
+        ranks.setdefault(s, set()).add(r)
+    for s, n in per_shard.items():
+        assert ranks[s] == set(range(1, n + 1)), f"shard {s} ranks not contiguous"
+    # a different salt produces a different order (same membership)
+    c = {
+        r["doc_id"]: (r["shard"], r["shuffle_rank"])
+        for r in deterministic_shuffle(documents, n_shards=8, salt="other").collect()
+    }
+    assert set(c) == set(a) and c != a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_shuffle(documents, n_shards=0)
+
+
 def test_connected_components_chain_and_clique(spark):
     # chain 1-2-3-4-5 (diameter 4: forces multi-round propagation),
     # triangle 10-11-12, isolated pair 20-21
