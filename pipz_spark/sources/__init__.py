@@ -21,6 +21,7 @@ from .sinks import (
     write_json,
     write_orc,
     write_parquet,
+    write_shuffled_export,
     write_split,
 )
 
@@ -47,5 +48,6 @@ __all__ = [
     "write_json",
     "write_orc",
     "write_parquet",
+    "write_shuffled_export",
     "write_split",
 ]

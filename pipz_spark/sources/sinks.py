@@ -123,6 +123,38 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_shuffled_export(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 1024,
+    salt: str = "shuffle",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the deterministic training-export shuffle
+    (``datapipe.deterministic_shuffle``) as one rank-ordered parquet
+    directory per shard (``path/shard=K/``). A data loader that reads
+    shard directories in shard order and rows in file order replays
+    the exact same global example order on every run — the durable
+    half of the shuffle contract.
+
+    Shape: one hash repartition on the shard column (so each write
+    task owns whole shards), a within-partition sort on
+    (shard, shuffle_rank) — parquet preserves row order within files —
+    and a partitioned write that prunes to single shards on read.
+    Never a global sort."""
+    from ..datapipe.sampling import deterministic_shuffle
+
+    shuffled = deterministic_shuffle(df, key_col=key_col, n_shards=n_shards, salt=salt)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_rank")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def _table_exists(df_or_spark, path: str) -> bool:
     """True iff data lives at path. A merely-created EMPTY directory
     (tempfile.mkdtemp) is not a table, and the dynamic-partition

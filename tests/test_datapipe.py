@@ -787,6 +787,36 @@ def test_deterministic_shuffle_stable_and_contiguous(spark, documents):
         deterministic_shuffle(documents, n_shards=0)
 
 
+def test_write_shuffled_export_replays_rank_order(spark, documents, tmp_path):
+    # the durable half of the shuffle contract: reading a shard
+    # directory top-to-bottom must yield exactly the rank order the
+    # shuffle assigned (parquet preserves in-file row order; the sink
+    # sorts within partitions before the partitioned write)
+    from pipz_spark.datapipe import deterministic_shuffle
+    from pipz_spark.sources import write_shuffled_export
+
+    path = str(tmp_path / "export")
+    write_shuffled_export(documents, path, n_shards=4)
+    expected = {
+        r["doc_id"]: (r["shard"], r["shuffle_rank"])
+        for r in deterministic_shuffle(documents, n_shards=4).collect()
+    }
+    for shard in range(4):
+        got = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{path}/shard={shard}").collect()
+        ]
+        want = sorted(
+            (k for k, (s, _) in expected.items() if s == shard),
+            key=lambda k: expected[k][1],
+        )
+        assert got == want, f"shard {shard} order diverged"
+    # partition pruning: a shard filter reads ONE directory
+    pruned = spark.read.parquet(path).where(F.col("shard") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+
+
 def test_connected_components_chain_and_clique(spark):
     # chain 1-2-3-4-5 (diameter 4: forces multi-round propagation),
     # triangle 10-11-12, isolated pair 20-21
