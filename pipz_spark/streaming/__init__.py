@@ -16,12 +16,14 @@ from .streams import (
     replay_events_files,
     run_step_stream,
     running_totals,
+    running_totals_tws,
     session_window_agg,
     stream_events_dedup,
     stream_events_hourly,
     stream_events_join,
     stream_events_sessions,
     stream_running_totals,
+    stream_static_join,
     stream_stream_join,
     windowed_agg,
 )
@@ -32,12 +34,14 @@ __all__ = [
     "replay_events_files",
     "run_step_stream",
     "running_totals",
+    "running_totals_tws",
     "session_window_agg",
     "stream_events_dedup",
     "stream_events_hourly",
     "stream_events_join",
     "stream_events_sessions",
     "stream_running_totals",
+    "stream_static_join",
     "stream_stream_join",
     "windowed_agg",
 ]

@@ -150,8 +150,14 @@ def running_totals(events: DataFrame, timeout_minutes: int | None = None) -> Dat
         n, total_scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
+            # NULL values arrive as NaN; np.rint(NaN).astype(int64)
+            # is undefined (INT64_MIN in practice) and would corrupt
+            # the accumulator forever — skip them like batch SUM
+            # does, while n_events stays COUNT(*) (r7 review finding)
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vals = vals[~np.isnan(vals)]
             total_scaled += int(
-                np.rint(pdf["value"].to_numpy() * 10000.0).astype("int64").sum()
+                np.rint(vals * 10000.0).astype("int64").sum()
             )
         state.update((n, total_scaled))
         if use_timeout:
@@ -219,8 +225,11 @@ def running_totals_tws(events: DataFrame, ttl_minutes: int | None = None) -> Dat
             )
             for pdf in rows:
                 n += len(pdf)
+                # same NaN guard as the v1 twin (see running_totals)
+                vals = pdf["value"].to_numpy(dtype="float64")
+                vals = vals[~np.isnan(vals)]
                 total_scaled += int(
-                    np.rint(pdf["value"].to_numpy() * 10000.0).astype("int64").sum()
+                    np.rint(vals * 10000.0).astype("int64").sum()
                 )
             self._state.update((n, total_scaled))
             yield pd.DataFrame(
@@ -299,9 +308,12 @@ class _ResilienceStateStore:
     I/O goes through the Hadoop FileSystem API via the JVM gateway, so
     the state lands on whatever filesystem the checkpoint itself uses
     (local, HDFS, object store) — never a driver-local path that a
-    failover would lose. Writes go to a sibling temp file first, then
-    rename over the target: a crash mid-write leaves the previous
-    snapshot intact."""
+    failover would lose. Writes land the complete new state in a
+    sibling temp file first, then replace the target; a crash mid-
+    write leaves the previous snapshot intact, and a crash inside the
+    replace window is covered by load()'s tmp fallback (the tmp file
+    is complete by then). delete/rename failures raise — Hadoop
+    signals them via return values, not exceptions."""
 
     def __init__(self, spark: SparkSession, checkpoint: str) -> None:
         self._spark = spark
@@ -313,18 +325,30 @@ class _ResilienceStateStore:
         fs = path.getFileSystem(self._spark._jsc.hadoopConfiguration())
         return jvm, fs, path
 
-    def load(self) -> dict | None:
+    def _read(self, jvm, fs, path) -> dict:
         import json
 
-        jvm, fs, path = self._fs()
-        if not fs.exists(path):
-            return None
         stream = fs.open(path)
         try:
             text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
         return json.loads(text)
+
+    def load(self) -> dict | None:
+        jvm, fs, path = self._fs()
+        if fs.exists(path):
+            return self._read(jvm, fs, path)
+        # crash-window fallback: save() writes the COMPLETE new state
+        # to the .tmp sibling before touching the live file, so if a
+        # crash landed between delete(live) and rename(tmp→live) the
+        # tmp file IS the newest durable snapshot — restarting the
+        # breaker CLOSED here would hammer the failing sink, the
+        # exact failure this store exists to prevent (r7 review)
+        tmp = jvm.org.apache.hadoop.fs.Path(self._path + ".tmp")
+        if fs.exists(tmp):
+            return self._read(jvm, fs, tmp)
+        return None
 
     def save(self, state: dict) -> None:
         import json
@@ -336,8 +360,13 @@ class _ResilienceStateStore:
             out.write(bytearray(json.dumps(state).encode("utf-8")))
         finally:
             out.close()
-        fs.delete(path, False)
-        fs.rename(tmp, path)
+        # Hadoop FileSystem reports delete/rename failure via the
+        # RETURN VALUE, not an exception — ignoring it would silently
+        # keep serving a stale snapshot forever
+        if fs.exists(path) and not fs.delete(path, False):
+            raise IOError(f"could not replace resilience snapshot at {self._path}")
+        if not fs.rename(tmp, path):
+            raise IOError(f"could not publish resilience snapshot at {self._path}")
 
 
 def run_step_stream(
@@ -481,7 +510,13 @@ def run_step_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     if state_partitions is None and no_data_batches:
-        return writer.start()
+        # still under the lock: start() clones the session conf
+        # synchronously, so an unlocked start here could capture
+        # ANOTHER thread's temporary shuffle-partitions /
+        # noDataMicroBatches values mid-window and bake them into
+        # this query's checkpoint forever (r7 review finding)
+        with _START_LOCK:
+            return writer.start()
     # Session confs captured at query start (Spark clones the session
     # conf synchronously inside start(), so restoring right after is
     # safe):
@@ -565,6 +600,11 @@ def replay_events_files(
             if glob.glob(os.path.join(cached, "part-*")):
                 return cached
             del _REPLAY_MEMO[key]
+    # ownership decides memoization: a caller-provided out_dir is the
+    # CALLER'S to mutate/delete, so it must never enter the shared
+    # memo — a later memo hit would replay a dir someone else has
+    # since appended to or emptied (r7 review finding)
+    caller_owns = out_dir is not None
     out_dir = out_dir or tempfile.mkdtemp(prefix="pipz_events_replay_")
     df = load_table(spark, "events", sf_dir)
     if doubled:
@@ -576,7 +616,7 @@ def replay_events_files(
     df.write.mode("overwrite").parquet(out_dir)
     if order_by_ts:
         _force_file_order(out_dir)
-    if memo:
+    if memo and not caller_owns:
         _REPLAY_MEMO[key] = out_dir
     return out_dir
 
@@ -594,18 +634,19 @@ def _clone_replay(src_dir: str, copies: int = 1) -> str:
     import glob
     import shutil
     import tempfile
-    import time as _time
 
     out = tempfile.mkdtemp(prefix="pipz_events_replay_priv_")
     parts = sorted(glob.glob(os.path.join(src_dir, "part-*")))
-    base = _time.time() - 3600
     i = 0
     for k in range(copies):
         for f in parts:
-            dst = os.path.join(out, f"part-{i:05d}-r{k}.snappy.parquet")
-            shutil.copy(f, dst)
-            os.utime(dst, (base + i, base + i))
+            # names sort in creation order, so ONE _force_file_order
+            # pass stamps the strictly-increasing mtimes — the same
+            # helper the primary replay uses, not a second copy of
+            # the ordering scheme (r7 review finding)
+            shutil.copy(f, os.path.join(out, f"part-{i:05d}-r{k}.snappy.parquet"))
             i += 1
+    _force_file_order(out)
     return out
 
 

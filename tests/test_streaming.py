@@ -80,6 +80,24 @@ def test_running_totals_stateful(spark, events):
         assert abs(g[r["user_id"]][1] - r["total_value"]) < 1e-6
 
 
+def test_running_totals_null_values_match_batch_sum(spark, tmp_path):
+    # a NULL value arrives in pandas as NaN, and np.rint(NaN) cast to
+    # int64 is undefined (INT64_MIN in practice) — the accumulator
+    # must skip NULLs like batch SUM while n_events stays COUNT(*)
+    # (r7 review finding)
+    src = str(tmp_path / "null_events")
+    spark.createDataFrame(
+        [(1, 7, 2.5), (2, 7, None), (3, 7, 1.5)],
+        "event_id long, user_id long, value double",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    out = _run_to_memory(spark, running_totals(stream), "running_nulls")
+    rows = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    assert rows == {7: (3, 4.0)}
+
+
 def test_running_totals_tws_matches_v1_and_batch(spark, events):
     # the transformWithStateInPandas (state v2) implementation must
     # produce the same final per-user state as applyInPandasWithState
