@@ -79,8 +79,11 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     from pyspark.sql import types as T
 
     dt = df.schema[col].dataType
+    # column name backtick-quoted in every F.expr: unquoted, a name
+    # with a space/hyphen/reserved word parses fine through F.col but
+    # throws ParseException here (r7 review finding)
     if isinstance(dt, T.LongType):
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if isinstance(dt, T.TimestampNTZType):
         # naive-as-UTC epoch via pure CALENDAR arithmetic on the wall
         # time (unix_date + hour/minute/second are all TZ-free on
@@ -95,7 +98,7 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
             F.unix_date(F.col(col).cast("date")).cast("long") * F.lit(86_400_000_000)
             + F.hour(F.col(col)).cast("long") * F.lit(3_600_000_000)
             + F.minute(F.col(col)).cast("long") * F.lit(60_000_000)
-            + (F.expr(f"extract(second from {col})") * 1_000_000).cast("long")
+            + (F.expr(f"extract(second from `{col}`)") * 1_000_000).cast("long")
         )
         return df.withColumn(col, F.timestamp_micros(epoch_us))
     if isinstance(dt, T.TimestampType):
@@ -120,6 +123,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # included) may hand us a session built without it — set it
         # here, not only at build time. Spark 4.1+ ignores it and
         # yields TIMESTAMP_NTZ; normalize_events_ts handles both.
+        # DELIBERATELY session-global and not restored: the returned
+        # DataFrame is lazy and consults the conf again at plan/scan
+        # time, so a set-read-restore window would corrupt this very
+        # frame. The visible side effect is that the user's OWN
+        # TIMESTAMP(NANOS) parquet reads in the same session arrive as
+        # long nanos instead of erroring — documented here and in the
+        # dtype canary (tests/test_catalog_canary.py), which pins the
+        # post-load dtypes either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -45,8 +45,15 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def flatten_dead_letter(df: DataFrame) -> DataFrame:
-    """Failed rows with the error struct flattened to plain columns."""
-    return df.where(is_failed()).select(
+    """Failed rows with the error struct flattened to plain columns.
+
+    Idempotent on re-ingested DLQ data: a dataset that already carries
+    _error_* columns (landed by an earlier dead_letter_handler, then
+    re-processed and failed again) has its stale flattened columns
+    replaced by the NEW error's — select('*', alias...) would instead
+    produce duplicate column names and fail the write (r7 review)."""
+    stale = [c for c in df.columns if c.startswith("_error_")]
+    return df.where(is_failed()).drop(*stale).select(
         "*",
         error_path_str().alias("_error_path"),
         F.col(ERROR_COL)["message"].alias("_error_message"),
@@ -100,15 +107,26 @@ def write_bucketed(
     same key at 100 TB: two tables bucketed (and sorted) on the join
     key by the same bucket count join with NO exchange and NO sort —
     the shuffle is paid once at write time instead of per query.
+
+    Overwrite is WRITE-THEN-SWAP: the new data lands fully in a
+    staging table first, and only then does the old table drop and the
+    staging table rename into place. Dropping first would (a) destroy
+    the existing table before the replacement is known to compute —
+    any mid-write failure loses everything — and (b) delete the very
+    files a self-referential ``df`` (built FROM the table being
+    overwritten) still has to scan (r7 review finding). A crash inside
+    the drop→rename window leaves the new data recoverable under
+    ``<table>__staging``.
     """
     spark = df.sparkSession
-    if mode == "overwrite":
+
+    def _drop(name: str) -> None:
         # the in-memory catalog forgets tables across sessions while
-        # their warehouse directories persist; clear BOTH so overwrite
-        # means overwrite
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # their warehouse directories persist; clear BOTH so the name
+        # is truly free
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        parts = table.lower().split(".")
+        parts = name.lower().split(".")
         # managed location: warehouse/<db>.db/<table> when qualified,
         # warehouse/<table> in the default database
         rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
@@ -117,10 +135,17 @@ def write_bucketed(
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
+
+    target = table if mode != "overwrite" else f"{table}__staging"
+    if mode == "overwrite":
+        _drop(target)
     w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
-    w.saveAsTable(table)
+    w.saveAsTable(target)
+    if mode == "overwrite":
+        _drop(table)
+        spark.sql(f"ALTER TABLE {target} RENAME TO {table}")
 
 
 def write_shuffled_export(
@@ -138,17 +163,18 @@ def write_shuffled_export(
     the exact same global example order on every run — the durable
     half of the shuffle contract.
 
-    Shape: one hash repartition on the shard column (so each write
-    task owns whole shards), a within-partition sort on
-    (shard, shuffle_rank) — parquet preserves row order within files —
-    and a partitioned write that prunes to single shards on read.
-    Never a global sort."""
+    Shape: ONE hash exchange total — deterministic_shuffle's rank
+    window already partitions by the shard column, so every task owns
+    whole shards and a second repartition on the same key would only
+    re-shuffle identical data (r7 review finding). A within-partition
+    sort on (shard, shuffle_rank) — parquet preserves row order within
+    files — then a partitioned write that prunes to single shards on
+    read. Never a global sort."""
     from ..datapipe.sampling import deterministic_shuffle
 
     shuffled = deterministic_shuffle(df, key_col=key_col, n_shards=n_shards, salt=salt)
     (
-        shuffled.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shuffle_rank")
+        shuffled.sortWithinPartitions("shard", "shuffle_rank")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
@@ -173,6 +199,57 @@ def _table_exists(df_or_spark, path: str) -> bool:
         if "=" in name or (not name.startswith("_") and not name.startswith(".")):
             return True
     return False
+
+
+def _merge_meta_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_pipz_merge_meta.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, p
+
+
+def _write_merge_meta(spark, path: str, keys, buckets: int, bucket_col: str) -> None:
+    import json
+
+    _, fs, p = _merge_meta_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"keys": list(keys), "buckets": buckets, "bucket_col": bucket_col}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+
+
+def _validate_merge_meta(spark, path: str, keys, buckets: int, bucket_col: str) -> None:
+    """The bucket assignment is pmod(hash(keys), buckets) recomputed
+    per sink CALL — a later call with a different bucket count (or
+    keys) would put a key's update in a different partition than its
+    existing row, and the dynamic overwrite would then leave the stale
+    row alive on disk (r7 review finding). The table records its
+    layout at creation; every subsequent merge validates against it.
+    Pre-meta tables (created before r7) validate vacuously."""
+    import json
+
+    jvm, fs, p = _merge_meta_path(spark, path)
+    if not fs.exists(p):
+        return
+    stream = fs.open(p)
+    try:
+        meta = json.loads(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+    mine = {"keys": list(keys), "buckets": buckets, "bucket_col": bucket_col}
+    if meta != mine:
+        raise ValueError(
+            f"merge table at {path} was created with {meta}, but this sink "
+            f"was configured with {mine} — a mismatched bucket layout would "
+            "strand stale rows in unrewritten partitions"
+        )
 
 
 def merge_parquet_sink(
@@ -215,9 +292,23 @@ def merge_parquet_sink(
             bucket_col, F.pmod(F.xxhash64(*keys), F.lit(buckets))
         )
         if _table_exists(spark, path):
+            _validate_merge_meta(spark, path, keys, buckets, bucket_col)
             existing = spark.read.parquet(path)
+            # NULL-SAFE key equality: dropDuplicates above treats NULL
+            # keys as equal (NULL is a real group in update-mode
+            # aggregations), so the supersede join must too — a plain
+            # equi anti-join keeps every old NULL-key row forever and
+            # the table accumulates one duplicate per trigger
+            # (r7 review finding)
+            upd_keys = upd.select(
+                *[F.col(k).alias(f"_u_{k}") for k in keys]
+            ).distinct()
+            cond = None
+            for k in keys:
+                c = existing[k].eqNullSafe(F.col(f"_u_{k}"))
+                cond = c if cond is None else cond & c
             keep = (
-                existing.join(upd.select(*keys).distinct(), keys, "left_anti")
+                existing.join(upd_keys, cond, "left_anti")
                 # only affected buckets are rewritten; the semi join is
                 # a broadcast against ≤ ``buckets`` distinct ids
                 .join(
@@ -239,6 +330,9 @@ def merge_parquet_sink(
             .partitionBy(bucket_col)
             .parquet(path)
         )
+        # record the layout AFTER the first successful write so every
+        # later sink/compact call validates against it
+        _write_merge_meta(spark, path, keys, buckets, bucket_col)
 
     return sink
 

@@ -202,6 +202,78 @@ def test_merge_parquet_sink_upserts_idempotently(spark, tmp_path):
     assert read_merged(spark, path).count() == 150
 
 
+def test_merge_parquet_sink_null_keys_supersede(spark, tmp_path):
+    # NULL is a real group in update-mode aggregations; the supersede
+    # join must treat it null-safely or the NULL-key row duplicates
+    # once per trigger (r7 review finding)
+    from pipz_spark.sources.sinks import merge_parquet_sink, read_merged
+
+    path = str(tmp_path / "merged_nulls")
+    sink = merge_parquet_sink(path, keys=["k"], buckets=4)
+    df1 = spark.createDataFrame([(None, 1), (7, 1)], "k int, v int")
+    df2 = spark.createDataFrame([(None, 2), (7, 2)], "k int, v int")
+    sink(df1, 0)
+    sink(df2, 1)
+    t = read_merged(spark, path)
+    assert t.count() == 2
+    assert t.where(F.col("k").isNull()).first()["v"] == 2
+    assert t.where("k = 7").first()["v"] == 2
+
+
+def test_merge_parquet_sink_rejects_layout_mismatch(spark, tmp_path):
+    # a different bucket count on an existing table would strand stale
+    # rows in partitions the dynamic overwrite never rewrites — the
+    # recorded layout must refuse the mismatch (r7 review finding)
+    import pytest as _pytest
+
+    from pipz_spark.sources.sinks import merge_parquet_sink
+
+    path = str(tmp_path / "merged_layout")
+    upd = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    merge_parquet_sink(path, keys=["k"], buckets=8)(upd, 0)
+    with _pytest.raises(ValueError, match="bucket layout"):
+        merge_parquet_sink(path, keys=["k"], buckets=4)(upd, 1)
+
+
+def test_write_bucketed_overwrite_from_self(spark, orders):
+    # write-then-swap: overwriting a table FROM a frame that reads the
+    # same table must not delete the files mid-scan, and a mid-write
+    # failure must leave the old table intact (r7 review finding)
+    from pipz_spark.sources.sinks import write_bucketed
+
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "pipz_self_overwrite",
+        buckets=4,
+        bucket_cols=["o_orderkey"],
+    )
+    derived = spark.table("pipz_self_overwrite").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    write_bucketed(
+        derived, "pipz_self_overwrite", buckets=4, bucket_cols=["o_orderkey"]
+    )
+    assert spark.table("pipz_self_overwrite").count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS pipz_self_overwrite")
+
+
+def test_flatten_dead_letter_idempotent_on_dlq_reingest(spark):
+    # re-processing previously landed DLQ rows (which already carry
+    # _error_* columns) must replace them, not duplicate the names
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.sources.sinks import flatten_dead_letter
+
+    step = P.apply("validate", error_when=F.col("x") < 0, message="neg")
+    first = flatten_dead_letter(
+        step(ensure_error_column(spark.createDataFrame([(-1,), (2,)], "x int")))
+    )
+    assert first.count() == 1 and "_error_message" in first.columns
+    again = flatten_dead_letter(step(ensure_error_column(first)))
+    assert again.count() == 1
+    assert again.columns.count("_error_message") == 1
+    assert "neg" in again.first()["_error_message"]
+
+
 def test_append_log_sink_merge_on_read(spark, tmp_path):
     from pipz_spark.sources.sinks import append_log_sink, compact_log, read_latest, read_merged
 
