@@ -64,8 +64,14 @@ def observed_routing(
     shuffle."""
     from pyspark.sql import functions as F
 
+    from ..core.errors import is_ok
+
+    # already-errored rows never route (switch sends them to
+    # passthrough in both expr and step mode) — gate the counts on
+    # is_ok() like observed_filter/winner_labels do, or the emitted
+    # route counts overstate hits (r7 review finding)
     metrics = {
-        k: F.count(F.when(F.coalesce(cond, F.lit(False)), 1)).alias(k)
+        k: F.count(F.when(is_ok() & F.coalesce(cond, F.lit(False)), 1)).alias(k)
         for k, cond in labels.items()
     }
     return observed_effect(name, metrics)

@@ -29,7 +29,8 @@ class Pipeline:
     @contextmanager
     def attributed(self, spark: SparkSession, execution_id: str | None = None):
         """Scope the driver thread's job group / local properties to
-        this pipeline, restoring a clean slate on exit. ``run`` uses it
+        this pipeline, restoring the caller's PRIOR attribution on
+        exit (nesting-safe). ``run`` uses it
         internally; callers who want their TERMINAL action (collect /
         write — Spark jobs fire at action time, not compose time)
         attributed to a run can wrap it:
@@ -39,6 +40,23 @@ class Pipeline:
         """
         execution_id = execution_id or str(uuid.uuid4())
         sc = spark.sparkContext
+        # save-and-restore rather than clear: a caller (or an OUTER
+        # attributed() block) may have its own job group set, and
+        # clearing on exit would strand its later actions unattributed
+        # and unreachable by its cancelJobGroup (r7 review finding).
+        # Job groups are thread-local properties underneath, so
+        # restoring the property values restores the exact prior
+        # attribution, including nesting.
+        saved = {
+            p: sc.getLocalProperty(p)
+            for p in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+                "pipz.pipeline.id",
+                "pipz.execution.id",
+            )
+        }
         sc.setJobGroup(f"pipz:{self.name}:{execution_id}", f"pipz pipeline {self.name}")
         sc.setLocalProperty("pipz.pipeline.id", self.pipeline_id)
         sc.setLocalProperty("pipz.execution.id", execution_id)
@@ -47,17 +65,9 @@ class Pipeline:
         finally:
             # without this, every later action on the same driver
             # thread is attributed to the last pipeline run — and a
-            # stray cancelJobGroup on that id would cancel them.
-            # (clearJobGroup is JVM-side only in PySpark; job groups
-            # are thread-local properties underneath, so nulling them
-            # is the documented-equivalent fallback.)
-            try:
-                sc._jsc.clearJobGroup()
-            except Exception:
-                sc.setLocalProperty("spark.jobGroup.id", None)
-                sc.setLocalProperty("spark.job.description", None)
-            sc.setLocalProperty("pipz.pipeline.id", None)
-            sc.setLocalProperty("pipz.execution.id", None)
+            # stray cancelJobGroup on that id would cancel them
+            for prop, value in saved.items():
+                sc.setLocalProperty(prop, value)
 
     def run(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         execution_id = str(uuid.uuid4())

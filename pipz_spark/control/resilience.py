@@ -86,6 +86,19 @@ class ActionTimeout(TimeoutError):
         self.timeout = True
 
 
+def _cancel_group(spark: Any, group: str) -> None:
+    """Cancel a job group, covering FUTURE jobs too where the API
+    exists (Spark 3.5+ cancelJobGroupAndFutureJobs): a plain
+    cancelJobGroup only reaches jobs active at call time, so an action
+    that submits its first job a beat later would run uncancelled."""
+    sc = spark.sparkContext
+    cancel = getattr(sc, "cancelJobGroupAndFutureJobs", None) or sc.cancelJobGroup
+    try:
+        cancel(group)
+    except Exception:
+        pass
+
+
 def timeout(
     fn: Callable[[], T],
     seconds: float,
@@ -94,38 +107,43 @@ def timeout(
     bus: S.SignalBus = S.BUS,
 ) -> T:
     """Hard deadline around an action (timeout.go:61-154): run in a
-    worker thread, wait ``seconds``; on expiry cancel the Spark job
-    group (the distributed analog of ctx cancellation) and raise
-    ActionTimeout with the timeout flag set (error.go:22)."""
+    DAEMON worker thread, wait ``seconds``; on expiry cancel the Spark
+    job group (the distributed analog of ctx cancellation) and raise
+    ActionTimeout with the timeout flag set (error.go:22).
+
+    The worker is a daemon thread, not a ThreadPoolExecutor:
+    concurrent.futures joins its non-daemon workers at interpreter
+    shutdown, so an abandoned never-finishing action (a stuck socket
+    read with no spark handle to cancel) would block process exit
+    forever (r7 review finding). A daemon thread is reaped with the
+    process. Completion races the deadline through one Event, so an
+    action finishing in the expiry window is returned (or its real
+    exception raised), never misclassified as a timeout."""
     group = f"pipz-timeout-{uuid.uuid4()}"
+    outcome: list = []  # [('ok', value)] or [('err', exception)]
+    finished = threading.Event()
 
-    def run() -> T:
-        if spark is not None:
-            spark.sparkContext.setLocalProperty("spark.jobGroup.id", group)
-        return fn()
+    def run() -> None:
+        try:
+            if spark is not None:
+                spark.sparkContext.setLocalProperty("spark.jobGroup.id", group)
+            outcome.append(("ok", fn()))
+        except BaseException as e:  # noqa: BLE001 — relayed to the caller
+            outcome.append(("err", e))
+        finally:
+            finished.set()
 
-    import concurrent.futures as _cf
-
-    ex = ThreadPoolExecutor(max_workers=1)
-    fut = ex.submit(run)
-    try:
-        return fut.result(timeout=seconds)
-    # concurrent.futures.TimeoutError explicitly: it only aliases the
-    # builtin from Python 3.11. A done future means the ACTION raised
-    # a TimeoutError of its own — re-raise that instead of
-    # misclassifying it as a wait expiry.
-    except _cf.TimeoutError:
-        if fut.done():
-            raise
+    worker = threading.Thread(target=run, name=f"pipz-{name}", daemon=True)
+    worker.start()
+    if not finished.wait(seconds) and not finished.is_set():
         bus.emit(S.TIMEOUT_TRIGGERED, name=name, seconds=seconds)
         if spark is not None:
-            try:
-                spark.sparkContext.cancelJobGroup(group)
-            except Exception:
-                pass
-        raise ActionTimeout(name, seconds) from None
-    finally:
-        ex.shutdown(wait=False)
+            _cancel_group(spark, group)
+        raise ActionTimeout(name, seconds)
+    kind, value = outcome[0]
+    if kind == "err":
+        raise value
+    return value
 
 
 class CircuitOpenError(RuntimeError):
@@ -164,26 +182,44 @@ class CircuitBreaker:
         self._opened_at = 0.0
         self._generation = 0
 
+    # Signals are collected under the (non-reentrant) lock and emitted
+    # AFTER it releases — the same discipline RateLimiter.acquire
+    # documents: a handler that inspects the breaker (reads .state,
+    # calls snapshot()) would otherwise self-deadlock on the lock it
+    # is already inside (r7 review finding).
+
+    def _emit_all(self, signals: list[str]) -> None:
+        for sig in signals:
+            self._bus.emit(sig, name=self.name)
+
     @property
     def state(self) -> str:
+        pending: list[str] = []
         with self._lock:
-            self._maybe_half_open()
-            return self._state
+            self._maybe_half_open(pending)
+            st = self._state
+        self._emit_all(pending)
+        return st
 
-    def _maybe_half_open(self) -> None:
+    def _maybe_half_open(self, pending: list[str]) -> None:
+        # caller holds the lock; emissions go to ``pending``
         if self._state == self.OPEN and self._clock() - self._opened_at >= self.reset_timeout:
             self._state = self.HALF_OPEN
             self._successes = 0
             self._generation += 1
-            self._bus.emit(S.BREAKER_HALF_OPEN, name=self.name)
+            pending.append(S.BREAKER_HALF_OPEN)
 
     def call(self, fn: Callable[[], T]) -> T:
+        pending: list[str] = []
         with self._lock:
-            self._maybe_half_open()
-            if self._state == self.OPEN:
-                self._bus.emit(S.BREAKER_REJECTED, name=self.name)
-                raise CircuitOpenError(f"{self.name}: circuit open")
+            self._maybe_half_open(pending)
+            rejected = self._state == self.OPEN
+            if rejected:
+                pending.append(S.BREAKER_REJECTED)
             generation = self._generation
+        self._emit_all(pending)
+        if rejected:
+            raise CircuitOpenError(f"{self.name}: circuit open")
         try:
             result = fn()
         except Exception:
@@ -193,6 +229,7 @@ class CircuitBreaker:
         return result
 
     def _on_success(self, generation: int) -> None:
+        pending: list[str] = []
         with self._lock:
             if generation != self._generation:
                 return  # stale call from an older breaker generation
@@ -202,25 +239,29 @@ class CircuitBreaker:
                 if self._successes >= self.success_threshold:
                     self._state = self.CLOSED
                     self._generation += 1
-                    self._bus.emit(S.BREAKER_CLOSED, name=self.name)
+                    pending.append(S.BREAKER_CLOSED)
+        self._emit_all(pending)
 
     def _on_failure(self, generation: int) -> None:
+        pending: list[str] = []
         with self._lock:
             if generation != self._generation:
                 return
             if self._state == self.HALF_OPEN:
-                self._trip()
-                return
-            self._failures += 1
-            if self._failures >= self.failure_threshold:
-                self._trip()
+                self._trip(pending)
+            else:
+                self._failures += 1
+                if self._failures >= self.failure_threshold:
+                    self._trip(pending)
+        self._emit_all(pending)
 
-    def _trip(self) -> None:
+    def _trip(self, pending: list[str]) -> None:
+        # caller holds the lock
         self._state = self.OPEN
         self._opened_at = self._clock()
         self._failures = 0
         self._generation += 1
-        self._bus.emit(S.BREAKER_OPENED, name=self.name)
+        pending.append(S.BREAKER_OPENED)
 
     def snapshot(self) -> dict:
         """Serializable state for checkpoint persistence. The open
@@ -231,26 +272,35 @@ class CircuitBreaker:
         process (circuitbreaker.go:136-216); the streaming analog
         must outlive a query restart from checkpoint, so its state
         rides with the checkpoint (see run_step_stream)."""
+        pending: list[str] = []
         with self._lock:
-            self._maybe_half_open()
+            self._maybe_half_open(pending)
             remaining = 0.0
             if self._state == self.OPEN:
                 remaining = max(
                     0.0, self.reset_timeout - (self._clock() - self._opened_at)
                 )
-            return {
+            snap = {
                 "state": self._state,
                 "failures": self._failures,
                 "successes": self._successes,
                 "open_remaining": remaining,
             }
+        self._emit_all(pending)
+        return snap
 
     def restore(self, snap: dict) -> None:
         """Adopt a snapshot() taken by a previous incarnation. The
         generation bumps so any call that raced the restore is
-        discarded as stale."""
+        discarded as stale. Snapshot contents are VALIDATED, not
+        trusted: the file lives on the checkpoint filesystem and a
+        corrupted/hand-edited state string would silently degrade a
+        tripped breaker to effectively-closed (r7 review finding)."""
+        state = snap.get("state", self.CLOSED)
+        if state not in (self.CLOSED, self.OPEN, self.HALF_OPEN):
+            raise ValueError(f"{self.name}: invalid breaker snapshot state {state!r}")
         with self._lock:
-            self._state = snap.get("state", self.CLOSED)
+            self._state = state
             self._failures = int(snap.get("failures", 0))
             self._successes = int(snap.get("successes", 0))
             self._generation += 1
@@ -289,6 +339,13 @@ class RateLimiter:
     ) -> None:
         if mode not in ("wait", "drop"):
             raise ValueError("mode must be 'wait' or 'drop'")
+        # rate=0 divides by zero computing the wait; burst<1 can never
+        # hold a whole token, so wait mode would sleep-loop forever
+        # (r7 review finding)
+        if rate <= 0:
+            raise ValueError("rate must be > 0 tokens/sec")
+        if burst < 1:
+            raise ValueError("burst must be >= 1")
         self.name = name
         self.rate = float(rate)
         self.burst = float(burst)
@@ -346,9 +403,14 @@ class RateLimiter:
         """Adopt a snapshot() from a previous incarnation. Downtime
         grants NO refill (the refill anchor resets to now): a limiter
         guarding a fragile sink must not greet a restart with a full
-        burst it never actually accumulated."""
+        burst it never actually accumulated. Clamped into [0, burst]:
+        a corrupted snapshot's huge-negative token count would
+        otherwise put wait mode to sleep for its refill-time
+        equivalent (r7 review finding)."""
         with self._lock:
-            self._tokens = min(self.burst, float(snap.get("tokens", self.burst)))
+            self._tokens = max(
+                0.0, min(self.burst, float(snap.get("tokens", self.burst)))
+            )
             self._last = self._clock()
 
 
@@ -418,45 +480,79 @@ def race_actions(
     the reference's Race (race.go:66-159: first success wins, losers
     canceled) for multi-source reads, complementing the deterministic
     priority-order batch semantic of operators.race (SURVEY §7.3.3).
-    Each action runs in its own thread under its own Spark job group;
-    the first SUCCESS cancels the rest (job-group cancel = the ctx
-    cancellation analog, race.go:123); all-fail raises the last error
-    (race.go:143-157)."""
+    Each action runs in its own DAEMON thread under its own Spark job
+    group; the first SUCCESS cancels the rest (job-group cancel = the
+    ctx cancellation analog, race.go:123); all-fail raises the last
+    error (race.go:143-157); ``timeout_seconds`` expiry cancels EVERY
+    group and raises ActionTimeout. Daemon threads so an abandoned
+    loser can never block interpreter shutdown."""
     if not fns:
         raise ValueError("race_actions needs at least one action")
+    import queue
+
     groups = [f"pipz-race-{uuid.uuid4()}" for _ in fns]
+    canceled = threading.Event()
+    outcomes: "queue.Queue[tuple[int, str, Any]]" = queue.Queue()
 
-    def run(i: int) -> T:
-        if spark is not None:
-            spark.sparkContext.setLocalProperty("spark.jobGroup.id", groups[i])
-        return fns[i]()
-
-    ex = ThreadPoolExecutor(max_workers=len(fns))
-    futs = {ex.submit(run, i): i for i in range(len(fns))}
-    last_error: Exception | None = None
-    try:
-        from concurrent.futures import as_completed
-
-        for fut in as_completed(futs, timeout=timeout_seconds):
-            try:
-                result = fut.result()
-            except Exception as e:  # noqa: BLE001
-                last_error = e
-                continue
-            winner = futs[fut]
-            bus.emit(S.RACE_WINNER, name=name, winner=winner)
+    def run(i: int) -> None:
+        # ORDER MATTERS for loser cancellation: the job-group property
+        # is set BEFORE the canceled check, and the canceller sets the
+        # event BEFORE cancelling groups — so a loser thread either
+        # sees the event and never runs its action, or has its group
+        # property in place when the (future-jobs-inclusive, see
+        # _cancel_group) cancellation lands (r7 review finding: the
+        # old code could cancel a group before its thread had set the
+        # property, orphaning every job it submitted afterwards).
+        try:
             if spark is not None:
-                for i, g in enumerate(groups):
-                    if i != winner:
-                        try:
-                            spark.sparkContext.cancelJobGroup(g)
-                        except Exception:
-                            pass
-            return result
-        assert last_error is not None
-        raise last_error
-    finally:
-        ex.shutdown(wait=False)
+                spark.sparkContext.setLocalProperty("spark.jobGroup.id", groups[i])
+            if canceled.is_set():
+                outcomes.put((i, "skipped", None))
+                return
+            outcomes.put((i, "ok", fns[i]()))
+        except BaseException as e:  # noqa: BLE001 — relayed to the caller
+            outcomes.put((i, "err", e))
+
+    threads = [
+        threading.Thread(target=run, args=(i,), name=f"pipz-{name}-{i}", daemon=True)
+        for i in range(len(fns))
+    ]
+    for t in threads:
+        t.start()
+    deadline = (
+        _time.monotonic() + timeout_seconds if timeout_seconds is not None else None
+    )
+    last_error: Exception | None = None
+    settled = 0
+    while settled < len(fns):
+        remaining = None if deadline is None else deadline - _time.monotonic()
+        try:
+            if remaining is not None and remaining <= 0:
+                raise queue.Empty
+            i, kind, value = outcomes.get(timeout=remaining)
+        except queue.Empty:
+            # deadline expired with no winner: cancel EVERY group (the
+            # docstring's promise — the old code leaked all of them
+            # and let a raw concurrent.futures.TimeoutError escape)
+            bus.emit(S.TIMEOUT_TRIGGERED, name=name, seconds=timeout_seconds)
+            canceled.set()
+            if spark is not None:
+                for g in groups:
+                    _cancel_group(spark, g)
+            raise ActionTimeout(name, timeout_seconds) from None
+        settled += 1
+        if kind == "ok":
+            bus.emit(S.RACE_WINNER, name=name, winner=i)
+            canceled.set()
+            if spark is not None:
+                for j, g in enumerate(groups):
+                    if j != i:
+                        _cancel_group(spark, g)
+            return value
+        if kind == "err":
+            last_error = value
+    assert last_error is not None
+    raise last_error
 
 
 def fallback_actions(

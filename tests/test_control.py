@@ -441,3 +441,93 @@ def test_observed_routing_switch_counts(spark, orders):
     vals = collect_observation(obs, "route", bus=bus, signal=S.SWITCH_ROUTED)
     assert vals["O"] == orders.where("o_orderstatus = 'O'").count()
     assert seen and seen[0]["F"] == orders.where("o_orderstatus = 'F'").count()
+
+
+def test_breaker_signal_handler_may_inspect_breaker():
+    # signals must emit OUTSIDE the breaker's non-reentrant lock: a
+    # handler reading .state / snapshot() deadlocked permanently
+    # before r7 (the RateLimiter had the same fix earlier)
+    bus = SignalBus()
+    states = []
+    br = CircuitBreaker("b", failure_threshold=2, reset_timeout=0.0, bus=bus)
+    bus.on(S.BREAKER_OPENED, lambda sig, f: states.append(br.state))
+    bus.on(S.BREAKER_HALF_OPEN, lambda sig, f: states.append(br.snapshot()["state"]))
+
+    def boom():
+        raise RuntimeError("x")
+
+    for _ in range(2):
+        with pytest.raises(RuntimeError):
+            br.call(boom)
+    # reset_timeout=0 → next inspection half-opens; the handler
+    # re-entering .state/.snapshot() must not deadlock
+    assert br.state == CircuitBreaker.HALF_OPEN
+    assert states and states[0] in (
+        CircuitBreaker.OPEN,
+        CircuitBreaker.HALF_OPEN,  # 0s reset: state may flip by handler time
+    )
+
+
+def test_breaker_restore_rejects_garbage_state():
+    br = CircuitBreaker("b", failure_threshold=2)
+    with pytest.raises(ValueError, match="invalid breaker snapshot"):
+        br.restore({"state": "totally-bogus"})
+
+
+def test_rate_limiter_validates_rate_and_burst_and_clamps_restore():
+    with pytest.raises(ValueError, match="rate"):
+        RateLimiter("r", rate=0, burst=5)
+    with pytest.raises(ValueError, match="burst"):
+        RateLimiter("r", rate=2, burst=0)
+    # corrupted snapshot tokens clamp into [0, burst] instead of
+    # scheduling a ~1e9/rate-second sleep
+    lim = RateLimiter("r", rate=1000.0, burst=2, mode="wait")
+    lim.restore({"tokens": -1e9})
+    lim.acquire()  # refills from 0 at 1000/s — returns immediately-ish
+
+
+def test_race_actions_timeout_raises_action_timeout():
+    import time
+
+    from pipz_spark.control import race_actions
+
+    def slow():
+        time.sleep(30)
+        return "late"
+
+    t0 = time.monotonic()
+    with pytest.raises(ActionTimeout):
+        race_actions([slow, slow], timeout_seconds=0.2)
+    assert time.monotonic() - t0 < 5  # expired at the deadline, not at join
+
+
+def test_race_actions_skipped_losers_do_not_mask_winner():
+    import time
+
+    from pipz_spark.control import race_actions
+
+    def fast():
+        return 42
+
+    def slow():
+        time.sleep(0.3)
+        return 7
+
+    assert race_actions([slow, fast]) == 42
+
+
+def test_pipeline_attributed_restores_outer_job_group(spark):
+    from pipz_spark.core.step import Step
+
+    ident = Step("id", lambda df, path: df)
+    pipe = Pipeline("p", ident)
+    sc = spark.sparkContext
+    sc.setJobGroup("outer-group", "outer")
+    try:
+        with pipe.attributed(spark):
+            assert sc.getLocalProperty("spark.jobGroup.id").startswith("pipz:p:")
+        # the OUTER attribution must survive (clearing it would strand
+        # the caller's later actions unattributed — r7 review finding)
+        assert sc.getLocalProperty("spark.jobGroup.id") == "outer-group"
+    finally:
+        sc._jsc.clearJobGroup()
