@@ -387,9 +387,16 @@ def concurrent(
         if reducer is None:
             for b, updates in resolved.items():
                 if updates:
+                    # counts gated on is_ok(): errored rows skip every
+                    # branch (reducer mode guards via _guarded), so
+                    # the observed completion counts must match what
+                    # actually executed (r7 review finding)
                     df = df.observe(
                         f"{name}/{b}#{next(_obs_seq)}",
-                        *[F.count(expr).alias(k) for k, expr in updates.items()],
+                        *[
+                            F.count(F.when(is_ok(), expr)).alias(k)
+                            for k, expr in updates.items()
+                        ],
                     )
             return df
         return _guarded(df, dict(reducer(resolved)))

@@ -30,6 +30,7 @@ from itertools import count as _count
 from ..core.errors import ERROR_COL, is_failed, is_ok, make_error
 from ..core.identity import Identity
 from ..core.step import Step
+from .relational import orderable
 
 _obs_seq = _count()  # salts observation names so two same-named
 # effects in one plan don't collide at analysis time
@@ -126,6 +127,13 @@ def effect(
     emission implies, signals.go:7-137). A failing effect
     (``error_when``) stops the row like the reference (error stops
     pipeline) without modifying the value.
+
+    ``metrics`` are caller-built AGGREGATES and observe every row in
+    the frame, including already-errored ones (the step cannot rewrite
+    an opaque aggregate's inputs). For reference-parity counts —
+    errored values never reach an Effect there — gate the inputs
+    yourself (``F.count(F.when(is_ok(), 1))``) or use the
+    ``control.observe`` helpers, which build gated metrics.
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
@@ -221,18 +229,43 @@ def enrich(
         else:
             keys = []
             join_on = on
+        post_drop: list[str] = []
         if select:
-            keep = list(dict.fromkeys([*keys, *select.values()]))
-            keep = [c for c in keep if c in right.columns]
-            right = right.select(*keep)
-            for out_col, src_col in select.items():
-                if out_col != src_col:
-                    right = right.withColumnRenamed(src_col, out_col)
+            if keys:
+                keep = list(dict.fromkeys([*keys, *select.values()]))
+                keep = [c for c in keep if c in right.columns]
+                right = right.select(*keep)
+                for out_col, src_col in select.items():
+                    if out_col != src_col:
+                        right = right.withColumnRenamed(src_col, out_col)
+            else:
+                # expression join (`on` is a raw Column): pre-join
+                # pruning could drop the very columns the condition
+                # references, failing analysis (r7 review finding) —
+                # rename only, and drop the unselected right columns
+                # AFTER the join (skipping names that collide with the
+                # left side, which drop-by-name could not disambiguate)
+                for out_col, src_col in select.items():
+                    if out_col != src_col:
+                        right = right.withColumnRenamed(src_col, out_col)
+                post_drop = [c for c in right.columns if c not in select]
         if keys and not assume_unique:
             # deterministic 1:1 — min(struct(other cols)) per key; the
             # dim side stays tiny so this pre-agg is negligible next to
             # the fact scan and keeps the join broadcast-able.
             others = [c for c in right.columns if c not in keys]
+            unorderable = [
+                c for c in others if not orderable(right.schema[c].dataType)
+            ]
+            if unorderable:
+                # min(struct(...)) fails ANALYSIS on map-typed columns;
+                # fail with the actionable message instead
+                raise ValueError(
+                    f"enrich {name!r}: lookup column(s) {unorderable} are "
+                    "unorderable (map type), so the deterministic 1:1 dedup "
+                    "cannot pick a row — pass assume_unique=True (keys are "
+                    "unique) or select= to exclude them"
+                )
             if others:
                 packed = right.groupBy(*keys).agg(
                     F.min(F.struct(*[F.col(c) for c in others])).alias("_pipz_pack")
@@ -243,6 +276,9 @@ def enrich(
         if broadcast:
             right = F.broadcast(right)
         joined = df.join(right, on=join_on, how="left")
+        if post_drop:
+            left_names = set(df.columns)
+            joined = joined.drop(*[c for c in post_drop if c not in left_names])
         # Errored rows must not gain enrichment (they skipped the step).
         new_cols = [c for c in joined.columns if c not in df.columns]
         if new_cols:

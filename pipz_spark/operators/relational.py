@@ -33,6 +33,40 @@ def _ok_only(df: DataFrame) -> DataFrame:
     return ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
 
 
+def _split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ok, failed) halves, both still carrying the error column —
+    the row-preserving fail-fast split used by every operator whose
+    computation must neither SEE errored rows (frame/rank/set
+    contamination) nor DROP them (dead-letter loss)."""
+    df = ensure_error_column(df)
+    return df.where(is_ok()), df.where(~is_ok())
+
+
+def _other_ok(other: DataFrame) -> DataFrame:
+    """Strip a pipeline error column off a set-op operand: a Step
+    output carries _pipz_error, and feeding it raw into intersect/
+    except raises NUM_COLUMNS_MISMATCH (r7 review finding). Only the
+    operand's HAPPY rows participate — its dead letters belong to its
+    own pipeline's sink, not to this one's values."""
+    if ERROR_COL in other.columns:
+        return other.where(is_ok()).drop(ERROR_COL)
+    return other
+
+
+def orderable(dt) -> bool:
+    """True when the type can appear in a sort order / min-max
+    aggregate (maps cannot; arrays/structs inherit from elements)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def group_agg(
     name: str,
     keys: Seq[str | Column],
@@ -72,6 +106,11 @@ def repartition_rows(
     locate keys ahead of repeated joins/aggs on them) and/or set the
     partition count. A deliberate shuffle — the lever for layout, not
     a default."""
+    if num_partitions is None and by is None:
+        raise ValueError(
+            "repartition_rows needs num_partitions and/or by — with "
+            "neither there is nothing to repartition on"
+        )
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         if by is not None and num_partitions is not None:
@@ -135,6 +174,11 @@ def salted_join(
         )
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        # reserved-name guard, same contract as range_join's _bin: a
+        # business column named _salt would be silently clobbered and
+        # then dropped (r7 review finding)
+        if "_salt" in df.columns or "_salt" in right.columns:
+            raise ValueError("salted_join reserves the column name _salt")
         left = df.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
         replicated = right.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -154,11 +198,18 @@ def window_calc(
 
     ``updates`` maps output column → window function (e.g.
     ``F.row_number()``); each is applied ``.over(spec)``. One window
-    exec node — a single shuffle on the partition keys.
+    exec node — a single shuffle on the partition keys, over the OK
+    rows only: an errored row must neither feed the frame (its value
+    would contaminate every happy-path row's aggregate in the
+    partition) nor gain new column values — it passes through with
+    NULLs in the update columns (r7 review finding).
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        return df.withColumns({k: c.over(spec) for k, c in updates.items()})
+        ok, failed = _split(df)
+        out = ok.withColumns({k: c.over(spec) for k, c in updates.items()})
+        pad = {k: F.lit(None).cast(out.schema[k].dataType) for k in updates}
+        return out.unionByName(failed.withColumns(pad))
 
     return Step(name, fn, node_type="window")
 
@@ -173,8 +224,13 @@ def sort_rows(name: str, *order: Column | str) -> Step:
 
 
 def limit_rows(name: str, n: int) -> Step:
+    """First ``n`` HAPPY rows; errored rows pass through uncounted —
+    a dead letter occupying a limit slot (or being cut by one) would
+    either displace a real row or silently vanish before its sink."""
+
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        return df.limit(n)
+        ok, failed = _split(df)
+        return ok.limit(n).unionByName(failed)
 
     return Step(name, fn, node_type="limit")
 
@@ -192,17 +248,27 @@ def top_k(
     and the driver merges k·p rows, never a full global sort. Grouped
     top-k is a row_number window (one shuffle on the group keys).
     Include a unique tiebreaker in ``order`` for deterministic output.
+
+    Ranking runs over OK rows only: an errored row must neither win a
+    slot (displacing a real top row with a value the step never
+    validated) nor be cut by the rank filter (deleting its dead
+    letter) — it passes through (r7 review finding).
     """
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        if "_pipz_rank" in df.columns:
+            raise ValueError("input already has the reserved column _pipz_rank")
+        ok, failed = _split(df)
         if partition_by:
             spec = Window.partitionBy(*partition_by).orderBy(*order)
-            return (
-                df.withColumn("_pipz_rank", F.row_number().over(spec))
+            kept = (
+                ok.withColumn("_pipz_rank", F.row_number().over(spec))
                 .where(F.col("_pipz_rank") <= n)
                 .drop("_pipz_rank")
             )
-        return df.orderBy(*order).limit(n)
+        else:
+            kept = ok.orderBy(*order).limit(n)
+        return kept.unionByName(failed)
 
     return Step(name, fn, node_type="top_k", metadata={"k": n})
 
@@ -213,9 +279,8 @@ def distinct_rows(name: str, subset: Seq[str] | None = None) -> Step:
     are exempt and pass through, preserving the dead letter."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        df = ensure_error_column(df)
-        failed = df.where(~is_ok())
-        ok = df.where(is_ok()).drop(ERROR_COL)
+        ok, failed = _split(df)
+        ok = ok.drop(ERROR_COL)
         out = ok.dropDuplicates(list(subset)) if subset else ok.distinct()
         return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
@@ -248,24 +313,30 @@ def union_with(name: str, other: DataFrame) -> Step:
 
 
 def intersect_with(name: str, other: DataFrame) -> Step:
-    """Set intersection on the happy path; errored rows pass through."""
+    """Set intersection on the happy path; errored rows pass through.
+    ``other`` may be a Step output — its error column (and its dead
+    letters) are excluded from the operand values."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        df = ensure_error_column(df)
-        failed = df.where(~is_ok())
-        out = df.where(is_ok()).drop(ERROR_COL).intersect(other)
+        ok, failed = _split(df)
+        out = ok.drop(ERROR_COL).intersect(_other_ok(other))
         return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="intersect")
 
 
 def except_with(name: str, other: DataFrame) -> Step:
-    """Set difference on the happy path; errored rows pass through."""
+    """SET difference (deduplicating, matching SQL EXCEPT and the
+    intersect sibling) on the happy path; errored rows pass through.
+    The multiset form is ``DataFrame.exceptAll`` composed directly
+    (declared query ``rel_setops_all``) — mixing the two polarities in
+    one Step made its docstring lie (r7 review finding)."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
-        df = ensure_error_column(df)
-        failed = df.where(~is_ok())
-        out = df.where(is_ok()).drop(ERROR_COL).exceptAll(other)
+        ok, failed = _split(df)
+        # subtract == SQL EXCEPT (distinct): a row present in `other`
+        # is gone entirely — exceptAll would leave surplus duplicates
+        out = ok.drop(ERROR_COL).subtract(_other_ok(other))
         return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="except")
@@ -351,18 +422,7 @@ def as_of_join(
     # Only when the payload is ORDERABLE — a map-typed column cannot
     # appear in a sort order, and an unorderable payload keeps the
     # (documented) nondeterministic tie rather than failing analysis.
-    def _orderable(dt) -> bool:
-        from pyspark.sql import types as T
-
-        if isinstance(dt, T.MapType):
-            return False
-        if isinstance(dt, T.ArrayType):
-            return _orderable(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return all(_orderable(f.dataType) for f in dt.fields)
-        return True
-
-    tiebreak = ["_p"] if all(_orderable(right.schema[c].dataType) for c in payload) else []
+    tiebreak = ["_p"] if all(orderable(right.schema[c].dataType) for c in payload) else []
     w = (
         Window.partitionBy(*keys)
         .orderBy("_ts", "_side", *tiebreak)

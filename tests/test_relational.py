@@ -309,3 +309,102 @@ def test_range_join_reserves_bin_column(spark):
     pts, iv = _mk_range_frames(spark)
     with _pytest.raises(ValueError, match="_bin"):
         range_join(pts.withColumn("_bin", F2.lit(1)), iv, "ts", "start", "end", bin_width_us=10_000_000)
+
+
+def test_window_calc_excludes_errored_rows_from_frames(spark):
+    # an errored row must neither feed the window frame (its value
+    # would contaminate every OK row's aggregate in the partition) nor
+    # gain update values (r7 review finding)
+    from pyspark.sql import Window
+
+    from pipz_spark import P, split_failed, split_ok
+    from pipz_spark.core.errors import ensure_error_column
+
+    df = ensure_error_column(
+        spark.createDataFrame(
+            [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 999.0)], "g string, i int, v double"
+        )
+    )
+    poisoned = P.apply("taint", error_when=F.col("v") > 100, message="bad")(df)
+    spec = Window.partitionBy("g").orderBy("i")
+    out = P.window_calc("run", spec, {"total": F.sum("v")})(poisoned)
+    ok = {r["i"]: r["total"] for r in split_ok(out).collect()}
+    assert ok == {1: 10.0, 2: 30.0}  # 999.0 never entered the frame
+    dead = split_failed(out).collect()
+    assert len(dead) == 1 and dead[0]["total"] is None
+
+
+def test_top_k_preserves_dead_letters_and_slots(spark):
+    # errored rows neither win top-k slots nor get cut by the rank
+    # filter (r7 review finding)
+    from pipz_spark import P, split_failed, split_ok
+    from pipz_spark.core.errors import ensure_error_column
+
+    rows = [("g", i, float(i)) for i in range(1, 6)]  # v = 1..5
+    df = ensure_error_column(
+        spark.createDataFrame(rows, "g string, i int, v double")
+    )
+    # error the two HIGHEST values — they must not occupy slots
+    poisoned = P.apply("taint", error_when=F.col("v") >= 4, message="bad")(df)
+    step = P.top_k("top2", 2, order=[F.col("v").desc(), F.col("i")], partition_by=["g"])
+    out = step(poisoned)
+    kept = sorted(r["i"] for r in split_ok(out).collect())
+    assert kept == [2, 3]  # the top-2 of the OK rows
+    assert sorted(r["i"] for r in split_failed(out).collect()) == [4, 5]
+    # global form: same contract
+    out2 = P.top_k("top1", 1, order=[F.col("v").desc()])(poisoned)
+    assert [r["i"] for r in split_ok(out2).collect()] == [3]
+    assert split_failed(out2).count() == 2
+
+
+def test_set_ops_accept_step_outputs_and_except_dedups(spark):
+    # a Step output (carrying _pipz_error) as the operand used to
+    # raise NUM_COLUMNS_MISMATCH; and except is SET difference —
+    # surviving duplicates dedup like SQL EXCEPT (r7 review finding)
+    from pipz_spark import P, split_ok
+    from pipz_spark.core.errors import ensure_error_column
+
+    left = ensure_error_column(
+        spark.createDataFrame([(1,), (1,), (2,), (3,)], "k int")
+    )
+    other_step_out = P.transform("noop", {})(
+        ensure_error_column(spark.createDataFrame([(2,), (9,)], "k int"))
+    )
+    inter = split_ok(P.intersect_with("i", other_step_out)(left))
+    assert sorted(r["k"] for r in inter.collect()) == [2]
+    exc = split_ok(P.except_with("e", other_step_out)(left))
+    assert sorted(r["k"] for r in exc.collect()) == [1, 3]  # 1 deduped, 2 removed
+
+
+def test_salted_join_and_repartition_guards(spark, orders, customer):
+    import pytest
+
+    from pipz_spark import P
+    from pipz_spark.core.errors import ensure_error_column
+
+    with pytest.raises(ValueError, match="_salt"):
+        P.salted_join("s", customer, on=["o_custkey"])(
+            ensure_error_column(orders.withColumn("_salt", F.lit(1)))
+        )
+    with pytest.raises(ValueError, match="repartition"):
+        P.repartition_rows("r")
+
+
+def test_enrich_rejects_unorderable_lookup_and_prunes_expr_join(spark, orders, customer):
+    import pytest
+
+    from pipz_spark import P, split_ok
+    from pipz_spark.core.errors import ensure_error_column
+
+    dim = customer.select(
+        "c_custkey", F.create_map(F.lit("a"), F.col("c_name")).alias("meta")
+    )
+    with pytest.raises(ValueError, match="unorderable"):
+        P.enrich("e", dim, on=["c_custkey"])(ensure_error_column(orders))
+    # raw-Column join + select: the condition's key column must
+    # survive pruning; unselected right columns drop after the join
+    cond = orders["o_custkey"] == customer["c_custkey"]
+    step = P.enrich("e2", customer, on=cond, select={"cust_name": "c_name"})
+    out = split_ok(step(ensure_error_column(orders)))
+    assert "cust_name" in out.columns and "c_acctbal" not in out.columns
+    assert out.where(F.col("cust_name").isNotNull()).count() > 0
