@@ -24,8 +24,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from pipz_spark import get_session
-from pipz_spark.datapipe import cross_near_dup_pairs
-from pipz_spark.datapipe.dedup import minhash_signatures_df
+from pipz_spark.datapipe import cross_near_dup_pairs, minhash_signatures_df
 from pipz_spark.sources.catalog import load_table
 
 NUM_HASHES = 120  # part of the index's identity — batches must match

@@ -24,6 +24,7 @@ from .dedup import (
     jaccard_near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signature,
+    minhash_signatures_df,
     near_dup_pairs,
     ngram_jaccard,
     simhash,
@@ -95,6 +96,7 @@ __all__ = [
     "lm_quality_scores",
     "lsh_candidate_pairs",
     "minhash_signature",
+    "minhash_signatures_df",
     "connected_components",
     "dedup_clusters",
     "jaccard_near_dup_pairs",

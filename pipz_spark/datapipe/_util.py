@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame
 # containing "Join" appears mid-line inside an expression list and
 # must not trip the guard.
 _PARTITIONING_NODES = re.compile(
-    r"(?m)^[\s:+\-|]*'?(Repartition|RebalancePartitions|Join|Aggregate|Sort|Window|Exchange)\b"
+    # Repartition\w*: the by-expression/by-range forms are DISTINCT
+    # logical nodes (RepartitionByExpression) — a bare \b after
+    # "Repartition" missed them, so fan_out would clobber a caller's
+    # explicit hash/range layout with a round-robin shuffle, the
+    # exact behavior the guard exists to prevent (r7 review finding)
+    r"(?m)^[\s:+\-|]*'?(Repartition\w*|RebalancePartitions|Join|Aggregate|Sort|Window|Exchange)\b"
 )
 
 

@@ -53,8 +53,23 @@ def exact_dedup(
         # SQL GROUP BY, which groups NULLs together)
         key = F.coalesce(key, F.lit("__pipz_null__"))
         keyed = ok.withColumn("_pipz_key", key)
-        keep = keyed.groupBy("_pipz_key").agg(F.min(id_col).alias(id_col))
-        out = keyed.join(keep, ["_pipz_key", id_col], "inner").drop("_pipz_key")
+        keep = keyed.groupBy("_pipz_key").agg(F.min(id_col).alias("_pipz_keep_id"))
+        # NULL-SAFE id equality (r7 review finding): min() skips NULL
+        # ids, so a group whose ids are ALL NULL gets keeper id NULL —
+        # a null-rejecting equi-join deleted the whole group (unique
+        # content, silently gone). With <=> an all-NULL-id group keeps
+        # its rows (no id exists to elect one keeper by — documented);
+        # a mixed group still drops its NULL-id rows as duplicates of
+        # the non-NULL keeper, which IS dedup behavior.
+        out = (
+            keyed.join(
+                keep,
+                (keyed["_pipz_key"] == keep["_pipz_key"])
+                & keyed[id_col].eqNullSafe(keep["_pipz_keep_id"]),
+                "left_semi",
+            )
+            .drop("_pipz_key")
+        )
         return out.withColumn(ERROR_COL, null_error()).unionByName(failed)
 
     return Step(name, fn, node_type="exact_dedup")
@@ -632,6 +647,15 @@ def banded_signatures(
     incremental dedup (one compact row per doc); banding parameters
     are part of a stored index's identity — a new batch must band
     with the same family to collide correctly."""
+    if num_hashes % bands != 0:
+        # silently ignoring the trailing num_hashes % bands slots
+        # would compute, shuffle, and discard signatures while
+        # shifting the realized S-curve threshold off the advertised
+        # (1/bands)^(bands/num_hashes) with no warning (r7 review)
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} — the "
+            "banding S-curve is defined by rows-per-band = num_hashes/bands"
+        )
     rows = num_hashes // bands
     return sigs.select(
         "_id",
@@ -1231,12 +1255,15 @@ def contamination(
 
 
 __all__ = [
+    "banded_signatures",
     "contamination",
+    "cross_near_dup_pairs",
     "gram_array",
     "exact_dedup",
     "char_shingles",
     "word_ngrams",
     "minhash_signature",
+    "minhash_signatures_df",
     "lsh_candidate_pairs",
     "ngram_jaccard",
     "jaccard_near_dup_pairs",

@@ -72,8 +72,18 @@ def fit_bigram_lm(
         .join(uni, "prefix")
         .select(
             "bigram",
-            F.round(
-                F.log((F.col("n_bi") + 1) / (F.col("n_uni") + F.lit(vocab))), 6
+            # floor-based 6-decimal quantizer, NOT round(·, 6): the
+            # same cross-engine round-tie divergence quantize4's
+            # docstring records for 4 decimals applies here, and this
+            # value feeds an exact-hash oracle gate (r7 review; the
+            # oracle SQL mirrors this floor form)
+            (
+                F.floor(
+                    F.log((F.col("n_bi") + 1) / (F.col("n_uni") + F.lit(vocab)))
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1_000_000.0)
             ).alias("logp"),
         )
     )

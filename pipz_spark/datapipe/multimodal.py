@@ -75,7 +75,7 @@ def blob_metadata(name: str = "blob-meta", blob_col: str = "blob") -> Step:
     )
 
 
-_IMG_FEATURES_SCHEMA = "doc_id long, n_bytes long, mean_byte double, byte_entropy_bucket int"
+_IMG_FEATURES_COLS = "n_bytes long, mean_byte double, byte_entropy_bucket int"
 
 
 def pil_available() -> bool:
@@ -168,14 +168,21 @@ def decode_image_features(
             bucket = mean_byte.map(lambda m: int(m) // 32)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": n_bytes.astype("int64"),
                     "mean_byte": mean_byte.round(4),
                     "byte_entropy_bucket": bucket.astype("int32"),
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(_features, _IMG_FEATURES_SCHEMA)
+    # id name AND type derived from the input (r7 review finding: a
+    # hardcoded "doc_id long" renamed custom id columns and failed
+    # Arrow conversion for string ids — same contract as the
+    # similarity module's _id_type preservation)
+    id_ddl = f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+    return df.select(id_col, blob_col).mapInPandas(
+        _features, f"{id_ddl}, {_IMG_FEATURES_COLS}"
+    )
 
 
 def sample_frames(

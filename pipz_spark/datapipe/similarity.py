@@ -178,8 +178,13 @@ def _score_buckets_two_sided(
         nids = cdf["_id"].to_numpy()
         Q = np.stack(qdf["_v"].to_numpy()).astype("float64")
         C = np.stack(cdf["_v"].to_numpy()).astype("float64")
-        qn = np.sqrt((Q * Q).sum(axis=1))
-        cn = np.sqrt((C * C).sum(axis=1))
+        # norm clamp (r7 review finding, same guard as the PQ path):
+        # a zero embedding (padding / failed encoder) otherwise makes
+        # cos = 0/0 = NaN, and NaN sorts ABOVE every real double in
+        # the top-k desc window — the zero vector would outrank every
+        # true neighbor. Clamped, its cos is 0.0 and it never wins.
+        qn = np.maximum(np.sqrt((Q * Q).sum(axis=1)), 1e-30)
+        cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-30)
         out_q, out_n, out_c = [], [], []
         for i0 in range(0, len(Q), block_rows):
             Qi = Q[i0 : i0 + block_rows]
@@ -242,6 +247,14 @@ def cosine_topk_lsh(
     parallel and the bucket groupBy is the only exchange."""
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None:
+            # empty corpus / NULL first embedding: degrade to an empty
+            # result like the PQ sibling instead of a TypeError inside
+            # the dim probe (r7 review finding)
+            id_t = _id_type(corpus, id_col)
+            return corpus.sparkSession.createDataFrame(
+                [], f"qid {id_t}, nid {id_t}, cos double, rank int"
+            )
         dim = int(first["d"])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
     c = _table_signatures_df(corpus, id_col, vec_col, all_planes, keep_vec=True
@@ -616,6 +629,12 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None:
+            # empty corpus: no pairs, by construction (r7 review)
+            id_t = _id_type(corpus, id_col)
+            return corpus.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cos double"
+            )
         dim = int(first["d"])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
     # one corpus scan: the vector rides along with its exploded
@@ -637,7 +656,10 @@ def embedding_near_dup_pairs(
             return pd.DataFrame(empty)
         ids = pdf["_id"].to_numpy()
         V = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        norms = np.sqrt((V * V).sum(axis=1))
+        # same zero-norm clamp as the query/corpus scorer: NaN would
+        # satisfy no threshold but poison cos >= threshold via numpy
+        # warnings; clamped, a zero vector scores 0 against everything
+        norms = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-30)
         out_a, out_b, out_c = [], [], []
         for i0 in range(0, n, block_rows):
             Vi = V[i0 : i0 + block_rows]

@@ -32,6 +32,10 @@ def tokens(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of ``lang`` stopwords among the lowercased whitespace
+    tokens — the ONE definition text_stats and quality_score share
+    (three drifting inline copies before r7; lang_id keeps its own
+    multi-language variant by design)."""
     return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS[lang])))
 
 
@@ -81,7 +85,7 @@ def text_stats(name: str = "text-stats", text_col: str = "text") -> Step:
     n_chars = F.length(text)
     punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
     upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
-    en_stops = F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS["en"])))
+    en_stops = stopword_hits(text, "en")
     return transform(
         name,
         {
@@ -105,9 +109,7 @@ def quality_score(name: str = "quality-score", text_col: str = "text") -> Step:
     toks = tokens(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
-    stop_ratio = F.size(
-        F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS["en"]))
-    ) / n_tok
+    stop_ratio = stopword_hits(text, "en") / n_tok
     punct_ratio = F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / n_chars
     len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
     score = (
@@ -329,8 +331,10 @@ def pack_sequences(
     scan — not expressible as a window aggregate, and inherently
     sequential. Concat-and-chop IS a window cumsum, which is why real
     loaders use it and why it scales: chunks shard deterministically
-    by md5 of the doc id (same engine-reproducible bucketing as the
-    deterministic split, so co-sharded with it), and the only state is
+    by md5 of the doc id (full 32-bit hash range, the same derivation
+    as ``deterministic_shuffle`` — engine-reproducible and uncapped,
+    so ``shards`` can genuinely reach cluster-core counts), and the
+    only state is
     ONE running sum per shard — a window over (shard ORDER BY doc,
     chunk), never a global order. Each shard is ONE window task, so
     ``shards`` bounds the stage's parallelism AND its per-task data:
@@ -345,10 +349,14 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     from pyspark.sql import Window
 
-    from .sampling import hash_bucket
-
     doc_col, chunk_col = id_cols
-    shard = (hash_bucket(F.col(doc_col), salt="pack") % shards).cast("int")
+    # full-32-bit md5 bits mod shards (hex chars 9-16, the same
+    # derivation as sampling.deterministic_shuffle) — hash_bucket's
+    # [0, 10000) range silently capped effective shards at 10000 and
+    # skewed sizes whenever shards didn't divide 10000 (r7 review)
+    key_str = F.coalesce(F.col(doc_col).cast("string"), F.lit("__pipz_null__"))
+    h = F.md5(F.concat(key_str, F.lit("pack")))
+    shard = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % shards).cast("int")
     w = (
         Window.partitionBy("shard")
         .orderBy(doc_col, chunk_col)

@@ -1745,7 +1745,7 @@ WITH t AS (
   FROM t, unnest(range(0, len(toks), 24)) AS u(s)
   WHERE s = 0 OR s + 8 < len(toks)
 ), sh AS (
-  SELECT *, CAST((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)) AS BIGINT) % 10000) % 8 AS INT) AS shard
+  SELECT *, CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 9, 8)) AS BIGINT) % 8 AS INT) AS shard
   FROM c
 ), st AS (
   SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
@@ -1861,7 +1861,8 @@ bi AS (SELECT bigram, count(*) AS n_bi FROM g2 GROUP BY bigram),
 uni AS (SELECT substr(bigram, 1, 1) AS prefix, sum(n_bi) AS n_uni FROM bi GROUP BY prefix),
 v AS (SELECT count(*) + 1 AS vocab FROM uni),
 lm AS (
-  SELECT bigram, round(ln((n_bi + 1) / (n_uni + vocab)), 6) AS logp
+  SELECT bigram,
+         floor(ln((n_bi + 1) / (n_uni + vocab)) * 1000000.0 + 0.5) / 1000000.0 AS logp
   FROM bi JOIN uni ON substr(bigram, 1, 1) = uni.prefix CROSS JOIN v
 ),
 scored AS (

@@ -1138,3 +1138,73 @@ def test_pack_sequences_sharding_is_deterministic(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(chunks, budget=0)
+
+
+def test_zero_norm_vector_never_wins_topk(spark, embeddings):
+    # a zero embedding (padding / failed encoder) used to score
+    # cos = 0/0 = NaN in the in-bucket scorers, and NaN sorts above
+    # every real double — it outranked every true neighbor (r7 review)
+    from pipz_spark.datapipe import cosine_topk_lsh
+
+    base = embeddings.select("vec_id", "embedding")
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    corpus = base.unionByName(zero)
+    out = cosine_topk_lsh(corpus, base.where(F.col("vec_id") < 5), k=3, bits=2)
+    rows = out.collect()
+    assert rows
+    assert all(r["nid"] != 99999 for r in rows if r["rank"] == 1)
+    assert all(r["cos"] == r["cos"] for r in rows)  # no NaN survived
+
+
+def test_exact_dedup_keeps_all_null_id_groups(spark):
+    # a content group whose ids are ALL NULL must not vanish — min()
+    # skips NULLs and the old null-rejecting join deleted the whole
+    # group (r7 review finding)
+    from pipz_spark import split_ok
+    from pipz_spark.datapipe import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, "unique content"), (1, "dup"), (2, "dup"), (None, "dup")],
+        "doc_id int, text string",
+    )
+    out = split_ok(exact_dedup()(df))
+    texts = [(r["doc_id"], r["text"]) for r in out.collect()]
+    # null-id unique content survives; the mixed 'dup' group keeps
+    # only its smallest NON-NULL keeper
+    assert (None, "unique content") in texts
+    assert (1, "dup") in texts and (2, "dup") not in texts
+    assert (None, "dup") not in texts
+
+
+def test_banded_signatures_rejects_nondivisible_bands(spark, documents):
+    from pipz_spark.datapipe import lsh_candidate_pairs
+
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(documents, num_hashes=100, bands=24).count()
+
+
+def test_lsh_and_embed_near_dup_degrade_on_empty_corpus(spark, embeddings):
+    from pipz_spark.datapipe import cosine_topk_lsh, embedding_near_dup_pairs
+
+    empty = embeddings.where(F.col("vec_id") < 0)
+    out = cosine_topk_lsh(empty, embeddings.limit(2), k=3)
+    assert out.count() == 0 and out.columns == ["qid", "nid", "cos", "rank"]
+    pairs = embedding_near_dup_pairs(empty)
+    assert pairs.count() == 0 and pairs.columns == ["id_a", "id_b", "cos"]
+
+
+def test_decode_image_features_preserves_custom_id(spark):
+    # the output schema derives the id name AND type from the input —
+    # a hardcoded "doc_id long" renamed custom ids and failed Arrow
+    # conversion for string ids (r7 review finding)
+    from pipz_spark.datapipe import decode_image_features
+
+    df = spark.createDataFrame(
+        [("img-1", bytearray(b"abc"))], "img_id string, blob binary"
+    )
+    out = decode_image_features(df, id_col="img_id")
+    r = out.first()
+    assert out.columns[0] == "img_id" and r["img_id"] == "img-1"
+    assert r["n_bytes"] == 3
