@@ -68,7 +68,7 @@ def null_error() -> Column:
 def make_error(
     path: Seq[str],
     message: Column | str,
-    timeout: bool = False,
+    timeout: bool | Column = False,
     canceled: bool = False,
 ) -> Column:
     """Build an error struct Column with a static path.
@@ -79,10 +79,13 @@ def make_error(
     (reference: sequence.go:149, switch.go:115, filter.go:105).
     """
     msg = F.lit(message) if isinstance(message, str) else message
+    # timeout may be per-ROW (a Column) — python_apply's per-value
+    # deadline marks individual rows, mirroring error.go:22
+    to = F.lit(timeout) if isinstance(timeout, bool) else timeout.cast("boolean")
     return F.struct(
         F.array(*[F.lit(p) for p in path]).alias("path"),
         msg.cast(T.StringType()).alias("message"),
-        F.lit(timeout).alias("timeout"),
+        to.alias("timeout"),
         F.lit(canceled).alias("canceled"),
     )
 

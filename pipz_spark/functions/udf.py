@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core.errors import ERROR_COL, is_ok, make_error
+from ..core.errors import ERROR_COL, ensure_error_column, is_ok, make_error
 from ..core.step import Step
 
 _HEX_ADDR = re.compile(r"0x[0-9a-fA-F]+")
@@ -69,9 +69,18 @@ def python_apply(
     the GIL can still stall the batch — that last resort stays with
     the task reaper."""
     out_col = output or f"{name}_result"
+    if out_col == ERROR_COL:
+        # unguarded, the result withColumn would REPLACE the error
+        # column, erasing every upstream dead letter (r7 review — the
+        # same reserved-name check python_flat_map already has)
+        raise ValueError(f"output may not be the reserved column {ERROR_COL}")
     ret_type = returns if isinstance(returns, T.DataType) else T._parse_datatype_string(returns)
     result_schema = T.StructType(
-        [T.StructField("value", ret_type, True), T.StructField("err", T.StringType(), True)]
+        [
+            T.StructField("value", ret_type, True),
+            T.StructField("err", T.StringType(), True),
+            T.StructField("timed_out", T.BooleanType(), True),
+        ]
     )
 
     def batch_fn(*cols):  # pd.Series in, pd.DataFrame out
@@ -79,6 +88,7 @@ def python_apply(
 
         values: list[Any] = []
         errs: list[str | None] = []
+        tos: list[bool] = []
         if timeout_seconds is None:
             for row in zip(*cols):
                 try:
@@ -87,13 +97,15 @@ def python_apply(
                 except Exception as e:  # noqa: BLE001 — the whole point
                     values.append(None)
                     errs.append(sanitize_message(f"{type(e).__name__}: {e}"))
-            return pd.DataFrame({"value": values, "err": errs})
+                tos.append(False)
+            return pd.DataFrame({"value": values, "err": errs, "timed_out": tos})
         from concurrent.futures import ThreadPoolExecutor
         from concurrent.futures import TimeoutError as _FutTimeout
 
         ex = ThreadPoolExecutor(max_workers=1)
         try:
             for row in zip(*cols):
+                timed = False
                 try:
                     values.append(ex.submit(fn, *row).result(timeout=timeout_seconds))
                     errs.append(None)
@@ -104,28 +116,53 @@ def python_apply(
                     ex = ThreadPoolExecutor(max_workers=1)
                     values.append(None)
                     errs.append(f"timeout: exceeded {timeout_seconds}s deadline")
+                    timed = True
                 except Exception as e:  # noqa: BLE001
                     values.append(None)
                     errs.append(sanitize_message(f"{type(e).__name__}: {e}"))
+                tos.append(timed)
         finally:
             ex.shutdown(wait=False)
-        return pd.DataFrame({"value": values, "err": errs})
+        return pd.DataFrame({"value": values, "err": errs, "timed_out": tos})
 
     wrapped = F.pandas_udf(batch_fn, returnType=result_schema)
+    # unique temp name: a deterministic f"_pipz_udf_{name}" could
+    # collide with (and then silently delete) a same-named business
+    # column (r7 review finding)
+    import uuid as _uuid
+
+    tmp = f"_pipz_udf_{name}_{_uuid.uuid4().hex[:8]}"
 
     def step_fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        # OK/FAILED split instead of when(is_ok(), udf): Catalyst
+        # extracts Python UDFs out of conditionals into an
+        # ArrowEvalPython node evaluated for EVERY row, so the old
+        # form ran fn (and burned the per-value deadline, serially)
+        # on rows already dead-lettered upstream (r7 review finding).
+        # The split also preserves a pre-existing output column's
+        # value on errored rows — they skipped the step (the Apply
+        # keeps-pre-step-values divergence, DIVERGENCES #3).
+        df = ensure_error_column(df)
+        ok = df.where(is_ok())
+        failed = df.where(~is_ok())
         res = wrapped(*[F.col(c) for c in inputs])
-        tmp = f"_pipz_udf_{name}"
-        df = df.withColumn(tmp, F.when(is_ok(), res))
+        ok = ok.withColumn(tmp, res)
         err_msg = F.col(tmp)["err"]
-        df = df.withColumn(
+        ok = ok.withColumn(
             ERROR_COL,
-            F.when(is_ok() & err_msg.isNotNull(), make_error(list(path), err_msg)).otherwise(
-                F.col(ERROR_COL)
-            ),
+            F.when(
+                err_msg.isNotNull(),
+                make_error(
+                    list(path),
+                    err_msg,
+                    timeout=F.coalesce(F.col(tmp)["timed_out"], F.lit(False)),
+                ),
+            ).otherwise(F.col(ERROR_COL)),
         )
-        df = df.withColumn(out_col, F.when(is_ok(), F.col(tmp)["value"]))
-        return df.drop(tmp)
+        ok = ok.withColumn(out_col, F.col(tmp)["value"]).drop(tmp)
+        if out_col not in df.columns:
+            failed = failed.withColumn(out_col, F.lit(None).cast(ret_type))
+        return ok.unionByName(failed)
 
     return Step(name, step_fn, node_type="python_apply", metadata={"inputs": inputs})
 
@@ -214,6 +251,13 @@ def python_flat_map(
         carried = keep if keep is not None else [
             c for c in df.columns if c != ERROR_COL
         ]
+        if "_pz_err" in df.columns:
+            # the UDTF's error sentinel would collide with the input's
+            # column of the same name in the lateral output — ambiguous
+            # reference at plan time (r7 review finding)
+            raise ValueError(
+                "input dataframe may not contain the reserved column _pz_err"
+            )
         # checked against ALL dataframe columns, not just carried:
         # lateralJoin's output holds every left column, so an output
         # field named like ANY input column — even one the select
@@ -257,16 +301,26 @@ def python_map_batches(
 ) -> Callable[[DataFrame], DataFrame]:
     """Whole-batch escape hatch over ``mapInPandas`` for reshaping
     transforms (explode-like, model inference). ``fn(pdf) -> pdf``
-    runs per Arrow batch; a batch-level exception is captured and the
-    batch yields zero rows rather than failing the task (log-and-drop
-    is the only batch-safe policy; per-row capture belongs in
-    python_apply)."""
+    runs per Arrow batch; a batch-level exception is LOGGED (executor
+    stderr, logger ``pipz_spark.udf``) and the batch yields zero rows
+    rather than failing the task (log-and-drop is the only batch-safe
+    policy; per-row capture belongs in python_apply). A silent drop
+    left nothing to bisect when a job lost rows (r7 review finding)."""
 
     def gen(batches: Iterator["object"]) -> Iterator["object"]:
+        import logging
+
+        log = logging.getLogger("pipz_spark.udf")
         for pdf in batches:
             try:
                 yield fn(pdf)
-            except Exception:
+            except Exception as e:  # noqa: BLE001
+                log.warning(
+                    "python_map_batches %s: dropped a %d-row batch: %s",
+                    name,
+                    len(pdf),
+                    sanitize_message(f"{type(e).__name__}: {e}"),
+                )
                 continue
 
     def apply(df: DataFrame) -> DataFrame:

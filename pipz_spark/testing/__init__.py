@@ -281,6 +281,10 @@ def assert_df_equal(actual: DataFrame, expected: DataFrame) -> None:
     value. Collects both — test-sized data only."""
     a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
     assert a_cols == e_cols, f"columns differ: {a_cols} vs {e_cols}"
-    a = sorted(map(tuple, actual.select(*a_cols).collect()))
-    e = sorted(map(tuple, expected.select(*e_cols).collect()))
+    # key=repr: NULLs make mixed-type tuples unsortable under plain
+    # sorted() (None < int raises TypeError — r7 review finding); the
+    # repr order is total and deterministic, which is all an
+    # order-insensitive compare needs
+    a = sorted(map(tuple, actual.select(*a_cols).collect()), key=repr)
+    e = sorted(map(tuple, expected.select(*e_cols).collect()), key=repr)
     assert a == e, f"values differ: {a[:5]} vs {e[:5]} (first rows shown)"

@@ -242,3 +242,71 @@ def test_python_flat_map_rejects_output_colliding_with_carried(spark):
     )
     with _pytest.raises(ValueError, match="collide"):
         kept(df)
+
+
+def test_python_apply_timeout_sets_flag_and_skips_failed_rows(spark):
+    # (1) a timed-out row's error struct carries timeout=True (the
+    # error.go:22 discriminator — message-prefix matching was the only
+    # signal before r7); (2) the UDF evaluates on the OK branch only —
+    # Catalyst used to extract it from when(is_ok(), ...) and run it
+    # (and burn the deadline) on already-dead rows.
+    import time
+
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.functions import python_apply
+
+    def slow_if_negative(x):
+        if x < 0:
+            time.sleep(5)
+        return x * 2
+
+    df = ensure_error_column(
+        spark.createDataFrame([(1,), (-1,), (3,)], "x int")
+    )
+    step = python_apply(
+        "slow", slow_if_negative, ["x"], "int", output="y", timeout_seconds=1.0
+    )
+    out = step(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # only the OK branch runs Python
+    dead = split_failed(out).collect()
+    assert len(dead) == 1
+    assert dead[0][ERROR_COL]["timeout"] is True
+    assert "timeout" in dead[0][ERROR_COL]["message"]
+    ok = {r["x"]: r["y"] for r in split_ok(out).collect()}
+    assert ok == {1: 2, 3: 6}
+
+
+def test_python_apply_rejects_error_col_output_and_preserves_prestep(spark):
+    import pytest as _pytest
+
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.functions import python_apply
+
+    with _pytest.raises(ValueError, match="reserved"):
+        python_apply("bad", lambda x: x, ["x"], "int", output=ERROR_COL)
+    # a pre-existing output column keeps its PRE-STEP value on errored
+    # rows (they skipped the step — DIVERGENCES #3 semantics)
+    df = ensure_error_column(
+        spark.createDataFrame([(1, 10), (2, 20)], "x int, y int")
+    )
+    from pipz_spark import P
+
+    tainted = P.apply("taint", error_when=F.col("x") == 2, message="bad")(df)
+    out = python_apply("double", lambda x: x * 2, ["x"], "int", output="y")(tainted)
+    vals = {r["x"]: r["y"] for r in out.collect()}
+    assert vals == {1: 2, 2: 20}  # errored row keeps pre-step y
+
+
+def test_flat_map_rejects_reserved_input_column(spark):
+    import pytest as _pytest
+
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.functions import python_flat_map
+
+    df = ensure_error_column(
+        spark.createDataFrame([("a", 1)], "text string, _pz_err int")
+    )
+    step = python_flat_map("s", lambda t: [(t,)], ["text"], "chunk string")
+    with _pytest.raises(ValueError, match="_pz_err"):
+        step(df)
