@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..core.errors import ERROR_COL, ensure_error_column, is_ok, null_error
+from .text import WS
 from ..core.step import Step
 
 _MAXLONG = (1 << 63) - 1
@@ -46,7 +47,7 @@ def exact_dedup(
         failed = df.where(~is_ok())
         ok = df.where(is_ok()).drop(ERROR_COL)
         text = F.col(text_col)
-        key = F.md5(F.regexp_replace(F.lower(text), r"\s+", " ")) if normalize else F.md5(text)
+        key = F.md5(F.regexp_replace(F.lower(text), WS, " ")) if normalize else F.md5(text)
         # NULL text → NULL md5 would never match itself in the equi-
         # join and the row would silently vanish; coalesce to a
         # sentinel so NULL-text rows form one dedup group (matching
@@ -91,7 +92,7 @@ def gram_array(text: Column, n: int = 3) -> Column:
     on it, so the short-doc fallback (a doc below ``n`` tokens
     contributes its whole text as one gram) cannot drift between
     consumers."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.trim(F.lower(text)), WS)
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), cnt - 1),
@@ -784,7 +785,7 @@ def _simhash_expr(text: Column, bits: int = 64) -> Column:
     """SimHash over whitespace tokens: per bit, sum ±1 votes from each
     token's xxhash64; bit = vote > 0. One fold; the bit vector packs
     into a single BIGINT (bit 63 kept zero to stay positive)."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.trim(F.lower(text)), WS)
     nbits = min(bits, 63)
     # hash each token ONCE; the fold's lambda var h reuses it for all
     # 63 bit extractions (vs 63 xxhash calls per token)
@@ -839,7 +840,7 @@ def simhash_df(
     from ._util import fan_out
 
     df = fan_out(df)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS)
     base = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
     ).select("_id", _token_hash(F.col("_t"), hash_fn).alias("_th"))

@@ -26,9 +26,17 @@ STOPWORDS = {
 }
 
 
+# The ONE whitespace class, written out explicitly: Java's \s also
+# matches vertical tab (\x0B) while DuckDB's RE2 \s does not, so a
+# VT-bearing document would tokenize differently on the two engines
+# (r7 review finding). The explicit set below is identical in both
+# regex dialects, and every oracle's \s+ equals it under RE2.
+WS = r"[ \t\n\f\r]+"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the portable baseline tokenizer)."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS)
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -91,7 +99,7 @@ def text_stats(name: str = "text-stats", text_col: str = "text") -> Step:
         {
             "n_tokens": n_tok.cast("long"),
             "avg_token_len": quantize4(
-                F.length(F.regexp_replace(text, r"\s+", "")) / n_tok
+                F.length(F.regexp_replace(text, WS, "")) / n_tok
             ),
             "punct_ratio": quantize4(punct / n_chars),
             "upper_ratio": quantize4(upper / n_chars),
@@ -151,7 +159,10 @@ def regex_token_count(name: str = "regex-tokens", text_col: str = "text") -> Ste
     text = F.col(text_col)
     words = F.regexp_extract_all(text, F.lit(r"\p{L}+"), 0)
     numbers = F.regexp_extract_all(text, F.lit(r"\p{N}+"), 0)
-    symbols = F.regexp_extract_all(text, F.lit(r"[^\s\p{L}\p{N}]+"), 0)
+    # explicit whitespace chars instead of \s inside the class: Java
+    # \s includes VT, RE2's does not (see WS above) — a VT would count
+    # as a symbol only on the oracle side
+    symbols = F.regexp_extract_all(text, F.lit(r"[^ \t\n\f\r\p{L}\p{N}]+"), 0)
     return transform(
         name,
         {
@@ -174,7 +185,7 @@ def fingerprint(name: str = "fingerprint", text_col: str = "text") -> Step:
                   fold is expressible in ANSI SQL).
     """
     text = F.col(text_col)
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(text), WS, " ")
     roll = F.aggregate(
         F.transform(F.split(text, ""), lambda c: F.ascii(c)),
         F.lit(0).cast("long"),

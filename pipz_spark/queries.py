@@ -10,9 +10,11 @@ partial-aggregation order can never change the result, and
 timestamps are rendered as strings to dodge engine-specific
 timezone/precision formatting.
 
-Entries whose semantics aren't SQL-expressible (LSH candidate
-generation, multi-table ANN) carry ``oracle=None`` → the driver
-records the weaker rows-only check.
+``Declared.oracle`` may be ``None`` per the driver contract (the
+weaker rows-only check) — but as of r7 every one of the registry's
+entries carries a SQL oracle: even the approximate operators gate at
+exhaustive-recall parameters against the exact SQL (DIVERGENCES #15),
+so no declared query takes the rows-only path.
 """
 
 from __future__ import annotations
@@ -699,7 +701,18 @@ def _rel_asof(spark, sf):
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    # ties made IMPOSSIBLE by construction: two clicks sharing
+    # (user_id, ts) would be resolved greatest-payload-wins by the
+    # engine but ARBITRARILY by DuckDB's native ASOF (r7 review —
+    # verified divergence on a synthetic tie), so the declared query
+    # pre-aggregates to one click per instant with the same max-value
+    # rule spelled out in BOTH formulations. Tie-free inputs keep the
+    # two independent ASOF implementations exactly comparable.
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     j = as_of_join(purchases, clicks, keys=["user_id"], payload=["value"], prefix="click_")
     return j.select(
         "event_id",
@@ -714,7 +727,9 @@ _REL_ASOF_SQL = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
        r.value AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -1580,13 +1595,12 @@ def _e2e_training_pipeline(spark, sf):
     )
 
 
-_EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 _E2E_SQL = rf"""
 WITH q AS (
   SELECT doc_id, text,
          floor((0.5 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
                 + 0.4 * least((len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                                               t -> list_contains([{_EN_SQL}], t)))
+                                               t -> list_contains([{_EN}], t)))
                                / len(string_split_regex(trim(text), '\s+'))) * 4, 1.0)
                 + 0.1 * (1.0 - least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
                                       / length(text)) * 10, 1.0))) * 10000.0 + 0.5)
@@ -2680,9 +2694,17 @@ def _udtf_flat_map(spark, sf):
     from .functions import python_flat_map
 
     def split_words(text):
-        if text is None or not text.strip():
+        # explicit whitespace class, NOT str.split(): Python splits on
+        # ALL Unicode whitespace (VT, FF, NBSP, U+2028…) while the
+        # DuckDB oracle's RE2 \s+ is exactly [ \t\n\f\r] — a third
+        # dialect that would diverge on any exotic-whitespace doc
+        # (r7 review finding; same class as datapipe.text.WS)
+        import re
+
+        ws = " \t\n\f\r"
+        if text is None or not text.strip(ws):
             return
-        for i, w in enumerate(text.strip().split()):
+        for i, w in enumerate(re.split(r"[ \t\n\f\r]+", text.strip(ws))):
             yield (w, i)
 
     step = python_flat_map(
@@ -2693,10 +2715,10 @@ def _udtf_flat_map(spark, sf):
 
 _UDTF_FLAT_MAP_SQL = r"""
 SELECT doc_id,
-       unnest(string_split_regex(trim(text), '\s+')) AS chunk,
-       CAST(generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS INT) AS idx
+       unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS chunk,
+       CAST(generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+'), 1) - 1 AS INT) AS idx
 FROM documents
-WHERE text IS NOT NULL AND trim(text) <> ''
+WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
 """
 
 

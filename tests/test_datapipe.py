@@ -1208,3 +1208,20 @@ def test_decode_image_features_preserves_custom_id(spark):
     r = out.first()
     assert out.columns[0] == "img_id" and r["img_id"] == "img-1"
     assert r["n_bytes"] == 3
+
+
+def test_whitespace_class_matches_re2_semantics(spark):
+    # Java's \s includes vertical tab; RE2's (DuckDB's) does not. The
+    # engine pins the explicit [ \t\n\f\r] class so a VT-bearing doc
+    # tokenizes identically under both dialects (r7 review finding):
+    # VT is NOT a separator, exactly like the oracle's \s+.
+    import duckdb
+
+    from pipz_spark.datapipe import token_count
+
+    df = spark.createDataFrame([(1, "a\x0bb c")], "doc_id long, text string")
+    got = split_ok(token_count()(df)).first()["n_tokens"]
+    want = duckdb.sql(
+        r"SELECT len(string_split_regex(trim('a' || chr(11) || 'b c'), '\s+'))"
+    ).fetchone()[0]
+    assert got == want == 2  # 'a\x0bb' is ONE token in both engines
