@@ -239,6 +239,14 @@ def deterministic_shuffle(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    reserved = {"shard", "shuffle_rank", "_h"}.intersection(df.columns)
+    if reserved:
+        # withColumn would silently clobber these (r7 advisory);
+        # matches the reserved-name contract of salted_join/_pipz_rank
+        raise ValueError(
+            "deterministic_shuffle: input already has reserved column(s) "
+            f"{sorted(reserved)} — rename them before shuffling"
+        )
     key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("__pipz_null__"))
     h = F.md5(F.concat(key_str, F.lit(salt)))
     shard = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % n_shards).cast("int")

@@ -243,11 +243,18 @@ def enrich(
                 # pruning could drop the very columns the condition
                 # references, failing analysis (r7 review finding) —
                 # rename only, and drop the unselected right columns
-                # AFTER the join (skipping names that collide with the
-                # left side, which drop-by-name could not disambiguate)
+                # AFTER the join. Unselected right columns whose names
+                # collide with the LEFT side get a unique temp alias
+                # first (r7 advisory): post-join drop-by-name cannot
+                # disambiguate a duplicate name, so leaving them would
+                # hand downstream selects an ambiguous reference.
                 for out_col, src_col in select.items():
                     if out_col != src_col:
                         right = right.withColumnRenamed(src_col, out_col)
+                left_names = set(df.columns)
+                for c in list(right.columns):
+                    if c not in select and c in left_names:
+                        right = right.withColumnRenamed(c, f"_pipz_enrich_{c}")
                 post_drop = [c for c in right.columns if c not in select]
         if keys and not assume_unique:
             # deterministic 1:1 — min(struct(other cols)) per key; the

@@ -114,10 +114,15 @@ def write_bucketed(
     the existing table before the replacement is known to compute —
     any mid-write failure loses everything — and (b) delete the very
     files a self-referential ``df`` (built FROM the table being
-    overwritten) still has to scan (r7 review finding). A crash inside
-    the drop→rename window leaves the new data recoverable under
-    ``<table>__staging``.
+    overwritten) still has to scan (r7 review finding). The staging
+    name carries a per-call random suffix (r7 advisory): a FIXED
+    ``<table>__staging`` would silently destroy a genuine user table
+    of that name and make two concurrent overwrites race on one
+    staging slot. A crash inside the drop→rename window leaves the
+    new data recoverable under ``<table>__staging_<hex>``.
     """
+    import uuid
+
     spark = df.sparkSession
 
     def _drop(name: str) -> None:
@@ -136,9 +141,15 @@ def write_bucketed(
         if fs.exists(loc):
             fs.delete(loc, True)
 
-    target = table if mode != "overwrite" else f"{table}__staging"
-    if mode == "overwrite":
-        _drop(target)
+    target = (
+        table if mode != "overwrite" else f"{table}__staging_{uuid.uuid4().hex[:12]}"
+    )
+    if mode == "overwrite" and spark.catalog.tableExists(target):
+        # astronomically unlikely with a random suffix; if it fires,
+        # refuse rather than destroy a table this helper did not create
+        raise ValueError(
+            f"write_bucketed: staging name {target!r} already exists as a table"
+        )
     w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

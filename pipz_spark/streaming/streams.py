@@ -347,7 +347,14 @@ class _ResilienceStateStore:
         # exact failure this store exists to prevent (r7 review)
         tmp = jvm.org.apache.hadoop.fs.Path(self._path + ".tmp")
         if fs.exists(tmp):
-            return self._read(jvm, fs, tmp)
+            # a crash MID-tmp-write on the first-ever save leaves
+            # partial JSON with no live file to fall back to — treat
+            # an unparseable tmp as "no snapshot", not a crash loop
+            # (r7 advisory)
+            try:
+                return self._read(jvm, fs, tmp)
+            except ValueError:
+                return None
         return None
 
     def save(self, state: dict) -> None:

@@ -785,6 +785,11 @@ def test_deterministic_shuffle_stable_and_contiguous(spark, documents):
 
     with _pytest.raises(ValueError):
         deterministic_shuffle(documents, n_shards=0)
+    # r7 advisory: reserved output names must refuse, not clobber
+    with _pytest.raises(ValueError, match="shard"):
+        deterministic_shuffle(documents.withColumn("shard", F.lit(1)))
+    with _pytest.raises(ValueError, match="_h"):
+        deterministic_shuffle(documents.withColumn("_h", F.lit("x")))
 
 
 def test_write_shuffled_export_replays_rank_order(spark, documents, tmp_path):

@@ -408,3 +408,21 @@ def test_enrich_rejects_unorderable_lookup_and_prunes_expr_join(spark, orders, c
     out = split_ok(step(ensure_error_column(orders)))
     assert "cust_name" in out.columns and "c_acctbal" not in out.columns
     assert out.where(F.col("cust_name").isNotNull()).count() > 0
+
+
+def test_enrich_expr_join_colliding_right_columns_dropped(spark, orders, customer):
+    # r7 advisory: an unselected right column whose name collides with
+    # a left column must not survive the expression join as an
+    # ambiguous duplicate — the left column alone remains selectable
+    from pipz_spark import P, split_ok
+    from pipz_spark.core.errors import ensure_error_column
+
+    dim = customer.withColumn("o_totalprice", F.lit(-1.0))
+    cond = orders["o_custkey"] == dim["c_custkey"]
+    step = P.enrich("e3", dim, on=cond, select={"cust_name": "c_name"})
+    out = split_ok(step(ensure_error_column(orders)))
+    assert out.columns.count("o_totalprice") == 1
+    # the survivor is the LEFT side's value — and referencing it by
+    # name no longer throws AMBIGUOUS_REFERENCE
+    assert out.where(F.col("o_totalprice") == -1.0).count() == 0
+    assert out.where(F.col("cust_name").isNotNull()).count() > 0

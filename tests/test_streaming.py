@@ -257,6 +257,52 @@ def test_write_bucketed_overwrite_from_self(spark, orders):
     spark.sql("DROP TABLE IF EXISTS pipz_self_overwrite")
 
 
+def test_write_bucketed_staging_name_is_not_a_landmine(spark, orders):
+    # r7 advisory: a genuine user table named <table>__staging must
+    # survive an overwrite of <table> — the staging slot is per-call
+    # random-suffixed, never the fixed __staging name
+    from pipz_spark.sources.sinks import write_bucketed
+
+    user = orders.select("o_orderkey").limit(7)
+    user.write.mode("overwrite").saveAsTable("pipz_stage_guard__staging")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "pipz_stage_guard",
+        buckets=2,
+        bucket_cols=["o_orderkey"],
+    )
+    write_bucketed(  # second overwrite exercises the swap path again
+        orders.select("o_orderkey", "o_totalprice"),
+        "pipz_stage_guard",
+        buckets=2,
+        bucket_cols=["o_orderkey"],
+    )
+    assert spark.table("pipz_stage_guard__staging").count() == 7
+    assert spark.table("pipz_stage_guard").count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS pipz_stage_guard")
+    spark.sql("DROP TABLE IF EXISTS pipz_stage_guard__staging")
+
+
+def test_resilience_store_corrupt_tmp_is_no_snapshot(spark, tmp_path):
+    # r7 advisory: a crash mid-tmp-write on the FIRST-ever save leaves
+    # partial JSON and no live file; load() must answer "no snapshot",
+    # not raise on every subsequent restart
+    from pipz_spark.streaming.streams import _ResilienceStateStore
+
+    ckpt = str(tmp_path / "ckpt")
+    store = _ResilienceStateStore(spark, ckpt)
+    import os
+
+    os.makedirs(ckpt, exist_ok=True)
+    with open(ckpt + "/pipz-resilience.json.tmp", "w") as f:
+        f.write('{"breaker": {"state": "OP')  # truncated mid-write
+    assert store.load() is None
+    # a well-formed tmp (crash between delete and rename) still loads
+    with open(ckpt + "/pipz-resilience.json.tmp", "w") as f:
+        f.write('{"k": 1}')
+    assert store.load() == {"k": 1}
+
+
 def test_flatten_dead_letter_idempotent_on_dlq_reingest(spark):
     # re-processing previously landed DLQ rows (which already carry
     # _error_* columns) must replace them, not duplicate the names
