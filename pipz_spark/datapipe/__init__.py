@@ -50,6 +50,7 @@ from .text import (
     text_stats,
     token_count,
 )
+from .bpe import bpe_token_count, bpe_tokens_df
 from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
 from .sampling import (
     approx_dataset_profile,

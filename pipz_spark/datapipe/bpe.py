@@ -1,0 +1,260 @@
+"""Real merge-table BPE tokenization (byte-pair encoding).
+
+``regex_token_count`` approximates tokenizer counts; training
+pipelines budget in REAL BPE tokens. This module applies a pinned
+merge table (``bpe_merges.txt``, trained once by
+``tools/train_bpe.py`` with classic Sennrich-style BPE and checked
+in) with the canonical GPT-2-style application loop: pre-tokenize,
+then within each pre-token repeatedly merge the lowest-rank adjacent
+pair present, leftmost-first, until no ranked pair remains.
+
+Semantics pinned for cross-engine reproducibility:
+
+* Pre-tokenizer: maximal runs of ``[A-Za-z]+`` or ``[0-9]+``, else a
+  single non-alphanumeric non-whitespace character — a deliberately
+  RE2-safe subset of GPT-2's pre-tokenizer (no lookahead, no unicode
+  property classes), identical under Python ``re`` and DuckDB RE2.
+  Whitespace is the repo's pinned explicit class (text.py:WS) — never
+  ``\\s``.
+* No end-of-word marker: merges never span pre-token boundaries, and
+  a word's encoding depends only on the word itself.
+* ``bpe_token_hash`` = md5 of the document's full token stream joined
+  by ``\\x01`` — an EXACT segmentation witness, not just a count, so
+  the oracle gate proves token-for-token equality.
+
+Application-order equivalence the SQL oracle relies on: a merge list
+learned by BPE training is WELL-FORMED (each merge's two symbols are
+base characters or products of strictly earlier merges), therefore a
+later merge can never create an occurrence of an earlier pair — so
+applying merges ONE AT A TIME IN RANK ORDER yields the same
+segmentation as the lowest-rank-first loop used here. The oracle
+replays the rank-ordered form as a recursive-CTE ``replace`` chain
+over distinct words; equivalence is property-tested in
+tests/test_datapipe.py.
+
+Scale shape (100 TB): Arrow-batched pandas UDF (the sanctioned
+dense-work case — per-word dynamic programming has no Column-
+expression form), one corpus scan, zero shuffles. Word→tokens results
+memoize in a per-executor cache (hit rate ≈ 1 - distinct_words/words
+under Zipfian text; capped so adversarial all-unique corpora cannot
+grow it unboundedly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.errors import is_ok
+from ..core.step import Step
+
+#: RE2-safe pre-tokenizer (see module docstring). The char class
+#: excludes the repo's pinned explicit whitespace set, not \s.
+PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+
+DEFAULT_MERGES_PATH = os.path.join(os.path.dirname(__file__), "bpe_merges.txt")
+
+#: Memoized word→tokens entries per executor before falling back to
+#: uncached encoding (bounds worker memory on all-unique corpora).
+_CACHE_CAP = 1 << 20
+
+_PRETOKEN_RE = re.compile(PRETOKEN_PATTERN)
+
+
+def load_merges(path: str | None = None) -> tuple[tuple[str, str], ...]:
+    """Read a merges file (``a b`` per line, ``#`` comments) into the
+    rank-ordered pair list. The default is the checked-in fixture."""
+    merges: list[tuple[str, str]] = []
+    with open(path or DEFAULT_MERGES_PATH, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, sep, b = line.partition(" ")
+            if not sep or not a or not b:
+                raise ValueError(f"malformed merges line: {line!r}")
+            merges.append((a, b))
+    return tuple(merges)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]:
+    """Canonical BPE application: merge the lowest-rank adjacent pair
+    present (all its occurrences, leftmost-first) until none remains."""
+    toks: tuple[str, ...] = tuple(word)
+    while len(toks) > 1:
+        best = None
+        best_rank = len(ranks)
+        for pair in zip(toks, toks[1:]):
+            r = ranks.get(pair)
+            if r is not None and r < best_rank:
+                best, best_rank = pair, r
+        if best is None:
+            break
+        merged = best[0] + best[1]
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = tuple(out)
+    return toks
+
+
+def encode_text(
+    text: str | None,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, tuple[str, ...]] | None = None,
+) -> list[str]:
+    """Pre-tokenize + BPE-encode a document into its token stream."""
+    if not text:
+        return []
+    out: list[str] = []
+    for word in _PRETOKEN_RE.findall(text):
+        toks = cache.get(word) if cache is not None else None
+        if toks is None:
+            toks = encode_word(word, ranks)
+            if cache is not None and len(cache) < _CACHE_CAP:
+                cache[word] = toks
+        out.extend(toks)
+    return out
+
+
+# per-executor memo, keyed by merges identity (merges files are tiny;
+# a worker serving two merge tables keeps two entries)
+_WORD_CACHES: dict[tuple[tuple[str, str], ...], dict[str, tuple[str, ...]]] = {}
+
+
+def _bpe_struct_udf(merges: tuple[tuple[str, str], ...]):
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("n_bpe_tokens bigint, bpe_token_hash string")
+    def bpe_udf(texts: pd.Series) -> pd.DataFrame:
+        cache = _WORD_CACHES.setdefault(merges, {})
+        counts: list[int] = []
+        hashes: list[str] = []
+        for text in texts:
+            toks = encode_text(text, ranks, cache)
+            counts.append(len(toks))
+            hashes.append(
+                hashlib.md5("\x01".join(toks).encode("utf-8")).hexdigest()
+            )
+        return pd.DataFrame({"n_bpe_tokens": counts, "bpe_token_hash": hashes})
+
+    return bpe_udf
+
+
+def bpe_tokens_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges_path: str | None = None,
+) -> DataFrame:
+    """(id, n_bpe_tokens, bpe_token_hash) for every input row — the
+    query-shaped form. One Arrow-batched scan, no shuffle; NULL/empty
+    text degrades to (0, md5(''))."""
+    from ._util import fan_out
+
+    bpe_udf = _bpe_struct_udf(load_merges(merges_path))
+    out = fan_out(df).select(
+        F.col(id_col), bpe_udf(F.col(text_col)).alias("_bpe")
+    )
+    return out.select(
+        id_col,
+        F.col("_bpe.n_bpe_tokens").alias("n_bpe_tokens"),
+        F.col("_bpe.bpe_token_hash").alias("bpe_token_hash"),
+    )
+
+
+def bpe_token_count(
+    name: str = "bpe-tokens",
+    text_col: str = "text",
+    merges_path: str | None = None,
+) -> Step:
+    """Attach ``n_bpe_tokens`` / ``bpe_token_hash`` (errored rows keep
+    NULLs — they skipped the step, per the engine error contract)."""
+    merges = load_merges(merges_path)
+    bpe_udf = _bpe_struct_udf(merges)
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        for c in ("n_bpe_tokens", "bpe_token_hash", "_bpe"):
+            if c in df.columns:
+                raise ValueError(
+                    f"bpe_token_count: input already has column {c!r}"
+                )
+        sig = bpe_udf(F.col(text_col))
+        return df.withColumn("_bpe", F.when(is_ok(), sig)).select(
+            *df.columns,
+            F.col("_bpe.n_bpe_tokens").alias("n_bpe_tokens"),
+            F.col("_bpe.bpe_token_hash").alias("bpe_token_hash"),
+        )
+
+    return Step(
+        name, fn, node_type="bpe_tokens", metadata={"n_merges": len(merges)}
+    )
+
+
+def oracle_sql(
+    merges: tuple[tuple[str, str], ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Generate the DuckDB oracle for ``bpe_tokens_df`` — an
+    INDEPENDENT replay of the same merge table: wrap each character of
+    every distinct word in \\x02..\\x03 markers, apply the merges as a
+    rank-ordered ``replace`` chain inside a recursive CTE (valid
+    because trained merge lists are well-formed, see module
+    docstring), then re-aggregate counts and the \\x01-joined stream
+    per document. The markers make a pattern match exactly a whole
+    adjacent token pair — never a token's interior or a partial
+    overlap."""
+    s, e = "\x02", "\x03"
+    rows = ",\n  ".join(
+        f"({i + 1}, '{s}{a}{e}{s}{b}{e}', '{s}{a + b}{e}')"
+        for i, (a, b) in enumerate(merges)
+    )
+    n = len(merges)
+    # the pre-tokenizer pattern, spelled with the same explicit
+    # whitespace class; single-quoted for SQL (no quotes inside)
+    pat = PRETOKEN_PATTERN
+    return f"""
+WITH RECURSIVE
+m(rank, pat, rep) AS (VALUES
+  {rows}),
+d AS (
+  SELECT {id_col}, regexp_extract_all(coalesce({text_col}, ''), '{pat}') AS ws
+  FROM {table}),
+w AS (
+  SELECT {id_col}, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM d),
+u AS (SELECT DISTINCT w FROM w),
+enc AS (
+  SELECT w, regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS str, 0 AS r
+  FROM u
+  UNION ALL
+  SELECT enc.w, replace(enc.str, m.pat, m.rep), enc.r + 1
+  FROM enc JOIN m ON m.rank = enc.r + 1),
+fin AS (
+  SELECT w,
+         length(str) - length(replace(str, chr(2), '')) AS ntok,
+         replace(substr(str, 2, length(str) - 2), chr(3) || chr(2), chr(1)) AS wtoks
+  FROM enc WHERE r = {n}),
+agg AS (
+  SELECT w.{id_col},
+         SUM(fin.ntok) AS n,
+         string_agg(fin.wtoks, chr(1) ORDER BY w.i) AS stream
+  FROM w JOIN fin ON w.w = fin.w
+  GROUP BY w.{id_col})
+SELECT t.{id_col},
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(agg.stream, '')) AS bpe_token_hash
+FROM {table} t LEFT JOIN agg ON t.{id_col} = agg.{id_col}
+"""

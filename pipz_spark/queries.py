@@ -1645,6 +1645,26 @@ FROM documents
 """
 
 
+# Real merge-table BPE (datapipe/bpe.py): pinned 40-merge table,
+# canonical lowest-rank-first application; the hash column is an
+# exact per-document segmentation witness. Oracle = an independent
+# recursive-CTE replay of the same merge table (generated from the
+# checked-in fixture, never from the Python encoder's output).
+def _dp_bpe_tokens(spark, sf):
+    from .datapipe import bpe_tokens_df
+
+    return bpe_tokens_df(_t(spark, sf, "documents"))
+
+
+def _bpe_sql() -> str:
+    from .datapipe.bpe import load_merges, oracle_sql
+
+    return oracle_sql(load_merges())
+
+
+_DP_BPE_SQL = _bpe_sql()
+
+
 # Sliding-window chunking (datapipe/text.py:chunk_documents): 32-token
 # windows every 24 tokens; trailing windows adding no new tokens are
 # dropped, sub-window docs yield one chunk. Oracle re-derives the
@@ -3002,6 +3022,8 @@ QUERIES: dict[str, Declared] = {
     # top-k/window anchors gate; the rank-replay composition gets its
     # exact gate here (new r7; tail per the unique-code-path rule)
     "dp_shuffle_shards": Declared(_dp_shuffle, _DP_SHUFFLE_SQL),
+    # real merge-table BPE (new r8) — exact segmentation witness
+    "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
 }
 
 

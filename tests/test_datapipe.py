@@ -1230,3 +1230,89 @@ def test_whitespace_class_matches_re2_semantics(spark):
         r"SELECT len(string_split_regex(trim('a' || chr(11) || 'b c'), '\s+'))"
     ).fetchone()[0]
     assert got == want == 2  # 'a\x0bb' is ONE token in both engines
+
+
+def test_bpe_encode_word_canonical_examples():
+    # pinned segmentations under the checked-in 40-merge fixture —
+    # regenerating the fixture (tools/train_bpe.py) must reproduce them
+    from pipz_spark.datapipe.bpe import encode_word, load_merges
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    assert encode_word("order", ranks) == ("order",)
+    assert encode_word("customer", ranks) == ("c", "u", "st", "o", "mer")
+    assert encode_word("spark", ranks) == ("s", "par", "k")
+    assert encode_word("", ranks) == ()
+    assert encode_word("zzz", ranks) == ("z", "z", "z")  # unseen chars stay atomic
+
+
+def test_bpe_rank_order_equivalence():
+    # the oracle's correctness hinge: on a WELL-FORMED merge list,
+    # applying merges one at a time in rank order (what the recursive-
+    # CTE replace chain does) equals the canonical lowest-rank-first
+    # loop. Checked over every word the corpus alphabet can spell, not
+    # just corpus words.
+    import itertools
+    import random
+
+    from pipz_spark.datapipe.bpe import encode_word, load_merges
+
+    merges = load_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def sequential(word):
+        toks = list(word)
+        for a, b in merges:  # rank order, one merge rule at a time
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return tuple(toks)
+
+    rng = random.Random(8)
+    alphabet = sorted({c for p in merges for c in (p[0] + p[1])})
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14))) for _ in range(300)]
+    words += ["aaaa", "erer", "stst", "partpart", "windowwindow"]
+    for w in words:
+        assert encode_word(w, ranks) == sequential(w), w
+
+
+def test_bpe_token_count_step_skips_errored_rows(spark):
+    from pipz_spark.core.errors import ensure_error_column
+    from pipz_spark.datapipe import bpe_token_count
+    import pipz_spark.operators as P
+
+    df = spark.createDataFrame(
+        [(1, "the fast scan"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    bad = P.apply("gate", error_when=F.col("doc_id") == 1, message="x")
+    out = bpe_token_count()(bad(ensure_error_column(df)))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_bpe_tokens"] is None  # errored row skipped the step
+    assert rows[2]["n_bpe_tokens"] == 0  # NULL text degrades, never fails
+    assert rows[3]["n_bpe_tokens"] == 0
+    import hashlib
+
+    assert rows[2]["bpe_token_hash"] == hashlib.md5(b"").hexdigest()
+    with pytest.raises(ValueError, match="n_bpe_tokens"):
+        bpe_token_count()(out)
+
+
+def test_bpe_tokens_df_matches_reference_counts(spark, documents):
+    # n_bpe_tokens through the Spark scan == a driver-local pure-
+    # Python encode of the same texts (independent of the SQL oracle)
+    from pipz_spark.datapipe import bpe_tokens_df
+    from pipz_spark.datapipe.bpe import encode_text, load_merges
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_tokens_df(documents).collect()}
+    local = {
+        r["doc_id"]: len(encode_text(r["text"], ranks))
+        for r in documents.select("doc_id", "text").collect()
+    }
+    assert got == local and len(got) == documents.count()
