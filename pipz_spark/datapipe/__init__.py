@@ -36,6 +36,8 @@ from .similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     cosine_topk_pq,
+    cross_embedding_pairs,
+    embedding_index,
     embedding_near_dup_pairs,
 )
 from .text import (

@@ -687,12 +687,165 @@ def embedding_near_dup_pairs(
     )
 
 
+_INDEX_META_KEYS = ("pipz_lsh_bits", "pipz_lsh_tables", "pipz_lsh_seed", "pipz_lsh_dim")
+
+
+def embedding_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Reusable LSH index over an embedding corpus — the vector-side
+    analog of ``banded_signatures``' stored-index contract. Returns
+    (_id, _tbl, _sig, _v): each vector's multi-table hyperplane
+    signatures WITH the vector riding along, i.e. exactly the bucket-
+    shuffle input the scorers consume — persist or parquet it once
+    and every incremental batch skips re-projecting the corpus.
+
+    The LSH family parameters (bits/tables/seed/dim) ARE the index's
+    identity: a batch signed with a different family collides on
+    nothing. They're pinned into the ``_sig`` column's schema metadata
+    (zero storage cost, survives parquet round-trips), and
+    ``cross_embedding_pairs`` adopts + enforces them from there.
+    """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError(
+                "embedding_index: empty corpus (or NULL first embedding) — "
+                "pass dim= explicitly to build an empty index"
+            )
+        dim = int(first["d"])
+    all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    out = _table_signatures_df(corpus, id_col, vec_col, all_planes, keep_vec=True)
+    meta = dict(zip(_INDEX_META_KEYS, (bits, tables, seed, dim)))
+    return out.select(
+        "_id", "_tbl", F.col("_sig").alias("_sig", metadata=meta), "_v"
+    )
+
+
+def cross_embedding_pairs(
+    new: DataFrame,
+    ref: DataFrame | None = None,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    ref_index: DataFrame | None = None,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Incremental-crawl SEMANTIC dedup: which NEW embeddings are
+    within cosine ``threshold`` of any REFERENCE embedding — the
+    vector mirror of ``cross_near_dup_pairs``. Returns
+    (new_id, ref_id, cos) with cos >= threshold; strictly cross —
+    the batch is never paired against itself, nor the corpus against
+    itself. A pair whose two sides share an id value is suppressed
+    (the same item re-observed, not a duplicate); use distinct id
+    spaces if re-embedded items must still pair.
+
+    Pass ``ref_index`` — a persisted ``embedding_index`` frame — to
+    skip re-projecting the corpus every batch; the family parameters
+    travel in the index's schema metadata and the new batch is signed
+    with THE SAME family automatically (explicit bits/tables/seed/dim
+    arguments must agree when both are given — a mismatched family
+    would collide on nothing and silently return empty, so it raises
+    instead). The index is used as the caller owns it: never
+    persisted or cache-tracked here, so ``release_caches()`` between
+    batches cannot unpersist it.
+
+    Execution shape: one Arrow-batched projection over the (small)
+    batch, union with the index rows, ONE bucket shuffle, in-bucket
+    blocked matmuls emitting skinny (new_id, ref_id, cos) rows
+    (``_score_buckets_two_sided``), dropDuplicates over multi-table
+    hits, threshold cut. At 100 TB the corpus-side shuffle is the
+    index scan itself — no signature recompute, no pair join-back.
+    """
+    if (ref is None) == (ref_index is None):
+        raise ValueError(
+            "cross_embedding_pairs: pass exactly one of ref= or ref_index="
+        )
+    if ref_index is not None:
+        meta = ref_index.schema["_sig"].metadata or {}
+        if all(k in meta for k in _INDEX_META_KEYS):
+            ib, it, isd, idim = (int(meta[k]) for k in _INDEX_META_KEYS)
+            explicit = {"bits": bits != 8, "tables": tables != 8,
+                        "seed": seed != 42, "dim": dim is not None}
+            given = dict(zip(("bits", "tables", "seed", "dim"),
+                             (bits, tables, seed, dim)))
+            stored = dict(zip(("bits", "tables", "seed", "dim"),
+                              (ib, it, isd, idim)))
+            clash = [k for k, was in explicit.items()
+                     if was and given[k] != stored[k]]
+            if clash:
+                raise ValueError(
+                    f"cross_embedding_pairs: {clash} disagree with the "
+                    f"index's stored family {stored} — a mismatched LSH "
+                    "family collides on nothing"
+                )
+            bits, tables, seed, dim = ib, it, isd, idim
+        # metadata stripped (e.g. the frame went through a transform):
+        # fall back to the caller's explicit parameters — the contract
+        # is then the caller's to uphold, as with ref_sigs width checks
+        if dim is None:
+            first = new.select(F.size(F.col(vec_col)).alias("d")).first()
+            if first is None or first["d"] is None:
+                id_t = _id_type(new, id_col)
+                return new.sparkSession.createDataFrame(
+                    [], f"new_id {id_t}, ref_id {id_t}, cos double"
+                )
+            dim = int(first["d"])
+        c_side = ref_index.withColumn("_side", F.lit("c"))
+        id_type = _id_type(new, id_col)
+    else:
+        if dim is None:
+            first = ref.select(F.size(F.col(vec_col)).alias("d")).first()
+            if first is None or first["d"] is None:
+                id_t = _id_type(new, id_col)
+                return new.sparkSession.createDataFrame(
+                    [], f"new_id {id_t}, ref_id {id_t}, cos double"
+                )
+            dim = int(first["d"])
+        planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+        c_side = _table_signatures_df(
+            ref, id_col, vec_col, planes, keep_vec=True
+        ).withColumn("_side", F.lit("c"))
+        id_type = _id_type(ref, id_col)
+    all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    q_side = _table_signatures_df(
+        new, id_col, vec_col, all_planes, keep_vec=True
+    ).withColumn("_side", F.lit("q"))
+    scored = _score_buckets_two_sided(
+        q_side.unionByName(c_side.select(*q_side.columns)),
+        ["_tbl", "_sig"],
+        id_type=id_type,
+        block_rows=block_rows,
+    )
+    return (
+        scored.dropDuplicates(["qid", "nid"])
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("qid").alias("new_id"),
+            F.col("nid").alias("ref_id"),
+            "cos",
+        )
+    )
+
+
 __all__ = [
     "cosine_similarity",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "cosine_topk_pq",
+    "cross_embedding_pairs",
+    "embedding_index",
     "embedding_near_dup_pairs",
     "lsh_signature",
 ]

@@ -2320,6 +2320,33 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
 """
 
 
+# Incremental cross-corpus embedding dedup (new r8): new batch
+# (vec_id < 25) against a prebuilt reusable index over the rest —
+# the ANN-side mirror of dp_cross_dedup. Exhaustive-recall family
+# (bits=3, tables=32; miss probability per >= 0.35 pair ~1e-4) so the
+# exact all-pairs oracle is the ground truth, same stance as
+# dp_embed_near_dup.
+def _dp_cross_embed(spark, sf):
+    from .datapipe import cross_embedding_pairs, embedding_index
+
+    emb = _t(spark, sf, "embeddings")
+    new = emb.where(F.col("vec_id") < 25)
+    ref = emb.where(F.col("vec_id") >= 25)
+    index = embedding_index(ref, bits=3, tables=32)
+    return cross_embedding_pairs(new, threshold=0.35, ref_index=index)
+
+
+_DP_CROSS_EMBED_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT * FROM v WHERE vec_id < 25),
+r AS (SELECT * FROM v WHERE vec_id >= 25)
+SELECT n.vec_id AS new_id, r.vec_id AS ref_id,
+       round(list_cosine_similarity(n.e, r.e), 6) AS cos
+FROM n, r
+WHERE round(list_cosine_similarity(n.e, r.e), 6) >= 0.35
+"""
+
+
 # --------------------------------------------------------------------
 # SQL-surface queries: the engine's pipelines can equivalently be
 # written as SQL over registered views (sources/catalog.py:
@@ -3024,6 +3051,8 @@ QUERIES: dict[str, Declared] = {
     "dp_shuffle_shards": Declared(_dp_shuffle, _DP_SHUFFLE_SQL),
     # real merge-table BPE (new r8) — exact segmentation witness
     "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
+    # incremental cross-corpus embedding index (new r8)
+    "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
 }
 
 

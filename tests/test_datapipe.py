@@ -1316,3 +1316,65 @@ def test_bpe_tokens_df_matches_reference_counts(spark, documents):
         for r in documents.select("doc_id", "text").collect()
     }
     assert got == local and len(got) == documents.count()
+
+
+def test_embedding_index_round_trip_and_family_adoption(spark, embeddings, tmp_path):
+    # the index's LSH family rides in schema metadata through a
+    # parquet round-trip, and cross_embedding_pairs adopts it — the
+    # reloaded-index result must equal the inline-ref result exactly
+    from pipz_spark.datapipe import cross_embedding_pairs, embedding_index
+
+    new = embeddings.where(F.col("vec_id") < 20)
+    ref = embeddings.where(F.col("vec_id") >= 20)
+    inline = {
+        (r["new_id"], r["ref_id"], r["cos"])
+        for r in cross_embedding_pairs(
+            new, ref, threshold=0.3, bits=3, tables=32
+        ).collect()
+    }
+    path = str(tmp_path / "embidx")
+    embedding_index(ref, bits=3, tables=32).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    meta = reloaded.schema["_sig"].metadata
+    assert meta["pipz_lsh_bits"] == 3 and meta["pipz_lsh_tables"] == 32
+    via_index = {
+        (r["new_id"], r["ref_id"], r["cos"])
+        for r in cross_embedding_pairs(
+            new, threshold=0.3, ref_index=reloaded
+        ).collect()
+    }
+    assert via_index == inline and len(inline) > 0
+
+
+def test_cross_embedding_pairs_guards(spark, embeddings):
+    from pipz_spark.datapipe import cross_embedding_pairs, embedding_index
+
+    new = embeddings.where(F.col("vec_id") < 5)
+    ref = embeddings.where(F.col("vec_id") >= 5)
+    idx = embedding_index(ref, bits=3, tables=8)
+    # exactly one of ref / ref_index
+    with pytest.raises(ValueError, match="exactly one"):
+        cross_embedding_pairs(new, ref, ref_index=idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        cross_embedding_pairs(new)
+    # explicit family args that disagree with the stored family raise
+    with pytest.raises(ValueError, match="family"):
+        cross_embedding_pairs(new, ref_index=idx, bits=5)
+    # empty inline reference degrades to an empty result, not a crash
+    out = cross_embedding_pairs(new, ref.where(F.col("vec_id") < 0))
+    assert out.count() == 0 and out.columns == ["new_id", "ref_id", "cos"]
+    # empty index corpus without dim= is an actionable error
+    with pytest.raises(ValueError, match="dim"):
+        embedding_index(ref.where(F.col("vec_id") < 0))
+
+
+def test_cross_embedding_pairs_strictly_cross(spark, embeddings):
+    # no batch×batch or corpus×corpus pairs can appear, even with an
+    # aggressive threshold that would admit them
+    from pipz_spark.datapipe import cross_embedding_pairs
+
+    new = embeddings.where(F.col("vec_id") < 30)
+    ref = embeddings.where(F.col("vec_id") >= 30)
+    rows = cross_embedding_pairs(new, ref, threshold=-1.0, bits=1, tables=4).collect()
+    assert len(rows) > 0
+    assert all(r["new_id"] < 30 <= r["ref_id"] for r in rows)
