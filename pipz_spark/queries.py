@@ -2902,11 +2902,18 @@ FROM h
 # ever leaves the gate entirely, and the remaining slots cycle
 # through queries that have not yet earned a driver-green row.
 #
-# r7 window = 23 anchors + 27 first-time entries (every r6-window
-# query displaced below was driver-green in CORRECTNESS_r06.json;
-# the 27 promotions were judge-oracle-green in r6's independent run,
-# except rel_cube which is new this round). tools/check_correctness.py
-# re-validates ALL entries locally regardless of window position.
+# r8 window (the rotation program's FINAL promotion round, r7 judge
+# ask #1) = 38 anchors/machine-coverage keeps + the 10 entries that
+# had never earned a driver-green row across r1-r7 (rel_semi_join,
+# events_time_rollup, dp_stratified_sample, dp_chunk_docs,
+# dp_decontaminate, dp_redact_pii, dp_ngram_repetition,
+# dp_pack_sequences, dp_temperature_resample, dp_shuffle_shards) +
+# the 2 queries new this round (dp_bpe_tokens, dp_cross_embed). The
+# 12 entries demoted to the tail to make room are all driver-green
+# in CORRECTNESS_r07.json and re-parameterize machines an anchor
+# still pins. After this round every registry entry has public
+# driver evidence. tools/check_correctness.py re-validates ALL
+# entries locally regardless of window position.
 QUERIES: dict[str, Declared] = {
     # ---- anchors: one driver-green row per engine machine --------
     # Transform — the projection machine every processor shares
@@ -2953,43 +2960,44 @@ QUERIES: dict[str, Declared] = {
     "dp_cosine_topk": Declared(_dp_cosine_topk, _DP_COSINE_TOPK_SQL),
     # binary multimodal columns
     "dp_blob_meta": Declared(_dp_blob_meta, _DP_BLOB_META_SQL),
-    # ---- first driver-green rows: promoted from the r6 tail ------
-    # NEW r7 (judge ask #3): the cube mode's first oracle row
+    # full outer is an ANCHOR by the unique-code-path rule (no other
+    # window join exercises the both-sides-preserving SMJ path); the
+    # semi-join machine is pinned by rel_semi_join's own promotion
+    # below AND rel_exists_subquery's decorrelation rewrite
+    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
+    # ---- machine-coverage keeps (all driver-green in r7) ---------
     "rel_cube": Declared(_rel_cube, _REL_CUBE_SQL),
-    "rel_grouping_sets": Declared(_rel_grouping_sets, _REL_GROUPING_SETS_SQL),
     "rel_pivot": Declared(_rel_pivot, _REL_PIVOT_SQL),
     "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
-    # full outer is an ANCHOR by the unique-code-path rule (the r6
-    # comment that moved it INTO the window still holds: no other
-    # window join exercises the both-sides-preserving SMJ path); it
-    # displaced rel_semi_join, whose semi-join machine the window
-    # still pins via rel_exists_subquery's decorrelation rewrite
-    "rel_full_outer_join": Declared(_rel_full_outer_join, _REL_FULL_OUTER_SQL),
-    "rel_anti_join": Declared(_rel_anti_join, _REL_ANTI_SQL),
     "rel_exists_subquery": Declared(_rel_exists_subquery, _REL_EXISTS_SQL),
-    "rel_scalar_subquery": Declared(_rel_scalar_subquery, _REL_SCALAR_SUBQ_SQL),
     "rel_multi_count_distinct": Declared(
         _rel_multi_count_distinct, _REL_MULTI_DISTINCT_SQL
     ),
-    "rel_listagg": Declared(_rel_listagg, _REL_LISTAGG_SQL),
-    "rel_setops_all": Declared(_rel_setops_all, _REL_SETOPS_ALL_SQL),
-    "rel_window_lag": Declared(_rel_window_lag, _REL_WINDOW_LAG_SQL),
-    "rel_window_range": Declared(_rel_window_range, _REL_WINDOW_RANGE_SQL),
     "rel_pricing_summary": Declared(_rel_pricing_summary, _REL_PRICING_SUMMARY_SQL),
-    "rel_shipping_priority": Declared(_rel_shipping_priority, _REL_SHIPPING_PRIORITY_SQL),
-    "rel_region_star": Declared(_rel_region_star, _REL_REGION_STAR_SQL),
-    "rel_part_brand_agg": Declared(_rel_part_brand_agg, _REL_PART_BRAND_SQL),
     "events_funnel": Declared(_events_funnel, _EVENTS_FUNNEL_SQL),
     "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
-    "events_top_paths": Declared(_events_top_paths, _EVENTS_TOP_PATHS_SQL),
     "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
     "events_gap_fill": Declared(_events_gap_fill, _EVENTS_GAP_FILL_SQL),
     "udtf_flat_map": Declared(_udtf_flat_map, _UDTF_FLAT_MAP_SQL),
     "json_variant_get": Declared(_json_variant_get, _JSON_PARSE_SQL),
     "dp_cross_dedup": Declared(_dp_cross_dedup, _DP_CROSS_DEDUP_SQL),
     "dp_ann_pq": Declared(_dp_ann_pq, _DP_COSINE_TOPK_SQL),
-    "dp_jaccard_ngram": Declared(_dp_jaccard_ngram, _DP_JACCARD_NGRAM_SQL),
     "dp_jaccard_clusters": Declared(_dp_jaccard_clusters, _DP_JACCARD_CLUSTERS_SQL),
+    # ---- final promotions: the 10 entries with no driver-green ---
+    # row across r1-r7 (r7 judge ask #1) — this closes the rotation
+    "rel_semi_join": Declared(_rel_semi_join, _REL_SEMI_SQL),
+    "events_time_rollup": Declared(_events_time_rollup, _EVENTS_TIME_ROLLUP_SQL),
+    "dp_stratified_sample": Declared(_dp_stratified, _DP_STRATIFIED_SQL),
+    "dp_chunk_docs": Declared(_dp_chunk, _DP_CHUNK_SQL),
+    "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
+    "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
+    "dp_ngram_repetition": Declared(_dp_ngram_repetition, _DP_NGRAM_REP_SQL),
+    "dp_pack_sequences": Declared(_dp_pack, _DP_PACK_SQL),
+    "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
+    "dp_shuffle_shards": Declared(_dp_shuffle, _DP_SHUFFLE_SQL),
+    # ---- new this round (first evidence rows) --------------------
+    "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
+    "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
     # ---- past the 50-row window ----------------------------------
     # Two populations: (a) queries rotated OUT with a driver-green
     # row in CORRECTNESS_r06.json — their machines stay represented
@@ -3014,7 +3022,6 @@ QUERIES: dict[str, Declared] = {
     "rel_distinct": Declared(_rel_distinct, _REL_DISTINCT_SQL),
     "rel_setops": Declared(_rel_setops, _REL_SETOPS_SQL),
     "rel_percentile": Declared(_rel_percentile, _REL_PERCENTILE_SQL),
-    "rel_semi_join": Declared(_rel_semi_join, _REL_SEMI_SQL),
     "dp_ann_lsh": Declared(_dp_ann_lsh, _DP_COSINE_TOPK_SQL),
     "dp_ann_ivf": Declared(_dp_ann_ivf, _DP_COSINE_TOPK_SQL),
     "dp_embed_near_dup": Declared(_dp_embed_near_dup, _DP_EMBED_NEAR_DUP_SQL),
@@ -3035,24 +3042,27 @@ QUERIES: dict[str, Declared] = {
     "dp_deterministic_sample": Declared(_dp_sample, _DP_SAMPLE_SQL),
     "dp_regex_tokens": Declared(_dp_regex_tokens, _DP_REGEX_TOKENS_SQL),
     "events_hourly_window": Declared(_events_window, _EVENTS_WINDOW_SQL),
-    "events_time_rollup": Declared(_events_time_rollup, _EVENTS_TIME_ROLLUP_SQL),
-    "dp_stratified_sample": Declared(_dp_stratified, _DP_STRATIFIED_SQL),
-    "dp_chunk_docs": Declared(_dp_chunk, _DP_CHUNK_SQL),
-    "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
-    "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
-    "dp_ngram_repetition": Declared(_dp_ngram_repetition, _DP_NGRAM_REP_SQL),
-    "dp_pack_sequences": Declared(_dp_pack, _DP_PACK_SQL),
     "dp_fingerprint": Declared(_dp_fingerprint, _DP_FINGERPRINT_SQL),
-    "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
-    # deterministic shuffle = the md5-bucket machinery of the
-    # deterministic_split family + the row_number WindowExec the
-    # top-k/window anchors gate; the rank-replay composition gets its
-    # exact gate here (new r7; tail per the unique-code-path rule)
-    "dp_shuffle_shards": Declared(_dp_shuffle, _DP_SHUFFLE_SQL),
-    # real merge-table BPE (new r8) — exact segmentation witness
-    "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
-    # incremental cross-corpus embedding index (new r8)
-    "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
+    # ---- demoted from the r7 window to fund the final promotions -
+    # all 12 are driver-green in CORRECTNESS_r07.json and each
+    # re-parameterizes a machine an anchor above still pins
+    # (grouping_sets/cube share the expand machine; anti/semi the
+    # exists rewrite; listagg/setops_all/window_lag/window_range the
+    # agg+window anchors; the TPC-H trio rel_pricing_summary's
+    # star-join shape; top_paths the sessions machine; jaccard_ngram
+    # the jaccard_clusters pair stage)
+    "rel_grouping_sets": Declared(_rel_grouping_sets, _REL_GROUPING_SETS_SQL),
+    "rel_anti_join": Declared(_rel_anti_join, _REL_ANTI_SQL),
+    "rel_scalar_subquery": Declared(_rel_scalar_subquery, _REL_SCALAR_SUBQ_SQL),
+    "rel_listagg": Declared(_rel_listagg, _REL_LISTAGG_SQL),
+    "rel_setops_all": Declared(_rel_setops_all, _REL_SETOPS_ALL_SQL),
+    "rel_window_lag": Declared(_rel_window_lag, _REL_WINDOW_LAG_SQL),
+    "rel_window_range": Declared(_rel_window_range, _REL_WINDOW_RANGE_SQL),
+    "rel_shipping_priority": Declared(_rel_shipping_priority, _REL_SHIPPING_PRIORITY_SQL),
+    "rel_region_star": Declared(_rel_region_star, _REL_REGION_STAR_SQL),
+    "rel_part_brand_agg": Declared(_rel_part_brand_agg, _REL_PART_BRAND_SQL),
+    "events_top_paths": Declared(_events_top_paths, _EVENTS_TOP_PATHS_SQL),
+    "dp_jaccard_ngram": Declared(_dp_jaccard_ngram, _DP_JACCARD_NGRAM_SQL),
 }
 
 
