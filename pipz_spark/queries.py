@@ -2211,6 +2211,64 @@ FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
 """
 
 
+# Cross-SF gate for the two cluster queries (r7 judge ask #2): their
+# full oracles above close the pair graph with a recursive CTE that is
+# intractable for DuckDB on sf0.1's dense template cliques — but the
+# PAIR DERIVATION (the semantically hard, engine-divergence-prone
+# part: tokenization, shingling, df-caps, quantized Jaccard,
+# threshold) is tractable at any SF. These oracles emit just the
+# exact edge set; tools/check_correctness.py closes it with a
+# union-find and compares (cluster_id = component min, keeper =
+# min id) label-for-label — full equality to ground truth, with the
+# transitive closure done by a ~20-line exact algorithm instead of a
+# quadratic recursive join. Each string is the corresponding full
+# oracle's prefix verbatim.
+CLUSTER_PAIR_ORACLES: dict[str, str] = {
+    "dp_jaccard_clusters": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[s + 1 : s + 5], ' ')
+                        for s in range(0, greatest(len(t) - 4, 1))]) AS g
+  FROM toks
+), grams AS (
+  SELECT doc_id, unnest(g) AS g FROM sets
+), keep AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM (
+  SELECT id_a, id_b,
+         floor(len(list_intersect(sa.g, sb.g)) * 1.0 /
+               (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))
+               * 10000.0 + 0.5) / 10000.0 AS jaccard
+  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+            JOIN sets sb ON sb.doc_id = cand.id_b
+) WHERE jaccard >= 0.5
+""",
+    "dp_dedup_clusters": r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text)-4, 1)+1)]) AS sh
+  FROM documents
+),
+sz AS (SELECT doc_id, sh, len(sh) AS n FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+  AND floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+            * 10000.0 + 0.5) / 10000.0 >= 0.7
+""",
+}
+
+
 def _dp_simhash_pairs(spark, sf):
     # hamming <= 3 on a 64-bit simhash is the classic near-dup cut
     # (4 pigeonhole blocks); larger radii need proportionally more

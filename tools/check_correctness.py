@@ -7,6 +7,21 @@ report so precision-fragile queries surface BEFORE the driver sees
 them).
 
 Usage:  python tools/check_correctness.py [query ...]
+
+Cross-SF sweep — ONE command that exits nonzero on any divergence at
+ten times the driver's scale (the repo's documented pre-round gate):
+
+    PIPZ_CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py
+
+At any SF dir other than the driver's sf0.01, the two cluster
+queries switch from their recursive-CTE closure oracles (intractable
+for DuckDB on sf0.1's dense template cliques) to the pair-graph gate:
+DuckDB derives the EXACT edge set (queries.CLUSTER_PAIR_ORACLES — the
+full oracle's prefix, covering all the engine-divergence-prone
+semantics), a union-find closes it, and the Spark labels are compared
+component-for-component (cluster_id = component min, keeper = min
+id). Full equality against ground truth, closure done by an exact
+linear-time algorithm instead of a quadratic recursive join.
 """
 
 from __future__ import annotations
@@ -66,10 +81,56 @@ def compare(name, sdf, odf):
     return issues
 
 
+def check_clusters_via_pairs(name, sdf, con, pair_sql):
+    """Compare a (doc_id, cluster_id, is_keeper) frame against the
+    union-find closure of the DuckDB-derived exact pair graph."""
+    edges = con.sql(pair_sql).fetchall()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    rows = list(sdf.itertuples(index=False))
+    ids = [r.doc_id for r in rows]
+    for i in ids:
+        root = find(i)
+        want.setdefault(root, []).append(i)
+    label = {}
+    for members in want.values():
+        m = min(members)
+        for i in members:
+            label[i] = m
+    issues = []
+    edge_ids = {x for e in edges for x in e}
+    if not edge_ids.issubset(set(ids)):
+        issues.append("pair graph references ids missing from the output")
+    for r in rows:
+        w = label[r.doc_id]
+        if r.cluster_id != w or bool(r.is_keeper) != (r.doc_id == w):
+            issues.append(
+                f"doc {r.doc_id}: got (cluster={r.cluster_id}, "
+                f"keeper={r.is_keeper}), want (cluster={w}, keeper={r.doc_id == w})"
+            )
+            if len(issues) > 5:
+                return issues
+    return issues
+
+
 def main():
     import duckdb
 
     import __spark_entry__ as entrymod
+    from pipz_spark.queries import CLUSTER_PAIR_ORACLES
     from pipz_spark.session import get_session
     from pipz_spark.sources.catalog import TABLES
 
@@ -96,6 +157,27 @@ def main():
             from pipz_spark.datapipe import release_caches
 
             release_caches()
+        if name in CLUSTER_PAIR_ORACLES and not SF_DIR.rstrip("/").endswith("sf0.01"):
+            # cross-SF: recursive-closure oracle intractable — gate
+            # against the union-find closure of the exact pair graph
+            try:
+                issues = check_clusters_via_pairs(
+                    name, sdf, con, CLUSTER_PAIR_ORACLES[name]
+                )
+            except Exception as e:
+                issues = [f"pair-graph gate error: {e}"]
+            if issues:
+                print(f"FAIL  {name} (pair-graph gate, {len(sdf)} rows) [{time.time()-t0:.1f}s]")
+                for i in issues:
+                    print(f"      {i}")
+                n_fail += 1
+            else:
+                print(
+                    f"OK    {name}: {len(sdf)} rows exact vs union-find of "
+                    f"the SQL pair graph [{time.time()-t0:.1f}s]"
+                )
+                n_pass += 1
+            continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (rows-only check) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
