@@ -503,6 +503,9 @@ def cosine_topk_pq(
     cap = shortlist
 
     # --- 3. encode + ADC score + per-batch partial top-shortlist
+    cb_t = codebooks.transpose(0, 2, 1)  # (m, dsub, ksub)
+    cnorm = (codebooks * codebooks).sum(axis=2)  # (m, ksub)
+
     def score_partition(batches):
         for pdf in batches:
             n = len(pdf)
@@ -514,16 +517,25 @@ def cosine_topk_pq(
             sub = np.ascontiguousarray(
                 Vn.reshape(n, m, dsub).transpose(1, 0, 2)
             )  # (m, n, dsub)
-            # codes[j, i] = argmin_c ||sub[j,i] - codebook[j,c]||² via
-            # ONE batched matmul (||c||² - 2<x,c>; ||x||² constant per
-            # x so argmin is unaffected)
-            d2 = (codebooks * codebooks).sum(axis=2)[:, None, :] - 2.0 * (
-                sub @ codebooks.transpose(0, 2, 1)
-            )  # (m, n, ksub)
-            codes = np.argmin(d2, axis=2).T  # (n, m)
-            # approx[q, i] = Σ_j LUT[q, j, codes[i, j]] — the (1,m) and
-            # (n,m) index arrays broadcast to (n,m), giving (nq, n, m)
-            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            # codes[i, j] = argmin_c ||sub[j,i] - codebook[j,c]||²
+            # (||x||² constant per x so argmin is unaffected) and
+            # approx[q, i] = Σ_j LUT[q, j, codes[i, j]] — BOTH as
+            # per-subspace loops over (n, ksub) / (nq, n) slices, NOT
+            # one (m, n, ksub) distance tensor + one (nq, n, m) fancy-
+            # gather: the batched forms churn ~100 MB of temporaries
+            # per 6k-row batch and went memory-bound — the 100× stress
+            # (200k vectors) measured 18 s/task against 0.2 s for the
+            # loops, identical codes/scores bit-for-bit (r8; the
+            # training loop keeps its joint tensor — at train_rows
+            # scale dispatch overhead dominates instead)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                codes[:, j] = np.argmin(
+                    cnorm[j][None, :] - 2.0 * (sub[j] @ cb_t[j]), axis=1
+                )
+            approx = np.zeros((len(qids), n))
+            for j in range(m):
+                approx += lut[:, j, :][:, codes[:, j]]
             take = min(cap, n)
             # partial top-take per query; ties -> lower nid (lexsort
             # is stable: secondary key nids, primary -approx)

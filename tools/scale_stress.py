@@ -87,6 +87,53 @@ def run(spark, name, thunk):
     print(f"{name}: {n} rows, {wall:.1f}s wall, {ev}")
 
 
+def main_pq100x() -> None:
+    """100× ANN stress (VERDICT r7 #7): the 10× table extrapolates;
+    this runs the claimed memory-bound PQ path on a 200k-vector corpus
+    (100 replicas of sf0.1's embeddings, each perturbed) and records
+    the same max-task/shuffle evidence. The scale argument under
+    test: codebook training is a bounded TakeOrdered sample, the
+    encode+ADC pass is one linear mapInPandas scan, and ONLY skinny
+    (qid, nid, approx) shortlist partials shuffle — so shuffle_mb must
+    stay orders below the corpus payload and max task near the mean.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py pq100x
+    """
+    spark = get_session("pipz-scale-stress-100x", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress100_")
+    emb = load_table(spark, "embeddings", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * 100 + F.col("_rep")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + (F.col("_rep") * (i % 7 - 3)).cast("float") * 0.0005,
+            ).alias("embedding"),
+        )
+    )
+    big.write.mode("overwrite").parquet(f"{tmp}/embeddings100")
+    e100 = spark.read.parquet(f"{tmp}/embeddings100")
+    print(f"corpus: {e100.count()} vectors")
+    from pipz_spark.datapipe import cosine_topk_pq
+
+    queries = e100.where(F.col("vec_id") < 100)
+    run(spark, "cosine_topk_pq 100x", lambda: cosine_topk_pq(
+        e100, queries, k=5, m=32, ksub=64, shortlist=128).count())
+    # the incremental index path at the same scale: batch vs 200k
+    # corpus through a prebuilt index — one bucket shuffle, in-bucket
+    # scoring; evidence to watch is the same bounded-task story
+    from pipz_spark.datapipe import cross_embedding_pairs, embedding_index
+
+    idx = embedding_index(e100.where(F.col("vec_id") >= 100), bits=8, tables=8)
+    run(spark, "cross_embed 100x   ", lambda: cross_embedding_pairs(
+        queries, threshold=0.9, ref_index=idx).count())
+    spark.stop()
+
+
 def main() -> None:
     # the stress rig needs the UI's REST API for task/shuffle evidence
     spark = get_session("pipz-scale-stress", extra_conf={"spark.ui.enabled": "true"})
@@ -258,4 +305,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "pq100x" in _sys.argv[1:]:
+        main_pq100x()
+    else:
+        main()
