@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pipz_spark import P, get_session, split_ok
 from pipz_spark.control import Pipeline, observed_effect, collect_observation
 from pipz_spark.datapipe import (
+    bpe_token_count,
     contamination,
     dedup_clusters,
     deterministic_split,
@@ -55,6 +56,9 @@ def main() -> None:
             "flow",
             audit,
             token_count(),
+            # real BPE token budget alongside the whitespace/heuristic
+            # counts — what the training run actually bills against
+            bpe_token_count(),
             quality_score(),
             P.apply(
                 "quality-gate",

@@ -248,3 +248,23 @@ def test_anomaly_broadcasts_stats(spark):
     plan = _plan(spark, "events_anomaly")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_tokens_single_scan_no_shuffle(spark):
+    # one Arrow-batched projection over the scan: no aggregation, no
+    # join, no exchange beyond fan_out's optional round-robin
+    # rebalance of an under-partitioned local file
+    plan = _plan(spark, "dp_bpe_tokens")
+    assert "ArrowEvalPython" in plan  # the vectorized UDF, not row-wise
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_embed_no_cartesian_in_bucket_scoring(spark):
+    # candidates come from the bucket groupBy (FlatMapGroupsInPandas),
+    # never a pairwise join of the two corpora
+    plan = _plan(spark, "dp_cross_embed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
