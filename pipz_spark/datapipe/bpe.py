@@ -218,8 +218,12 @@ def oracle_sql(
     adjacent token pair — never a token's interior or a partial
     overlap."""
     s, e = "\x02", "\x03"
+
+    def q(tok: str) -> str:  # SQL string-literal escape for merge tokens
+        return tok.replace("'", "''")
+
     rows = ",\n  ".join(
-        f"({i + 1}, '{s}{a}{e}{s}{b}{e}', '{s}{a + b}{e}')"
+        f"({i + 1}, '{s}{q(a)}{e}{s}{q(b)}{e}', '{s}{q(a + b)}{e}')"
         for i, (a, b) in enumerate(merges)
     )
     n = len(merges)
