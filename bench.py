@@ -23,7 +23,11 @@ serializing them billed six query-start/trigger/stop rounds of mostly
 idle cores to the suite wall. Per-query values are each rig's own
 start→landed-result span (measured inside its thread, so they remain
 real end-to-end numbers, inflated only by genuine scheduler
-contention); the suite ``value`` bills the BLOCK's wall once. The
+contention — plus a small nondeterministic wobble when another rig's
+locked start() window, which temporarily pins session
+shuffle-partitions, coincides with this rig's batch sub-jobs; that
+affects spans only, never landed results); the suite ``value`` bills
+the BLOCK's wall once. The
 sidecar records ``stream_block_wall`` so the two accountings
 reconcile; spans overlap, so summing stream_* entries exceeds it by
 design. The oracle gates are untouched — every rig still executes its

@@ -43,10 +43,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     work = tempfile.mkdtemp(prefix="pipz_embed_index_")
     idx_path = f"{work}/embedding_index"
+    # probe the dimension ONCE at bootstrap and pass it explicitly
+    # from then on: a mature corpus routinely yields an all-duplicate
+    # batch, and indexing its EMPTY novel set must append nothing —
+    # not crash embedding_index's dim probe (r8 review)
+    dim = corpus.select(F.size("embedding")).first()[0]
     # fine buckets + many tables: high recall at the near-dup band
-    embedding_index(corpus, bits=3, tables=32).write.mode("overwrite").parquet(
-        idx_path
-    )
+    embedding_index(corpus, bits=3, tables=32, dim=dim).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
     print(f"corpus: {corpus.count()} vectors, index at {idx_path}")
 
     for i, batch in enumerate(batches):
@@ -59,9 +64,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"semantic near-dups of the corpus dropped, {novel.count()} novel kept"
         )
         corpus = corpus.unionByName(novel)
-        embedding_index(novel, bits=3, tables=32).write.mode("append").parquet(
-            idx_path
-        )
+        embedding_index(novel, bits=3, tables=32, dim=dim).write.mode(
+            "append"
+        ).parquet(idx_path)
 
     print(f"final corpus: {corpus.count()} vectors")
     spark.stop()

@@ -11,11 +11,15 @@ pair present, leftmost-first, until no ranked pair remains.
 Semantics pinned for cross-engine reproducibility:
 
 * Pre-tokenizer: maximal runs of ``[A-Za-z]+`` or ``[0-9]+``, else a
-  single non-alphanumeric non-whitespace character — a deliberately
-  RE2-safe subset of GPT-2's pre-tokenizer (no lookahead, no unicode
-  property classes), identical under Python ``re`` and DuckDB RE2.
-  Whitespace is the repo's pinned explicit class (text.py:WS) — never
-  ``\\s``.
+  single non-alphanumeric character — a deliberately RE2-safe subset
+  of GPT-2's pre-tokenizer (no lookahead, no unicode property
+  classes), identical under Python ``re`` and DuckDB RE2. Space and
+  ALL C0 control characters (``\\x00``-``\\x1f``, a superset of the
+  repo's pinned whitespace class) are separators, never tokens: text
+  controls are noise, and excluding them is also what guarantees the
+  oracle's ``\\x02``/``\\x03`` token markers can never collide with
+  document bytes (r8 review — a literal STX in a document previously
+  double-counted in the oracle's marker arithmetic).
 * No end-of-word marker: merges never span pre-token boundaries, and
   a word's encoding depends only on the word itself.
 * ``bpe_token_hash`` = md5 of the document's full token stream joined
@@ -53,9 +57,11 @@ from pyspark.sql import functions as F
 from ..core.errors import is_ok
 from ..core.step import Step
 
-#: RE2-safe pre-tokenizer (see module docstring). The char class
-#: excludes the repo's pinned explicit whitespace set, not \s.
-PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+#: RE2-safe pre-tokenizer (see module docstring). The escape-form
+#: range parses identically under Python re and RE2; the class
+#: excludes space + all C0 controls (superset of the pinned
+#: whitespace set), so no control byte can ever become a token.
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \x00-\x1f]"
 
 DEFAULT_MERGES_PATH = os.path.join(os.path.dirname(__file__), "bpe_merges.txt")
 
@@ -67,13 +73,17 @@ _PRETOKEN_RE = re.compile(PRETOKEN_PATTERN)
 
 
 def load_merges(path: str | None = None) -> tuple[tuple[str, str], ...]:
-    """Read a merges file (``a b`` per line, ``#`` comments) into the
-    rank-ordered pair list. The default is the checked-in fixture."""
+    """Read a merges file (``a b`` per line) into the rank-ordered
+    pair list. The default is the checked-in fixture. Only
+    ``#version``-prefixed lines are comments (GPT-2 merges
+    convention): ``#`` is itself a legitimate token, so a bare-``#``
+    comment rule would silently swallow a trained ``# #`` merge and
+    shift every later rank (r8 review)."""
     merges: list[tuple[str, str]] = []
     with open(path or DEFAULT_MERGES_PATH, encoding="utf-8") as f:
         for line in f:
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line or line.startswith("#version"):
                 continue
             a, sep, b = line.partition(" ")
             if not sep or not a or not b:
@@ -227,6 +237,11 @@ def oracle_sql(
         for i, (a, b) in enumerate(merges)
     )
     n = len(merges)
+    if n == 0:
+        # zero merges = per-character tokenization; a bare `VALUES`
+        # with no rows is a parse error, so emit one inert row the
+        # recursion (JOIN ON rank = r+1 >= 1) can never touch
+        rows = "(0, '', '')"
     # the pre-tokenizer pattern, spelled with the same explicit
     # whitespace class; single-quoted for SQL (no quotes inside)
     pat = PRETOKEN_PATTERN

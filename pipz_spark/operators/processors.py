@@ -242,19 +242,16 @@ def enrich(
                 # expression join (`on` is a raw Column): pre-join
                 # pruning could drop the very columns the condition
                 # references, failing analysis (r7 review finding) —
-                # rename only, and drop the unselected right columns
-                # AFTER the join. Unselected right columns whose names
-                # collide with the LEFT side get a unique temp alias
-                # first (r7 advisory): post-join drop-by-name cannot
-                # disambiguate a duplicate name, so leaving them would
-                # hand downstream selects an ambiguous reference.
+                # rename only the SELECTED columns, and drop every
+                # unselected right column AFTER the join by BOUND
+                # reference (right[col]), which disambiguates names
+                # that collide with the left side (r7 advisory)
+                # without renaming them: a pre-join rename mints a
+                # new exprId and breaks caller conditions built
+                # against the original frame (r8 review).
                 for out_col, src_col in select.items():
                     if out_col != src_col:
                         right = right.withColumnRenamed(src_col, out_col)
-                left_names = set(df.columns)
-                for c in list(right.columns):
-                    if c not in select and c in left_names:
-                        right = right.withColumnRenamed(c, f"_pipz_enrich_{c}")
                 post_drop = [c for c in right.columns if c not in select]
         if keys and not assume_unique:
             # deterministic 1:1 — min(struct(other cols)) per key; the
@@ -284,8 +281,7 @@ def enrich(
             right = F.broadcast(right)
         joined = df.join(right, on=join_on, how="left")
         if post_drop:
-            left_names = set(df.columns)
-            joined = joined.drop(*[c for c in post_drop if c not in left_names])
+            joined = joined.drop(*[right[c] for c in post_drop])
         # Errored rows must not gain enrichment (they skipped the step).
         new_cols = [c for c in joined.columns if c not in df.columns]
         if new_cols:

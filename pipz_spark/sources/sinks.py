@@ -118,8 +118,13 @@ def write_bucketed(
     name carries a per-call random suffix (r7 advisory): a FIXED
     ``<table>__staging`` would silently destroy a genuine user table
     of that name and make two concurrent overwrites race on one
-    staging slot. A crash inside the drop→rename window leaves the
-    new data recoverable under ``<table>__staging_<hex>``.
+    staging slot. A crash at ANY point before the final rename leaves
+    that run's ``<table>__staging_<hex>`` table behind — deliberately:
+    it is the crash-recovery artifact (complete new data when the
+    crash hit the swap window), and auto-reclaiming siblings would
+    race a concurrent overwrite's LIVE staging table. Repeated
+    crash/retry cycles therefore accumulate staging copies; sweep
+    ``<table>__staging_*`` manually once recovery is settled.
     """
     import uuid
 

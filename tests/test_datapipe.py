@@ -1378,3 +1378,63 @@ def test_cross_embedding_pairs_strictly_cross(spark, embeddings):
     rows = cross_embedding_pairs(new, ref, threshold=-1.0, bits=1, tables=4).collect()
     assert len(rows) > 0
     assert all(r["new_id"] < 30 <= r["ref_id"] for r in rows)
+
+
+def test_bpe_oracle_agrees_on_control_char_text():
+    # r8 review: a literal \x02/\x03 in a document must not collide
+    # with the oracle's token markers — C0 controls are separators,
+    # never tokens, on BOTH engines
+    import hashlib
+
+    import duckdb
+
+    from pipz_spark.datapipe.bpe import (
+        encode_text,
+        load_merges,
+        oracle_sql,
+    )
+
+    merges = load_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    texts = [
+        "the \x02 scan",          # STX byte (the old marker collision)
+        "a\x03b \x02\x03 order",  # ETX inside a word position
+        "sort\x0bmerge",          # VT: control, so separator now
+        "hash-table! #1",         # punctuation + digits stay tokens
+        "",                       # empty
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(oracle_sql(merges)).fetchall()
+    }
+    for i, t in enumerate(texts):
+        toks = encode_text(t, ranks)
+        want = (len(toks), hashlib.md5("\x01".join(toks).encode()).hexdigest())
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_bpe_merges_parsing_rules(tmp_path):
+    # only #version lines are comments — '#' is a legitimate token,
+    # so a trained '# #' merge must load, not vanish (r8 review);
+    # zero merges must still yield a runnable (per-char) oracle
+    import duckdb
+
+    from pipz_spark.datapipe.bpe import encode_word, load_merges, oracle_sql
+
+    p = tmp_path / "m.txt"
+    p.write_text("#version: test\n# #\na b\n")
+    merges = load_merges(str(p))
+    assert merges == (("#", "#"), ("a", "b"))
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert encode_word("##", ranks) == ("##",)
+    empty = tmp_path / "empty.txt"
+    empty.write_text("#version: test\n")
+    sql = oracle_sql(load_merges(str(empty)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, 'ab c')")
+    assert con.sql(sql).fetchall()[0][1] == 3  # per-character tokens

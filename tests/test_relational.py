@@ -426,3 +426,16 @@ def test_enrich_expr_join_colliding_right_columns_dropped(spark, orders, custome
     # name no longer throws AMBIGUOUS_REFERENCE
     assert out.where(F.col("o_totalprice") == -1.0).count() == 0
     assert out.where(F.col("cust_name").isNotNull()).count() > 0
+    # r8 review: a caller condition may REFERENCE the colliding right
+    # column by bound attribute — the collision fix must not rename
+    # it pre-join (a new exprId would fail analysis with
+    # MISSING_ATTRIBUTES); the drop happens post-join by bound ref
+    cond2 = (orders["o_custkey"] == dim["c_custkey"]) & (dim["o_totalprice"] < 0)
+    out2 = split_ok(
+        P.enrich("e4", dim, on=cond2, select={"cust_name": "c_name"})(
+            ensure_error_column(orders)
+        )
+    )
+    assert out2.columns.count("o_totalprice") == 1
+    assert out2.where(F.col("o_totalprice") == -1.0).count() == 0
+    assert out2.where(F.col("cust_name").isNotNull()).count() > 0

@@ -102,6 +102,20 @@ def check_clusters_via_pairs(name, sdf, con, pair_sql):
     want = {}
     rows = list(sdf.itertuples(index=False))
     ids = [r.doc_id for r in rows]
+    # row membership is part of ground truth too (r8 review): the
+    # full sf0.01 oracle emits exactly one row per documents row, so
+    # a Spark result that silently drops or duplicates a doc not
+    # involved in any pair must FAIL here, not self-define the id set
+    table_ids = {r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()}
+    if len(ids) != len(set(ids)):
+        return ["duplicate doc_id rows in the Spark output"]
+    if set(ids) != table_ids:
+        missing = sorted(table_ids - set(ids))[:5]
+        extra = sorted(set(ids) - table_ids)[:5]
+        return [
+            f"output id set != documents id set "
+            f"(missing {missing}, extra {extra})"
+        ]
     for i in ids:
         root = find(i)
         want.setdefault(root, []).append(i)

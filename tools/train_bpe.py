@@ -28,7 +28,8 @@ import collections
 import re
 import sys
 
-PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]")
+# must stay identical to datapipe/bpe.py:PRETOKEN_PATTERN
+PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \x00-\x1f]")
 
 
 def word_frequencies(sf_dir: str) -> dict[str, int]:
