@@ -63,6 +63,7 @@ from .sampling import (
     hash_bucket,
     stratified_sample,
     temperature_resample,
+    token_budget_cap,
 )
 from .multimodal import (
     attach_blob,
@@ -84,6 +85,7 @@ __all__ = [
     "hash_bucket",
     "stratified_sample",
     "temperature_resample",
+    "token_budget_cap",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",

@@ -259,6 +259,94 @@ def deterministic_shuffle(
     ).drop("_h")
 
 
+def token_budget_cap(
+    name: str,
+    budget: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    group_by: Seq[str] | None = None,
+    salt: str = "budget",
+) -> Step:
+    """Deterministic token-budget selection: keep documents, in
+    content-hash order, while the inclusive running token total stays
+    ≤ ``budget`` (per group when ``group_by`` is given, else one
+    global budget) — the "N tokens per corpus/domain" primitive every
+    training-mix recipe needs. Adds ``token_cumsum`` (the kept row's
+    inclusive running total; NULL on errored rows, which pass through
+    untouched and consume no budget).
+
+    Selection order is (md5(key || salt), key) — a pure function of
+    the row, so membership is stable across runs, partitionings, and
+    engines, and a budget INCREASE only ever ADDS documents (the
+    hash order is fixed; prefixes nest). The running sum uses the
+    default RANGE window frame deliberately: under a duplicated key
+    the tied rows share one cumulative value on every engine, where
+    a ROWS frame would order the tie arbitrarily.
+
+    Scale shape: with ``group_by`` this is one hash shuffle on the
+    group key + a per-group sort — same shape as the rank stage of
+    ``deterministic_shuffle``. The GLOBAL form never sorts globally:
+    rows hash into 256 buckets (the first two hex chars — bucket
+    order IS hash-prefix order), per-bucket token totals (≤256 skinny
+    rows) prefix-sum on the driver into bucket offsets, and the
+    global running total is bucket offset + within-bucket window —
+    the classic scalable global-cumsum plan, identical result to one
+    global window."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        from pyspark.sql import Window
+
+        df = ensure_error_column(df)
+        for c in ("token_cumsum", "_h", "_b", "_tok", "_off"):
+            if c in df.columns:
+                raise ValueError(
+                    f"token_budget_cap: input already has reserved column {c!r}"
+                )
+        key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("__pipz_null__"))
+        h = F.md5(F.concat(key_str, F.lit(salt)))
+        tok = F.when(
+            is_ok(), F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+        ).otherwise(F.lit(0))
+        out = df.withColumn("_h", h).withColumn("_tok", tok)
+        if group_by:
+            w = Window.partitionBy(*group_by).orderBy(F.col("_h"), key_str)
+            out = out.withColumn("_cum", F.sum("_tok").over(w))
+        else:
+            out = out.withColumn(
+                "_b", F.conv(F.substring(F.col("_h"), 1, 2), 16, 10).cast("int")
+            )
+            totals = (
+                out.groupBy("_b").agg(F.sum("_tok").alias("_t")).collect()
+            )  # ≤256 rows by construction — driver state is bounded
+            offs, acc = [], 0
+            for r in sorted(totals, key=lambda r: r["_b"]):
+                offs.append((r["_b"], acc))
+                acc += r["_t"] or 0
+            spark = df.sparkSession
+            off_df = spark.createDataFrame(offs, "_b int, _off long")
+            w = Window.partitionBy("_b").orderBy(F.col("_h"), key_str)
+            out = out.join(F.broadcast(off_df), "_b", "left").withColumn(
+                "_cum", F.coalesce(F.col("_off"), F.lit(0)) + F.sum("_tok").over(w)
+            )
+        keep = F.col("_cum") <= F.lit(int(budget))
+        return (
+            out.where(keep | F.col(ERROR_COL).isNotNull())
+            .withColumn(
+                "token_cumsum", F.when(is_ok(), F.col("_cum")).cast("long")
+            )
+            .drop("_h", "_b", "_tok", "_off", "_cum")
+        )
+
+    return Step(
+        name,
+        fn,
+        node_type="token_budget_cap",
+        metadata={"budget": budget, "group_by": list(group_by or [])},
+    )
+
+
 def dataset_profile(
     name: str,
     numeric_cols: Seq[str],

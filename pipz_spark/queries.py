@@ -2926,6 +2926,37 @@ WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 
 """
 
 
+# Token-budget-capped selection (datapipe/sampling.py:
+# token_budget_cap, new r8): keep documents in content-hash order
+# while the inclusive running whitespace-token total stays within the
+# budget — the GLOBAL form, which gates the scalable two-phase
+# cumsum (256 hash-prefix buckets + driver offsets + within-bucket
+# window) against the oracle's single global window.
+def _dp_budget_cap(spark, sf):
+    from .datapipe import token_budget_cap, token_count
+
+    step = token_budget_cap("budget", budget=15000)
+    counted = token_count()(_t(spark, sf, "documents"))
+    return split_ok(step(counted)).select("doc_id", "n_tokens", "token_cumsum")
+
+
+_DP_BUDGET_CAP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || 'budget') AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)) AS cum
+  FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS token_cumsum
+FROM c WHERE cum <= 15000
+"""
+
+
 # Deterministic training-export shuffle: shard + within-shard rank,
 # both pure functions of (doc_id, salt) so the example order replays
 # identically on any run, cluster size, or engine. The SHARDED form —
@@ -3121,6 +3152,9 @@ QUERIES: dict[str, Declared] = {
     "rel_part_brand_agg": Declared(_rel_part_brand_agg, _REL_PART_BRAND_SQL),
     "events_top_paths": Declared(_events_top_paths, _EVENTS_TOP_PATHS_SQL),
     "dp_jaccard_ngram": Declared(_dp_jaccard_ngram, _DP_JACCARD_NGRAM_SQL),
+    # token-budget selection (new r8, tail: the window is full this
+    # round; gated by the local sweep + tail oracle until r9 rotation)
+    "dp_budget_cap": Declared(_dp_budget_cap, _DP_BUDGET_CAP_SQL),
 }
 
 

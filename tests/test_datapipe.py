@@ -1438,3 +1438,54 @@ def test_bpe_merges_parsing_rules(tmp_path):
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.execute("INSERT INTO documents VALUES (1, 'ab c')")
     assert con.sql(sql).fetchall()[0][1] == 3  # per-character tokens
+
+
+def test_token_budget_cap_grouped_and_properties(spark, documents):
+    from pipz_spark.datapipe import token_budget_cap, token_count
+
+    counted = token_count()(documents)
+    # grouped: every lang's kept set must respect its own budget and
+    # be the hash-order prefix of that lang's docs
+    out = split_ok(token_budget_cap("cap", 3000, group_by=["lang"])(counted))
+    rows = out.select("lang", "doc_id", "n_tokens", "token_cumsum").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        assert max(r["token_cumsum"] for r in rs) <= 3000
+        # inclusive cumsum consistency: sum of kept tokens == max cum
+        assert sum(r["n_tokens"] for r in rs) == max(r["token_cumsum"] for r in rs)
+    # nesting: a larger budget only ever ADDS documents
+    small = {
+        r["doc_id"]
+        for r in split_ok(token_budget_cap("c1", 2000)(counted)).collect()
+    }
+    large = {
+        r["doc_id"]
+        for r in split_ok(token_budget_cap("c2", 8000)(counted)).collect()
+    }
+    assert small < large
+    # errored rows pass through untouched and consume no budget
+    from pipz_spark import P
+
+    gated = P.apply("g", error_when=F.col("doc_id") < 5, message="x")(counted)
+    capped = token_budget_cap("c3", 2000)(gated)
+    from pipz_spark.core.errors import split_failed
+
+    assert split_failed(capped).count() == split_failed(gated).count()
+    ok_ids = {r["doc_id"] for r in split_ok(capped).collect()}
+    assert all(d >= 5 for d in ok_ids)  # no errored id leaks into ok
+    # errored rows consume no budget: capping with errored rows in
+    # the stream equals capping the clean subset directly
+    direct = {
+        r["doc_id"]
+        for r in split_ok(
+            token_budget_cap("c4", 2000)(counted.where(F.col("doc_id") >= 5))
+        ).collect()
+    }
+    assert ok_ids == direct
+    with pytest.raises(ValueError, match="token_cumsum"):
+        token_budget_cap("c5", 100)(capped)
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_cap("c6", -1)
