@@ -61,6 +61,7 @@ from .sampling import (
     deterministic_shuffle,
     deterministic_split,
     hash_bucket,
+    mixture_resample,
     stratified_sample,
     temperature_resample,
     token_budget_cap,
@@ -83,6 +84,7 @@ __all__ = [
     "deterministic_shuffle",
     "deterministic_split",
     "hash_bucket",
+    "mixture_resample",
     "stratified_sample",
     "temperature_resample",
     "token_budget_cap",

@@ -259,6 +259,92 @@ def deterministic_shuffle(
     ).drop("_h")
 
 
+def mixture_resample(
+    name: str,
+    key_col: str,
+    stratum_col: str,
+    target_shares: Mapping[str, float],
+    token_col: str | None = None,
+    salt: str = "mix",
+) -> Step:
+    """Resample to an EXPLICIT target mixture: per-stratum keep rates
+    chosen so the kept corpus follows ``target_shares`` (by tokens
+    when ``token_col`` is given, else by rows) — the static
+    domain-mixing primitive of training recipes that prescribe e.g.
+    40% web / 30% code / 20% books / 10% reference, where
+    ``temperature_resample`` only FLATTENS the natural mixture.
+
+    Pure downsampling: the achievable kept mass is
+    T = min_s(mass_s / share_s) (the stratum that binds keeps rate
+    1.0); every other stratum keeps T·share_s/mass_s of its mass in
+    expectation. Strata absent from ``target_shares`` are DROPPED
+    (share 0); shares are normalized once so callers may pass any
+    positive weights. Membership is the same content-hash bucketing
+    as every sampler here — a pure function of the row; errored rows
+    pass through untouched.
+
+    Cross-engine exactness: normalized shares embed as
+    shortest-round-trip double literals on both sides, and every
+    derived quantity (mass sums, the min ratio, the keep rates, the
+    bucket compare) is computed ENGINE-SIDE with the identical IEEE
+    double expression tree, so the oracle replays membership exactly.
+    Hash realization vs expectation: rates are exact; the realized
+    share differs from the target by the binomial noise of hash
+    membership, exactly like every deterministic sampler here.
+
+    100 TB posture: one aggregate over the input + a |strata|-row
+    broadcast join — rates never shuffle the fact table.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(v < 0 for v in target_shares.values()) or sum(target_shares.values()) <= 0:
+        raise ValueError("target_shares must be non-negative with a positive sum")
+    tot = float(sum(target_shares.values()))
+    shares = {str(k): float(v) / tot for k, v in target_shares.items() if v > 0}
+
+    def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        stratum = F.coalesce(
+            F.col(stratum_col).cast("string"), F.lit("__pipz_null__")
+        )
+        mass_expr = (
+            F.count(F.lit(1)).cast("double")
+            if token_col is None
+            else F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0))).cast(
+                "double"
+            )
+        )
+        mass = (
+            df.where(is_ok()).groupBy(stratum.alias("_s")).agg(mass_expr.alias("_m"))
+        )
+        spark = df.sparkSession
+        sh = spark.createDataFrame(
+            list(shares.items()), "_s string, _share double"
+        )
+        r = mass.join(F.broadcast(sh), "_s")
+        tmin = r.agg(F.min(F.col("_m") / F.col("_share")).alias("_t"))
+        rates = (
+            r.crossJoin(F.broadcast(tmin))
+            .withColumn(
+                "_keep",
+                F.least(
+                    F.lit(1.0), F.col("_t") * F.col("_share") / F.col("_m")
+                ),
+            )
+            .select("_s", "_keep")
+        )
+        bucket = hash_bucket(F.col(key_col), salt)
+        joined = df.join(F.broadcast(rates), stratum == F.col("_s"), "left")
+        keep = bucket.cast("double") < F.coalesce(F.col("_keep"), F.lit(0.0)) * 10000.0
+        return joined.where(keep | F.col(ERROR_COL).isNotNull()).drop("_s", "_keep")
+
+    return Step(
+        name,
+        fn,
+        node_type="mixture_resample",
+        metadata={"shares": shares, "by_tokens": token_col is not None},
+    )
+
+
 def token_budget_cap(
     name: str,
     budget: int,

@@ -2926,6 +2926,48 @@ WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 
 """
 
 
+# Explicit-target mixture resampling (datapipe/sampling.py:
+# mixture_resample, new r8): per-lang keep rates so kept TOKENS
+# follow the prescribed shares; every derived double (mass, min
+# ratio, keep rate) is computed engine-side with the identical IEEE
+# expression tree on both sides, so membership replays exactly.
+_MIX_SHARES = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def _dp_mixture_resample(spark, sf):
+    from .datapipe import mixture_resample, token_count
+
+    counted = token_count()(_t(spark, sf, "documents"))
+    step = mixture_resample(
+        "mix", "doc_id", "lang", _MIX_SHARES, token_col="n_tokens"
+    )
+    return split_ok(step(counted)).select("doc_id", "lang")
+
+
+def _mix_sql() -> str:
+    rows = ",\n  ".join(f"('{k}', {v!r})" for k, v in _MIX_SHARES.items())
+    return rf"""
+WITH sh(s, share) AS (VALUES
+  {rows}),
+m AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '__pipz_null__') AS s,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS mass
+  FROM documents GROUP BY 1),
+r AS (SELECT sh.s, sh.share / {float(sum(_MIX_SHARES.values()))!r} AS share, m.mass
+      FROM sh JOIN m USING (s)),
+t AS (SELECT MIN(mass / share) AS tmin FROM r),
+k AS (SELECT s, LEAST(1.0, t.tmin * share / mass) AS keep FROM r, t)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN k ON coalesce(CAST(d.lang AS VARCHAR), '__pipz_null__') = k.s
+WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT) % 10000 AS DOUBLE)
+      < k.keep * 10000.0
+"""
+
+
+_DP_MIXTURE_SQL = _mix_sql()
+
+
 # Token-budget-capped selection (datapipe/sampling.py:
 # token_budget_cap, new r8): keep documents in content-hash order
 # while the inclusive running whitespace-token total stays within the
@@ -3155,6 +3197,8 @@ QUERIES: dict[str, Declared] = {
     # token-budget selection (new r8, tail: the window is full this
     # round; gated by the local sweep + tail oracle until r9 rotation)
     "dp_budget_cap": Declared(_dp_budget_cap, _DP_BUDGET_CAP_SQL),
+    # explicit-target mixture resampling (new r8, tail: same reason)
+    "dp_mixture_resample": Declared(_dp_mixture_resample, _DP_MIXTURE_SQL),
 }
 
 

@@ -1489,3 +1489,43 @@ def test_token_budget_cap_grouped_and_properties(spark, documents):
         token_budget_cap("c5", 100)(capped)
     with pytest.raises(ValueError, match="budget"):
         token_budget_cap("c6", -1)
+
+
+def test_mixture_resample_semantics(spark, documents):
+    from pipz_spark.datapipe import mixture_resample, token_count
+
+    counted = token_count()(documents)
+    # en dominates the corpus; prescribing a rare-lang-heavy mixture
+    # must downsample en hard and keep the binding stratum whole
+    shares = {"en": 0.2, "de": 0.4, "fr": 0.4}
+    out = split_ok(
+        mixture_resample("mix", "doc_id", "lang", shares, token_col="n_tokens")(
+            counted
+        )
+    )
+    rows = out.select("lang", "n_tokens").collect()
+    langs = {r["lang"] for r in rows}
+    assert langs <= {"en", "de", "fr"}  # es/zh (share 0) dropped
+    kept = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + r["n_tokens"]
+    total_in = {
+        r["lang"]: r["t"]
+        for r in split_ok(counted)
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    # the binding stratum (max mass_s/share_s ... min ratio) keeps ~all
+    binding = min(shares, key=lambda s: total_in[s] / shares[s])
+    assert kept[binding] == total_in[binding]
+    # realized token shares near the prescribed mixture (binomial
+    # noise of hash membership; corpus is small so the band is wide)
+    tot_kept = sum(kept.values())
+    for lang, share in shares.items():
+        assert abs(kept.get(lang, 0) / tot_kept - share) < 0.12, (lang, kept)
+    # validation
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_resample("m", "doc_id", "lang", {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_resample("m", "doc_id", "lang", {"en": 0.0})
