@@ -1255,9 +1255,96 @@ def contamination(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+) -> DataFrame:
+    """Verbatim repeated-span detection — the ExactSubstr-style dedup
+    primitive (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): find every maximal character span that
+    is covered by ``min_len``-char substrings occurring ≥ 2 times in
+    the corpus (across documents OR repeated within one). Returns
+    (id, span_start, span_end), 1-based inclusive char positions —
+    the regions a pipeline masks, clips, or weighs down before
+    training. Suffix-array ExactSubstr flags spans ≥ min_len that
+    repeat verbatim; this shingle formulation flags exactly the
+    positions covered by a repeated min_len-gram, which is the same
+    span set for repeats of length ≥ 2·min_len−1 and a slightly
+    conservative subset between min_len and that bound — the
+    Spark-native trade for avoiding a distributed suffix array.
+
+    Shape: explode each doc into its min_len-gram start positions,
+    hash each gram to an engine-portable 60-bit int (first 15 hex
+    chars of md5 — identical in DuckDB, so the oracle replays the
+    exact span set; a 60-bit collision can only ADD a span, and both
+    engines add the same one), ONE shuffle to count gram frequency,
+    a semi-join back, then per-doc interval union as a window islands
+    pass (merge overlapping or adjacent covers). Shuffle volume is
+    ~|chars| skinny (id, pos, hash) rows — intrinsic to any
+    shingle-join formulation; at 100 TB run it on the exact-deduped
+    corpus and raise min_len to taste."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    from pyspark.sql import Window
+
+    from ._util import fan_out
+
+    k = min_len
+    text = F.col(text_col)
+    npos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    grams = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(1), npos)).alias("_p"),
+        text.alias("_t"),
+    ).select(
+        "_id",
+        "_p",
+        F.conv(
+            F.substring(F.md5(F.substring(F.col("_t"), F.col("_p"), k)), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    hot = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).where(F.col("_c") >= 2)
+    rep = grams.join(hot.select("_h"), "_h", "left_semi")
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # islands: a match starts a new span iff it begins past the
+    # furthest end any earlier match reaches (+1 merges adjacency:
+    # covers [p, p+k-1] and [p+k, ...] form one contiguous region)
+    prev_end = F.max(F.col("_p") + F.lit(k - 1)).over(w)
+    marked = rep.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("_p") > prev_end + 1), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("_id")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        marked.withColumn("_g", F.sum("_new").over(w2))
+        .groupBy("_id", "_g")
+        .agg(
+            F.min("_p").cast("int").alias("span_start"),
+            (F.max("_p") + F.lit(k - 1)).cast("int").alias("span_end"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end")
+    )
+    return spans
+
+
 __all__ = [
     "banded_signatures",
     "contamination",
+    "repeated_spans",
     "cross_near_dup_pairs",
     "gram_array",
     "exact_dedup",

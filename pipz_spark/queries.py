@@ -2926,6 +2926,43 @@ WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 
 """
 
 
+# Verbatim repeated-span detection (datapipe/dedup.py:repeated_spans,
+# new r8): ExactSubstr-style — maximal char regions covered by
+# 20-grams occurring >= 2x in the corpus; oracle replays the
+# identical md5-60 shingle frequency + window-islands pipeline.
+def _dp_repeated_spans(spark, sf):
+    from .datapipe import repeated_spans
+
+    return repeated_spans(_t(spark, sf, "documents"), min_len=20)
+
+
+_DP_REPEATED_SPANS_SQL = r"""
+WITH g AS (
+  SELECT doc_id, CAST(u.p AS INTEGER) AS p,
+         CAST(('0x' || substring(md5(substr(text, CAST(u.p AS INTEGER), 20)), 1, 15)) AS BIGINT) AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS u(p)
+),
+hot AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+rep AS (SELECT g.doc_id, g.p FROM g JOIN hot USING (h)),
+m AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM rep),
+s AS (
+  SELECT doc_id, p,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM m)
+SELECT doc_id,
+       CAST(MIN(p) AS INTEGER) AS span_start,
+       CAST(MAX(p) + 19 AS INTEGER) AS span_end
+FROM s GROUP BY doc_id, grp
+"""
+
+
 # Explicit-target mixture resampling (datapipe/sampling.py:
 # mixture_resample, new r8): per-lang keep rates so kept TOKENS
 # follow the prescribed shares; every derived double (mass, min
@@ -3199,6 +3236,8 @@ QUERIES: dict[str, Declared] = {
     "dp_budget_cap": Declared(_dp_budget_cap, _DP_BUDGET_CAP_SQL),
     # explicit-target mixture resampling (new r8, tail: same reason)
     "dp_mixture_resample": Declared(_dp_mixture_resample, _DP_MIXTURE_SQL),
+    # ExactSubstr-style repeated-span detection (new r8, tail)
+    "dp_repeated_spans": Declared(_dp_repeated_spans, _DP_REPEATED_SPANS_SQL),
 }
 
 

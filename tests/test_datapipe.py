@@ -1529,3 +1529,52 @@ def test_mixture_resample_semantics(spark, documents):
         mixture_resample("m", "doc_id", "lang", {})
     with pytest.raises(ValueError, match="positive"):
         mixture_resample("m", "doc_id", "lang", {"en": 0.0})
+
+
+def test_repeated_spans_matches_bruteforce(spark):
+    # planted corpus: a shared 30-char block across two docs, a
+    # within-doc repeat, and unique filler — spans must equal a
+    # brute-force python reference of the same definition
+    from pipz_spark.datapipe import repeated_spans
+
+    shared = "the quick brown fox jumps overx"[:30]
+    docs = {
+        1: f"aaa {shared} unique tail one xxxxxxxx",
+        2: f"some other opening text {shared} zzz",
+        3: "repeat-block-here!! and repeat-block-here!! again",
+        4: "entirely unique text with nothing shared at all ok",
+    }
+    k = 20
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(df, min_len=k).collect()
+    }
+
+    from collections import Counter
+
+    freq = Counter()
+    for t in docs.values():
+        for p in range(len(t) - k + 1):
+            freq[t[p : p + k]] += 1
+    want = set()
+    for d, t in docs.items():
+        covered = sorted(
+            p for p in range(len(t) - k + 1) if freq[t[p : p + k]] >= 2
+        )
+        spans, cur = [], None
+        for p in covered:  # 1-based interval [p+1, p+k]; merge iff
+            if cur is not None and p + 1 <= cur[1] + 1:  # overlap/adjacent
+                cur = (cur[0], max(cur[1], p + k))
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (p + 1, p + k)
+        if cur:
+            spans.append(cur)
+        for s, e in spans:
+            want.add((d, s, e))
+    assert got == want and any(d == 3 for d, _, _ in got)
+    assert not any(d == 4 for d, _, _ in got)
+    with pytest.raises(ValueError, match="min_len"):
+        repeated_spans(df, min_len=1)
