@@ -268,3 +268,26 @@ def test_cross_embed_no_cartesian_in_bucket_scoring(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_budget_cap_never_sorts_globally(spark):
+    # the GLOBAL form must use the two-phase bucketed cumsum — a
+    # single-partition global window (Exchange SinglePartition into a
+    # Sort+Window) is exactly the 100 TB cliff it exists to avoid
+    plan = _plan(spark, "dp_budget_cap")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # within-bucket windows still present
+
+
+def test_mixture_rates_broadcast_never_shuffle_the_corpus(spark):
+    # rates are a |strata|-row frame: they must reach the fact scan
+    # via BroadcastHashJoin, never a SortMergeJoin of the corpus
+    plan = _plan(spark, "dp_mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repeated_spans_no_cartesian(spark):
+    plan = _plan(spark, "dp_repeated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -227,6 +227,16 @@ def main() -> None:
             shortlist=128,
         ).count())
 
+    # ---- repeated spans at 10×: the gram explode is ~|chars| skinny
+    # rows (the method's intrinsic cost); frequency count + semi-join
+    # shuffle longs, the islands window shuffles only matched
+    # positions — watch max task staying near the mean and shuffle
+    # tracking matched-position volume, not text volume
+    from pipz_spark.datapipe import repeated_spans
+
+    run(spark, "repeated_spans     ",
+        lambda: repeated_spans(d10, min_len=20).count())
+
     # ---- decontamination at 10×: gram explode is linear in corpus
     # tokens; the collision join is broadcast (eval side tiny by
     # definition) so the train side never shuffles — expect wall to
