@@ -27,6 +27,7 @@ from .dedup import (
     minhash_signatures_df,
     near_dup_pairs,
     ngram_jaccard,
+    remove_repeated_spans,
     repeated_spans,
     simhash,
     simhash_near_dup_pairs,

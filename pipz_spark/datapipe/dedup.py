@@ -1341,9 +1341,64 @@ def repeated_spans(
     return spans
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    spans: DataFrame | None = None,
+    output_col: str = "clean_text",
+) -> DataFrame:
+    """Rewrite each document with its verbatim repeated regions
+    removed — the apply half of ``repeated_spans`` (pass a
+    precomputed/filtered ``spans`` frame to clip by your own policy,
+    e.g. only spans above some length). Adds ``output_col``; docs
+    with no spans keep their text verbatim, a fully-covered doc
+    becomes the empty string, and NULL text stays NULL.
+
+    Shape: spans collapse to one sorted array per affected doc (spans
+    per doc are few by construction — they are maximal and disjoint),
+    broadcast-friendly join back, then the stitched rewrite is a
+    single JVM higher-order ``aggregate`` over the span array: the
+    accumulator walks (next-unwritten-position, builder) and appends
+    the gap before each span, then the tail. No Python in the row
+    path; one shuffle (the span groupBy) beyond repeated_spans
+    itself."""
+    if output_col in df.columns:
+        raise ValueError(
+            f"remove_repeated_spans: input already has column {output_col!r}"
+        )
+    if spans is None:
+        spans = repeated_spans(df, id_col=id_col, text_col=text_col, min_len=min_len)
+    sp = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp")
+    )
+    text = F.col(text_col)
+    stitched = F.aggregate(
+        F.col("_sp"),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("s")),
+        lambda acc, x: F.struct(
+            (x["span_end"] + 1).alias("pos"),
+            F.concat(
+                acc["s"], text.substr(acc["pos"], x["span_start"] - acc["pos"])
+            ).alias("s"),
+        ),
+        lambda acc: F.concat(
+            acc["s"], text.substr(acc["pos"], F.length(text) - acc["pos"] + 1)
+        ),
+    )
+    joined = df.join(sp, F.col(id_col) == F.col("_sid"), "left")
+    return joined.withColumn(
+        output_col, F.when(F.col("_sp").isNull(), text).otherwise(stitched)
+    ).drop("_sid", "_sp")
+
+
 __all__ = [
     "banded_signatures",
     "contamination",
+    "remove_repeated_spans",
     "repeated_spans",
     "cross_near_dup_pairs",
     "gram_array",

@@ -2963,6 +2963,73 @@ FROM s GROUP BY doc_id, grp
 """
 
 
+# Span REMOVAL — the apply half of repeated_spans: rewrite each doc
+# minus its repeated regions, gated hash-exactly on the rewritten
+# string. Oracle rebuilds the complement segments relationally (lag
+# window for gaps + ordered string_agg) where Spark stitches with a
+# JVM fold — different algorithms, must agree byte-for-byte.
+def _dp_clip_spans(spark, sf):
+    from .datapipe import remove_repeated_spans
+
+    out = remove_repeated_spans(_t(spark, sf, "documents"), min_len=20)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_hash"),
+    )
+
+
+_DP_CLIP_SPANS_SQL = r"""
+WITH g0 AS (
+  SELECT doc_id, CAST(u.p AS INTEGER) AS p,
+         CAST(('0x' || substring(md5(substr(text, CAST(u.p AS INTEGER), 20)), 1, 15)) AS BIGINT) AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS u(p)
+),
+hot AS (SELECT h FROM g0 GROUP BY h HAVING COUNT(*) >= 2),
+rep AS (SELECT g0.doc_id, g0.p FROM g0 JOIN hot USING (h)),
+m AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR p > max(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM rep),
+sgrp AS (
+  SELECT doc_id, p, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM m),
+sp AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) + 19 AS span_end
+  FROM sgrp GROUP BY doc_id, grp),
+gaps AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS gs,
+         span_start - 1 AS ge
+  FROM sp
+  UNION ALL
+  SELECT doc_id, MAX(span_end) + 1 AS gs, NULL AS ge
+  FROM sp GROUP BY doc_id),
+seg AS (
+  SELECT gp.doc_id, gp.gs,
+         substr(d.text, gp.gs,
+                CASE WHEN gp.ge IS NULL THEN length(d.text) - gp.gs + 1
+                     ELSE gp.ge - gp.gs + 1 END) AS seg
+  FROM gaps gp JOIN documents d USING (doc_id)
+  WHERE gp.ge IS NULL OR gp.ge >= gp.gs),
+clean AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS ct FROM seg GROUP BY doc_id),
+affected AS (SELECT DISTINCT doc_id FROM sp)
+SELECT d.doc_id,
+       CAST(length(CASE WHEN a.doc_id IS NOT NULL
+                        THEN coalesce(c.ct, '') ELSE d.text END) AS INTEGER) AS clean_len,
+       md5(CASE WHEN a.doc_id IS NOT NULL
+                THEN coalesce(c.ct, '') ELSE d.text END) AS clean_hash
+FROM documents d
+LEFT JOIN affected a ON d.doc_id = a.doc_id
+LEFT JOIN clean c ON d.doc_id = c.doc_id
+"""
+
+
 # Explicit-target mixture resampling (datapipe/sampling.py:
 # mixture_resample, new r8): per-lang keep rates so kept TOKENS
 # follow the prescribed shares; every derived double (mass, min
@@ -3238,6 +3305,8 @@ QUERIES: dict[str, Declared] = {
     "dp_mixture_resample": Declared(_dp_mixture_resample, _DP_MIXTURE_SQL),
     # ExactSubstr-style repeated-span detection (new r8, tail)
     "dp_repeated_spans": Declared(_dp_repeated_spans, _DP_REPEATED_SPANS_SQL),
+    # span removal — hash-exact rewritten text (new r8, tail)
+    "dp_clip_spans": Declared(_dp_clip_spans, _DP_CLIP_SPANS_SQL),
 }
 
 

@@ -1578,3 +1578,52 @@ def test_repeated_spans_matches_bruteforce(spark):
     assert not any(d == 4 for d, _, _ in got)
     with pytest.raises(ValueError, match="min_len"):
         repeated_spans(df, min_len=1)
+
+
+def test_remove_repeated_spans_rewrites_exactly(spark):
+    from pipz_spark.datapipe import remove_repeated_spans, repeated_spans
+
+    block = "shared-repeated-content-block-here"  # 34 chars
+    docs = {
+        1: f"prefix one {block} middle {block} suffix one",
+        2: f"{block} opens doc two and that is all",
+        3: "totally unique document three with no repeats at all",
+        4: block,  # fully covered -> empty string
+        5: None,  # NULL stays NULL
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_repeated_spans(df, min_len=20).collect()
+    }
+    spans = {
+        d: sorted(
+            (r["span_start"], r["span_end"])
+            for r in repeated_spans(df, min_len=20).collect()
+            if r["doc_id"] == d
+        )
+        for d in docs
+    }
+    for d, t in docs.items():
+        if t is None:
+            assert out[d] is None
+            continue
+        expect = ""
+        pos = 1
+        for s, e in spans[d]:
+            expect += t[pos - 1 : s - 1]
+            pos = e + 1
+        expect += t[pos - 1 :]
+        assert out[d] == expect, (d, out[d], expect)
+    assert out[3] == docs[3]  # untouched
+    assert out[4] == ""  # fully covered
+    assert block not in out[1] and block not in out[2]
+    # caller-supplied spans (clip policy) are honored
+    custom = spark.createDataFrame([(1, 1, 6)], "doc_id long, span_start int, span_end int")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_repeated_spans(df, spans=custom).collect()
+    }
+    assert got[1] == docs[1][6:] and got[3] == docs[3]
+    with pytest.raises(ValueError, match="clean_text"):
+        remove_repeated_spans(df.withColumn("clean_text", F.lit("")))
