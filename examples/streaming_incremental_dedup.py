@@ -1,0 +1,92 @@
+"""Streaming ingestion with incremental near-dup dedup per micro-batch.
+
+The composition a live crawl pipeline runs: documents arrive as a
+stream, every micro-batch is near-dup-checked AGAINST THE PERSISTED
+CORPUS SIGNATURE INDEX inside ``foreachBatch`` (batch×index, never
+corpus×corpus), novel documents land in the corpus sink and their
+signatures append to the index — so batch N+1 automatically dedups
+against everything batch N admitted. The engine's resilience wrapper
+(``run_step_stream``) carries the usual dead-letter split around it.
+
+    PYTHONPATH=/root/repo python examples/streaming_incremental_dedup.py [sf_dir]
+
+At 100 TB the same loop holds: the index is one compact signature row
+per corpus doc (bucket it on (band, band_hash) for co-located
+candidate joins), each trigger costs one batch-sized signature pass
+plus a bucketed join against the index, and the index append is
+batch-sized. Exactly-once comes from the landing sink's idempotency
+(merge-on-read keyed by doc_id) plus the checkpoint.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pipz_spark import get_session
+from pipz_spark.datapipe import cross_near_dup_pairs, minhash_signatures_df
+from pipz_spark.sources.catalog import load_table
+
+NUM_HASHES = 120
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_session("streaming-incremental-dedup")
+    docs = load_table(spark, "documents", sf_dir)
+
+    work = tempfile.mkdtemp(prefix="pipz_stream_dedup_demo_")
+    idx_path = f"{work}/signature_index"
+    corpus_path = f"{work}/corpus"
+    stream_src = f"{work}/incoming"
+
+    # bootstrap: 60% existing corpus, signed once
+    corpus = docs.where(F.col("doc_id") % 10 < 6)
+    corpus.write.parquet(corpus_path)
+    minhash_signatures_df(corpus, num_hashes=NUM_HASHES).write.parquet(idx_path)
+    # the remaining docs arrive as a 2-file stream (one per trigger);
+    # duplicates WITHIN the stream of the same corpus family dedup
+    # against batch N's admissions via the index append
+    incoming = docs.where(F.col("doc_id") % 10 >= 6)
+    incoming.repartition(2).write.parquet(stream_src)
+    print(f"bootstrap: {corpus.count()} corpus docs, index at {idx_path}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+
+    def dedup_batch(batch, batch_id: int) -> None:
+        index = spark.read.parquet(idx_path)
+        dups = cross_near_dup_pairs(
+            batch, spark.read.parquet(corpus_path),
+            threshold=0.7, num_hashes=NUM_HASHES, ref_sigs=index,
+        )
+        dup_ids = dups.select(F.col("new_id").alias("doc_id")).distinct()
+        novel = batch.join(dup_ids, "doc_id", "left_anti")
+        n_batch, n_novel = batch.count(), novel.count()
+        novel.write.mode("append").parquet(corpus_path)
+        minhash_signatures_df(novel, num_hashes=NUM_HASHES).write.mode(
+            "append"
+        ).parquet(idx_path)
+        print(
+            f"  batch {batch_id}: {n_batch} arrived, "
+            f"{n_batch - n_novel} near-dups dropped, {n_novel} admitted"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = spark.read.parquet(corpus_path)
+    print(f"final corpus: {final.count()} docs (all admissions deduped)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
