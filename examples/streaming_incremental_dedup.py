@@ -1,12 +1,12 @@
 """Streaming ingestion with incremental near-dup dedup per micro-batch.
 
 The composition a live crawl pipeline runs: documents arrive as a
-stream, every micro-batch is near-dup-checked AGAINST THE PERSISTED
-CORPUS SIGNATURE INDEX inside ``foreachBatch`` (batch×index, never
-corpus×corpus), novel documents land in the corpus sink and their
+stream; every micro-batch first self-dedups (near-dups can share a
+trigger), then checks its survivors AGAINST THE PERSISTED CORPUS
+SIGNATURE INDEX inside ``foreachBatch`` (batch×index, never
+corpus×corpus); novel documents land in the corpus sink and their
 signatures append to the index — so batch N+1 automatically dedups
-against everything batch N admitted. The engine's resilience wrapper
-(``run_step_stream``) carries the usual dead-letter split around it.
+against everything batch N admitted.
 
     PYTHONPATH=/root/repo python examples/streaming_incremental_dedup.py [sf_dir]
 
@@ -26,7 +26,11 @@ import tempfile
 from pyspark.sql import functions as F
 
 from pipz_spark import get_session
-from pipz_spark.datapipe import cross_near_dup_pairs, minhash_signatures_df
+from pipz_spark.datapipe import (
+    cross_near_dup_pairs,
+    minhash_signatures_df,
+    near_dup_pairs,
+)
 from pipz_spark.sources.catalog import load_table
 
 NUM_HASHES = 120
@@ -59,18 +63,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
 
     def dedup_batch(batch, batch_id: int) -> None:
+        # 1. WITHIN-batch self-dedup: near-dups of the same family
+        # routinely share a trigger, and neither would collide with
+        # the index yet — drop each pair's higher id (canonical keep)
+        self_dups = near_dup_pairs(batch, threshold=0.7, num_hashes=NUM_HASHES)
+        self_drop = self_dups.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = batch.join(self_drop, "doc_id", "left_anti")
+        # 2. CROSS check against the persisted index
         index = spark.read.parquet(idx_path)
         dups = cross_near_dup_pairs(
-            batch, spark.read.parquet(corpus_path),
+            survivors, spark.read.parquet(corpus_path),
             threshold=0.7, num_hashes=NUM_HASHES, ref_sigs=index,
         )
         dup_ids = dups.select(F.col("new_id").alias("doc_id")).distinct()
-        novel = batch.join(dup_ids, "doc_id", "left_anti")
-        n_batch, n_novel = batch.count(), novel.count()
-        novel.write.mode("append").parquet(corpus_path)
-        minhash_signatures_df(novel, num_hashes=NUM_HASHES).write.mode(
-            "append"
-        ).parquet(idx_path)
+        # pin: the novel frame feeds a count + two sinks — without
+        # the persist each action re-runs both banded joins
+        novel = survivors.join(dup_ids, "doc_id", "left_anti").persist()
+        try:
+            n_batch, n_novel = batch.count(), novel.count()
+            novel.write.mode("append").parquet(corpus_path)
+            minhash_signatures_df(novel, num_hashes=NUM_HASHES).write.mode(
+                "append"
+            ).parquet(idx_path)
+        finally:
+            novel.unpersist()
         print(
             f"  batch {batch_id}: {n_batch} arrived, "
             f"{n_batch - n_novel} near-dups dropped, {n_novel} admitted"

@@ -1293,10 +1293,18 @@ def repeated_spans(
 
     k = min_len
     text = F.col(text_col)
-    npos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    npos = F.length(text) - F.lit(k - 1)
+    # sequence(1, 0) yields the DESCENDING [1, 0] (Spark's default
+    # step is -1 when start > stop), which gave every shorter-than-k
+    # doc a bogus span from two colliding out-of-range substrings
+    # (r8 review, empirically confirmed) — docs too short to hold a
+    # single k-gram must contribute NO positions
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = fan_out(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(F.sequence(F.lit(1), npos)).alias("_p"),
+        F.explode(positions).alias("_p"),
         text.alias("_t"),
     ).select(
         "_id",

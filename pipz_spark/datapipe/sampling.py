@@ -303,6 +303,11 @@ def mixture_resample(
     shares = {str(k): float(v) / tot for k, v in target_shares.items() if v > 0}
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
+        for c in ("_s", "_m", "_share", "_t", "_keep"):
+            if c in df.columns:
+                raise ValueError(
+                    f"mixture_resample: input already has reserved column {c!r}"
+                )
         stratum = F.coalesce(
             F.col(stratum_col).cast("string"), F.lit("__pipz_null__")
         )
@@ -385,7 +390,7 @@ def token_budget_cap(
         from pyspark.sql import Window
 
         df = ensure_error_column(df)
-        for c in ("token_cumsum", "_h", "_b", "_tok", "_off"):
+        for c in ("token_cumsum", "_h", "_b", "_tok", "_off", "_cum"):
             if c in df.columns:
                 raise ValueError(
                     f"token_budget_cap: input already has reserved column {c!r}"
@@ -403,6 +408,15 @@ def token_budget_cap(
             out = out.withColumn(
                 "_b", F.conv(F.substring(F.col("_h"), 1, 2), 16, 10).cast("int")
             )
+            # the global form is TWO passes (bucket totals, then the
+            # main filter) — pin the hashed frame so the second pass
+            # reads the cache instead of rescanning the whole
+            # upstream (r8 review). Applying this step therefore RUNS
+            # a Spark job, the same documented eager-pin trade as
+            # near_dup_pairs; release via datapipe.release_caches().
+            from . import _caches
+
+            out = _caches.track(out.persist())
             totals = (
                 out.groupBy("_b").agg(F.sum("_tok").alias("_t")).collect()
             )  # ≤256 rows by construction — driver state is bounded

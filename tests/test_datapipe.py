@@ -1627,3 +1627,44 @@ def test_remove_repeated_spans_rewrites_exactly(spark):
     assert got[1] == docs[1][6:] and got[3] == docs[3]
     with pytest.raises(ValueError, match="clean_text"):
         remove_repeated_spans(df.withColumn("clean_text", F.lit("")))
+
+
+def test_repeated_spans_short_docs_yield_nothing(spark):
+    # r8 review (confirmed bug): sequence(1, 0) is the DESCENDING
+    # [1, 0], which fabricated a span for every doc shorter than
+    # min_len — short docs must contribute no positions, and the
+    # rewrite must leave them verbatim, matching the oracle exactly
+    import duckdb
+
+    from pipz_spark.datapipe import remove_repeated_spans, repeated_spans
+
+    docs = [(1, "tiny doc"), (2, ""), (3, "x" * 19)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert repeated_spans(df, min_len=20).count() == 0
+    out = {r["doc_id"]: r["clean_text"] for r in remove_repeated_spans(df, min_len=20).collect()}
+    assert out == dict(docs)
+    # ...while a 25-char run of one character DOES self-repeat its
+    # 20-gram (positions 1..6 share it) — one full-width span
+    runs = spark.createDataFrame([(4, "y" * 25)], "doc_id long, text string")
+    assert [tuple(r) for r in repeated_spans(runs, min_len=20).collect()] == [
+        (4, 1, 25)
+    ]
+    # engine-vs-engine on a corpus CONTAINING short docs
+    from pipz_spark.queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for d, t in docs + [(5, "z" * 45), (6, "z" * 45)]:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [d, t])
+    oracle = {
+        (r[0], r[1], r[2])
+        for r in con.sql(QUERIES["dp_repeated_spans"].oracle).fetchall()
+    }
+    big = spark.createDataFrame(
+        docs + [(5, "z" * 45), (6, "z" * 45)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(big, min_len=20).collect()
+    }
+    assert got == oracle and (5, 1, 45) in got and (6, 1, 45) in got
