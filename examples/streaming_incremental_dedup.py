@@ -76,17 +76,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             threshold=0.7, num_hashes=NUM_HASHES, ref_sigs=index,
         )
         dup_ids = dups.select(F.col("new_id").alias("doc_id")).distinct()
-        # pin: the novel frame feeds a count + two sinks — without
-        # the persist each action re-runs both banded joins
-        novel = survivors.join(dup_ids, "doc_id", "left_anti").persist()
-        try:
-            n_batch, n_novel = batch.count(), novel.count()
-            novel.write.mode("append").parquet(corpus_path)
-            minhash_signatures_df(novel, num_hashes=NUM_HASHES).write.mode(
-                "append"
-            ).parquet(idx_path)
-        finally:
-            novel.unpersist()
+        # materialize novel to a batch-scoped scratch path BEFORE
+        # appending: novel's lineage reads corpus_path, so appending
+        # directly under a .persist() pin is subtly unsafe — if a
+        # cached partition were evicted and recomputed mid-append it
+        # would re-read the corpus directory INCLUDING the files this
+        # very write is adding, changing dup_ids nondeterministically
+        # (r8 advisor). The scratch write cuts the lineage for good
+        # (batch-sized, so it costs one extra batch write at any
+        # scale), and the read-back feeds the count + both sinks.
+        scratch = f"{work}/novel_{batch_id}"
+        survivors.join(dup_ids, "doc_id", "left_anti").write.parquet(scratch)
+        novel = spark.read.parquet(scratch)
+        n_batch, n_novel = batch.count(), novel.count()
+        novel.write.mode("append").parquet(corpus_path)
+        minhash_signatures_df(novel, num_hashes=NUM_HASHES).write.mode(
+            "append"
+        ).parquet(idx_path)
         print(
             f"  batch {batch_id}: {n_batch} arrived, "
             f"{n_batch - n_novel} near-dups dropped, {n_novel} admitted"

@@ -278,8 +278,18 @@ def mixture_resample(
     T = min_s(mass_s / share_s) (the stratum that binds keeps rate
     1.0); every other stratum keeps T·share_s/mass_s of its mass in
     expectation. Strata absent from ``target_shares`` are DROPPED
-    (share 0); shares are normalized once so callers may pass any
-    positive weights. Membership is the same content-hash bucketing
+    (share 0). The converse — a positive-share stratum with ZERO
+    corpus mass — is excluded from the min-ratio computation and the
+    realized mixture renormalizes among the strata actually present
+    (r8 advisor): the prescribed share is unachievable by pure
+    downsampling (the alternative, treating missing mass as binding,
+    would force T = 0 and drop everything), and this operator stays
+    lazy, so it cannot raise at compose time without running a job.
+    Callers that must hard-fail on an absent stratum should assert
+    ``df.where(col(stratum_col) == s).limit(1).count() > 0`` per
+    prescribed stratum first. Shares are normalized once so callers
+    may pass any positive weights. Membership is the same content-hash
+    bucketing
     as every sampler here — a pure function of the row; errored rows
     pass through untouched.
 

@@ -519,23 +519,42 @@ def cosine_topk_pq(
             )  # (m, n, dsub)
             # codes[i, j] = argmin_c ||sub[j,i] - codebook[j,c]||²
             # (||x||² constant per x so argmin is unaffected) and
-            # approx[q, i] = Σ_j LUT[q, j, codes[i, j]] — BOTH as
-            # per-subspace loops over (n, ksub) / (nq, n) slices, NOT
-            # one (m, n, ksub) distance tensor + one (nq, n, m) fancy-
-            # gather: the batched forms churn ~100 MB of temporaries
-            # per 6k-row batch and went memory-bound — the 100× stress
-            # (200k vectors) measured 18 s/task against 0.2 s for the
-            # loops, identical codes/scores bit-for-bit (r8; the
-            # training loop keeps its joint tensor — at train_rows
-            # scale dispatch overhead dominates instead)
+            # approx[q, i] = Σ_j LUT[q, j, codes[i, j]] — both over
+            # MEMORY-BUDGETED chunks of g subspaces at a time. The two
+            # endpoints both lose: one (m, n, ksub) distance tensor +
+            # one (nq, n, m) fancy-gather churns ~100 MB of
+            # temporaries per 6k-row batch and went memory-bound at
+            # the 100× stress (18 s/task, r8), while strict per-
+            # subspace loops bound memory but pay m dispatch overheads
+            # (doubled sf0.1 wall, r8 bench). g = largest chunk whose
+            # distance slab AND gather slab stay under ~32 MB, so peak
+            # memory is bounded by construction at ANY batch width
+            # while the batched-matmul vectorization comes back.
+            # Accumulation stays j-sequential inside each chunk, so
+            # codes and approx are bit-identical to the loop form.
+            budget = 32 << 20
+            g = max(
+                1,
+                min(
+                    m,
+                    budget // max(1, n * ksub * 8),  # (g, n, ksub) slab
+                    budget // max(1, len(qids) * n * 8),  # (nq, n·g) slab
+                ),
+            )
             codes = np.empty((n, m), dtype=np.int64)
-            for j in range(m):
-                codes[:, j] = np.argmin(
-                    cnorm[j][None, :] - 2.0 * (sub[j] @ cb_t[j]), axis=1
-                )
+            for j0 in range(0, m, g):
+                j1 = min(m, j0 + g)
+                d2 = cnorm[j0:j1, None, :] - 2.0 * np.matmul(sub[j0:j1], cb_t[j0:j1])
+                codes[:, j0:j1] = np.argmin(d2, axis=2).T
+            lutf = lut.reshape(len(qids), m * ksub)
+            offs = np.arange(m, dtype=np.int64) * ksub
             approx = np.zeros((len(qids), n))
-            for j in range(m):
-                approx += lut[:, j, :][:, codes[:, j]]
+            for j0 in range(0, m, g):
+                j1 = min(m, j0 + g)
+                idx = (codes[:, j0:j1] + offs[j0:j1][None, :]).ravel()
+                slab = lutf[:, idx].reshape(len(qids), n, j1 - j0)
+                for t in range(j1 - j0):
+                    approx += slab[:, :, t]
             take = min(cap, n)
             # partial top-take per query; ties -> lower nid (lexsort
             # is stable: secondary key nids, primary -approx)
@@ -746,9 +765,9 @@ def cross_embedding_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
-    tables: int = 8,
-    seed: int = 42,
+    bits: int | None = None,
+    tables: int | None = None,
+    seed: int | None = None,
     dim: int | None = None,
     ref_index: DataFrame | None = None,
     block_rows: int = 2048,
@@ -765,10 +784,13 @@ def cross_embedding_pairs(
     Pass ``ref_index`` — a persisted ``embedding_index`` frame — to
     skip re-projecting the corpus every batch; the family parameters
     travel in the index's schema metadata and the new batch is signed
-    with THE SAME family automatically (explicit bits/tables/seed/dim
-    arguments must agree when both are given — a mismatched family
-    would collide on nothing and silently return empty, so it raises
-    instead). The index is used as the caller owns it: never
+    with THE SAME family automatically. bits/tables/seed default to
+    ``None`` = "adopt the index family, else 8/8/42", so an
+    EXPLICITLY passed value — including one equal to the old default,
+    e.g. ``bits=8`` against a ``bits=3`` index (r8 advisor) — that
+    disagrees with the stored family always raises: a mismatched
+    family would collide on nothing and silently return empty. The
+    index is used as the caller owns it: never
     persisted or cache-tracked here, so ``release_caches()`` between
     batches cannot unpersist it.
 
@@ -787,14 +809,15 @@ def cross_embedding_pairs(
         meta = ref_index.schema["_sig"].metadata or {}
         if all(k in meta for k in _INDEX_META_KEYS):
             ib, it, isd, idim = (int(meta[k]) for k in _INDEX_META_KEYS)
-            explicit = {"bits": bits != 8, "tables": tables != 8,
-                        "seed": seed != 42, "dim": dim is not None}
+            # None = defaulted (adopt the index family); anything the
+            # caller actually passed — even a value equal to the old
+            # 8/8/42 defaults — must agree with the stored family
             given = dict(zip(("bits", "tables", "seed", "dim"),
                              (bits, tables, seed, dim)))
             stored = dict(zip(("bits", "tables", "seed", "dim"),
                               (ib, it, isd, idim)))
-            clash = [k for k, was in explicit.items()
-                     if was and given[k] != stored[k]]
+            clash = [k for k, v in given.items()
+                     if v is not None and v != stored[k]]
             if clash:
                 raise ValueError(
                     f"cross_embedding_pairs: {clash} disagree with the "
@@ -805,6 +828,9 @@ def cross_embedding_pairs(
         # metadata stripped (e.g. the frame went through a transform):
         # fall back to the caller's explicit parameters — the contract
         # is then the caller's to uphold, as with ref_sigs width checks
+        bits = 8 if bits is None else bits
+        tables = 8 if tables is None else tables
+        seed = 42 if seed is None else seed
         if dim is None:
             first = new.select(F.size(F.col(vec_col)).alias("d")).first()
             if first is None or first["d"] is None:
@@ -816,6 +842,9 @@ def cross_embedding_pairs(
         c_side = ref_index.withColumn("_side", F.lit("c"))
         id_type = _id_type(new, id_col)
     else:
+        bits = 8 if bits is None else bits
+        tables = 8 if tables is None else tables
+        seed = 42 if seed is None else seed
         if dim is None:
             first = ref.select(F.size(F.col(vec_col)).alias("d")).first()
             if first is None or first["d"] is None:

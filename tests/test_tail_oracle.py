@@ -18,6 +18,7 @@ import pytest
 
 from pipz_spark.queries import QUERIES
 from pipz_spark.sources.catalog import TABLES
+from pipz_spark.testing.oracle import relation_type_issues
 
 from conftest import SF_DIR
 
@@ -53,9 +54,13 @@ def test_tail_query_matches_oracle(spark, oracle, name):
     assert decl.oracle is not None, f"{name} has no oracle SQL"
     sdf = decl.build(spark, SF_DIR)
     spark_rows = _canon(sdf.columns, [tuple(r) for r in sdf.collect()])
-    cur = oracle.execute(decl.oracle)
-    cols = [d[0] for d in cur.description]
-    oracle_rows = _canon(cols, cur.fetchall())
+    rel = oracle.sql(decl.oracle)
+    # r8 lesson: value comparison can't see DuckDB integer widening
+    # (SUM → HUGEINT) but the driver's value-hash can — the oracle's
+    # output TYPES must map onto the Spark schema too
+    assert relation_type_issues(rel, sdf.schema) == [], name
+    cols = list(rel.columns)
+    oracle_rows = _canon(cols, rel.fetchall())
     assert sorted(sdf.columns) == sorted(cols)
     assert len(spark_rows) == len(oracle_rows), f"{name}: row count"
     for a, b in zip(spark_rows, oracle_rows):

@@ -147,6 +147,7 @@ def main():
     from pipz_spark.queries import CLUSTER_PAIR_ORACLES
     from pipz_spark.session import get_session
     from pipz_spark.sources.catalog import TABLES
+    from pipz_spark.testing.oracle import relation_type_issues
 
     only = set(sys.argv[1:])
     spark = get_session("correctness", shuffle_partitions=8)
@@ -162,7 +163,9 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = build(spark, SF_DIR).toPandas()
+            sframe = build(spark, SF_DIR)
+            spark_schema = sframe.schema
+            sdf = sframe.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -197,12 +200,17 @@ def main():
             n_rows_only += 1
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # r8 lesson: value comparison is blind to DuckDB's integer
+            # widening (SUM → HUGEINT) but the driver's hash is not —
+            # gate the oracle's OUTPUT TYPES before the values
+            type_issues = relation_type_issues(rel, spark_schema)
+            odf = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
-        issues = compare(name, sdf, odf)
+        issues = type_issues + compare(name, sdf, odf)
         if issues:
             print(f"FAIL  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             for i in issues:

@@ -134,6 +134,73 @@ def main_pq100x() -> None:
     spark.stop()
 
 
+def main_dedup100x() -> None:
+    """100× DEDUP stress (VERDICT r8 #7): ANN/PQ earned 100× evidence
+    in r8; this gives the dedup side's worst cases the same treatment
+    at 100× document count (500k docs from sf0.1's 5k).
+
+    Corpus shape: 100 replicas arranged as 10 FAMILIES of 10 members
+    per base doc — members share text (plus a per-member tail),
+    families differ. This scales the 10× corpus's near-dup STRUCTURE
+    (family size ~10, gram df ~10, under the df-cap) to 100× the
+    volume, which is how real web dups grow: more documents and more
+    duplicate clusters, not 100-member clusters of everything. (An
+    all-100-member-family corpus would instead push every gram past
+    max_doc_freq=64 and measure the pruning path, not the join.)
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py dedup100x
+
+    Evidence to watch, per the 100 TB argument: wall scaling ~linear
+    vs the 10× run, max_task_ms near the mean (bucketed equi-joins
+    shard; salting bounds hot buckets), and shuffle tracking the
+    skinny candidate/pair volume — never the text payload.
+    """
+    from pipz_spark.datapipe import cross_near_dup_pairs
+
+    spark = get_session(
+        "pipz-scale-stress-dedup100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_dedup100_")
+    docs = load_table(spark, "documents", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * 100 + F.col("_rep")).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" family"),
+                (F.col("_rep") // 10).cast("string"),
+                F.lit(" rep"),
+                (F.col("_rep") % 10).cast("string"),
+            ).alias("text"),
+        )
+    )
+    big.write.mode("overwrite").parquet(f"{tmp}/documents100")
+    d100 = spark.read.parquet(f"{tmp}/documents100")
+    print(f"corpus: {d100.count()} docs")
+
+    # the exact-Jaccard pair stage — the quadratic-looking candidate
+    # generator whose df-cap + hashed-gram design must keep it linear
+    run(spark, "jaccard_ngram 100x ",
+        lambda: jaccard_near_dup_pairs(d100, threshold=0.5).count())
+    # incremental cross-corpus dedup — banded strictly-cross
+    # candidates over a hot family-straddling split
+    run(spark, "cross_near_dup 100x",
+        lambda: cross_near_dup_pairs(
+            d100.where(F.col("doc_id") % 2 == 1),
+            d100.where(F.col("doc_id") % 2 == 0),
+            threshold=0.7,
+        ).count())
+    # the MinHash headline at the same scale for the wall/shuffle
+    # reference row
+    run(spark, "near_dup_minhash100",
+        lambda: near_dup_pairs(d100, threshold=0.7).count())
+    spark.stop()
+
+
 def main() -> None:
     # the stress rig needs the UI's REST API for task/shuffle evidence
     spark = get_session("pipz-scale-stress", extra_conf={"spark.ui.enabled": "true"})
@@ -319,5 +386,7 @@ if __name__ == "__main__":
 
     if "pq100x" in _sys.argv[1:]:
         main_pq100x()
+    elif "dedup100x" in _sys.argv[1:]:
+        main_dedup100x()
     else:
         main()
