@@ -22,6 +22,7 @@ from .dedup import (
     dedup_clusters,
     exact_dedup,
     jaccard_near_dup_pairs,
+    line_dedup,
     lsh_candidate_pairs,
     minhash_signature,
     minhash_signatures_df,
@@ -55,6 +56,7 @@ from .text import (
     token_count,
 )
 from .bpe import bpe_token_count, bpe_tokens_df
+from .search import bm25_topk
 from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
 from .sampling import (
     approx_dataset_profile,
@@ -99,6 +101,8 @@ __all__ = [
     "cross_near_dup_pairs",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "line_dedup",
+    "bm25_topk",
     "fingerprint",
     "fit_bigram_lm",
     "lang_id",

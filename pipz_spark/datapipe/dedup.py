@@ -1403,9 +1403,106 @@ def remove_repeated_spans(
     ).drop("_sid", "_sp")
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal — the C4 recipe ("we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set") at a granularity finer than document
+    dedup and coarser than ``repeated_spans``'s 20-gram islands: the
+    boilerplate killer that strips repeated navigation, license
+    headers, and template paragraphs while keeping each document's
+    unique prose intact.
+
+    A "line" is a fixed non-overlapping window of ``line_words``
+    whitespace tokens (this corpus has no newline/sentence structure;
+    on real data pass the natural split). For every distinct
+    normalized line, exactly ONE occurrence survives — the first in
+    (id, line_idx) order, the same deterministic keep-first rule as
+    ``exact_dedup`` — and every other occurrence corpus-wide is
+    dropped. Documents are reassembled from their surviving lines in
+    original order.
+
+    Output: (id, clean_text, n_kept, n_dropped) — one row per
+    non-empty input document; a document whose every line was
+    elsewhere-first comes back with clean_text '' and n_kept 0 so the
+    caller decides its fate (C4 drops it; a provenance pipeline may
+    want the tombstone).
+
+    100 TB posture: the global decision shuffles ONLY skinny line
+    metadata — (md5(line), id, line_idx), never line text (grouping by
+    the 128-bit digest partitions lines exactly as grouping by the
+    text would, collision odds ~n²/2¹²⁸) — through one window; keep
+    decisions fold to one (id → sorted kept indices) row per document
+    in a second skinny shuffle; the only full-text movement is the
+    final id-keyed join that every per-doc rewrite here pays
+    (``remove_repeated_spans`` has the same shape). Reassembly is a
+    pure JVM filter/slice/join over the re-split token array — no
+    Python, no explode of text.
+    """
+    if line_words <= 0:
+        raise ValueError(f"need line_words > 0, got {line_words}")
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), WS)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(line_words))
+    line_at = lambda s: F.array_join(  # noqa: E731
+        F.slice(toks, s + 1, line_words), " "
+    )
+    nonempty = df.where(F.trim(text) != "")
+    # posexplode the per-line digest array: pos IS line_idx, and the
+    # Generate's input is 16-byte hashes — text never rides the explode
+    meta = nonempty.select(
+        F.col(id_col),
+        F.posexplode(F.transform(starts, lambda s: F.md5(line_at(s)))).alias(
+            "_line_idx", "_key"
+        ),
+    )
+    w = Window.partitionBy("_key").orderBy(F.col(id_col), F.col("_line_idx"))
+    decisions = meta.withColumn("_rn", F.row_number().over(w))
+    kept = decisions.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") == 1, F.col("_line_idx")))
+        ).alias("_kept_idxs"),
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
+        .cast("int")
+        .alias("n_dropped"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), n - 1, F.lit(line_words)),
+                lambda s: F.array_contains(
+                    F.col("_kept_idxs"), (s / F.lit(line_words)).cast("int")
+                ),
+            ),
+            line_at,
+        ),
+        " ",
+    )
+    return (
+        nonempty.join(kept, id_col)
+        .select(
+            id_col,
+            rebuilt.alias("clean_text"),
+            "n_kept",
+            "n_dropped",
+        )
+    )
+
+
 __all__ = [
     "banded_signatures",
     "contamination",
+    "line_dedup",
     "remove_repeated_spans",
     "repeated_spans",
     "cross_near_dup_pairs",

@@ -1,0 +1,136 @@
+"""Keyword search over the document corpus — BM25 top-k ranking via
+the inverted-index plan shape (SURVEY §2 datapipe surface; the
+retrieval half of a training-data pipeline: quality-biased sampling,
+targeted corpus probes, eval-set construction all start with "find
+the documents about X").
+
+100 TB posture: the classic inverted-index factorization, expressed
+declaratively so Catalyst keeps every heavy stage thin. The corpus
+scan computes document length in the projection and explodes ONLY
+query-vocabulary tokens (the `IN (vocab)` filter sits under the
+explode, so a 100-term query set turns a 100 TB text scan into a
+postings stream ~|hits|, not |tokens|); term frequencies partial-
+aggregate map-side; document frequencies fold to ≤|vocab| rows and
+come back as a broadcast; corpus stats (N, avg length) are one
+aggregate row cross-joined in. Nothing ever shuffles document text —
+the only wide exchange carries (doc_id, term, tf) postings.
+
+Cross-engine exactness (the repo's hash-gate discipline,
+DIVERGENCES.md): the IDF is the LOG-FREE rational Robertson-Sparck
+Jones core, (N - df + 0.5)/(df + 0.5) — `ln` is the one BM25
+ingredient whose libm rounding may differ between engines, and
+monotone-in-df rankings are unchanged without it. Every per-term
+score is a pure +,-,*,/ IEEE double tree (exactly-rounded ops,
+bit-identical in Spark and DuckDB given the same parenthesization),
+snapped to DECIMAL(28,6) before the per-document sum so aggregation
+order cannot move the total (the rel_pricing_summary pattern), and
+ranked on the exact decimal with doc_id as the deterministic
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import WS
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` documents per query.
+
+    ``queries`` is a small in-memory list of (query_id, query_text);
+    query terms are whitespace-tokenized and deduplicated (repeated
+    query terms score once — the common simplification; document-side
+    tf saturation is what BM25's k1 models). Corpus statistics (N,
+    average doc length, per-term df) are computed over the non-empty
+    corpus, not per query. A document scores only on the query terms
+    it contains; documents sharing no term with a query are absent
+    from that query's ranking. Output: (query_id, rank, id, score),
+    rank 1..k ordered by exact decimal score descending with id
+    ascending as tie-break.
+
+    The scoring constants (k1+1, 1-b, 0.5 offsets) embed as
+    shortest-round-trip double literals, so an oracle replaying the
+    same literals reproduces every score bit-for-bit before the
+    decimal snap.
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = docs.sparkSession
+    qterms = sorted(
+        {
+            (int(qid), t)
+            for qid, qtext in queries
+            for t in qtext.split()
+            if t
+        }
+    )
+    if not qterms:
+        raise ValueError("queries contain no terms")
+    vocab = sorted({t for _, t in qterms})
+    qdf = spark.createDataFrame(qterms, "query_id int, term string")
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), WS)
+    d = docs.where(F.trim(text) != "").select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_total_words"),
+    )
+    # postings: the vocab filter sits UNDER the explode so only
+    # query-term hits materialize; map-side partial agg folds each
+    # partition's hits to one (doc, term) row before the shuffle
+    tf = (
+        d.select(id_col, "_dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(vocab))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+
+    avgdl = F.col("_total_words").cast("double") / F.col("_n_docs").cast("double")
+    idf = (
+        F.col("_n_docs").cast("double") - F.col("_df").cast("double") + F.lit(0.5)
+    ) / (F.col("_df").cast("double") + F.lit(0.5))
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+    tsat = (F.col("_tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("_tf").cast("double") + F.lit(k1) * norm
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            id_col,
+            (idf * tsat).cast("decimal(28,6)").alias("_ts"),
+        )
+    )
+    agg = scored.groupBy("query_id", id_col).agg(F.sum("_ts").alias("_s"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            id_col,
+            F.col("_s").cast("double").alias("score"),
+        )
+    )
+
+
+__all__ = ["bm25_topk"]

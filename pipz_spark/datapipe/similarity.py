@@ -525,14 +525,18 @@ def cosine_topk_pq(
             # one (nq, n, m) fancy-gather churns ~100 MB of
             # temporaries per 6k-row batch and went memory-bound at
             # the 100× stress (18 s/task, r8), while strict per-
-            # subspace loops bound memory but pay m dispatch overheads
-            # (doubled sf0.1 wall, r8 bench). g = largest chunk whose
-            # distance slab AND gather slab stay under ~32 MB, so peak
-            # memory is bounded by construction at ANY batch width
-            # while the batched-matmul vectorization comes back.
+            # subspace loops bound memory but lose the batched matmul.
+            # g = largest chunk whose distance slab AND gather slab
+            # stay under ~4 MB — measured fastest at BOTH batch widths
+            # (145 ms vs 157 ms loop / 275 ms 32 MB-chunk at the 100×
+            # 6k-row shape; equal at the sf0.1 shape): slabs stay
+            # cache-resident per task, and the CONCURRENT footprint
+            # (32 tasks × ~12 MB) can never re-create the r8
+            # memory-bound cliff, whose 18 s/task came from 32 × ~100
+            # MB of temporaries contending for memory bandwidth.
             # Accumulation stays j-sequential inside each chunk, so
             # codes and approx are bit-identical to the loop form.
-            budget = 32 << 20
+            budget = 4 << 20
             g = max(
                 1,
                 min(

@@ -2999,6 +2999,124 @@ LEFT JOIN clean c ON d.doc_id = c.doc_id
 """
 
 
+# --------------------------------------------------------------------
+# C4-style corpus-level duplicate-line removal (new r9): every
+# distinct 8-token line survives exactly once corpus-wide (first
+# occurrence in (doc_id, line_idx) order); docs reassemble from their
+# surviving lines. All-integer/string surface — no float, no widened
+# aggregate (counts are COUNT(*) FILTER, cast INTEGER).
+def _dp_line_dedup(spark, sf):
+    from .datapipe import line_dedup
+
+    return line_dedup(_t(spark, sf, "documents"), line_words=8)
+
+
+_DP_LINE_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+l AS (
+  SELECT doc_id,
+         CAST(s // 8 AS INTEGER) AS line_idx,
+         array_to_string(toks[s + 1 : s + 8], ' ') AS line
+  FROM t, unnest(range(0, len(toks), 8)) AS u(s)
+),
+dec AS (
+  SELECT doc_id, line_idx, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+  FROM l
+)
+SELECT doc_id,
+       coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE rn = 1),
+                '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS INTEGER) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS INTEGER) AS n_dropped
+FROM dec
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# BM25 keyword search (new r9): inverted-index plan shape, log-free
+# rational IDF so every score is a pure IEEE +,-,*,/ tree (identical
+# in both engines), snapped to DECIMAL(28,6) before the per-doc sum
+# (associative — agg order can't move it), ranked on the exact
+# decimal with doc_id tie-break. See datapipe/search.py.
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "window agg batch"),
+    (2, "sort merge join"),
+    (3, "dup scan"),
+    (4, "customer order part"),
+    (5, "fast vector query"),
+]
+
+
+def _dp_bm25(spark, sf):
+    from .datapipe import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _BM25_QUERIES, k=10)
+
+
+_BM25_SQL = r"""
+WITH q(query_id, term) AS (
+  VALUES (0, 'hash'), (0, 'join'),
+         (1, 'window'), (1, 'agg'), (1, 'batch'),
+         (2, 'sort'), (2, 'merge'), (2, 'join'),
+         (3, 'dup'), (3, 'scan'),
+         (4, 'customer'), (4, 'order'), (4, 'part'),
+         (5, 'fast'), (5, 'vector'), (5, 'query')
+),
+d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents WHERE trim(text) <> ''
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_words FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM d, unnest(toks) AS u(term)
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(dl AS DOUBLE)
+                           / (CAST(total_words AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE))))))
+           AS DECIMAL(28,6)) AS ts
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id, SUM(ts) AS s FROM scored GROUP BY query_id, doc_id
+),
+rnk AS (
+  SELECT query_id, doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       CAST(s AS DOUBLE) AS score
+FROM rnk WHERE rank <= 10
+"""
+
+
 # Explicit-target mixture resampling (datapipe/sampling.py:
 # mixture_resample, new r8): per-lang keep rates so kept TOKENS
 # follow the prescribed shares; every derived double (mass, min
@@ -3282,6 +3400,10 @@ QUERIES: dict[str, Declared] = {
     "events_time_rollup": Declared(_events_time_rollup, _EVENTS_TIME_ROLLUP_SQL),
     "dp_chunk_docs": Declared(_dp_chunk, _DP_CHUNK_SQL),
     "dp_shuffle_shards": Declared(_dp_shuffle, _DP_SHUFFLE_SQL),
+    # ---- added after the r9 window froze → tail; r10 promotion
+    # candidates (the same path dp_budget_cap..dp_clip_spans took) --
+    "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
+    "dp_bm25_topk": Declared(_dp_bm25, _BM25_SQL),
 }
 
 

@@ -835,38 +835,35 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_latest(spark, land, keys=["day", "segment"])
 
 
-def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING-EXECUTED session windows (30-minute gap per user),
-    landed to parquet: time-ordered replay (strict per-file mtimes),
-    session merging in the state store, APPEND mode with a tight
-    watermark — the production shape, where sessions emit exactly once
-    when the watermark passes their close and state stays bounded by
-    the gap + delay, not the stream's lifetime.
+_SESSIONS_REPLAY_MEMO: dict[str, str] = {}
 
-    A finite replay never advances the watermark past its last
-    sessions, so a SENTINEL event (user_id -1, two hours past the real
-    max ts — clearing the 30-minute gap AND the 30-minute watermark
-    delay, since eviction is strict) rides in a final extra file purely
-    to close them; the sentinel's own session is filtered before
-    landing. The same lag/cumulative-sum islands SQL that checks the
-    batch ``events_sessions`` query checks this one."""
+
+def _sessions_replay(spark: SparkSession, sf_dir: str) -> str:
+    """The sessions rig's replay: the shared time-ordered
+    materialization plus a final SENTINEL file (user_id -1, two hours
+    past the real max ts — clearing the 30-minute gap AND the
+    30-minute watermark delay, since eviction is strict) whose only
+    job is to advance the watermark past every real session's close.
+
+    Built once per (sf_dir) and memoized: the dir is a deterministic
+    function of its inputs and, once the sentinel is appended, purely
+    read-only — the same ownership rule as ``replay_events_files``'s
+    memo (construction happens in a PRIVATE clone and the memo is
+    published only after the dir is final, so a concurrent builder
+    can never observe a half-built replay). Without the memo every
+    run re-bills a max(ts) scan, a file clone, and a parquet write
+    (~0.7s at sf0.1) that are test-input construction, not streaming
+    cost."""
     import os as _os
-    import tempfile
     import time as _time
 
-    from ..operators.processors import transform
-
-    # this rig APPENDS a sentinel file to the replay, so it works on a
-    # cheap private clone of the shared materialization, never the
-    # memoized dir itself
-    replay = _clone_replay(replay_events_files(spark, sf_dir, order_by_ts=True))
+    cached = _SESSIONS_REPLAY_MEMO.get(sf_dir)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
     from ..sources.catalog import load_table
 
+    replay = _clone_replay(replay_events_files(spark, sf_dir, order_by_ts=True))
     max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
-    # two hours past: the watermark lands at sentinel - 30min delay,
-    # and the LAST real session ends at max_ts + 30min gap — eviction
-    # is strict (<), so the sentinel must clear gap + delay, not just
-    # one of them
     before = set(_os.listdir(replay))
     # literal projection over range(1), NOT createDataFrame(list): a
     # local-list DataFrame parallelizes into defaultParallelism Python
@@ -888,6 +885,30 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in _os.listdir(replay):
         if f.startswith("part-") and f not in before:
             _os.utime(_os.path.join(replay, f), (newest + 10, newest + 10))
+    _SESSIONS_REPLAY_MEMO[sf_dir] = replay
+    return replay
+
+
+def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED session windows (30-minute gap per user),
+    landed to parquet: time-ordered replay (strict per-file mtimes),
+    session merging in the state store, APPEND mode with a tight
+    watermark — the production shape, where sessions emit exactly once
+    when the watermark passes their close and state stays bounded by
+    the gap + delay, not the stream's lifetime.
+
+    A finite replay never advances the watermark past its last
+    sessions, so a SENTINEL event (user_id -1, two hours past the real
+    max ts — clearing the 30-minute gap AND the 30-minute watermark
+    delay, since eviction is strict) rides in a final extra file purely
+    to close them; the sentinel's own session is filtered before
+    landing. The same lag/cumulative-sum islands SQL that checks the
+    batch ``events_sessions`` query checks this one."""
+    import tempfile
+
+    from ..operators.processors import transform
+
+    replay = _sessions_replay(spark, sf_dir)
     stream = (
         spark.readStream.schema(_NORMALIZED_EVENTS)
         .option("maxFilesPerTrigger", 1)
@@ -1029,7 +1050,12 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_totals_ckpt_"),
         query_name="pipz-stream-totals",
         output_mode="update",
-        state_partitions=4,
+        # 16, not the 4 the JVM-stateful rigs use: this stage's cost
+        # is per-key PYTHON work (one applyInPandasWithState call per
+        # user per trigger), so state-partition parallelism is the
+        # lever — measured solo at sf0.1: 5.2 s at 4, 3.2 s at 16,
+        # 4.7 s at 32 (state-store commit overhead wins past ~16)
+        state_partitions=16,
     )
     try:
         q.processAllAvailable()

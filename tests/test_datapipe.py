@@ -1668,3 +1668,83 @@ def test_repeated_spans_short_docs_yield_nothing(spark):
         for r in repeated_spans(big, min_len=20).collect()
     }
     assert got == oracle and (5, 1, 45) in got and (6, 1, 45) in got
+
+
+def test_line_dedup_keep_first_and_reassemble(spark):
+    from pipz_spark.datapipe import line_dedup
+
+    docs = [
+        (1, "a b c d"),       # lines(2): "a b", "c d" — both first
+        (2, "c d e f"),       # "c d" dup (doc 1 idx 1 wins), "e f" new
+        (3, "a b c d"),       # every line elsewhere-first → tombstone
+        (4, "a b x"),         # trailing partial line "x" is its own line
+        (5, "   "),           # blank input is excluded entirely
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, line_words=2).collect()
+    }
+    assert out == {
+        1: ("a b c d", 2, 0),
+        2: ("e f", 1, 1),
+        3: ("", 0, 2),
+        4: ("x", 1, 1),
+    }
+
+
+def test_line_dedup_validation(spark):
+    from pipz_spark.datapipe import line_dedup
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="line_words"):
+        line_dedup(df, line_words=0)
+
+
+def test_bm25_topk_ranking_and_dedup_terms(spark):
+    from pipz_spark.datapipe import bm25_topk
+
+    # N=3, total_words=5, avgdl=5/3; df(apple)=2 → idf=0.6.
+    # doc 2 (tf=1, dl=1) outranks doc 1 (tf=2, dl=3): BM25's length
+    # norm beats the saturated extra occurrence. doc 3 never appears.
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple"), (3, "cherry")],
+        "doc_id long, text string",
+    )
+    # query 1 repeats the term — scored once, identical ranking
+    out = bm25_topk(df, [(0, "apple"), (1, "apple apple")], k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for q in (0, 1):
+        ranked = sorted(by_q[q])
+        assert [d for _, d, _ in ranked] == [2, 1]
+        assert ranked[0][2] > ranked[1][2]
+    assert by_q[0] == by_q[1]
+    # hand-computed: doc2 idf*tsat = 0.6 * 2.2/(1+1.2*0.7) = 0.717391
+    assert abs(by_q[0][0][2] - 0.717391) < 1e-6
+
+
+def test_bm25_topk_tiebreak_and_k(spark):
+    from pipz_spark.datapipe import bm25_topk
+
+    df = spark.createDataFrame(
+        [(7, "same text"), (3, "same text"), (5, "same text")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, [(0, "same")], k=2).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 3), (2, 5)]
+
+
+def test_bm25_topk_validation(spark):
+    from pipz_spark.datapipe import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k > 0"):
+        bm25_topk(df, [(0, "a")], k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [], k=1)
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(df, [(0, "  ")], k=1)

@@ -134,7 +134,7 @@ def main_pq100x() -> None:
     spark.stop()
 
 
-def main_dedup100x() -> None:
+def main_dedup100x(only: str | None = None) -> None:
     """100× DEDUP stress (VERDICT r8 #7): ANN/PQ earned 100× evidence
     in r8; this gives the dedup side's worst cases the same treatment
     at 100× document count (500k docs from sf0.1's 5k).
@@ -172,7 +172,7 @@ def main_dedup100x() -> None:
             F.concat(
                 F.col("text"),
                 F.lit(" family"),
-                (F.col("_rep") // 10).cast("string"),
+                F.floor(F.col("_rep") / 10).cast("string"),
                 F.lit(" rep"),
                 (F.col("_rep") % 10).cast("string"),
             ).alias("text"),
@@ -182,22 +182,32 @@ def main_dedup100x() -> None:
     d100 = spark.read.parquet(f"{tmp}/documents100")
     print(f"corpus: {d100.count()} docs")
 
-    # the exact-Jaccard pair stage — the quadratic-looking candidate
-    # generator whose df-cap + hashed-gram design must keep it linear
-    run(spark, "jaccard_ngram 100x ",
-        lambda: jaccard_near_dup_pairs(d100, threshold=0.5).count())
-    # incremental cross-corpus dedup — banded strictly-cross
-    # candidates over a hot family-straddling split
-    run(spark, "cross_near_dup 100x",
-        lambda: cross_near_dup_pairs(
-            d100.where(F.col("doc_id") % 2 == 1),
-            d100.where(F.col("doc_id") % 2 == 0),
-            threshold=0.7,
-        ).count())
-    # the MinHash headline at the same scale for the wall/shuffle
-    # reference row
-    run(spark, "near_dup_minhash100",
-        lambda: near_dup_pairs(d100, threshold=0.7).count())
+    # One op per PROCESS invocation (pass jaccard|cross|minhash):
+    # local-mode shuffle files live until session stop, so chaining
+    # three 100× ops in one JVM stacks ~tens of GB of dead shuffle
+    # state on the root volume (the r9 first attempt died ENOSPC in
+    # op 2 with op 1's blocks still on disk). Separate processes give
+    # each op a clean scratch AND honest per-op shuffle accounting.
+    if only in (None, "jaccard"):
+        # the exact-Jaccard pair stage — the quadratic-looking
+        # candidate generator whose df-cap + hashed-gram design must
+        # keep it linear
+        run(spark, "jaccard_ngram 100x ",
+            lambda: jaccard_near_dup_pairs(d100, threshold=0.5).count())
+    if only in (None, "cross"):
+        # incremental cross-corpus dedup — banded strictly-cross
+        # candidates over a hot family-straddling split
+        run(spark, "cross_near_dup 100x",
+            lambda: cross_near_dup_pairs(
+                d100.where(F.col("doc_id") % 2 == 1),
+                d100.where(F.col("doc_id") % 2 == 0),
+                threshold=0.7,
+            ).count())
+    if only in (None, "minhash"):
+        # the MinHash headline at the same scale for the wall/shuffle
+        # reference row
+        run(spark, "near_dup_minhash100",
+            lambda: near_dup_pairs(d100, threshold=0.7).count())
     spark.stop()
 
 
@@ -387,6 +397,7 @@ if __name__ == "__main__":
     if "pq100x" in _sys.argv[1:]:
         main_pq100x()
     elif "dedup100x" in _sys.argv[1:]:
-        main_dedup100x()
+        _ops = [a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash")]
+        main_dedup100x(_ops[0] if _ops else None)
     else:
         main()
