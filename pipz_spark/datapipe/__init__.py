@@ -55,7 +55,7 @@ from .text import (
     text_stats,
     token_count,
 )
-from .bpe import bpe_token_count, bpe_tokens_df
+from .bpe import bpe_token_count, bpe_tokens_df, bpe_train, save_merges
 from .search import bm25_topk
 from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
 from .sampling import (
@@ -103,6 +103,8 @@ __all__ = [
     "exact_dedup",
     "line_dedup",
     "bm25_topk",
+    "bpe_train",
+    "save_merges",
     "fingerprint",
     "fit_bigram_lm",
     "lang_id",

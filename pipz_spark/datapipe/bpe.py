@@ -92,6 +92,113 @@ def load_merges(path: str | None = None) -> tuple[tuple[str, str], ...]:
     return tuple(merges)
 
 
+def train_merges(
+    freq: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic Sennrich-style BPE training over a word-frequency
+    histogram: start from per-character segmentations, repeatedly
+    merge the most frequent adjacent pair (ties break on the
+    lexicographically smallest pair — fully deterministic), stop
+    early when no pair occurs twice. The single shared implementation
+    behind both ``tools/train_bpe.py`` (the checked-in fixture) and
+    the distributed ``bpe_train`` below; the learned list is
+    WELL-FORMED by construction (each merge's symbols are base
+    characters or products of strictly earlier merges), the property
+    the SQL oracle's rank-ordered replay depends on."""
+    import collections
+
+    segs = {w: tuple(w) for w in freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: collections.Counter[tuple[str, str]] = collections.Counter()
+        for w, toks in segs.items():
+            n = freq[w]
+            for pair in zip(toks, toks[1:]):
+                counts[pair] += n
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, toks in segs.items():
+            if best[0] not in toks:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 160,
+    max_vocab: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table on a corpus — the producer half of the
+    module (``bpe_tokens_df`` is the consumer): one distributed
+    pre-token histogram, then the exact ``train_merges`` loop over it.
+
+    This is the production shape for web-scale BPE training: the
+    corpus-sized work is ONE map-side-combining groupBy over the
+    pre-token stream (the only shuffle, carrying (word, count) rows),
+    and everything after runs on the histogram, whose size is the
+    corpus's DISTINCT pre-token vocabulary — Heaps'-law bounded
+    (sublinear in corpus size; web-scale corpora have ~10⁶-10⁷
+    distinct pre-tokens under this alphabetic pre-tokenizer, not
+    corpus-sized), which is why every practical BPE trainer reduces to
+    a histogram before merging. ``max_vocab`` makes the driver bound
+    EXPLICIT: the collect is capped, and a vocabulary over the cap
+    raises (pre-filter the corpus or raise the cap) rather than
+    silently truncating — a dropped rare word would change trained
+    ranks invisibly.
+
+    Deterministic end-to-end: exact integer counts, lexicographic tie
+    break; ``bpe_train`` on the sf0.001 fixture byte-reproduces the
+    checked-in ``bpe_merges.txt`` (pinned by test)."""
+    if n_merges < 0:
+        raise ValueError(f"need n_merges >= 0, got {n_merges}")
+    hist = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(PRETOKEN_PATTERN),
+                    F.lit(0),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = hist.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"distinct pre-token vocabulary exceeds max_vocab={max_vocab}; "
+            "raise the cap or pre-filter the corpus — silently truncating "
+            "the histogram would invisibly change trained merge ranks"
+        )
+    return train_merges({r["w"]: r["n"] for r in rows}, n_merges)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str, note: str = "") -> None:
+    """Write a merge table in the ``load_merges`` file format (one
+    ``a b`` pair per line, ``#version`` header)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"#version: pipz-bpe 1 ({note or f'{len(merges)} merges'})\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]:
     """Canonical BPE application: merge the lowest-rank adjacent pair
     present (all its occurrences, leftmost-first) until none remains."""

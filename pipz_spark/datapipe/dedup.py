@@ -1051,12 +1051,44 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     return mapped.unionByName(singletons)
 
 
+def _driver_union_find(spark, rows) -> DataFrame:
+    """Exact min-label components for a driver-resident edge list:
+    path-halving union-find, then one pass electing each root's
+    minimum member — the same (node, component = min reachable id)
+    contract as the distributed paths, including self-loop singletons
+    (a (7,7) edge registers node 7 with no union)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    out = [(node, comp_min[find(node)]) for node in parent]
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
     algorithm: str = "auto",
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for the undirected pair graph; component =
     the minimum node id reachable from each node.
@@ -1087,12 +1119,36 @@ def connected_components(
       duplicates through dedup_clusters).
     - ``"star"``: star contraction directly — the right call when the
       caller KNOWS the graph is chain-shaped.
+
+    ``driver_cap``: pair graphs at or below this many edges skip the
+    iterative machinery entirely — collect the (long, long) edge list
+    and run an exact union-find on the driver (labels IDENTICAL to
+    the distributed paths by construction: component = min reachable
+    id either way). The same bounded-collect reasoning as the other
+    driver sites (a 1M-edge list is ~32 MB — the broadcast-threshold
+    class, provably bounded by the cap, never by data volume), and
+    the honest 100 TB posture: dedup pair graphs are SPARSE relative
+    to the corpus (pairs ≈ duplicates, not documents²), so most real
+    closures fit the cap; those that don't take the distributed path
+    unchanged. ``driver_cap=0`` disables (every round-trip test of
+    the distributed machinery does this). Applies to ``"auto"`` only:
+    explicit ``"label"``/``"star"`` are requests for a specific
+    distributed algorithm.
     """
     from . import _caches
 
     if algorithm not in ("auto", "label", "star"):
         raise ValueError("algorithm must be 'auto', 'label' or 'star'")
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    if algorithm == "auto" and driver_cap > 0:
+        # one bounded action sizes the graph AND fetches it when small
+        # (cap+1 rows back = too big, fall through). CollectLimit
+        # scans partitions incrementally, so an over-cap graph pays
+        # ~one partition of the upstream pair plan before the
+        # distributed path computes it in full
+        sample = e.limit(driver_cap + 1).collect()
+        if len(sample) <= driver_cap:
+            return _driver_union_find(pairs.sparkSession, sample)
     # symmetrize; every round reads this frame, so pin it (skinny rows)
     edges = _caches.track(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()

@@ -880,12 +880,21 @@ def test_connected_components_auto_escalates_long_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(999)], "id_a long, id_b long"
     )
+    # driver_cap=0 forces the distributed machinery — the default
+    # would resolve this 999-edge graph on the driver and never reach
+    # the escalation under test
     got = {
         r["node"]: r["component"]
-        for r in connected_components(chain, max_iter=3).collect()
+        for r in connected_components(chain, max_iter=3, driver_cap=0).collect()
     }
     assert len(got) == 1000
     assert set(got.values()) == {0}
+    # and the driver fast path (cap above the edge count) agrees
+    via_driver = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=3).collect()
+    }
+    assert via_driver == got
 
 
 def test_star_contraction_preserves_self_loop_nodes(spark):
@@ -948,6 +957,19 @@ def test_star_contraction_matches_label_propagation_on_random_graphs(spark):
             for r in connected_components(pairs, algorithm="star").collect()
         }
         assert star == truth, f"seed {seed}"
+        # three-way parity: driver union-find (default auto) and
+        # distributed label propagation (cap disabled) must agree
+        # with the same ground truth
+        via_driver = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert via_driver == truth, f"seed {seed} driver"
+        via_label = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, driver_cap=0).collect()
+        }
+        assert via_label == truth, f"seed {seed} label"
 
 
 def test_dedup_clusters_keeper_present_when_min_id_filtered_out(spark):
@@ -1748,3 +1770,84 @@ def test_bm25_topk_validation(spark):
         bm25_topk(df, [], k=1)
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk(df, [(0, "  ")], k=1)
+
+
+def test_bpe_train_matches_independent_reference(spark):
+    # independent in-test trainer (same classic algorithm, separately
+    # written): count pairs over per-char segs, merge argmax with
+    # (-count, pair) tie-break, stop below freq 2
+    from pipz_spark.datapipe import bpe_train
+
+    corpus = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+    import collections
+    import re
+
+    freq = collections.Counter(
+        w
+        for _, t in corpus
+        for w in re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \x00-\x1f]", t)
+    )
+    segs = {w: tuple(w) for w in freq}
+    expected = []
+    for _ in range(8):
+        counts = collections.Counter()
+        for w, toks in segs.items():
+            for p in zip(toks, toks[1:]):
+                counts[p] += freq[w]
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        expected.append(best)
+        # apply the merge by regex over the space-joined segmentation:
+        # lookarounds pin whole-token matches, re.sub is leftmost-first
+        # non-overlapping — the BPE convention — and the implementation
+        # under test never goes through strings this way
+        pat = f"(?<!\\S){re.escape(best[0])} {re.escape(best[1])}(?!\\S)"
+        segs = {
+            w: tuple(re.sub(pat, best[0] + best[1], " ".join(toks)).split(" "))
+            for w, toks in segs.items()
+        }
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = bpe_train(df, n_merges=8)
+    assert got == expected
+
+
+def test_bpe_train_reproduces_checked_in_fixture(spark):
+    # end-to-end determinism: the distributed histogram + shared merge
+    # loop must byte-reproduce the fixture tools/train_bpe.py built
+    # from the same sf0.001 corpus
+    from pipz_spark.datapipe import bpe_train
+    from pipz_spark.datapipe.bpe import load_merges
+    from pipz_spark.sources.catalog import load_table
+
+    fix = load_merges()  # trained with n_merges=40 (see its header)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert tuple(bpe_train(docs, n_merges=len(fix))) == fix
+    # asking for more merges prefix-extends the same table — earlier
+    # ranks never depend on how many later merges were requested
+    more = bpe_train(docs, n_merges=len(fix) + 8)
+    assert tuple(more[: len(fix)]) == fix and len(more) == len(fix) + 8
+
+
+def test_bpe_train_validation(spark):
+    from pipz_spark.datapipe import bpe_train
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=-1)
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_train(df, n_merges=1, max_vocab=2)
+
+
+def test_save_merges_roundtrip(tmp_path):
+    from pipz_spark.datapipe import save_merges
+    from pipz_spark.datapipe.bpe import load_merges
+
+    merges = [("l", "o"), ("lo", "w"), ("#", "#")]
+    path = str(tmp_path / "m.txt")
+    save_merges(merges, path)
+    assert load_merges(path) == tuple(merges)

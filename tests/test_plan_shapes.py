@@ -291,3 +291,25 @@ def test_repeated_spans_no_cartesian(spark):
     plan = _plan(spark, "dp_repeated_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_explode_carries_digests_not_text(spark):
+    # the global keep decision shuffles (md5, id, idx) metadata
+    # through one window + one aggregate; document text reappears only
+    # in the final id-keyed rebuild join — never in a cartesian
+    plan = _plan(spark, "dp_line_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Generate" in plan  # the posexplode of per-line digests
+
+
+def test_bm25_stats_broadcast_never_shuffle_postings(spark):
+    # query terms, df table, and corpus stats are all broadcast-small;
+    # the postings stream must meet them via BroadcastHashJoin and a
+    # broadcast nested-loop for the single-row stats cross join —
+    # never a SortMergeJoin of the postings
+    plan = _plan(spark, "dp_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -165,16 +165,48 @@ def main_dedup100x(only: str | None = None) -> None:
     tmp = tempfile.mkdtemp(prefix="pipz_stress_dedup100_")
     docs = load_table(spark, "documents", sf)
     reps = spark.range(100).select(F.col("id").alias("_rep"))
+    # Family separation must happen at the SHINGLE-SET level: a short
+    # " familyX" suffix adds ~15 distinct 5-grams to a ~1000-shingle
+    # doc, so every replica of a base doc — all 100, not the intended
+    # 10-member family — stays jaccard ~0.97 with every other, and the
+    # corpus degenerates into 100-member cliques (~12.5M cross pairs
+    # whose verify join moves hundreds of GB of shingle arrays — the
+    # r9 first run died ENOSPC exactly there; it ALSO pushes every
+    # base gram past the df-cap, which is the failure mode the note
+    # below warns about). Repetition can't fix it (periodic text has
+    # constantly many DISTINCT shingles); 60 md5-derived 8-char tokens
+    # per (doc, family) add ~700 distinct shingles, putting
+    # cross-family jaccard at ~0.4 (< .5/.7 thresholds) and
+    # within-family at ~0.99.
+    fam = F.floor(F.col("_rep") / 10).cast("string")
+    # family tokens key on (_base, fam) — NOT on a column literally
+    # named doc_id: the output select aliases doc_id to the replica
+    # id, and Spark's lateral-column-alias resolution would bind the
+    # family hash to THAT (unique per row → zero shared family
+    # tokens → zero pairs, the r9 silent-corpus-bug rerun)
+    fam_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("_base").cast("string"), F.lit("|"), fam,
+                        F.lit("|"), i.cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+        ),
+    )
     big = (
         docs.crossJoin(reps)
+        .select(F.col("doc_id").alias("_base"), "_rep", "text")
         .select(
-            (F.col("doc_id") * 100 + F.col("_rep")).alias("doc_id"),
+            (F.col("_base") * 100 + F.col("_rep")).alias("doc_id"),
             F.concat(
-                F.col("text"),
-                F.lit(" family"),
-                F.floor(F.col("_rep") / 10).cast("string"),
-                F.lit(" rep"),
-                (F.col("_rep") % 10).cast("string"),
+                F.col("text"), F.lit(" "), fam_text,
+                F.lit(" rep"), (F.col("_rep") % 10).cast("string"),
             ).alias("text"),
         )
     )

@@ -46,35 +46,11 @@ def word_frequencies(sf_dir: str) -> dict[str, int]:
 
 
 def train(freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
-    segs = {w: tuple(w) for w in freq}
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        counts: collections.Counter[tuple[str, str]] = collections.Counter()
-        for w, toks in segs.items():
-            n = freq[w]
-            for pair in zip(toks, toks[1:]):
-                counts[pair] += n
-        if not counts:
-            break
-        best = min(counts, key=lambda p: (-counts[p], p))
-        if counts[best] < 2:
-            break
-        merges.append(best)
-        merged = best[0] + best[1]
-        for w, toks in segs.items():
-            if best[0] not in toks:
-                continue
-            out: list[str] = []
-            i = 0
-            while i < len(toks):
-                if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(toks[i])
-                    i += 1
-            segs[w] = tuple(out)
-    return merges
+    # single implementation lives next to the operator it feeds (also
+    # reached distributed via datapipe.bpe.bpe_train)
+    from pipz_spark.datapipe.bpe import train_merges
+
+    return train_merges(freq, n_merges)
 
 
 def main() -> None:
