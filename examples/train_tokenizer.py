@@ -19,6 +19,7 @@ break), so a pinned tokenizer can be re-derived, audited, or extended
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
@@ -37,7 +38,9 @@ def main() -> None:
     docs = load_table(spark, "documents", sf_dir)
 
     merges = bpe_train(docs, n_merges=n_merges)
-    path = tempfile.mktemp(prefix="pipz_merges_", suffix=".txt")
+    fd, path = tempfile.mkstemp(prefix="pipz_merges_", suffix=".txt")
+    os.close(fd)  # save_merges reopens by path; mkstemp avoids the
+    # mktemp name-reservation race under concurrent runs
     save_merges(merges, path, note=f"trained on {sf_dir}")
     print(f"trained {len(merges)} merges -> {path}")
     print("first 10:", merges[:10])

@@ -104,27 +104,55 @@ def train_merges(
     the distributed ``bpe_train`` below; the learned list is
     WELL-FORMED by construction (each merge's symbols are base
     characters or products of strictly earlier merges), the property
-    the SQL oracle's rank-ordered replay depends on."""
+    the SQL oracle's rank-ordered replay depends on.
+
+    Incremental, not recount-the-world: pair counts update only for
+    the words the chosen merge touches (a pair→words inverted index
+    names them), and the argmax is a lazy max-heap keyed on
+    ``(-count, pair)`` — stale entries (the pair's count changed
+    after push) are discarded on pop by checking against the live
+    count. Total cost is O(Σ|touched words| · log) across all merges
+    instead of O(n_merges × Σ|w|) full rescans — the difference
+    between minutes and days at the 10⁶-10⁷-word vocabularies
+    ``bpe_train`` targets. Output is IDENTICAL to the naive loop
+    (same argmax key, same application), pinned by the fixture and
+    hand-example tests."""
     import collections
+    import heapq
 
     segs = {w: tuple(w) for w in freq}
+    counts: collections.Counter[tuple[str, str]] = collections.Counter()
+    where: dict[tuple[str, str], set[str]] = collections.defaultdict(set)
+    for w, toks in segs.items():
+        n = freq[w]
+        for pair in zip(toks, toks[1:]):
+            counts[pair] += n
+            where[pair].add(w)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        counts: collections.Counter[tuple[str, str]] = collections.Counter()
-        for w, toks in segs.items():
-            n = freq[w]
-            for pair in zip(toks, toks[1:]):
-                counts[pair] += n
-        if not counts:
-            break
-        best = min(counts, key=lambda p: (-counts[p], p))
-        if counts[best] < 2:
-            break
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        live = counts.get(best, 0)
+        if live != -negc:
+            continue  # stale: the count moved after this entry was pushed
+        if live < 2:
+            break  # the true maximum is below the threshold — done
         merges.append(best)
         merged = best[0] + best[1]
-        for w, toks in segs.items():
-            if best[0] not in toks:
-                continue
+        for w in list(where.get(best, ())):
+            toks = segs[w]
+            n = freq[w]
+            # retract the word's old pair contributions...
+            for pair in zip(toks, toks[1:]):
+                c = counts[pair] - n
+                if c > 0:
+                    counts[pair] = c
+                    heapq.heappush(heap, (-c, pair))
+                else:
+                    del counts[pair]
+                where[pair].discard(w)
+            # ...apply the merge (leftmost-first, all occurrences)...
             out: list[str] = []
             i = 0
             while i < len(toks):
@@ -135,6 +163,12 @@ def train_merges(
                     out.append(toks[i])
                     i += 1
             segs[w] = tuple(out)
+            # ...and add the new contributions
+            for pair in zip(out, out[1:]):
+                c = counts[pair] + n
+                counts[pair] = c
+                heapq.heappush(heap, (-c, pair))
+                where[pair].add(w)
     return merges
 
 

@@ -1051,21 +1051,27 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     return mapped.unionByName(singletons)
 
 
-def _driver_union_find(spark, rows) -> DataFrame:
-    """Exact min-label components for a driver-resident edge list:
-    path-halving union-find, then one pass electing each root's
-    minimum member — the same (node, component = min reachable id)
-    contract as the distributed paths, including self-loop singletons
-    (a (7,7) edge registers node 7 with no union)."""
-    parent: dict[int, int] = {}
+def _driver_union_find(spark, us, vs, id_type) -> DataFrame:
+    """Exact min-label components for a driver-resident edge list
+    (two parallel Arrow-decoded columns): path-halving union-find,
+    then one pass electing each root's minimum member — the same
+    (node, component = min reachable id) contract as the distributed
+    paths, including self-loop singletons (a (7,7) edge registers
+    node 7 with no union). The output schema carries the INPUT id
+    type: the auto fast path must never make the result type a
+    function of data volume (the driver hash gate is type-sensitive,
+    DIVERGENCES.md #18)."""
+    from pyspark.sql.types import StructField, StructType
 
-    def find(x: int) -> int:
+    parent: dict = {}
+
+    def find(x):
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
-    for u, v in rows:
+    for u, v in zip(us, vs):
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -1073,13 +1079,16 @@ def _driver_union_find(spark, rows) -> DataFrame:
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[ru] = rv
-    comp_min: dict[int, int] = {}
+    comp_min: dict = {}
     for node in parent:
         r = find(node)
         if r not in comp_min or node < comp_min[r]:
             comp_min[r] = node
     out = [(node, comp_min[find(node)]) for node in parent]
-    return spark.createDataFrame(out, "node long, component long")
+    schema = StructType(
+        [StructField("node", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -1121,17 +1130,23 @@ def connected_components(
       caller KNOWS the graph is chain-shaped.
 
     ``driver_cap``: pair graphs at or below this many edges skip the
-    iterative machinery entirely — collect the (long, long) edge list
-    and run an exact union-find on the driver (labels IDENTICAL to
-    the distributed paths by construction: component = min reachable
-    id either way). The same bounded-collect reasoning as the other
-    driver sites (a 1M-edge list is ~32 MB — the broadcast-threshold
-    class, provably bounded by the cap, never by data volume), and
-    the honest 100 TB posture: dedup pair graphs are SPARSE relative
-    to the corpus (pairs ≈ duplicates, not documents²), so most real
+    iterative machinery entirely — fetch the edge list via one
+    bounded Arrow collect and run an exact union-find on the driver
+    (labels IDENTICAL to the distributed paths by construction:
+    component = min reachable id either way; output schema carries
+    the input id type, so the result type never depends on data
+    volume). The same bounded-collect reasoning as the other driver
+    sites — at the 1M default the transient footprint is two Arrow
+    int64 columns (~16 MB) plus the union-find dicts (boxed Python
+    ints, worst case ~100-200 MB: bounded by the cap, never by data
+    volume, and sized against the 8 GB driver, not hand-waved). The
+    honest 100 TB posture: dedup pair graphs are SPARSE relative to
+    the corpus (pairs ≈ duplicates, not documents²), so most real
     closures fit the cap; those that don't take the distributed path
-    unchanged. ``driver_cap=0`` disables (every round-trip test of
-    the distributed machinery does this). Applies to ``"auto"`` only:
+    unchanged, reading the same persisted edge frame the probe
+    materialized (the pair plan runs once either way).
+    ``driver_cap=0`` disables (every round-trip test of the
+    distributed machinery does this). Applies to ``"auto"`` only:
     explicit ``"label"``/``"star"`` are requests for a specific
     distributed algorithm.
     """
@@ -1139,16 +1154,29 @@ def connected_components(
 
     if algorithm not in ("auto", "label", "star"):
         raise ValueError("algorithm must be 'auto', 'label' or 'star'")
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # pin the DIRECTED edge list once: the probe below, the
+    # symmetrized frame, and every propagation round all read it, so
+    # an over-cap graph pays its (possibly expensive) pair plan
+    # exactly once — CollectLimit feeding the probe materializes the
+    # persisted rows the distributed path then reuses
+    e = _caches.track(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
+    )
     if algorithm == "auto" and driver_cap > 0:
         # one bounded action sizes the graph AND fetches it when small
-        # (cap+1 rows back = too big, fall through). CollectLimit
-        # scans partitions incrementally, so an over-cap graph pays
-        # ~one partition of the upstream pair plan before the
-        # distributed path computes it in full
-        sample = e.limit(driver_cap + 1).collect()
-        if len(sample) <= driver_cap:
-            return _driver_union_find(pairs.sparkSession, sample)
+        # (cap+1 rows back = too big, fall through); Arrow-decoded
+        # columns, not Row objects, so the transient driver footprint
+        # at the 1M default cap is two int64 columns (~16 MB) plus
+        # the union-find dicts (~100-200 MB of boxed ints at the
+        # worst case) — bounded by the cap, never by data volume
+        probe = e.limit(driver_cap + 1).toPandas()
+        if len(probe) <= driver_cap:
+            return _driver_union_find(
+                pairs.sparkSession,
+                probe["u"].tolist(),
+                probe["v"].tolist(),
+                e.schema["u"].dataType,
+            )
     # symmetrize; every round reads this frame, so pin it (skinny rows)
     edges = _caches.track(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()

@@ -3236,7 +3236,9 @@ FROM h
 # rel_exists_subquery; events_time_rollup — the expand machine by
 # rel_cube; dp_chunk_docs + dp_shuffle_shards — chunking and md5
 # sharding are the first two stages of in-window dp_pack_sequences).
-# This completes driver evidence for 103/103 registry entries.
+# This completes driver evidence for the 103 entries that existed at
+# the freeze; the r9-added tail queries (dp_line_dedup, dp_bm25_topk)
+# wait for the r10 rotation, the same path every newcomer takes.
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {
@@ -3319,8 +3321,9 @@ QUERIES: dict[str, Declared] = {
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
     "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
     "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
-    # ---- r9 promotions: the last 4 entries with no driver row ----
-    # (added after the r8 window froze) — closes evidence 103/103
+    # ---- r9 promotions: the 4 pre-r9 entries with no driver row ----
+    # (added after the r8 window froze) — closes evidence for the
+    # 103 queries that existed at the r9 freeze
     "dp_budget_cap": Declared(_dp_budget_cap, _DP_BUDGET_CAP_SQL),
     "dp_mixture_resample": Declared(_dp_mixture_resample, _DP_MIXTURE_SQL),
     "dp_repeated_spans": Declared(_dp_repeated_spans, _DP_REPEATED_SPANS_SQL),

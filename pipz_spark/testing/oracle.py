@@ -81,11 +81,16 @@ def type_parity_issues(
             continue  # schema gate reports missing columns
         duck = _base(dt)
         if duck == "DECIMAL":
-            if not st.startswith("decimal"):
+            # family match is not enough: decimal(28,6) vs Spark's
+            # SUM-widened decimal(38,6) are hash-incompatible physical
+            # types by the same width logic as the integer rows —
+            # compare the (precision, scale) parameters exactly
+            if st != str(dt).strip().lower().replace(" ", ""):
                 issues.append(
-                    f"col {col}: oracle DECIMAL ({dt}) vs spark {st} — "
-                    f"CAST the oracle output (DuckDB decimal division/"
-                    f"aggregate widening; see DIVERGENCES.md)"
+                    f"col {col}: oracle {dt} vs spark {st} — decimal "
+                    f"precision/scale must agree exactly; CAST the oracle "
+                    f"output (DuckDB decimal division/aggregate widening; "
+                    f"see DIVERGENCES.md)"
                 )
             continue
         allowed = _DUCK_TO_SPARK.get(duck)
