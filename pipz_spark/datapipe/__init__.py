@@ -54,6 +54,7 @@ from .text import (
     regex_token_count,
     text_stats,
     token_count,
+    top_ngrams,
 )
 from .bpe import bpe_token_count, bpe_tokens_df, bpe_train, save_merges
 from .search import bm25_topk
@@ -127,6 +128,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "text_stats",
     "token_count",
+    "top_ngrams",
     "chunk_documents",
     "contamination",
     "ngram_repetition",

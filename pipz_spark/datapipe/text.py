@@ -381,6 +381,52 @@ def pack_sequences(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary report: the ``k`` word ``n``-grams present in
+    the most documents — (rank, gram, df), rank 1..k ordered by
+    document frequency descending with the gram string ascending as
+    the deterministic tie-break. The first look every corpus audit
+    takes (boilerplate discovery, df-cap calibration for the dedup
+    operators, stopword candidates), sharing ``word_ngrams``'s exact
+    gram construction so a gram's df here IS the df the dedup cap
+    reasons about.
+
+    Scale shape: gram explode over the scan → map-side partial
+    aggregate folds each partition's grams before the one (gram,
+    count) shuffle → global top-k via TakeOrdered (a k-row heap per
+    partition + k-row merge at the driver, never a full sort)."""
+    from pyspark.sql import Window
+
+    from .dedup import word_ngrams  # lazy: dedup imports from text
+
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    if n <= 0:
+        raise ValueError(f"need n > 0, got {n}")
+    text = F.col(text_col)
+    return (
+        df.where(F.trim(text) != "")
+        .select(F.explode(word_ngrams(text, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("df").desc(), F.col("gram")))
+            .cast("int")
+            .alias("rank"),
+            "gram",
+            "df",
+        )
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "PII_PATTERNS",
@@ -395,4 +441,5 @@ __all__ = [
     "ngram_repetition",
     "pack_sequences",
     "redact_pii",
+    "top_ngrams",
 ]

@@ -3117,6 +3117,37 @@ FROM rnk WHERE rank <= 10
 """
 
 
+# --------------------------------------------------------------------
+# Corpus vocabulary report (new r9): top-k word 3-grams by document
+# frequency, (df DESC, gram ASC) deterministic ordering. Shares
+# gram_array's construction with the dedup operators (incl. the
+# short-doc whole-text fallback), so this df IS the df the dedup
+# cap reasons about. All-integer/string output.
+def _dp_top_ngrams(spark, sf):
+    from .datapipe import top_ngrams
+
+    return top_ngrams(_t(spark, sf, "documents"), n=3, k=100)
+
+
+_DP_TOP_NGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[s + 1 : s + 3], ' ') AS gram
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(s)
+), c AS (
+  SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+), r AS (
+  SELECT gram, df,
+         ROW_NUMBER() OVER (ORDER BY df DESC, gram) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INTEGER) AS rank, gram, df
+FROM r WHERE rank <= 100
+"""
+
+
 # Explicit-target mixture resampling (datapipe/sampling.py:
 # mixture_resample, new r8): per-lang keep rates so kept TOKENS
 # follow the prescribed shares; every derived double (mass, min
@@ -3407,6 +3438,7 @@ QUERIES: dict[str, Declared] = {
     # candidates (the same path dp_budget_cap..dp_clip_spans took) --
     "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
     "dp_bm25_topk": Declared(_dp_bm25, _BM25_SQL),
+    "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
 }
 
 

@@ -1851,3 +1851,32 @@ def test_save_merges_roundtrip(tmp_path):
     path = str(tmp_path / "m.txt")
     save_merges(merges, path)
     assert load_merges(path) == tuple(merges)
+
+
+def test_top_ngrams_df_semantics_and_tiebreak(spark):
+    from pipz_spark.datapipe import top_ngrams
+
+    docs = [
+        (1, "a b c a b c"),   # repeated in-doc gram counts ONCE (df, not tf)
+        (2, "a b c"),
+        (3, "b c a"),
+        (4, "zz"),            # short doc: whole text is its one gram
+        (5, "  "),            # blank: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["rank"], r["gram"], r["df"])
+           for r in top_ngrams(df, n=3, k=4).orderBy("rank").collect()]
+    # doc 1's sliding grams: {"a b c", "b c a", "c a b"} — its repeat
+    # of "a b c" counts ONCE (df, not tf); doc 3's whole text is the
+    # gram "b c a"; doc 4 is below n tokens so its whole text is its
+    # one gram; ties break on gram ascending
+    assert got == [
+        (1, "a b c", 2),   # docs 1, 2
+        (2, "b c a", 2),   # docs 1, 3
+        (3, "c a b", 1),
+        (4, "zz", 1),
+    ]
+    with pytest.raises(ValueError, match="k > 0"):
+        top_ngrams(df, k=0)
+    with pytest.raises(ValueError, match="n > 0"):
+        top_ngrams(df, n=0)
