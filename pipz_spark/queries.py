@@ -3268,8 +3268,9 @@ FROM h
 # rel_cube; dp_chunk_docs + dp_shuffle_shards — chunking and md5
 # sharding are the first two stages of in-window dp_pack_sequences).
 # This completes driver evidence for the 103 entries that existed at
-# the freeze; the r9-added tail queries (dp_line_dedup, dp_bm25_topk)
-# wait for the r10 rotation, the same path every newcomer takes.
+# the freeze; the r9-added tail queries (dp_line_dedup, dp_bm25_topk,
+# dp_top_ngrams) wait for the r10 rotation, the same path every
+# newcomer takes.
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {

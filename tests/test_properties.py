@@ -186,3 +186,112 @@ def test_temperature_resample_rate_invariants(spark_prop, counts, target):
     # determinism
     kept2 = split_ok(step(df)).groupBy("stratum").count().collect()
     assert {r["stratum"]: r["count"] for r in kept2} == kept_by
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    line_words=st.integers(min_value=1, max_value=4),
+)
+def test_line_dedup_invariants(spark_prop, docs, line_words):
+    """line_dedup invariants for ANY corpus / line width: (a) every
+    distinct normalized line survives exactly once corpus-wide;
+    (b) per doc, n_kept + n_dropped = its line count; (c) clean_text
+    is exactly the doc's kept lines in original order; (d) the output
+    id set equals the non-blank input id set."""
+    from pipz_spark.datapipe import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, line_words=line_words).collect()
+    }
+    # reference: first occurrence in (doc_id, line_idx) order wins
+    def lines(t):
+        toks = t.strip().split()
+        return [
+            " ".join(toks[s : s + line_words])
+            for s in range(0, max(len(toks), 1), line_words)
+        ] if toks else []
+
+    seen: set[str] = set()
+    expect = {}
+    for i, t in rows:
+        if not t.strip():
+            continue
+        kept = []
+        dropped = 0
+        for ln in lines(t):
+            if ln in seen:
+                dropped += 1
+            else:
+                seen.add(ln)
+                kept.append(ln)
+        expect[i] = (" ".join(kept), len(kept), dropped)
+    assert out == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["apple", "pear", "kiwi", "fig", "plum"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_bm25_topk_agrees_with_reference(spark_prop, corpus, k):
+    """bm25_topk equals an independent in-test BM25 (same log-free
+    rational IDF, decimal-quantized per-term scores) for ANY corpus
+    and k: same ranking, same tie-break, same score to 6 decimals."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from pipz_spark.datapipe import bm25_topk
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk(df, [(0, "apple fig")], k=k)
+        .orderBy("rank")
+        .collect()
+    ]
+    # independent reference
+    n_docs = len(rows)
+    dls = {i: len(ws) for i, ws in enumerate(corpus)}
+    avgdl = sum(dls.values()) / n_docs
+    tf = {i: Counter(ws) for i, ws in enumerate(corpus)}
+    dfreq = {
+        t: sum(1 for ws in tf.values() if ws[t] > 0) for t in ("apple", "fig")
+    }
+    scores = {}
+    for i in tf:
+        s = Decimal(0)
+        for t in ("apple", "fig"):
+            f = tf[i][t]
+            if not f:
+                continue
+            idf = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            tsat = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dls[i] / avgdl)))
+            s += Decimal(f"{idf * tsat:.6f}")
+        if s:
+            scores[i] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    expect = [
+        (0, r + 1, i, float(s)) for r, (i, s) in enumerate(ranked)
+    ]
+    assert [(q, r, i) for q, r, i, _ in got] == [(q, r, i) for q, r, i, _ in expect]
+    for (_, _, _, a), (_, _, _, b) in zip(got, expect):
+        assert abs(a - b) < 1e-9, (a, b)
