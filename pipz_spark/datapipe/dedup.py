@@ -1531,6 +1531,8 @@ def line_dedup(
         raise ValueError(f"need line_words > 0, got {line_words}")
     from pyspark.sql import Window
 
+    from ._util import fan_out
+
     text = F.col(text_col)
     toks = F.split(F.trim(text), WS)
     n = F.size(toks)
@@ -1538,7 +1540,10 @@ def line_dedup(
     line_at = lambda s: F.array_join(  # noqa: E731
         F.slice(toks, s + 1, line_words), " "
     )
-    nonempty = df.where(F.trim(text) != "")
+    # a single-file scan would run the whole tokenize+digest pass on
+    # one core (measured at the 100× stress: 141 s wall with a 140 s
+    # max task before this rebalance)
+    nonempty = fan_out(df).where(F.trim(text) != "")
     # posexplode the per-line digest array: pos IS line_idx, and the
     # Generate's input is 16-byte hashes — text never rides the explode
     meta = nonempty.select(

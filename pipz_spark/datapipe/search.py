@@ -81,9 +81,14 @@ def bm25_topk(
     vocab = sorted({t for _, t in qterms})
     qdf = spark.createDataFrame(qterms, "query_id int, term string")
 
+    from ._util import fan_out
+
     text = F.col(text_col)
     toks = F.split(F.trim(text), WS)
-    d = docs.where(F.trim(text) != "").select(
+    # rebalance a single-split scan so the tokenize+explode postings
+    # pass parallelizes (the same guard every dense datapipe stage
+    # takes; a no-op whenever the scan already has enough splits)
+    d = fan_out(docs).where(F.trim(text) != "").select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
     )
     stats = d.agg(

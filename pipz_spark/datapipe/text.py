@@ -402,6 +402,7 @@ def top_ngrams(
     partition + k-row merge at the driver, never a full sort)."""
     from pyspark.sql import Window
 
+    from ._util import fan_out
     from .dedup import word_ngrams  # lazy: dedup imports from text
 
     if k <= 0:
@@ -410,7 +411,7 @@ def top_ngrams(
         raise ValueError(f"need n > 0, got {n}")
     text = F.col(text_col)
     return (
-        df.where(F.trim(text) != "")
+        fan_out(df).where(F.trim(text) != "")
         .select(F.explode(word_ngrams(text, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))

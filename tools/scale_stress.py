@@ -240,6 +240,14 @@ def main_dedup100x(only: str | None = None) -> None:
         # reference row
         run(spark, "near_dup_minhash100",
             lambda: near_dup_pairs(d100, threshold=0.7).count())
+    if only == "line":
+        # C4-style duplicate-line removal at 100×: family members
+        # share most 8-token lines, so the keep-first window sees a
+        # realistic mix of hot (family-wide) and unique line keys
+        from pipz_spark.datapipe import line_dedup
+
+        run(spark, "line_dedup 100x    ",
+            lambda: line_dedup(d100).count())
     spark.stop()
 
 
@@ -429,7 +437,9 @@ if __name__ == "__main__":
     if "pq100x" in _sys.argv[1:]:
         main_pq100x()
     elif "dedup100x" in _sys.argv[1:]:
-        _ops = [a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash")]
+        _ops = [
+            a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line")
+        ]
         main_dedup100x(_ops[0] if _ops else None)
     else:
         main()
