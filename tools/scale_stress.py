@@ -214,7 +214,7 @@ def main_dedup100x(only: str | None = None) -> None:
     d100 = spark.read.parquet(f"{tmp}/documents100")
     print(f"corpus: {d100.count()} docs")
 
-    # One op per PROCESS invocation (pass jaccard|cross|minhash):
+    # One op per PROCESS invocation (pass jaccard|cross|minhash|line):
     # local-mode shuffle files live until session stop, so chaining
     # three 100× ops in one JVM stacks ~tens of GB of dead shuffle
     # state on the root volume (the r9 first attempt died ENOSPC in
@@ -240,7 +240,7 @@ def main_dedup100x(only: str | None = None) -> None:
         # reference row
         run(spark, "near_dup_minhash100",
             lambda: near_dup_pairs(d100, threshold=0.7).count())
-    if only == "line":
+    if only in (None, "line"):
         # C4-style duplicate-line removal at 100×: family members
         # share most 8-token lines, so the keep-first window sees a
         # realistic mix of hot (family-wide) and unique line keys
