@@ -51,6 +51,7 @@ from .text import (
     pack_sequences,
     quality_score,
     redact_pii,
+    gopher_quality,
     regex_token_count,
     text_stats,
     token_count,
@@ -129,6 +130,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "top_ngrams",
+    "gopher_quality",
     "chunk_documents",
     "contamination",
     "ngram_repetition",

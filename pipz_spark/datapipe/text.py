@@ -381,6 +381,78 @@ def pack_sequences(
     )
 
 
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.80,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher-rule document quality report (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the doc-level subset: word-count
+    band, mean word length band, alphabetic-word ratio, stopword
+    presence, symbol-to-word ratio; the line-structure rules need
+    line boundaries this corpus lacks). One row per INPUT document —
+    a filter report must cover its universe, so blank/NULL text gets
+    n_words 0, NULL metrics, keep false, rather than vanishing.
+
+    Output: (id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+    stopword_hits, keep). Ratios are quantize4-floored doubles and
+    every metric is a pure whitespace-token expression, so the DuckDB
+    oracle reproduces each value bit-for-bit; ``keep`` is the AND of
+    the five rules with NULL collapsing to false.
+
+    Scale shape: one projection over the scan — no join, no shuffle,
+    whole-stage codegen end to end (the text_stats shape)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    blank = F.trim(text) == ""
+    toks = tokens(text)
+    n_words = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    nw_d = n_words.cast("double")
+
+    def metric(x: Column) -> Column:
+        return F.when(blank, F.lit(None).cast("double")).otherwise(quantize4(x))
+
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = metric(chars.cast("double") / nw_d)
+    alpha = metric(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw_d
+    )
+    sym = metric(
+        F.size(
+            F.filter(toks, lambda x: x.contains("#") | x.contains("..."))
+        ).cast("double")
+        / nw_d
+    )
+    stops = F.when(blank, F.lit(None).cast("int")).otherwise(
+        stopword_hits(text, "en")
+    )
+    keep = F.coalesce(
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (alpha >= F.lit(min_alpha_ratio))
+        & (stops >= F.lit(min_stopword_hits))
+        & (sym <= F.lit(max_symbol_ratio)),
+        F.lit(False),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_ratio"),
+        sym.alias("symbol_ratio"),
+        stops.alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 3,
@@ -443,4 +515,5 @@ __all__ = [
     "pack_sequences",
     "redact_pii",
     "top_ngrams",
+    "gopher_quality",
 ]

@@ -3118,6 +3118,65 @@ FROM rnk WHERE rank <= 10
 
 
 # --------------------------------------------------------------------
+# Gopher-rule quality report (new r9): the doc-level subset of Rae et
+# al.'s table-A1 filters as pure expressions — word-count band, mean
+# word length band, alphabetic-word ratio, stopword presence,
+# symbol-to-word ratio. One row per INPUT doc (blank text: 0 words,
+# NULL metrics, keep=false). Ratios quantize4-floored both sides.
+def _dp_gopher(spark, sf):
+    from .datapipe import gopher_quality
+
+    return gopher_quality(_t(spark, sf, "documents"))
+
+
+_DP_GOPHER_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t,
+         trim(coalesce(text, '')) = '' AS blank
+  FROM documents
+), m AS (
+  SELECT doc_id, blank,
+         CASE WHEN blank THEN 0 ELSE len(t) END AS n_words,
+         CASE WHEN blank THEN NULL
+              ELSE list_sum(list_transform(t, x -> length(x))) END AS chars,
+         CASE WHEN blank THEN NULL
+              ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+         END AS alpha,
+         CASE WHEN blank THEN NULL
+              ELSE len(list_filter(t, x -> contains(x, '#')
+                                        OR contains(x, '...')))
+         END AS sym,
+         CASE WHEN blank THEN NULL
+              ELSE len(list_filter(list_transform(t, x -> lower(x)),
+                       x -> x IN ('the','a','and','of','to','in','is',
+                                  'that','it','for')))
+         END AS stops
+  FROM d
+), q AS (
+  SELECT doc_id,
+         CAST(n_words AS INTEGER) AS n_words,
+         floor(chars / CAST(n_words AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           AS mean_word_len,
+         floor(alpha / CAST(n_words AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           AS alpha_ratio,
+         floor(sym / CAST(n_words AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           AS symbol_ratio,
+         CAST(stops AS INTEGER) AS stopword_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+       stopword_hits,
+       COALESCE(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_ratio >= 0.80
+                AND stopword_hits >= 2
+                AND symbol_ratio <= 0.10, FALSE) AS keep
+FROM q
+"""
+
+
+# --------------------------------------------------------------------
 # Corpus vocabulary report (new r9): top-k word 3-grams by document
 # frequency, (df DESC, gram ASC) deterministic ordering. Shares
 # gram_array's construction with the dedup operators (incl. the
@@ -3269,8 +3328,8 @@ FROM h
 # sharding are the first two stages of in-window dp_pack_sequences).
 # This completes driver evidence for the 103 entries that existed at
 # the freeze; the r9-added tail queries (dp_line_dedup, dp_bm25_topk,
-# dp_top_ngrams) wait for the r10 rotation, the same path every
-# newcomer takes.
+# dp_top_ngrams, dp_gopher_quality) wait for the r10 rotation, the
+# same path every newcomer takes.
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {
@@ -3440,6 +3499,7 @@ QUERIES: dict[str, Declared] = {
     "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
     "dp_bm25_topk": Declared(_dp_bm25, _BM25_SQL),
     "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
+    "dp_gopher_quality": Declared(_dp_gopher, _DP_GOPHER_SQL),
 }
 
 

@@ -1880,3 +1880,35 @@ def test_top_ngrams_df_semantics_and_tiebreak(spark):
         top_ngrams(df, k=0)
     with pytest.raises(ValueError, match="n > 0"):
         top_ngrams(df, n=0)
+
+
+def test_gopher_quality_rule_boundaries(spark):
+    from pipz_spark.datapipe import gopher_quality
+
+    # 50 words, mean word len 4.9, all alphabetic, 5 'the' stopwords
+    good = ("the quick brown foxes jumped over their lazy sleeping dogs "
+            * 5).rstrip()
+    docs = [
+        (1, good),                          # passes every rule
+        (2, "word " * 49),                  # 49 words: below min_words
+        (3, ("a " * 25 + "the " * 25)),     # mean word len 1.5 < 3
+        # both replacements hit all 5 repeats: 10 digit words of 50
+        (4, good.replace("quick", "12345").replace("brown", "67890")),
+        (5, good.replace("the", "xxx")),    # 0 stopwords
+        (6, good + " " + ("# " * 6).rstrip()),  # symbol ratio 6/56 > 0.1
+        (7, "   "),                         # blank: keep false, 0 words
+        (8, None),                          # NULL text: same as blank
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert len(out) == 8  # the report covers its input universe
+    assert out[1]["keep"] is True and out[1]["n_words"] == 50
+    assert out[2]["keep"] is False and out[2]["n_words"] == 49
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] < 3.0
+    # doc 4 sits exactly AT the 0.80 alpha boundary (>= keeps it)
+    assert out[4]["alpha_ratio"] == 0.8 and out[4]["keep"] is True
+    assert out[5]["keep"] is False and out[5]["stopword_hits"] == 0
+    assert out[6]["keep"] is False and out[6]["symbol_ratio"] > 0.1
+    for d in (7, 8):
+        assert out[d]["keep"] is False and out[d]["n_words"] == 0
+        assert out[d]["mean_word_len"] is None
