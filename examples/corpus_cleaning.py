@@ -1,0 +1,79 @@
+"""The published corpus-cleaning recipe, end to end.
+
+The sequence every web-scale training corpus goes through, composed
+from this repo's operators in the order the papers run them:
+
+1. **Gopher quality rules** (Rae et al.) — drop documents failing the
+   doc-level filters (word-count band, mean word length, alphabetic
+   ratio, stopword presence, symbol ratio). Cheap single-projection
+   scan, so it runs FIRST and shrinks everything downstream.
+2. **C4 duplicate-line removal** — every distinct 8-token line
+   survives once corpus-wide; boilerplate (navigation, license
+   headers) disappears while unique prose stays.
+3. **ExactSubstr repeated-span removal** — verbatim ≥20-char regions
+   repeated across the surviving corpus are clipped per document.
+4. **Exact dedup** of what remains (md5 keep-first), then a corpus
+   profile before/after.
+
+    PYTHONPATH=/root/repo python examples/corpus_cleaning.py [sf_dir]
+
+Order matters for cost: each stage's output is smaller and cleaner
+than its input, and the expensive stages (line windows, span
+frequency) never see documents the cheap rules already rejected.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from pipz_spark import get_session, split_ok
+from pipz_spark.datapipe import (
+    exact_dedup,
+    gopher_quality,
+    line_dedup,
+    remove_repeated_spans,
+)
+from pipz_spark.sources.catalog import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session("example-corpus-cleaning")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n0 = docs.count()
+
+    # 1. Gopher rules — keep flags ride the report; join back the text
+    quality = gopher_quality(docs)
+    kept = docs.join(quality.where("keep").select("doc_id"), "doc_id")
+    n1 = kept.count()
+
+    # 2. corpus-wide duplicate-line removal; drop hollowed-out docs
+    lines = line_dedup(kept, line_words=8)
+    survived = lines.where(F.col("n_kept") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    n2 = survived.count()
+
+    # 3. clip verbatim repeated spans (>= 20 chars, corpus-wide)
+    clipped = remove_repeated_spans(survived, min_len=20).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+
+    # 4. exact dedup of the cleaned text (keep-first Step; duplicate
+    # rows are dropped in place)
+    final = split_ok(exact_dedup()(clipped)).select("doc_id", "text")
+    n3 = final.count()
+
+    chars = final.agg(F.sum(F.length("text"))).first()[0] or 0
+    print(
+        f"{n0} docs -> gopher {n1} -> line-dedup {n2} -> "
+        f"span-clip + exact-dedup {n3} ({chars} chars retained)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -214,7 +214,7 @@ def main_dedup100x(only: str | None = None) -> None:
     d100 = spark.read.parquet(f"{tmp}/documents100")
     print(f"corpus: {d100.count()} docs")
 
-    # One op per PROCESS invocation (pass jaccard|cross|minhash|line):
+    # One op per PROCESS invocation (pass jaccard|cross|minhash|line|text):
     # local-mode shuffle files live until session stop, so chaining
     # three 100× ops in one JVM stacks ~tens of GB of dead shuffle
     # state on the root volume (the r9 first attempt died ENOSPC in
@@ -248,6 +248,26 @@ def main_dedup100x(only: str | None = None) -> None:
 
         run(spark, "line_dedup 100x    ",
             lambda: line_dedup(d100).count())
+    if only == "text":
+        # the r9 text-analysis trio on the same 500k corpus: BM25's
+        # inverted-index factorization (only query-vocab postings
+        # materialize), the vocab report's agg + TakeOrdered, and the
+        # Gopher report's pure single-projection scan — each should
+        # show near-mean max tasks and shuffle far below text volume
+        from pipz_spark.datapipe import bm25_topk, gopher_quality, top_ngrams
+
+        run(spark, "bm25_topk 100x     ",
+            lambda: bm25_topk(
+                d100, [(0, "hash join"), (1, "fast vector query")], k=10
+            ).count())
+        run(spark, "top_ngrams 100x    ",
+            lambda: top_ngrams(d100, n=3, k=100).count())
+        # aggregate over keep, NOT count(): a bare count over the pure
+        # projection collapses to parquet count-star metadata and
+        # would "measure" 0.4s of nothing
+        run(spark, "gopher_quality 100x",
+            lambda: gopher_quality(d100).agg(
+                F.sum(F.col("keep").cast("int"))).first()[0])
     spark.stop()
 
 
@@ -438,7 +458,7 @@ if __name__ == "__main__":
         main_pq100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
-            a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line")
+            a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
         ]
         main_dedup100x(_ops[0] if _ops else None)
     else:
