@@ -63,11 +63,13 @@ def main() -> None:
     )
 
     # 4. exact dedup of the cleaned text (keep-first Step; duplicate
-    # rows are dropped in place)
+    # rows are dropped in place). One combined aggregate: a separate
+    # count() + sum() would run the whole 4-stage cascade twice
     final = split_ok(exact_dedup()(clipped)).select("doc_id", "text")
-    n3 = final.count()
-
-    chars = final.agg(F.sum(F.length("text"))).first()[0] or 0
+    stats = final.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c")
+    ).first()
+    n3, chars = stats["n"], stats["c"] or 0
     print(
         f"{n0} docs -> gopher {n1} -> line-dedup {n2} -> "
         f"span-clip + exact-dedup {n3} ({chars} chars retained)"

@@ -417,9 +417,15 @@ def gopher_quality(
 
     df = fan_out(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
-    blank = F.trim(text) == ""
-    toks = tokens(text)
-    n_words = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    # filter empty tokens rather than trusting trim: trim strips only
+    # 0x20, so a doc ending in '\n' or '\t' would otherwise grow
+    # phantom '' words that corrupt EVERY rule (a 49-word doc with a
+    # trailing newline passes the 50-word floor; 'hello world\n'
+    # scores alpha 0.67 and gets rejected) — and a whitespace-only
+    # doc is blank by word count, not by trim
+    toks = F.filter(tokens(text), lambda x: x != "")
+    n_words = F.size(toks)
+    blank = n_words == 0
     nw_d = n_words.cast("double")
 
     def metric(x: Column) -> Column:

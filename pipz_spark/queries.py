@@ -3129,28 +3129,28 @@ def _dp_gopher(spark, sf):
     return gopher_quality(_t(spark, sf, "documents"))
 
 
-_DP_GOPHER_SQL = r"""
+_DP_GOPHER_SQL = rf"""
 WITH d AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t,
-         trim(coalesce(text, '')) = '' AS blank
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+           x -> x <> '') AS t
   FROM documents
 ), m AS (
-  SELECT doc_id, blank,
-         CASE WHEN blank THEN 0 ELSE len(t) END AS n_words,
-         CASE WHEN blank THEN NULL
+  SELECT doc_id,
+         len(t) AS n_words,
+         CASE WHEN len(t) = 0 THEN NULL
               ELSE list_sum(list_transform(t, x -> length(x))) END AS chars,
-         CASE WHEN blank THEN NULL
+         CASE WHEN len(t) = 0 THEN NULL
               ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
          END AS alpha,
-         CASE WHEN blank THEN NULL
+         CASE WHEN len(t) = 0 THEN NULL
               ELSE len(list_filter(t, x -> contains(x, '#')
                                         OR contains(x, '...')))
          END AS sym,
-         CASE WHEN blank THEN NULL
+         CASE WHEN len(t) = 0 THEN NULL
               ELSE len(list_filter(list_transform(t, x -> lower(x)),
-                       x -> x IN ('the','a','and','of','to','in','is',
-                                  'that','it','for')))
+                       x -> list_contains([{_EN}], x)))
          END AS stops
   FROM d
 ), q AS (

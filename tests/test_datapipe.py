@@ -1898,10 +1898,13 @@ def test_gopher_quality_rule_boundaries(spark):
         (6, good + " " + ("# " * 6).rstrip()),  # symbol ratio 6/56 > 0.1
         (7, "   "),                         # blank: keep false, 0 words
         (8, None),                          # NULL text: same as blank
+        (9, "\n\t \n"),                     # whitespace-only: also blank
+        (10, "\t" + good + "\n"),           # wrapping whitespace must not
+                                            # mint phantom '' words
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
-    assert len(out) == 8  # the report covers its input universe
+    assert len(out) == 10  # the report covers its input universe
     assert out[1]["keep"] is True and out[1]["n_words"] == 50
     assert out[2]["keep"] is False and out[2]["n_words"] == 49
     assert out[3]["keep"] is False and out[3]["mean_word_len"] < 3.0
@@ -1909,6 +1912,8 @@ def test_gopher_quality_rule_boundaries(spark):
     assert out[4]["alpha_ratio"] == 0.8 and out[4]["keep"] is True
     assert out[5]["keep"] is False and out[5]["stopword_hits"] == 0
     assert out[6]["keep"] is False and out[6]["symbol_ratio"] > 0.1
-    for d in (7, 8):
+    for d in (7, 8, 9):
         assert out[d]["keep"] is False and out[d]["n_words"] == 0
         assert out[d]["mean_word_len"] is None
+    # doc 10 = doc 1 wrapped in \t...\n: identical metrics, still kept
+    assert out[10] == {**out[1], "doc_id": 10}
