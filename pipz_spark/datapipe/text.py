@@ -35,7 +35,16 @@ WS = r"[ \t\n\f\r]+"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (the portable baseline tokenizer)."""
+    """Whitespace tokenization (the portable baseline tokenizer).
+
+    NOTE the split-cell semantic: ``trim`` strips only 0x20, so text
+    wrapped in other whitespace (trailing ``\\n``, leading ``\\t``)
+    yields empty-string cells. The long-standing stat operators
+    (``text_stats``/``quality_score``/``lang_id``) count these cells —
+    that is their pinned, driver-green oracle contract — while
+    operators that reason about WORDS (``gopher_quality``) filter
+    empties explicitly. New word-semantics operators should filter;
+    changing this helper would silently shift every pinned oracle."""
     return F.split(F.trim(text), WS)
 
 
