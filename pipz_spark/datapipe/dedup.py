@@ -1170,7 +1170,16 @@ def connected_components(
         # the union-find dicts (~100-200 MB of boxed ints at the
         # worst case) — bounded by the cap, never by data volume
         probe = e.limit(driver_cap + 1).toPandas()
-        if len(probe) <= driver_cap:
+        # NULL ids would make pandas widen the int columns to float64
+        # (NaN), and the union-find would silently run on floats —
+        # labels and dict-key identity both diverge from the
+        # distributed path. NULL endpoints are a malformed pair graph
+        # either way (a NULL never equi-joins in the distributed
+        # rounds), so fall through to the distributed path, which
+        # keeps behavior volume-independent for such inputs.
+        if len(probe) <= driver_cap and not (
+            probe["u"].isna().any() or probe["v"].isna().any()
+        ):
             return _driver_union_find(
                 pairs.sparkSession,
                 probe["u"].tolist(),
@@ -1492,6 +1501,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_words: int = 8,
+    line_delim: str | None = None,
 ) -> DataFrame:
     """Corpus-level duplicate-LINE removal — the C4 recipe ("we
     discarded all but one of any three-sentence span occurring more
@@ -1501,17 +1511,23 @@ def line_dedup(
     headers, and template paragraphs while keeping each document's
     unique prose intact.
 
-    A "line" is a fixed non-overlapping window of ``line_words``
-    whitespace tokens (this corpus has no newline/sentence structure;
-    on real data pass the natural split). For every distinct
-    normalized line, exactly ONE occurrence survives — the first in
-    (id, line_idx) order, the same deterministic keep-first rule as
-    ``exact_dedup`` — and every other occurrence corpus-wide is
-    dropped. Documents are reassembled from their surviving lines in
-    original order.
+    A "line" is, by default, a fixed non-overlapping window of
+    ``line_words`` whitespace tokens (empty split cells from leading /
+    trailing / doubled whitespace are filtered out, so a duplicate
+    line differing only by a trailing newline hashes identically);
+    this corpus has no newline structure, so the fixed window stands
+    in for sentences. On newline-structured corpora pass
+    ``line_delim`` (a LITERAL delimiter, e.g. ``"\\n"``): the text is
+    split on it, each piece is trimmed, empty pieces are dropped, and
+    surviving lines are rejoined with the same delimiter. For every
+    distinct normalized line, exactly ONE occurrence survives — the
+    first in (id, line_idx) order, the same deterministic keep-first
+    rule as ``exact_dedup`` — and every other occurrence corpus-wide
+    is dropped. Documents are reassembled from their surviving lines
+    in original order.
 
-    Output: (id, clean_text, n_kept, n_dropped) — one row per
-    non-empty input document; a document whose every line was
+    Output: (id, clean_text, n_kept, n_dropped) — one row per input
+    document with at least one line; a document whose every line was
     elsewhere-first comes back with clean_text '' and n_kept 0 so the
     caller decides its fate (C4 drops it; a provenance pipeline may
     want the tombstone).
@@ -1519,63 +1535,99 @@ def line_dedup(
     100 TB posture: the global decision shuffles ONLY skinny line
     metadata — (md5(line), id, line_idx), never line text (grouping by
     the 128-bit digest partitions lines exactly as grouping by the
-    text would, collision odds ~n²/2¹²⁸) — through one window; keep
-    decisions fold to one (id → sorted kept indices) row per document
-    in a second skinny shuffle; the only full-text movement is the
-    final id-keyed join that every per-doc rewrite here pays
-    (``remove_repeated_spans`` has the same shape). Reassembly is a
-    pure JVM filter/slice/join over the re-split token array — no
-    Python, no explode of text.
+    text would, collision odds ~n²/2¹²⁸). The keep-first winner per
+    line is ``groupBy(digest).agg(min(struct(id, idx)))`` — NEVER a
+    row_number window over the digest: the hot boilerplate line (a
+    navigation bar in 10⁸ documents) is exactly the skewed key this
+    operator exists to find, and a window sort would funnel every
+    occurrence of it into one straggler task with no AQE rescue
+    (skew splitting applies to joins and aggregates, not window
+    sorts), while partial aggregation collapses the hot key to one
+    row per map task before the shuffle. Occurrences then meet their
+    line's winner in a digest-keyed join — a hash join AQE CAN
+    skew-split — and keep decisions fold to one (id → sorted kept
+    indices) row per document in a second skinny shuffle; the only
+    full-text movement is the final id-keyed rebuild join that every
+    per-doc rewrite here pays (``remove_repeated_spans`` has the same
+    shape). Reassembly is a pure JVM index-filter/join over the
+    per-doc line array — no Python, no explode of text.
     """
     if line_words <= 0:
         raise ValueError(f"need line_words > 0, got {line_words}")
-    from pyspark.sql import Window
 
     from ._util import fan_out
 
     text = F.col(text_col)
-    toks = F.split(F.trim(text), WS)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - 1, F.lit(line_words))
-    line_at = lambda s: F.array_join(  # noqa: E731
-        F.slice(toks, s + 1, line_words), " "
-    )
+    if line_delim is not None:
+        import re as _re
+
+        lines_expr = F.filter(
+            F.transform(
+                F.split(text, _re.escape(line_delim), -1), lambda x: F.trim(x)
+            ),
+            lambda x: x != "",
+        )
+        join_sep = line_delim
+    else:
+        toks = F.filter(F.split(F.trim(text), WS), lambda x: x != "")
+        n = F.size(toks)
+        # sequence(0, -1, step) raises; an all-whitespace doc (zero
+        # real tokens) must yield an empty line array instead, to be
+        # dropped by the size(_lines) > 0 gate below
+        starts = F.when(
+            n > 0, F.sequence(F.lit(0), n - 1, F.lit(line_words))
+        ).otherwise(F.array().cast("array<int>"))
+        lines_expr = F.transform(
+            starts, lambda s: F.array_join(F.slice(toks, s + 1, line_words), " ")
+        )
+        join_sep = " "
     # a single-file scan would run the whole tokenize+digest pass on
     # one core (measured at the 100× stress: 141 s wall with a 140 s
     # max task before this rebalance)
-    nonempty = fan_out(df).where(F.trim(text) != "")
+    nonempty = (
+        fan_out(df)
+        .select(F.col(id_col), lines_expr.alias("_lines"))
+        .where(F.size("_lines") > 0)
+    )
     # posexplode the per-line digest array: pos IS line_idx, and the
     # Generate's input is 16-byte hashes — text never rides the explode
     meta = nonempty.select(
         F.col(id_col),
-        F.posexplode(F.transform(starts, lambda s: F.md5(line_at(s)))).alias(
-            "_line_idx", "_key"
-        ),
+        F.posexplode(F.transform("_lines", F.md5)).alias("_line_idx", "_key"),
     )
-    w = Window.partitionBy("_key").orderBy(F.col(id_col), F.col("_line_idx"))
-    decisions = meta.withColumn("_rn", F.row_number().over(w))
-    kept = decisions.groupBy(id_col).agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("_rn") == 1, F.col("_line_idx")))
-        ).alias("_kept_idxs"),
-        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
-        .cast("int")
-        .alias("n_kept"),
-        F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
-        .cast("int")
-        .alias("n_dropped"),
+    # keep-first winner per distinct line: a partial-aggregating
+    # min(struct) — the map side collapses a million-occurrence
+    # boilerplate line to one candidate per task, so no single
+    # reducer ever sees the hot key's full weight
+    winners = meta.groupBy("_key").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("i"), F.col("_line_idx").alias("x")
+            )
+        ).alias("_w")
+    )
+    is_keep = (F.col(id_col) == F.col("_w.i")) & (
+        F.col("_line_idx") == F.col("_w.x")
+    )
+    kept = (
+        meta.join(winners, "_key")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(is_keep, F.col("_line_idx")))
+            ).alias("_kept_idxs"),
+            F.sum(F.when(is_keep, 1).otherwise(0)).cast("int").alias("n_kept"),
+            F.sum(F.when(is_keep, 0).otherwise(1))
+            .cast("int")
+            .alias("n_dropped"),
+        )
     )
     rebuilt = F.array_join(
-        F.transform(
-            F.filter(
-                F.sequence(F.lit(0), n - 1, F.lit(line_words)),
-                lambda s: F.array_contains(
-                    F.col("_kept_idxs"), (s / F.lit(line_words)).cast("int")
-                ),
-            ),
-            line_at,
+        F.filter(
+            F.col("_lines"),
+            lambda _x, i: F.array_contains(F.col("_kept_idxs"), i),
         ),
-        " ",
+        join_sep,
     )
     return (
         nonempty.join(kept, id_col)

@@ -18,8 +18,13 @@ the only wide exchange carries (doc_id, term, tf) postings.
 Cross-engine exactness (the repo's hash-gate discipline,
 DIVERGENCES.md): the IDF is the LOG-FREE rational Robertson-Sparck
 Jones core, (N - df + 0.5)/(df + 0.5) — `ln` is the one BM25
-ingredient whose libm rounding may differ between engines, and
-monotone-in-df rankings are unchanged without it. Every per-term
+ingredient whose libm rounding may differ between engines. Because
+the rational core is monotone in df, PER-TERM orderings (and hence
+single-term-query rankings) match textbook BM25 exactly; multi-term
+queries reweight terms relative to each other versus the log form,
+so their rankings are a deliberately different — deterministic,
+cross-engine-exact — variant, not a bit-level match for the
+ln-based textbook score. Every per-term
 score is a pure +,-,*,/ IEEE double tree (exactly-rounded ops,
 bit-identical in Spark and DuckDB given the same parenthesization),
 snapped to DECIMAL(28,6) before the per-document sum so aggregation
@@ -84,13 +89,17 @@ def bm25_topk(
     from ._util import fan_out
 
     text = F.col(text_col)
-    toks = F.split(F.trim(text), WS)
+    # empty split cells (leading/trailing \n or \t survive trim, which
+    # strips only 0x20) are filtered so they neither inflate dl nor
+    # count a whitespace-only doc into N — word semantics per the
+    # tokens() split-cell/word divide (datapipe/text.py)
+    toks = F.filter(F.split(F.trim(text), WS), lambda x: x != "")
     # rebalance a single-split scan so the tokenize+explode postings
     # pass parallelizes (the same guard every dense datapipe stage
     # takes; a no-op whenever the scan already has enough splits)
-    d = fan_out(docs).where(F.trim(text) != "").select(
+    d = fan_out(docs).select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
-    )
+    ).where(F.col("_dl") > 0)
     stats = d.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("_dl").alias("_total_words"),

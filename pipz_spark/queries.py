@@ -3012,10 +3012,13 @@ def _dp_line_dedup(spark, sf):
 
 
 _DP_LINE_DEDUP_SQL = r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-  FROM documents WHERE trim(text) <> ''
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
 ),
+t AS (SELECT doc_id, toks FROM t0 WHERE len(toks) > 0),
 l AS (
   SELECT doc_id,
          CAST(s // 8 AS INTEGER) AS line_idx,
@@ -3068,10 +3071,14 @@ WITH q(query_id, term) AS (
          (4, 'customer'), (4, 'order'), (4, 'part'),
          (5, 'fast'), (5, 'vector'), (5, 'query')
 ),
+d0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
 d AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
-         len(regexp_split_to_array(trim(text), '\s+')) AS dl
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, toks, len(toks) AS dl FROM d0 WHERE len(toks) > 0
 ),
 stats AS (
   SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_words FROM d

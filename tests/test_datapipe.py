@@ -836,6 +836,51 @@ def test_connected_components_chain_and_clique(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_null_ids_skip_driver_fast_path(spark):
+    # a NULL endpoint would make pandas widen the probe's int columns
+    # to float64 (NaN dict keys never compare equal in union-find), so
+    # the auto fast path must decline and fall through to the
+    # distributed rounds, which resolve the non-NULL subgraph exactly
+    # as they would at any volume (NULLs never equi-join, so they
+    # vanish from propagation — same behavior, cap or no cap)
+    from pipz_spark.datapipe import connected_components
+
+    edges = [(1, 2), (2, 3), (None, 7), (8, None)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    auto = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    forced = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_cap=0).collect()
+    }
+    assert auto == forced
+    assert auto[1] == auto[2] == auto[3] == 1
+
+
+def test_line_dedup_delimiter_mode(spark):
+    # line_delim: split on the LITERAL delimiter, trim each piece,
+    # drop empties, rejoin survivors with the same delimiter
+    from pipz_spark.datapipe import line_dedup
+
+    docs = [
+        (1, "nav bar\nunique one\n\n  "),   # empty + blank pieces drop
+        (2, "nav bar\nunique two"),          # "nav bar" dup → doc 1 wins
+        (3, "nav bar"),                      # tombstone
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, line_delim="\n").collect()
+    }
+    assert out == {
+        1: ("nav bar\nunique one", 2, 0),
+        2: ("unique two", 1, 1),
+        3: ("", 0, 1),
+    }
+
+
 def test_dedup_clusters_keeper_and_singletons(spark):
     from pipz_spark.datapipe import dedup_clusters
 

@@ -295,12 +295,19 @@ def test_repeated_spans_no_cartesian(spark):
 
 def test_line_dedup_explode_carries_digests_not_text(spark):
     # the global keep decision shuffles (md5, id, idx) metadata
-    # through one window + one aggregate; document text reappears only
-    # in the final id-keyed rebuild join — never in a cartesian
+    # through a partial-aggregating min(struct) + a digest-keyed join;
+    # document text reappears only in the final id-keyed rebuild join
+    # — never in a cartesian
     plan = _plan(spark, "dp_line_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" in plan
+    # the r9 verdict's one scale-killer: a row_number window
+    # partitioned by the line digest puts the hottest boilerplate
+    # line's every occurrence into ONE window sort with no AQE skew
+    # rescue. The keep-first decision must be an aggregate (map-side
+    # partial collapse) + join (AQE skew-splittable) — no Window node
+    # anywhere in the plan.
+    assert "Window" not in plan
     assert "Generate" in plan  # the posexplode of per-line digests
 
 
