@@ -57,7 +57,14 @@ from .text import (
     token_count,
     top_ngrams,
 )
-from .bpe import bpe_token_count, bpe_tokens_df, bpe_train, save_merges
+from .bpe import (
+    bpe_token_count,
+    bpe_tokens_df,
+    bpe_train,
+    pretoken_histogram,
+    pretoken_topk,
+    save_merges,
+)
 from .search import bm25_topk
 from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
 from .sampling import (
@@ -106,6 +113,8 @@ __all__ = [
     "line_dedup",
     "bm25_topk",
     "bpe_train",
+    "pretoken_histogram",
+    "pretoken_topk",
     "save_merges",
     "fingerprint",
     "fit_bigram_lm",

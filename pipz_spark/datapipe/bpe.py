@@ -172,6 +172,60 @@ def train_merges(
     return merges
 
 
+def pretoken_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus-sized half of ``bpe_train``, exposed as a frame:
+    one (pre-token → count) histogram over the ``PRETOKEN_PATTERN``
+    stream. This groupBy is the ONLY shuffle BPE training pays — it
+    carries (word, count) rows, map-side combining folds each
+    partition's occurrences to one row per distinct word before the
+    exchange, and the result's cardinality is the corpus's distinct
+    pre-token vocabulary (Heaps'-law sublinear in corpus size).
+    Exposed so the shuffle that feeds training sits under the same
+    declared-query/oracle gate as every other corpus-sized stage
+    (``dp_pretoken_hist``)."""
+    from ._util import fan_out
+
+    return (
+        fan_out(df)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(PRETOKEN_PATTERN),
+                    F.lit(0),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pretoken_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-``k`` pre-tokens by corpus count — (rank, w, n), rank 1..k
+    by (count DESC, word ASC). The audit view of ``bpe_train``'s
+    input: the head of this report is what the first merges will be
+    built from. Same scale shape as ``top_ngrams``: partial-agg
+    histogram → TakeOrdered k-row heaps → k-row rank window."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    return (
+        pretoken_histogram(df, text_col)
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("w")))
+            .cast("int")
+            .alias("rank"),
+            "w",
+            "n",
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -201,20 +255,7 @@ def bpe_train(
     checked-in ``bpe_merges.txt`` (pinned by test)."""
     if n_merges < 0:
         raise ValueError(f"need n_merges >= 0, got {n_merges}")
-    hist = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.coalesce(F.col(text_col), F.lit("")),
-                    F.lit(PRETOKEN_PATTERN),
-                    F.lit(0),
-                )
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rows = hist.limit(max_vocab + 1).collect()
+    rows = pretoken_histogram(df, text_col).limit(max_vocab + 1).collect()
     if len(rows) > max_vocab:
         raise ValueError(
             f"distinct pre-token vocabulary exceeds max_vocab={max_vocab}; "

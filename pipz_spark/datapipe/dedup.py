@@ -1543,14 +1543,15 @@ def line_dedup(
     occurrence of it into one straggler task with no AQE rescue
     (skew splitting applies to joins and aggregates, not window
     sorts), while partial aggregation collapses the hot key to one
-    row per map task before the shuffle. Occurrences then meet their
-    line's winner in a digest-keyed join — a hash join AQE CAN
-    skew-split — and keep decisions fold to one (id → sorted kept
-    indices) row per document in a second skinny shuffle; the only
+    row per map task before the shuffle. No per-occurrence join-back
+    is needed either: a document's kept indices ARE the winner rows
+    regrouped by winning id (one skinny |distinct lines| → |docs|
+    aggregate, skew-free — a doc wins at most its own line count),
+    and n_dropped falls out as size(lines) − n_kept. The only
     full-text movement is the final id-keyed rebuild join that every
     per-doc rewrite here pays (``remove_repeated_spans`` has the same
-    shape). Reassembly is a pure JVM index-filter/join over the
-    per-doc line array — no Python, no explode of text.
+    shape). Reassembly is a pure JVM index-filter over the per-doc
+    line array — no Python, no explode of text.
     """
     if line_words <= 0:
         raise ValueError(f"need line_words > 0, got {line_words}")
@@ -1583,11 +1584,17 @@ def line_dedup(
         join_sep = " "
     # a single-file scan would run the whole tokenize+digest pass on
     # one core (measured at the 100× stress: 141 s wall with a 140 s
-    # max task before this rebalance)
-    nonempty = (
-        fan_out(df)
-        .select(F.col(id_col), lines_expr.alias("_lines"))
-        .where(F.size("_lines") > 0)
+    # max task before this rebalance). The blank-doc gate must be a
+    # CHEAP exact predicate applied BEFORE the fan-out: a
+    # size(_lines) > 0 gate after it gets pushed down into the scan
+    # as a filter that recomputes the whole tokenize+slice pipeline
+    # on the scan's (possibly single) split — measured 176 s
+    # single-task scan at the 100× stress. rlike '\\S' (any
+    # non-whitespace char) is exactly equivalent to "≥ 1 line" in
+    # BOTH modes (unlike trim(text) != '', whose 0x20-only trim
+    # keeps '\n'-only docs) and costs one linear scan.
+    nonempty = fan_out(df.where(text.rlike(r"\S"))).select(
+        F.col(id_col), lines_expr.alias("_lines")
     )
     # posexplode the per-line digest array: pos IS line_idx, and the
     # Generate's input is 16-byte hashes — text never rides the explode
@@ -1606,21 +1613,12 @@ def line_dedup(
             )
         ).alias("_w")
     )
-    is_keep = (F.col(id_col) == F.col("_w.i")) & (
-        F.col("_line_idx") == F.col("_w.x")
-    )
-    kept = (
-        meta.join(winners, "_key")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.when(is_keep, F.col("_line_idx")))
-            ).alias("_kept_idxs"),
-            F.sum(F.when(is_keep, 1).otherwise(0)).cast("int").alias("n_kept"),
-            F.sum(F.when(is_keep, 0).otherwise(1))
-            .cast("int")
-            .alias("n_dropped"),
-        )
+    # a doc's kept indices are the winner rows regrouped by winning
+    # id — no per-occurrence join-back; a doc wins at most its own
+    # line count, so this aggregate cannot skew
+    kept = winners.groupBy(F.col("_w.i").alias(id_col)).agg(
+        F.sort_array(F.collect_list("_w.x")).alias("_kept_idxs"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
     rebuilt = F.array_join(
         F.filter(
@@ -1629,13 +1627,19 @@ def line_dedup(
         ),
         join_sep,
     )
+    # LEFT join: a doc whose every line was elsewhere-first has no
+    # winner row — it must still come back as a '' / n_kept 0
+    # tombstone, with n_dropped = its full line count
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
     return (
-        nonempty.join(kept, id_col)
+        nonempty.join(kept, id_col, "left")
         .select(
             id_col,
-            rebuilt.alias("clean_text"),
-            "n_kept",
-            "n_dropped",
+            F.when(F.col("_kept_idxs").isNull(), F.lit(""))
+            .otherwise(rebuilt)
+            .alias("clean_text"),
+            n_kept.cast("int").alias("n_kept"),
+            (F.size("_lines") - n_kept).cast("int").alias("n_dropped"),
         )
     )
 

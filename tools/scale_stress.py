@@ -242,12 +242,38 @@ def main_dedup100x(only: str | None = None) -> None:
             lambda: near_dup_pairs(d100, threshold=0.7).count())
     if only in (None, "line"):
         # C4-style duplicate-line removal at 100×: family members
-        # share most 8-token lines, so the keep-first window sees a
-        # realistic mix of hot (family-wide) and unique line keys
+        # share most 8-token lines, so the keep-first decision sees a
+        # realistic mix of hot (family-wide) and unique line keys.
+        # PLUS the r9-verdict heavy-hitter: one exact 8-token
+        # boilerplate line PREPENDED to half the corpus (250k docs →
+        # one line digest with 250k occurrences, the web-navigation
+        # skew shape this operator exists for). The r9 row missed the
+        # row_number-window skew cliff precisely because no such key
+        # existed; with the aggregate keep-first, map-side partial
+        # collapse must keep max task ≈ median. Prepending (not
+        # appending) keeps the hot line window-aligned at line_idx 0.
         from pipz_spark.datapipe import line_dedup
 
+        hot = "nav home about contact privacy terms login search"
+        assert len(hot.split()) == 8
+        d_line = d100.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(hot + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        # aggregate computed columns, NOT count(): with the unique-key
+        # LEFT rebuild join, a bare count collapses to the pre-filter
+        # scan (Catalyst eliminates the row-preserving join and with
+        # it the entire dedup computation — "measured" 1.9s of
+        # nothing)
+        # sum(length(clean_text)) forces the reassembly projection
+        # too — without it column pruning skips the rebuild entirely
         run(spark, "line_dedup 100x    ",
-            lambda: line_dedup(d100).count())
+            lambda: tuple(line_dedup(d_line).agg(
+                F.sum("n_kept"), F.sum("n_dropped"),
+                F.sum(F.length("clean_text"))).first()))
     if only == "text":
         # the r9 text-analysis trio on the same 500k corpus: BM25's
         # inverted-index factorization (only query-vocab postings
@@ -451,11 +477,105 @@ def main() -> None:
     spark.stop()
 
 
+def main_megabucket() -> None:
+    """Mega-bucket routing stress (VERDICT r9 #7): prove the
+    size-routed bucket path holds when a SINGLE bucket dominates —
+    one template family orders of magnitude above ``max_bucket``,
+    the skew shape task 1's heavy-hitter line models for line_dedup.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py megabucket
+
+    Two rows:
+
+    * ``bucket_pairs mega100k`` — `_bucket_pairs` (the candidate
+      machine minhash LSH banding and simhash pigeonhole SHARE) fed
+      one 100,000-id bucket plus 10,000 ten-id buckets. Designed
+      output is exactly C(100k,2) + 10k*C(10,2) = 5,000,400,000
+      pairs; per-task pair output is bounded at ~k*max_bucket by the
+      deterministic salt split, so the evidence is the row count
+      landing exactly and max_task_ms staying near the task median
+      (NOT ~k^2/32 — one unsplit task would be minutes on its own).
+    * ``simhash mega10k`` — the operator end-to-end: 10,000
+      byte-identical template docs (one simhash => every pigeonhole
+      chunk collides => 4 hot buckets of 10k) over 490,000 fillers of
+      60 unique md5 tokens each (their simhashes are ~uniform 64-bit;
+      P(any filler pair within hamming 3) ~ 1.2e11 * 4.2e4/2^64 ~
+      3e-4, so the designed count is exactly C(10k,2) = 49,995,000).
+    """
+    from pipz_spark.datapipe.dedup import _bucket_pairs
+
+    spark = get_session(
+        "pipz-scale-stress-megabucket", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_mega_")
+
+    mega = spark.range(100_000).select(
+        F.lit(0).alias("block"),
+        F.lit(0).cast("long").alias("chunk"),
+        F.col("id").alias("_id"),
+    )
+    small = spark.range(100_000).select(
+        F.lit(0).alias("block"),
+        (F.col("id") % 10_000 + 1).cast("long").alias("chunk"),
+        (F.col("id") + 1_000_000).alias("_id"),
+    )
+    mega.unionByName(small).write.mode("overwrite").parquet(f"{tmp}/buckets")
+    bucketed = spark.read.parquet(f"{tmp}/buckets")
+    expect_pairs = 100_000 * 99_999 // 2 + 10_000 * 45
+
+    def _mega():
+        n = _bucket_pairs(bucketed, ["block", "chunk"], 256).count()
+        assert n == expect_pairs, f"designed {expect_pairs}, got {n}"
+        return n
+
+    run(spark, "bucket_pairs mega100k", _mega)
+    release_caches()
+
+    template = " ".join(f"template{i:02d}" for i in range(60))
+    fam = spark.range(10_000).select(
+        (F.col("id") + 5_000_000).alias("doc_id"), F.lit(template).alias("text")
+    )
+    fillers = spark.range(490_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("id").cast("string"),
+                            F.lit("#"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+            ),
+        ).alias("text"),
+    )
+    fillers.unionByName(fam).write.mode("overwrite").parquet(f"{tmp}/docs")
+    docs = spark.read.parquet(f"{tmp}/docs")
+    expect_fam = 10_000 * 9_999 // 2
+
+    def _simhash_mega():
+        n = simhash_near_dup_pairs(docs, max_hamming=3).count()
+        assert n == expect_fam, f"designed {expect_fam}, got {n}"
+        return n
+
+    run(spark, "simhash mega10k      ", _simhash_mega)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
     if "pq100x" in _sys.argv[1:]:
         main_pq100x()
+    elif "megabucket" in _sys.argv[1:]:
+        main_megabucket()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
