@@ -287,14 +287,32 @@ def _bucket_pairs(bucketed: DataFrame, keys: list[str], max_bucket: int) -> Data
     big = grouped.where(F.size("ids") > max_bucket)
     nsplit = F.ceil(F.size("ids") / F.lit(max_bucket)).cast("int")
     # pair (i, j) joins exactly once: the j side carries salt j mod ns,
-    # the i side is replicated into every salt of its bucket
-    e_a = big.select(
-        *keys, nsplit.alias("_ns"), F.posexplode("ids").alias("_i", "id_a")
-    ).select(
-        *keys,
-        "_i",
-        "id_a",
-        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("_s"),
+    # the i side is replicated into every salt of its bucket. The
+    # member explode and the ×ns salt replication are SEPARATE stages
+    # with a repartition between them: a bucket's ids live in ONE
+    # array row, so without the spread the task holding a k-member
+    # bucket would single-handedly generate all k·⌈k/max_bucket⌉
+    # replicated rows (measured at the megabucket stress: the 100k
+    # bucket's 39M-row explosion serialized on one core for minutes
+    # while 63 tasks sat idle). The partition count is EXPLICIT
+    # because AQE must not re-collapse it: the exchange carries only
+    # the k skinny member rows (~2 MB at k=100k), so size-based
+    # partition coalescing — blind to the ×ns downstream blow-up for
+    # the same input-vs-output reason as the skew-join heuristic —
+    # merged the unnumbered form back into one partition and
+    # resurrected the straggler (measured on the first fix attempt)
+    nparts = bucketed.sparkSession.sparkContext.defaultParallelism
+    e_a = (
+        big.select(
+            *keys, nsplit.alias("_ns"), F.posexplode("ids").alias("_i", "id_a")
+        )
+        .repartition(nparts, F.col("_i"))
+        .select(
+            *keys,
+            "_i",
+            "id_a",
+            F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("_s"),
+        )
     )
     e_b = big.select(
         *keys, nsplit.alias("_ns"), F.posexplode("ids").alias("_j", "id_b")
@@ -608,7 +626,27 @@ def near_dup_pairs(
     660 MB of signature freight, and skipping it pushes 2.7 GB of
     shingle arrays into the verify (124 s vs 55 s wall). Turn it OFF
     only when banding is already selective at your threshold
-    (candidates ≈ true pairs)."""
+    (candidates ≈ true pairs).
+
+    ROUTING HEURISTIC (measured at the 100× stress, identical pair
+    sets): MinHash pays for itself only when the signature (2 ×
+    num_hashes longs ≈ 2 KB at the default 120) is much SMALLER than
+    a document's distinct-shingle set — i.e. long documents. On
+    short documents (≲ a few hundred distinct shingles ≈ a few
+    hundred words) the df-capped word-gram route
+    (``jaccard_near_dup_pairs``) produced the SAME 2.25M pairs at
+    ~1/5 the wall and ~1/2 the shuffle (167 s / 9.3 GB vs 818 s /
+    21.2 GB on 500k short docs), because signature construction +
+    banding + estimate freight all cost more than simply moving the
+    small shingle sets. Rule of thumb: signature bytes ≥ shingle-set
+    bytes ⇒ MinHash buys nothing — use ``jaccard_near_dup_pairs``;
+    web-page-sized or longer documents (thousands of distinct
+    shingles) ⇒ MinHash's constant-size signatures win. This stays a
+    documented caller decision rather than an automatic data-dependent
+    switch: the two routes have different recall envelopes
+    (banding S-curve vs df-capped candidate generation), and a plan
+    that silently changes shape with corpus statistics is exactly
+    what the repo's plan-canary discipline exists to prevent."""
     sigs = None
     if estimate_filter:
         from . import _caches

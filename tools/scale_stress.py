@@ -477,15 +477,21 @@ def main() -> None:
     spark.stop()
 
 
-def main_megabucket() -> None:
+def main_megabucket(only: str | None = None) -> None:
     """Mega-bucket routing stress (VERDICT r9 #7): prove the
     size-routed bucket path holds when a SINGLE bucket dominates —
     one template family orders of magnitude above ``max_bucket``,
     the skew shape task 1's heavy-hitter line models for line_dedup.
 
-        PYTHONPATH=/root/repo python tools/scale_stress.py megabucket
+        PYTHONPATH=/root/repo python tools/scale_stress.py megabucket bucket
+        PYTHONPATH=/root/repo python tools/scale_stress.py megabucket simhash
 
-    Two rows:
+    ONE op per process invocation (same rule as dedup100x, and this
+    mode re-measured why: the mega100k op leaves ~27 GB of dead
+    shuffle state in the local JVM, and a simhash run chained after
+    it in the same process measured 523 s with a 414 s GC/IO
+    straggler vs 69.5 s with balanced ~61 s tasks in a clean
+    process). Two rows:
 
     * ``bucket_pairs mega100k`` — `_bucket_pairs` (the candidate
       machine minhash LSH banding and simhash pigeonhole SHARE) fed
@@ -502,13 +508,21 @@ def main_megabucket() -> None:
       P(any filler pair within hamming 3) ~ 1.2e11 * 4.2e4/2^64 ~
       3e-4, so the designed count is exactly C(10k,2) = 49,995,000).
     """
-    from pipz_spark.datapipe.dedup import _bucket_pairs
-
     spark = get_session(
         "pipz-scale-stress-megabucket", extra_conf={"spark.ui.enabled": "true"}
     )
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="pipz_stress_mega_")
+
+    if only in (None, "bucket"):
+        _run_mega_bucket(spark, tmp)
+    if only in (None, "simhash"):
+        _run_mega_simhash(spark, tmp)
+    spark.stop()
+
+
+def _run_mega_bucket(spark, tmp: str) -> None:
+    from pipz_spark.datapipe.dedup import _bucket_pairs
 
     mega = spark.range(100_000).select(
         F.lit(0).alias("block"),
@@ -532,6 +546,8 @@ def main_megabucket() -> None:
     run(spark, "bucket_pairs mega100k", _mega)
     release_caches()
 
+
+def _run_mega_simhash(spark, tmp: str) -> None:
     template = " ".join(f"template{i:02d}" for i in range(60))
     fam = spark.range(10_000).select(
         (F.col("id") + 5_000_000).alias("doc_id"), F.lit(template).alias("text")
@@ -566,7 +582,6 @@ def main_megabucket() -> None:
         return n
 
     run(spark, "simhash mega10k      ", _simhash_mega)
-    spark.stop()
 
 
 if __name__ == "__main__":
@@ -575,7 +590,8 @@ if __name__ == "__main__":
     if "pq100x" in _sys.argv[1:]:
         main_pq100x()
     elif "megabucket" in _sys.argv[1:]:
-        main_megabucket()
+        _ops = [a for a in _sys.argv[1:] if a in ("bucket", "simhash")]
+        main_megabucket(_ops[0] if _ops else None)
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
