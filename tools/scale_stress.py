@@ -294,6 +294,16 @@ def main_dedup100x(only: str | None = None) -> None:
         run(spark, "gopher_quality 100x",
             lambda: gopher_quality(d100).agg(
                 F.sum(F.col("keep").cast("int"))).first()[0])
+        # the BPE trainer's one corpus-sized stage, declared as
+        # dp_pretoken_hist (r10): one map-side-combining histogram
+        # shuffle whose cardinality is the distinct pre-token
+        # vocabulary — aggregate over counts, not count() (the
+        # count-star trap)
+        from pipz_spark.datapipe import pretoken_topk
+
+        run(spark, "pretoken_hist 100x ",
+            lambda: tuple(pretoken_topk(d100, k=100).agg(
+                F.sum("n"), F.count(F.lit(1))).first()))
     spark.stop()
 
 
