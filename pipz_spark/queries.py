@@ -1307,6 +1307,36 @@ GROUP BY 1, 2
 """
 
 
+# STREAMING-EXECUTED incremental corpus ingestion (new r10): a
+# deterministic incoming batch — one third re-ingested duplicates,
+# one third revised docs, derived from the documents table so the
+# oracle can replay it — streams in 2 micro-batch files, and each
+# batch anti-joins (by md5 content hash) the static reference corpus.
+# The stream-static ANTI join is stateless; only genuinely new
+# content lands (streaming/streams.py: stream_ingest_dedup).
+def _stream_ingest_dedup(spark, sf):
+    from .streaming.streams import stream_ingest_dedup
+
+    return stream_ingest_dedup(spark, sf)
+
+
+_STREAM_INGEST_DEDUP_SQL = """
+WITH ref AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS content_hash FROM documents
+),
+inc AS (
+  SELECT doc_id + 1000000 AS doc_id, coalesce(text, '') AS text, lang
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, coalesce(text, '') || ' rev2' AS text, lang
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id, md5(text) AS content_hash, lang
+FROM inc
+WHERE md5(text) NOT IN (SELECT content_hash FROM ref)
+"""
+
+
 # Session windows (30-min gap per user) — batch shape via the same
 # F.session_window the streaming path uses; oracle = the classic
 # lag/cumulative-sum islands construction. Session end = last event
@@ -3356,23 +3386,25 @@ FROM h
 # ever leaves the gate entirely, and the remaining slots cycle
 # through queries that have not yet earned a driver-green row.
 #
-# r10 window (r9 judge ask #2) = the r9 window with five swaps:
+# r10 window (r9 judge ask #2) = the r9 window with six swaps:
 # the 4 entries added after the r9 window froze and therefore never
 # driver-checked (dp_line_dedup, dp_bm25_topk, dp_top_ngrams,
 # dp_gopher_quality) are promoted — completing driver evidence for
-# every query that existed at the r10 freeze — plus this round's one
-# newcomer dp_pretoken_hist, landed BEFORE the freeze per the r9
-# ask-#8 discipline. Funded by demoting 5 r9-green entries whose
-# machines remain pinned in-window: dp_ngram_repetition (its
-# explode→two-level-agg machine is now pinned by promoted
-# dp_top_ngrams, and its HUGEINT-fix purpose earned its green in
-# r9); dp_pack_sequences (chunk + per-shard cumsum pinned by
-# dp_budget_cap's two-phase cumsum, its fellow r9 HUGEINT fix);
-# dp_repeated_spans (the detection stage runs verbatim INSIDE
-# in-window dp_clip_spans, which composes detect + stitch);
+# every query that existed at the r10 freeze — plus this round's two
+# newcomers (dp_pretoken_hist, stream_ingest_dedup), landed BEFORE
+# the freeze per the r9 ask-#8 discipline. Funded by demoting 6
+# r9-green entries whose machines remain pinned in-window:
+# dp_ngram_repetition (its explode→two-level-agg machine is now
+# pinned by promoted dp_top_ngrams, and its HUGEINT-fix purpose
+# earned its green in r9); dp_pack_sequences (chunk + per-shard
+# cumsum pinned by dp_budget_cap's two-phase cumsum, its fellow r9
+# HUGEINT fix); dp_repeated_spans (the detection stage runs verbatim
+# INSIDE in-window dp_clip_spans, which composes detect + stitch);
 # dp_mixture_resample + dp_stratified_sample (both are the
 # rate/threshold-broadcast hash-accept machine dp_temperature_resample
-# still pins in-window).
+# still pins in-window); dp_cross_embed (its strictly-cross bucket
+# join is the _cross_bucket_pairs machine dp_cross_dedup pins, its
+# cosine scoring pinned by dp_cosine_topk/dp_ann_pq).
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {
@@ -3449,7 +3481,6 @@ QUERIES: dict[str, Declared] = {
     "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
     "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
-    "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
     # ---- r9 promotions retained (driver-green r9) ------------------
     # budget_cap also pins the two-phase-cumsum machine for demoted
     # dp_pack_sequences; clip_spans runs demoted dp_repeated_spans'
@@ -3465,6 +3496,12 @@ QUERIES: dict[str, Declared] = {
     "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
     "dp_gopher_quality": Declared(_dp_gopher, _DP_GOPHER_SQL),
     "dp_pretoken_hist": Declared(_dp_pretoken_hist, _DP_PRETOKEN_HIST_SQL),
+    # the 7th streaming machine (stream-static ANTI join — no other
+    # rig exercises it), landed before the freeze; funded by demoting
+    # dp_cross_embed, whose strictly-cross bucket join is the same
+    # _cross_bucket_pairs machine in-window dp_cross_dedup pins and
+    # whose cosine scoring dp_cosine_topk/dp_ann_pq pin
+    "stream_ingest_dedup": Declared(_stream_ingest_dedup, _STREAM_INGEST_DEDUP_SQL),
     # ---- past the 50-row window ----------------------------------
     # Two populations: (a) queries rotated OUT with a driver-green
     # row in CORRECTNESS_r06.json — their machines stay represented
@@ -3552,6 +3589,9 @@ QUERIES: dict[str, Declared] = {
     "dp_repeated_spans": Declared(_dp_repeated_spans, _DP_REPEATED_SPANS_SQL),
     "dp_mixture_resample": Declared(_dp_mixture_resample, _DP_MIXTURE_SQL),
     "dp_stratified_sample": Declared(_dp_stratified, _DP_STRATIFIED_SQL),
+    # demoted to fund stream_ingest_dedup's in-window slot (green r9;
+    # machine rationale at the promotion comment above)
+    "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
 }
 
 

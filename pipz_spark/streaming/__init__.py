@@ -19,6 +19,7 @@ from .streams import (
     running_totals_tws,
     session_window_agg,
     stream_events_dedup,
+    stream_ingest_dedup,
     stream_events_hourly,
     stream_events_join,
     stream_events_sessions,
@@ -37,6 +38,7 @@ __all__ = [
     "running_totals_tws",
     "session_window_agg",
     "stream_events_dedup",
+    "stream_ingest_dedup",
     "stream_events_hourly",
     "stream_events_join",
     "stream_events_sessions",

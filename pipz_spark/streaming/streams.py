@@ -1149,3 +1149,122 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(land)
+
+
+_INGEST_REPLAY_MEMO: dict[str, str] = {}
+
+_INGEST_DOCS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _ingest_replay(spark: SparkSession, sf_dir: str) -> str:
+    """The ingest-dedup rig's replay: a DETERMINISTIC incoming batch
+    derived from the documents table itself so the oracle can
+    replicate it exactly — one third re-ingested duplicates
+    (doc_id % 3 = 0, text unchanged, new ids +1M) and one third
+    revised documents (doc_id % 3 = 1, text + ' rev2', new ids +2M) —
+    materialized as two doc_id-ranged parquet parts so the file
+    source delivers a genuine multi-trigger stream. Memoized per
+    sf_dir like the other replay rigs (construction is test-input
+    cost, not streaming cost)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    cached = _INGEST_REPLAY_MEMO.get(sf_dir)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    dups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+    )
+    revised = docs.where(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(text, F.lit(" rev2")).alias("text"),
+        "lang",
+    )
+    out = _tempfile.mkdtemp(prefix="pipz_ingest_replay_")
+    (
+        dups.unionByName(revised)
+        .repartitionByRange(2, "doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _force_file_order(out)
+    _INGEST_REPLAY_MEMO[sf_dir] = out
+    return out
+
+
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED incremental corpus ingestion with exact
+    dedup against the EXISTING corpus — the production shape for
+    growing a training set: every micro-batch of incoming documents
+    anti-joins (by content hash) the static reference corpus, and
+    only genuinely new content lands. The stream-static ANTI join is
+    the machine none of the other six streaming rigs exercise; it is
+    STATELESS (each batch resolves independently — no watermark, no
+    state store), so at 100 TB the stream side never accumulates
+    state and a reference refresh is picked up at the next trigger,
+    exactly like the Enrich-style static join. The batch analogs:
+    ``exact_dedup`` (within-corpus) and ``cross_near_dup_pairs``
+    (near-dup across corpora); this is the exact-hash cross-corpus
+    member of the family, run streaming.
+
+    Grouping by md5(text) stands in for grouping by text itself
+    (the line_dedup argument: collision odds ~n²/2¹²⁸), and the hash
+    is computed identically on both engines, so the oracle is a plain
+    NOT IN anti join over the same derived incoming batch.
+    """
+    import tempfile
+
+    from ..operators.processors import transform
+    from ..sources.catalog import load_table
+
+    replay = _ingest_replay(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_INGEST_DOCS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    text = F.coalesce(F.col("text"), F.lit(""))
+    ref = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash"))
+        .distinct()
+    )
+    hashed = transform(
+        "ingest-hash", {"content_hash": F.md5(text)}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_ingest_")
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        # per-batch stream-static LEFT ANTI join: the reference hash
+        # set re-resolves each trigger (broadcast by AQE at this
+        # cardinality; a 100 TB reference would arrive bucketed)
+        df.join(ref, "content_hash", "left_anti").select(
+            "doc_id", "content_hash", "lang"
+        ).write.mode("append").parquet(land)
+
+    q = run_step_stream(
+        stream,
+        hashed,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ingest_ckpt_"),
+        query_name="pipz-stream-ingest-dedup",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(land)

@@ -311,6 +311,24 @@ def test_line_dedup_explode_carries_digests_not_text(spark):
     assert "Generate" in plan  # the posexplode of per-line digests
 
 
+def test_line_dedup_scan_filter_stays_cheap(spark):
+    # DIVERGENCES #20: a derived-predicate gate above fan_out gets
+    # pushed through Project AND RoundRobin Repartition into the scan,
+    # where it re-runs the whole tokenize+slice pipeline on the
+    # scan's (possibly single) split — measured 176 s single-task at
+    # the 100× stress. The blank-doc gate must reach the FileScan as
+    # the cheap rlike predicate, never as the line-materialization
+    # expression tree.
+    plan = _plan(spark, "dp_line_dedup")
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines, "expected a parquet FileScan in the plan"
+    for ln in scan_lines:
+        assert "transform(" not in ln and "slice(" not in ln, (
+            "line-materialization expressions leaked into the scan's "
+            "pushed DataFilters: " + ln[:200]
+        )
+
+
 def test_bm25_stats_broadcast_never_shuffle_postings(spark):
     # query terms, df table, and corpus stats are all broadcast-small;
     # the postings stream must meet them via BroadcastHashJoin and a

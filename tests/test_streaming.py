@@ -691,6 +691,40 @@ def test_stream_static_join_matches_batch(spark, events, customer):
     assert g == b and len(g) > 0
 
 
+def test_stream_ingest_dedup_matches_batch(spark):
+    # the full rig: the deterministic incoming batch (1/3 re-ingested
+    # duplicates, 1/3 revised docs) streams in 2 micro-batch files,
+    # each batch anti-joins the static corpus hash set; the landed
+    # table must equal the batch anti join — every duplicate dropped,
+    # every revised doc kept exactly once
+    from pipz_spark.sources.catalog import load_table
+    from pipz_spark.streaming.streams import stream_ingest_dedup
+
+    got = stream_ingest_dedup(spark, SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    inc = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), text.alias("t"), "lang")
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(text, F.lit(" rev2")).alias("t"),
+                "lang",
+            )
+        )
+    )
+    ref = docs.select(F.md5(text).alias("h")).distinct()
+    batch = inc.select("doc_id", F.md5("t").alias("content_hash"), "lang").join(
+        ref, F.col("content_hash") == F.col("h"), "left_anti"
+    )
+    g = {(r["doc_id"], r["content_hash"], r["lang"]) for r in got.collect()}
+    b = {(r["doc_id"], r["content_hash"], r["lang"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+    # every duplicate (%3==0 re-ingest) must be gone
+    assert not any(1_000_000 <= i < 2_000_000 for i, _, _ in g)
+
+
 def test_query_restart_resumes_exactly_once(spark, events, tmp_path):
     """End-to-end recovery: kill a throttled query mid-stream, restart
     from the same checkpoint, and the landed table must contain every
