@@ -2648,6 +2648,54 @@ WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
 """
 
 
+# Fuzzy benchmark decontamination (new r10): the near-duplicate
+# sibling of dp_decontaminate's exact n-gram collision — the GPT-3
+# appendix-C practice of removing train documents NEAR-duplicating
+# eval documents, not just verbatim overlaps. Same eval/train split
+# as dp_decontaminate (doc_id % 50), same strictly-cross banded
+# candidate machine as dp_cross_dedup (train plays the "new" side,
+# eval the reference index); output is one row per contaminated
+# train doc with its worst overlap and match count. Jaccard is
+# quantize4-floored both sides; COUNT cast BIGINT per DIVERGENCES
+# #18.
+def _dp_fuzzy_decontam(spark, sf):
+    from .datapipe import cross_near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    pairs = cross_near_dup_pairs(tr, ev, threshold=0.7)
+    return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.max("jaccard").alias("max_jaccard"),
+        F.count(F.lit(1)).alias("n_eval_matches"),
+    )
+
+
+_DP_FUZZY_DECONTAM_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text)-4, 1)+1)]) AS sh
+  FROM documents
+),
+sz AS (SELECT doc_id, sh, len(sh) AS n FROM s),
+p AS (
+  SELECT a.doc_id AS new_id,
+         floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+               * 10000.0 + 0.5) / 10000.0 AS jaccard
+  FROM sz a JOIN sz b ON a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+  WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+    AND floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+              * 10000.0 + 0.5) / 10000.0 >= 0.7
+)
+SELECT new_id AS doc_id, MAX(jaccard) AS max_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches
+FROM p GROUP BY new_id
+"""
+
+
 # Sequence mining over the event stream: the 10 most common 3-step
 # per-user event paths — two offset window functions build the path
 # in ONE pass over the user-partitioned sort (no self-joins), then a
@@ -3592,6 +3640,9 @@ QUERIES: dict[str, Declared] = {
     # demoted to fund stream_ingest_dedup's in-window slot (green r9;
     # machine rationale at the promotion comment above)
     "dp_cross_embed": Declared(_dp_cross_embed, _DP_CROSS_EMBED_SQL),
+    # ---- added r10 after the window filled → tail; r11 promotion
+    # candidate (the standard newcomer path when slots run out) -----
+    "dp_fuzzy_decontam": Declared(_dp_fuzzy_decontam, _DP_FUZZY_DECONTAM_SQL),
 }
 
 
