@@ -192,7 +192,11 @@ def test_temperature_resample_rate_invariants(spark_prop, counts, target):
 @given(
     docs=st.lists(
         st.text(
-            alphabet=st.sampled_from("ab c"), min_size=0, max_size=40
+            # \n and \t included since r10: trim strips only 0x20, so
+            # these exercise the empty-split-cell filter + the rlike
+            # blank gate (a '\n'-only doc must vanish, and wrapped
+            # whitespace must not mint phantom lines)
+            alphabet=st.sampled_from("ab c\n\t"), min_size=0, max_size=40
         ),
         min_size=1,
         max_size=12,
@@ -236,6 +240,74 @@ def test_line_dedup_invariants(spark_prop, docs, line_words):
                 kept.append(ln)
         expect[i] = (" ".join(kept), len(kept), dropped)
     assert out == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("ab c\n"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_line_dedup_delim_invariants(spark_prop, docs):
+    """line_delim mode for ANY corpus: lines are the literal-delimiter
+    pieces, 0x20-trimmed, empties dropped; keep-first corpus-wide;
+    survivors rejoin with the same delimiter; docs with zero lines
+    are absent."""
+    from pipz_spark.datapipe import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, line_delim="\n").collect()
+    }
+    seen: set[str] = set()
+    expect = {}
+    for i, t in rows:
+        # mirror the engine exactly: split on the literal delimiter,
+        # strip 0x20 only (Spark trim), drop empties
+        ls = [p.strip(" ") for p in t.split("\n") if p.strip(" ")]
+        if not ls:
+            continue
+        kept = []
+        dropped = 0
+        for ln in ls:
+            if ln in seen:
+                dropped += 1
+            else:
+                seen.add(ln)
+                kept.append(ln)
+        expect[i] = ("\n".join(kept), len(kept), dropped)
+    assert out == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("aB0 .#x7"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_pretoken_histogram_matches_re(spark_prop, docs):
+    """pretoken_histogram must equal a Python re.findall count over
+    the same PRETOKEN_PATTERN for ANY text (letters runs, digit runs,
+    single symbols; whitespace/control chars never tokenized; NULL
+    text contributes nothing) — pins Java-regex/Python-re agreement
+    on the exact alternation bpe_train consumes."""
+    from collections import Counter
+
+    from pipz_spark.datapipe import pretoken_histogram
+    from pipz_spark.datapipe.bpe import _PRETOKEN_RE
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [(10_000, None)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    got = {r["w"]: r["n"] for r in pretoken_histogram(df).collect()}
+    exp = Counter(w for t in docs for w in _PRETOKEN_RE.findall(t))
+    assert got == dict(exp)
+
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
