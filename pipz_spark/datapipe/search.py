@@ -94,12 +94,21 @@ def bm25_topk(
     # count a whitespace-only doc into N — word semantics per the
     # tokens() split-cell/word divide (datapipe/text.py)
     toks = F.filter(F.split(F.trim(text), WS), lambda x: x != "")
+    # blank/whitespace-only docs must not count into N or total_words.
+    # The gate is the CHEAP raw-column predicate rlike(r"\S") applied
+    # BEFORE fan_out — exactly equivalent to size(toks) > 0 since the
+    # token filter drops empty split cells — never a derived-size
+    # filter above the repartition: Catalyst pushes that whole
+    # size(filter(split(trim(text)))) tree through Project and
+    # Repartition into the FileScan's DataFilters, re-running the
+    # tokenize on the scan's (possibly single) split — DIVERGENCES
+    # #20, measured 176 s single-task at the line_dedup 100× stress.
     # rebalance a single-split scan so the tokenize+explode postings
     # pass parallelizes (the same guard every dense datapipe stage
     # takes; a no-op whenever the scan already has enough splits)
-    d = fan_out(docs).select(
+    d = fan_out(docs.where(text.rlike(r"\S"))).select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
-    ).where(F.col("_dl") > 0)
+    )
     stats = d.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("_dl").alias("_total_words"),
@@ -107,8 +116,17 @@ def bm25_topk(
     # postings: the vocab filter sits UNDER the explode so only
     # query-term hits materialize; map-side partial agg folds each
     # partition's hits to one (doc, term) row before the shuffle
+    # explode_OUTER, deliberately: a plain explode over the _toks
+    # attribute lets InferFiltersFromGenerate re-create the
+    # size(_toks) > 0 gate this function just avoided, and projection
+    # collapse + pushdown then plant the whole derived tokenize tree
+    # back into the FileScan (the DIVERGENCES #20 shape — the rlike
+    # gate above makes every row non-empty, so outer is value-
+    # identical: no NULL term can appear, and one would be dropped by
+    # the vocab isin anyway). Plan-shape test asserts the scan stays
+    # clean.
     tf = (
-        d.select(id_col, "_dl", F.explode("_toks").alias("term"))
+        d.select(id_col, "_dl", F.explode_outer("_toks").alias("term"))
         .where(F.col("term").isin(vocab))
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))

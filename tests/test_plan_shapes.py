@@ -329,6 +329,22 @@ def test_line_dedup_scan_filter_stays_cheap(spark):
         )
 
 
+def test_bm25_scan_filter_stays_cheap(spark):
+    # DIVERGENCES #20, bm25 edition (r10 advice): the blank-doc gate
+    # must reach the FileScan as the cheap rlike predicate on the raw
+    # text column — never as the derived size(filter(split(trim)))
+    # tree, which would re-run the tokenize pipeline inside the scan
+    # on its (possibly single) split.
+    plan = _plan(spark, "dp_bm25_topk")
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines, "expected a parquet FileScan in the plan"
+    for ln in scan_lines:
+        assert "split(" not in ln and "filter(" not in ln, (
+            "tokenize expressions leaked into the scan's pushed "
+            "DataFilters: " + ln[:200]
+        )
+
+
 def test_bm25_stats_broadcast_never_shuffle_postings(spark):
     # query terms, df table, and corpus stats are all broadcast-small;
     # the postings stream must meet them via BroadcastHashJoin and a
