@@ -29,6 +29,7 @@ from pipz_spark.control import Pipeline, observed_effect, collect_observation
 from pipz_spark.datapipe import (
     bpe_token_count,
     contamination,
+    cross_near_dup_pairs,
     dedup_clusters,
     deterministic_split,
     exact_dedup,
@@ -100,6 +101,20 @@ def main() -> None:
         dirty = contamination(survivors, eval_set, n=4)
         print("benchmark-contaminated docs dropped:", dirty.count())
         survivors = survivors.join(dirty.select("doc_id"), "doc_id", "left_anti")
+        # ...and the FUZZY half (GPT-3 appendix C runs both): the
+        # exact stage above only catches verbatim n-gram overlap; the
+        # strictly-cross banded MinHash join also removes survivors
+        # that NEAR-duplicate an eval doc (paraphrases, reflowed
+        # copies) without sharing one exact 4-gram. Train plays the
+        # "new" side, eval the reference index — docs are never
+        # paired against their own split.
+        fuzzy_dirty = (
+            cross_near_dup_pairs(survivors, eval_set, threshold=0.7)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        print("near-dup contaminated docs dropped:", fuzzy_dirty.count())
+        survivors = survivors.join(fuzzy_dirty, "doc_id", "left_anti")
         assemble = P.sequence(
             "assemble",
             stratified_sample(

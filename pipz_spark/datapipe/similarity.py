@@ -51,13 +51,19 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (broadcast the queries;
-    single corpus scan; per-query k via one window on qid)."""
+    single corpus scan; per-query k via one window on qid). The scan
+    takes the fan_out guard like every dense datapipe stage: the
+    |Q|·N·dim scoring fold is CPU work that must not serialize on an
+    under-split input (an unsplittable single-file corpus fed 95% of
+    a 200k-vector scan to one task at the ann100x stress)."""
+    from ._util import fan_out
+
     q = F.broadcast(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
     )
-    pairs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("_nv")).join(
-        q, F.col("nid") != F.col("qid")
-    )
+    pairs = fan_out(corpus).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("_nv")
+    ).join(q, F.col("nid") != F.col("qid"))
     scored = pairs.select(
         "qid",
         "nid",

@@ -968,7 +968,12 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_sess_ckpt_"),
         query_name="pipz-stream-sessions",
         output_mode="append",
-        state_partitions=4,
+        # 2, measured against 4 and 1 solo at sf0.1 (2.5 vs 2.8 vs
+        # 3.0 s steady): the rig pays THREE state-store commit rounds
+        # (two data triggers + the watermark-close batch), so commit
+        # overhead scales with partitions while the replay's session
+        # keys saturate two stores' parallelism; 1 loses the overlap
+        state_partitions=2,
     )
     try:
         q.processAllAvailable()
@@ -1078,6 +1083,12 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lever — measured solo at sf0.1: 5.2 s at 4, 3.2 s at 16,
         # 4.7 s at 32 (state-store commit overhead wins past ~16)
         state_partitions=16,
+        # update-mode emissions with NO timeout never depend on
+        # watermark advancement, so the trailing zero-row batch is
+        # pure state-store/commit overhead (~0.8 s) — the same rule
+        # every other non-append rig here already applies; this one
+        # predates the knob and was the last to keep it on
+        no_data_batches=False,
     )
     try:
         q.processAllAvailable()

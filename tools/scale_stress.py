@@ -134,6 +134,82 @@ def main_pq100x() -> None:
     spark.stop()
 
 
+def main_ann100x() -> None:
+    """100× LSH/IVF stress (r10 verdict ask #4): the last two datapipe
+    machines without a 100× row. Same 200k-vector corpus recipe as
+    pq100x (100 perturbed replicas of sf0.1's embeddings); queries are
+    replica-0 of the first 100 base vectors, so each query's true
+    top-5 is its own replica family at cos ≈ 1 — a DESIGNED ground
+    truth the brute-force pass recomputes exactly.
+
+    Unlike the declared sf0.01 gate (exhaustive-recall parameters),
+    this runs PRODUCTION-SHAPED parameters — LSH bits=8/tables=16
+    (~1/256 bucket occupancy, per-neighbor miss at cos≈0.999 under
+    1e-20), IVF nlist=64/nprobe=8 (scoring touches ~1/8 of the
+    corpus) — and asserts the measured recall@5 against brute force
+    ≥ 0.98 plus the exact 100×5 output shape. Evidence to watch: the
+    LSH shuffle is the corpus riding its 16 exploded table signatures
+    into the bucket exchange (vectors × tables, the operator's real
+    scale cost); IVF's is one cell-id join after a closure-matrix
+    argmax assign; both max tasks must sit near the stage median.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py ann100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-ann100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_ann100_")
+    emb = load_table(spark, "embeddings", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") * 100 + F.col("_rep")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + (F.col("_rep") * (i % 7 - 3)).cast("float") * 0.0005,
+        ).alias("embedding"),
+    )
+    # 32 even files: the unrepartitioned crossJoin writes ONE 85 MB
+    # file whose row-group layout hands ~all rows to one scan task —
+    # the first ann100x run sat 20/21 tasks idle behind that
+    # straggler. At real scale the corpus arrives as thousands of
+    # splits; the stress input should look like that, not like a
+    # single-file toy.
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/embeddings100")
+    e100 = spark.read.parquet(f"{tmp}/embeddings100")
+    print(f"corpus: {e100.count()} vectors")
+    queries = e100.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10_000))
+
+    from pipz_spark.datapipe import cosine_topk_bruteforce, cosine_topk_ivf
+
+    # ground truth once; landed to parquet so the two recall joins
+    # don't re-run the 100 × 200k scoring scan per ANN comparison
+    truth_path = f"{tmp}/truth"
+    cosine_topk_bruteforce(e100, queries, k=5).select("qid", "nid").write.mode(
+        "overwrite"
+    ).parquet(truth_path)
+    truth = spark.read.parquet(truth_path)
+    n_truth = truth.count()
+    assert n_truth == 500, f"designed truth shape is 100×5, got {n_truth}"
+
+    def check(name: str, ann_df) -> int:
+        got = ann_df.select("qid", "nid")
+        n = got.count()
+        assert n == 500, f"{name}: expected 100×5 rows, got {n}"
+        hits = truth.join(got, ["qid", "nid"], "left_semi").count()
+        recall = hits / n_truth
+        print(f"{name} recall@5 vs brute force: {recall:.4f} ({hits}/{n_truth})")
+        assert recall >= 0.98, f"{name}: recall {recall:.4f} below designed 0.98 floor"
+        return n
+
+    run(spark, "cosine_topk_lsh 100x", lambda: check(
+        "lsh", cosine_topk_lsh(e100, queries, k=5, bits=8, tables=16)))
+    run(spark, "cosine_topk_ivf 100x", lambda: check(
+        "ivf", cosine_topk_ivf(e100, queries, k=5, nlist=64, nprobe=8)))
+    spark.stop()
+
+
 def main_dedup100x(only: str | None = None) -> None:
     """100× DEDUP stress (VERDICT r8 #7): ANN/PQ earned 100× evidence
     in r8; this gives the dedup side's worst cases the same treatment
@@ -599,6 +675,8 @@ if __name__ == "__main__":
 
     if "pq100x" in _sys.argv[1:]:
         main_pq100x()
+    elif "ann100x" in _sys.argv[1:]:
+        main_ann100x()
     elif "megabucket" in _sys.argv[1:]:
         _ops = [a for a in _sys.argv[1:] if a in ("bucket", "simhash")]
         main_megabucket(_ops[0] if _ops else None)

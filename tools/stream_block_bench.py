@@ -23,6 +23,12 @@ from pipz_spark.session import get_session  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    # same scratch placement as bench.py: streaming checkpoint/landing
+    # I/O belongs on tmpfs (production state stores live on local
+    # NVMe), else this tool reads ~0.7s/block slower than the suite
+    from bench import _tmpfs_scratch
+
+    _tmpfs_scratch()
     spark = get_session("pipz-stream-block-bench")
     spark.range(1000).selectExpr("sum(id)").collect()
     import tempfile
@@ -34,9 +40,21 @@ def main() -> None:
 
     replay_events_files(spark, sf_dir, order_by_ts=True)
 
-    stream_decls = [
-        (name, decl) for name, decl in QUERIES.items() if name.startswith("stream_")
-    ]
+    # mirror bench.py's heaviest-first submission: starts serialize on
+    # _START_LOCK, so the pacing rig must enter the pool first
+    history = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BENCH_LOCAL.json")) as f:
+            history = {k: v for k, v in (json.load(f).get("queries") or {}).items()
+                       if v is not None}
+    except (OSError, ValueError):
+        pass
+    stream_decls = sorted(
+        ((name, decl) for name, decl in QUERIES.items()
+         if name.startswith("stream_")),
+        key=lambda nd: -history.get(nd[0], float("inf")),
+    )
 
     def one_stream(decl) -> float:
         t0 = time.time()
