@@ -66,7 +66,12 @@ from .bpe import (
     save_merges,
 )
 from .search import bm25_topk
-from .lm_quality import fit_bigram_lm, lm_quality_scores, score_bigram_lm
+from .lm_quality import (
+    fit_bigram_lm,
+    lm_quality_scores,
+    perplexity_buckets,
+    score_bigram_lm,
+)
 from .sampling import (
     approx_dataset_profile,
     dataset_profile,
@@ -120,6 +125,7 @@ __all__ = [
     "fit_bigram_lm",
     "lang_id",
     "lm_quality_scores",
+    "perplexity_buckets",
     "lsh_candidate_pairs",
     "minhash_signature",
     "minhash_signatures_df",

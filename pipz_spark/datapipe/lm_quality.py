@@ -145,4 +145,123 @@ def lm_quality_scores(
     return score_bigram_lm(df, lm, id_col=id_col, text_col=text_col)
 
 
-__all__ = ["fit_bigram_lm", "score_bigram_lm", "lm_quality_scores"]
+def perplexity_buckets(
+    df: DataFrame,
+    buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    fit_on: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet-style per-language quality buckets (Wenzek et al. 2020):
+    score every document under the bigram LM, then split each
+    language's documents into ``buckets`` equal quality tiers by score
+    rank — bucket 1 is the head (highest mean log-prob / lowest
+    perplexity), bucket ``buckets`` the tail. The head/middle/tail
+    labels are what the published recipe samples from (keep head+
+    middle, downweight tail). Output: (id, lang, lm_logp, n_bigrams,
+    ppl_bucket); documents too short to score (< 2 chars) keep NULL
+    lm_logp AND NULL ppl_bucket — never silently dropped.
+
+    Bucket assignment is EXACTLY SQL's
+    ``ntile(b) OVER (PARTITION BY lang ORDER BY lm_logp DESC, id)``
+    — the first (n mod b) tiers take the extra row — but it is NOT
+    computed as that window: a per-language ntile sorts each entire
+    language in ONE task (English = half a 100 TB corpus through a
+    single straggler — the same skewed-key window line_dedup's
+    keep-first was rewritten to avoid; AQE cannot split window
+    sorts). Instead the rank machine is distributed exactly:
+
+      1. range-partition the scored rows by (lang, lm_logp DESC, id)
+         into an EXPLICIT ``num_partitions`` (user-numbered, so AQE
+         cannot coalesce it away — DIVERGENCES #21); every partition
+         holds a contiguous slice of the global order,
+      2. per-(partition, lang) counts — a tiny ≤ parts × langs frame
+         — prefix-summed into rank offsets and language totals, both
+         broadcast back,
+      3. per-partition local row_number (a window keyed by
+         (partition, lang), each key bounded by the range split size
+         regardless of language skew) + offset = exact global rank,
+      4. the closed-form ntile rule maps (rank, n) to the tier.
+
+    The same two-phase shape as ``budget_cap``'s global cumsum, but
+    producing order statistics instead of running sums. At 100 TB
+    the only corpus-wide exchange is the one range shuffle of skinny
+    (id, lang, score) rows; fit on a sample via ``fit_on``."""
+    if buckets <= 0:
+        raise ValueError(f"need buckets > 0, got {buckets}")
+    from pyspark.sql import Window
+
+    from ._caches import track
+
+    scores = lm_quality_scores(df, id_col=id_col, text_col=text_col, fit_on=fit_on)
+    base = track(
+        df.select(id_col, lang_col).join(scores, id_col).persist()
+    )  # two consumers: the ranked path and the NULL-score passthrough
+    scored = base.where(F.col("lm_logp").isNotNull())
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    part = track(
+        scored.repartitionByRange(
+            n_parts, F.col(lang_col), F.col("lm_logp").desc(), F.col(id_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )  # persisted: counts + rank both consume it, and re-evaluating a
+    #    sampled range exchange under a nondeterministic _pid column
+    #    must never happen twice with different boundaries
+    counts = part.groupBy("_pid", lang_col).agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy(lang_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        lang_col,
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = counts.groupBy(lang_col).agg(F.sum("_c").alias("_n"))
+    w_local = Window.partitionBy("_pid", lang_col).orderBy(
+        F.col("lm_logp").desc(), F.col(id_col)
+    )
+    ranked = (
+        part.select(id_col, lang_col, "lm_logp", "n_bigrams", "_pid")
+        .withColumn("_r", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["_pid", lang_col])
+        .join(F.broadcast(totals), lang_col)
+        .withColumn("_rank", F.col("_off") + F.col("_r"))
+    )
+    # closed-form ntile(b): q = n div b rows per tier, the first
+    # r = n mod b tiers take one extra. Both divisions are guarded
+    # (q+1 ≥ 1 always; the q divisor only reaches rows with rank past
+    # the (q+1)-sized tiers, which exist only when q ≥ 1 — greatest()
+    # keeps the dead branch from tripping ANSI divide-by-zero)
+    n = F.col("_n")
+    b = F.lit(buckets).cast("long")
+    q = F.floor(n / b)
+    r = n % b
+    g = F.col("_rank") - 1
+    bucket = F.when(
+        F.col("_rank") <= (q + 1) * r, F.floor(g / (q + 1)) + 1
+    ).otherwise(r + F.floor((g - (q + 1) * r) / F.greatest(q, F.lit(1))) + 1)
+    out = ranked.select(
+        id_col, lang_col, "lm_logp", "n_bigrams", bucket.alias("ppl_bucket")
+    )
+    unscored = base.where(F.col("lm_logp").isNull()).select(
+        id_col,
+        lang_col,
+        "lm_logp",
+        "n_bigrams",
+        F.lit(None).cast("long").alias("ppl_bucket"),
+    )
+    return out.unionByName(unscored)
+
+
+__all__ = [
+    "fit_bigram_lm",
+    "score_bigram_lm",
+    "lm_quality_scores",
+    "perplexity_buckets",
+]

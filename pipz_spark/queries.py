@@ -1913,9 +1913,11 @@ def _dp_lm_quality(spark, sf):
 # (substr is character-based, matching split('')), add-one-smoothed
 # log-probs rounded at scale 6, floor -12.0 for unseen bigrams,
 # decimal-exact per-doc mean. Short docs (< 2 chars) keep NULL lm_logp
-# and n_bigrams 0, exactly like score_bigram_lm.
-_DP_LM_QUALITY_SQL = r"""
-WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+# and n_bigrams 0, exactly like score_bigram_lm. The CTE prefix is
+# SHARED with _DP_CCNET_BUCKETS_SQL (the jaccard-pair-CTE pattern) so
+# the scoring definition can never fork between the two gates.
+_LM_SCORE_CTES = r"""
+lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
 grams AS (
   SELECT doc_id,
          unnest([substr(t, i, 2) for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS bigram
@@ -1939,10 +1941,44 @@ agg AS (
          CAST(sum(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS lm_logp,
          count(*) AS n_bigrams
   FROM scored GROUP BY doc_id
-)
+)"""
+
+_DP_LM_QUALITY_SQL = (
+    "WITH " + _LM_SCORE_CTES + r"""
 SELECT d.doc_id, agg.lm_logp, coalesce(agg.n_bigrams, 0) AS n_bigrams
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
+)
+
+
+# CCNet-style per-language perplexity buckets (Wenzek et al. 2020):
+# each language's scored documents split into 3 equal quality tiers by
+# LM score rank. The ORACLE is literally ntile(3) over (lang, score
+# DESC, doc_id); the Spark side computes the identical assignment with
+# a distributed rank machine (range partition + per-partition offsets)
+# because a per-language ntile window would sort each whole language
+# in one task — see perplexity_buckets' docstring.
+def _dp_ccnet_buckets(spark, sf):
+    from .datapipe import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents"), buckets=3)
+
+
+_DP_CCNET_BUCKETS_SQL = (
+    "WITH " + _LM_SCORE_CTES + r""",
+allrows AS (
+  SELECT d.doc_id, d.lang, agg.lm_logp, coalesce(agg.n_bigrams, 0) AS n_bigrams
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+),
+rnk AS (
+  SELECT doc_id,
+         ntile(3) OVER (PARTITION BY lang ORDER BY lm_logp DESC, doc_id) AS ppl_bucket
+  FROM allrows WHERE lm_logp IS NOT NULL
+)
+SELECT a.doc_id, a.lang, a.lm_logp, a.n_bigrams, rnk.ppl_bucket
+FROM allrows a LEFT JOIN rnk ON a.doc_id = rnk.doc_id
+"""
+)
 
 
 # Deterministic train/val/test split + content-stable sampling +
@@ -3575,7 +3611,16 @@ QUERIES: dict[str, Declared] = {
     "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
     "dp_bm25_topk": Declared(_dp_bm25, _BM25_SQL),
     "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
-    "dp_gopher_quality": Declared(_dp_gopher, _DP_GOPHER_SQL),
+    # ---- r11 newcomer, landed BEFORE the freeze (the r9 ask-#8
+    # discipline): CCNet perplexity buckets — a NEW machine (the
+    # distributed exact-rank: range partition + two-phase offsets,
+    # no per-language window sort) composed over the bigram-LM
+    # scorer, which it also re-pins in-window for tail dp_lm_quality.
+    # Funded by demoting dp_gopher_quality (driver-green r10): its
+    # single-projection doc-gate is the pure-JVM text-expression
+    # family the dp_text_stats anchor pins — the same taxonomy that
+    # sent lang_id/fingerprint/quality_score to the tail in r6.
+    "dp_ccnet_buckets": Declared(_dp_ccnet_buckets, _DP_CCNET_BUCKETS_SQL),
     "dp_pretoken_hist": Declared(_dp_pretoken_hist, _DP_PRETOKEN_HIST_SQL),
     # the 7th streaming machine (stream-static ANTI join — no other
     # rig exercises it), landed before the freeze; funded by demoting
@@ -3677,6 +3722,9 @@ QUERIES: dict[str, Declared] = {
     # its strictly-cross banded machine is the promoted query's own
     # candidate stage, so the machine stays driver-gated in-window)
     "dp_cross_dedup": Declared(_dp_cross_dedup, _DP_CROSS_DEDUP_SQL),
+    # demoted r11 to fund dp_ccnet_buckets' in-window slot (green
+    # r10; machine rationale at the promotion comment above)
+    "dp_gopher_quality": Declared(_dp_gopher, _DP_GOPHER_SQL),
 }
 
 

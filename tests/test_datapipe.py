@@ -1962,3 +1962,94 @@ def test_gopher_quality_rule_boundaries(spark):
         assert out[d]["mean_word_len"] is None
     # doc 10 = doc 1 wrapped in \t...\n: identical metrics, still kept
     assert out[10] == {**out[1], "doc_id": 10}
+
+
+def test_perplexity_buckets_ntile_invariants(spark, documents):
+    # the distributed rank machine must reproduce SQL ntile exactly:
+    # per-language tier sizes differ by <= 1, the first (n mod b)
+    # tiers carry the extras, and tier 1 holds the highest scores
+    from pipz_spark.datapipe import perplexity_buckets, release_caches
+
+    try:
+        out = perplexity_buckets(documents, buckets=3).collect()
+    finally:
+        release_caches()
+    assert len(out) == documents.count()
+    by_lang: dict = {}
+    for r in out:
+        if r["ppl_bucket"] is None:
+            assert r["lm_logp"] is None and r["n_bigrams"] == 0
+            continue
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = {}
+        for r in rows:
+            sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+        n = len(rows)
+        q, rem = divmod(n, 3)
+        want = {b: q + (1 if b <= rem else 0) for b in (1, 2, 3) if q or b <= rem}
+        assert sizes == want, (lang, sizes, want)
+        # tiers are ordered by score: every tier-1 doc scores >= every
+        # tier-3 doc (ties broken by doc_id inside a tier boundary)
+        rows.sort(key=lambda r: (-r["lm_logp"], r["doc_id"]))
+        seen = [r["ppl_bucket"] for r in rows]
+        assert seen == sorted(seen), lang
+
+
+def test_perplexity_buckets_matches_window_ntile(spark, documents):
+    # tiny-corpus cross-check against Spark's own ntile window (the
+    # single-task formulation the operator exists to avoid at scale)
+    from pyspark.sql import Window
+
+    from pipz_spark.datapipe import perplexity_buckets, release_caches
+
+    docs = documents.limit(97)
+    try:
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_buckets(docs, buckets=4, num_partitions=7).collect()
+        }
+    finally:
+        release_caches()
+    from pipz_spark.datapipe import lm_quality_scores
+
+    scores = docs.select("doc_id", "lang").join(lm_quality_scores(docs), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("lm_logp").desc(), F.col("doc_id"))
+    want = {
+        r["doc_id"]: r["b"]
+        for r in scores.where(F.col("lm_logp").isNotNull())
+        .select("doc_id", F.ntile(4).over(w).alias("b"))
+        .collect()
+    }
+    scored = {k: v for k, v in got.items() if v is not None}
+    assert scored == want
+
+
+def test_perplexity_buckets_plan_has_range_exchange(spark, documents):
+    # the scale contract: ranking rides a range exchange with an
+    # explicit partition count, never a per-language window sort over
+    # the whole frame (the skewed-key hazard — one language = one task)
+    from pipz_spark.datapipe import perplexity_buckets, release_caches
+
+    df = perplexity_buckets(documents, buckets=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    assert "rangepartitioning" in plan
+    # every window over the full frame is keyed by _pid; the only
+    # lang-keyed window runs over the tiny per-partition counts frame
+    main_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "lm_logp" in ln
+    ]
+    assert main_windows, "expected the local-rank window in the plan"
+    for ln in main_windows:
+        assert "_pid" in ln, "full-frame window missing the _pid key: " + ln[:200]
+
+
+def test_perplexity_buckets_validation(spark, documents):
+    import pytest as _pytest
+
+    from pipz_spark.datapipe import perplexity_buckets
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(documents, buckets=0)
