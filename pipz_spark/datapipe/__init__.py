@@ -42,6 +42,7 @@ from .similarity import (
     cross_embedding_pairs,
     embedding_index,
     embedding_near_dup_pairs,
+    semantic_dedup,
 )
 from .text import (
     chunk_documents,
@@ -126,6 +127,7 @@ __all__ = [
     "lang_id",
     "lm_quality_scores",
     "perplexity_buckets",
+    "semantic_dedup",
     "lsh_candidate_pairs",
     "minhash_signature",
     "minhash_signatures_df",

@@ -728,6 +728,49 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column — group vectors whose cosine exceeds
+    ``threshold`` into duplicate clusters and keep ONE representative
+    per cluster. The published recipe clusters first (k-means) and
+    dedups within cells purely to bound the pair search; here the
+    multi-table hyperplane buckets of ``embedding_near_dup_pairs``
+    play that role (same sub-quadratic candidate bound, and recall is
+    a declared dial instead of a cell-boundary artifact — two near-
+    identical vectors straddling a k-means boundary are simply missed
+    by the paper's form, while multi-table LSH still buckets them
+    together in some table).
+
+    Returns (id, cluster_id, is_keeper) for EVERY corpus row —
+    ``dedup_clusters``' contract, built from the same transitive
+    closure + canonical-keeper machine (components of the pair graph,
+    min-id representative). Filter ``is_keeper`` for the deduped
+    corpus. 100 TB posture: candidate generation is bucketed
+    (no cross join), closure shuffles only skinny (long, long) label
+    rows, and the keeper election is a groupBy — every stage the
+    text-side cluster dedup already stress-proved."""
+    from .dedup import dedup_clusters
+
+    pairs = embedding_near_dup_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+    )
+    return dedup_clusters(corpus, pairs=pairs, id_col=id_col)
+
+
 _INDEX_META_KEYS = ("pipz_lsh_bits", "pipz_lsh_tables", "pipz_lsh_seed", "pipz_lsh_dim")
 
 
@@ -899,4 +942,5 @@ __all__ = [
     "embedding_index",
     "embedding_near_dup_pairs",
     "lsh_signature",
+    "semantic_dedup",
 ]

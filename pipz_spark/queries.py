@@ -2252,22 +2252,30 @@ WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
             * 10000.0 + 0.5) / 10000.0 >= 0.7"""
 
 # Common closure suffix: undirected edges → recursive reachability →
-# min-label components → keeper flags, LEFT JOINed back to documents
-# so singletons keep their own id.
-_CLUSTER_CLOSURE_SQL = r""", e AS MATERIALIZED (
+# min-label components → keeper flags, LEFT JOINed back to the corpus
+# table so singletons keep their own id. Parameterized over
+# (table, id) because the closure serves BOTH cluster families —
+# documents (text near-dup) and embeddings (SemDeDup).
+def _cluster_closure_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    return rf""", e AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p
 ), reach(u, v) AS (
   SELECT u, v FROM e
   UNION
   SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
 ), lab AS (SELECT u AS node, least(u, min(v)) AS label FROM reach GROUP BY u)
-SELECT d.doc_id,
-       COALESCE(l.label, d.doc_id) AS cluster_id,
-       d.doc_id = COALESCE(l.label, d.doc_id) AS is_keeper
-FROM documents d LEFT JOIN lab l ON d.doc_id = l.node"""
+SELECT d.{id_col},
+       COALESCE(l.label, d.{id_col}) AS cluster_id,
+       d.{id_col} = COALESCE(l.label, d.{id_col}) AS is_keeper
+FROM {table} d LEFT JOIN lab l ON d.{id_col} = l.node"""
 
 
-def _cluster_oracle(pair_ctes: str, pair_select: str) -> str:
+def _cluster_oracle(
+    pair_ctes: str,
+    pair_select: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
     # MATERIALIZED: without the hint DuckDB inlines the pair CTEs into
     # the recursive step and re-evaluates the all-pairs Jaccard every
     # iteration (measured 44s -> 14s at sf0.01)
@@ -2277,7 +2285,7 @@ def _cluster_oracle(pair_ctes: str, pair_select: str) -> str:
         + ",\np AS MATERIALIZED (\n"
         + pair_select
         + "\n)"
-        + _CLUSTER_CLOSURE_SQL
+        + _cluster_closure_sql(table, id_col)
     )
 
 
@@ -2298,9 +2306,30 @@ _DP_DEDUP_CLUSTERS_SQL = _cluster_oracle(_DEDUP_PAIR_CTES, _DEDUP_PAIR_SELECT)
 # quadratic recursive join. Each string is assembled from the SAME
 # pair-stage constants the full oracle above is built from, so the
 # two gates cannot drift apart.
+# SemDeDup (Abbas et al. 2023) pair stage: exact all-pairs cosine at
+# the operator's 6-decimal round — the same ground-truth stance as
+# _DP_EMBED_NEAR_DUP_SQL, reused here as the closure's edge set.
+_EMBED_PAIR_CTES = """v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)"""
+
+_EMBED_PAIR_SELECT = """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4"""
+
 CLUSTER_PAIR_ORACLES: dict[str, str] = {
     "dp_jaccard_clusters": "WITH " + _JACCARD_PAIR_CTES + "\n" + _JACCARD_PAIR_SELECT,
     "dp_dedup_clusters": "WITH " + _DEDUP_PAIR_CTES + "\n" + _DEDUP_PAIR_SELECT,
+    "dp_semdedup": "WITH " + _EMBED_PAIR_CTES + "\n" + _EMBED_PAIR_SELECT,
+}
+
+# (table, id column) per pair-graph-gated query — the union-find gate
+# validates output membership against the corpus table, which is the
+# embeddings table for the SemDeDup family.
+CLUSTER_PAIR_META: dict[str, tuple[str, str]] = {
+    "dp_jaccard_clusters": ("documents", "doc_id"),
+    "dp_dedup_clusters": ("documents", "doc_id"),
+    "dp_semdedup": ("embeddings", "vec_id"),
 }
 
 
@@ -2387,6 +2416,26 @@ def _dp_ann_pq(spark, sf):
     # consumes. Production embeddings cluster; coarser m/ksub and a
     # smaller shortlist are the realistic operating point.
     return cosine_topk_pq(emb, queries, k=5, m=32, ksub=64, shortlist=128)
+
+
+# SemDeDup — semantic cluster dedup over embeddings: the pair stage
+# is dp_embed_near_dup's exhaustive-recall family (bits=3/tables=32
+# at threshold 0.4 on the near-orthogonal synthetic vectors), the
+# closure + keeper is dp_dedup_clusters' machine; the composition is
+# the published keep-one-per-semantic-group recipe. Full recursive
+# oracle at sf0.01, union-find pair-graph gate cross-SF (the
+# CLUSTER_PAIR_ORACLES path, embeddings table).
+def _dp_semdedup(spark, sf):
+    from .datapipe import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.4, bits=3, tables=32
+    )
+
+
+_DP_SEMDEDUP_SQL = _cluster_oracle(
+    _EMBED_PAIR_CTES, _EMBED_PAIR_SELECT, table="embeddings", id_col="vec_id"
+)
 
 
 def _dp_embed_near_dup(spark, sf):
@@ -3725,6 +3774,12 @@ QUERIES: dict[str, Declared] = {
     # demoted r11 to fund dp_ccnet_buckets' in-window slot (green
     # r10; machine rationale at the promotion comment above)
     "dp_gopher_quality": Declared(_dp_gopher, _DP_GOPHER_SQL),
+    # ---- added r11 after the window filled → tail; r12 promotion
+    # candidate (the standard newcomer path when slots run out). A
+    # composition of two machines that BOTH hold in-window pins:
+    # the embed pair stage (dp_cosine_topk's scoring + the bucket
+    # machine) and dp_jaccard_clusters' closure+keeper.
+    "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
 }
 
 

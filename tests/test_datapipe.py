@@ -2053,3 +2053,48 @@ def test_perplexity_buckets_validation(spark, documents):
 
     with _pytest.raises(ValueError):
         perplexity_buckets(documents, buckets=0)
+
+
+def test_semantic_dedup_clusters_and_keepers(spark, embeddings):
+    # keep-one-per-semantic-group over the embedding corpus: every
+    # vector labeled, exactly one keeper per cluster, keeper = min id,
+    # and the clustering agrees with a driver-side union-find of the
+    # operator's own pair stage
+    from pipz_spark.datapipe import (
+        embedding_near_dup_pairs,
+        release_caches,
+        semantic_dedup,
+    )
+
+    try:
+        out = semantic_dedup(embeddings, threshold=0.4, bits=3, tables=32).collect()
+        pairs = embedding_near_dup_pairs(
+            embeddings, threshold=0.4, bits=3, tables=32
+        ).collect()
+    finally:
+        release_caches()
+    assert len(out) == embeddings.count()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["id_a"]), find(p["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # min present id per union-find root is the expected label
+    want_label: dict = {}
+    for r in out:
+        root = find(r["vec_id"])
+        want_label[root] = min(want_label.get(root, r["vec_id"]), r["vec_id"])
+    clusters: dict = {}
+    for r in out:
+        assert r["cluster_id"] == want_label[find(r["vec_id"])]
+        assert r["is_keeper"] == (r["vec_id"] == r["cluster_id"])
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        assert cid == min(m["vec_id"] for m in members)
+        assert sum(1 for m in members if m["is_keeper"]) == 1

@@ -81,9 +81,13 @@ def compare(name, sdf, odf):
     return issues
 
 
-def check_clusters_via_pairs(name, sdf, con, pair_sql):
-    """Compare a (doc_id, cluster_id, is_keeper) frame against the
-    union-find closure of the DuckDB-derived exact pair graph."""
+def check_clusters_via_pairs(
+    name, sdf, con, pair_sql, table="documents", id_col="doc_id"
+):
+    """Compare an (id, cluster_id, is_keeper) frame against the
+    union-find closure of the DuckDB-derived exact pair graph;
+    (table, id_col) name the corpus whose membership is ground truth
+    (documents for the text families, embeddings for SemDeDup)."""
     edges = con.sql(pair_sql).fetchall()
     parent: dict = {}
 
@@ -101,19 +105,19 @@ def check_clusters_via_pairs(name, sdf, con, pair_sql):
             parent[max(ra, rb)] = min(ra, rb)
     want = {}
     rows = list(sdf.itertuples(index=False))
-    ids = [r.doc_id for r in rows]
+    ids = [getattr(r, id_col) for r in rows]
     # row membership is part of ground truth too (r8 review): the
     # full sf0.01 oracle emits exactly one row per documents row, so
     # a Spark result that silently drops or duplicates a doc not
     # involved in any pair must FAIL here, not self-define the id set
-    table_ids = {r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()}
+    table_ids = {r[0] for r in con.sql(f"SELECT {id_col} FROM {table}").fetchall()}
     if len(ids) != len(set(ids)):
         return ["duplicate doc_id rows in the Spark output"]
     if set(ids) != table_ids:
         missing = sorted(table_ids - set(ids))[:5]
         extra = sorted(set(ids) - table_ids)[:5]
         return [
-            f"output id set != documents id set "
+            f"output id set != {table} id set "
             f"(missing {missing}, extra {extra})"
         ]
     for i in ids:
@@ -129,11 +133,12 @@ def check_clusters_via_pairs(name, sdf, con, pair_sql):
     if not edge_ids.issubset(set(ids)):
         issues.append("pair graph references ids missing from the output")
     for r in rows:
-        w = label[r.doc_id]
-        if r.cluster_id != w or bool(r.is_keeper) != (r.doc_id == w):
+        rid = getattr(r, id_col)
+        w = label[rid]
+        if r.cluster_id != w or bool(r.is_keeper) != (rid == w):
             issues.append(
-                f"doc {r.doc_id}: got (cluster={r.cluster_id}, "
-                f"keeper={r.is_keeper}), want (cluster={w}, keeper={r.doc_id == w})"
+                f"{id_col} {rid}: got (cluster={r.cluster_id}, "
+                f"keeper={r.is_keeper}), want (cluster={w}, keeper={rid == w})"
             )
             if len(issues) > 5:
                 return issues
@@ -178,8 +183,11 @@ def main():
             # cross-SF: recursive-closure oracle intractable — gate
             # against the union-find closure of the exact pair graph
             try:
+                from pipz_spark.queries import CLUSTER_PAIR_META
+
+                tbl, idc = CLUSTER_PAIR_META.get(name, ("documents", "doc_id"))
                 issues = check_clusters_via_pairs(
-                    name, sdf, con, CLUSTER_PAIR_ORACLES[name]
+                    name, sdf, con, CLUSTER_PAIR_ORACLES[name], tbl, idc
                 )
             except Exception as e:
                 issues = [f"pair-graph gate error: {e}"]
