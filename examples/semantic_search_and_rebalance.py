@@ -29,8 +29,8 @@ from pipz_spark.datapipe import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     cosine_topk_pq,
-    dedup_clusters,
     embedding_near_dup_pairs,
+    semantic_dedup,
     temperature_resample,
 )
 from pipz_spark.sources.catalog import load_table
@@ -45,10 +45,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     pairs = embedding_near_dup_pairs(emb, threshold=0.4, bits=3, tables=32)
     print(f"semantic near-dup pairs: {pairs.count()}")
 
-    # 2. cluster dedup driven by the embedding pair graph
-    clusters = dedup_clusters(
-        emb.select("vec_id"), pairs=pairs.selectExpr("id_a", "id_b"), id_col="vec_id"
-    )
+    # 2. SemDeDup — the packaged pair-graph → closure → keeper
+    # composition (equivalent to feeding the pairs above into
+    # dedup_clusters by hand, which is exactly what it does)
+    clusters = semantic_dedup(emb, threshold=0.4, bits=3, tables=32)
     n_dropped = clusters.where("NOT is_keeper").count()
     print(f"semantic duplicates dropped: {n_dropped}")
 

@@ -51,18 +51,23 @@ def stage_evidence(spark, since_stage: int) -> dict:
     if not stages:
         return {}
     max_task_ms = 0
+    hot_median_ms = 0  # median task time OF the stage holding the max
     for s in stages:
         try:
             dist = rest(
                 spark,
-                f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary?quantiles=1.0",
+                f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary?quantiles=0.5,1.0",
             )
-            max_task_ms = max(max_task_ms, int(dist["executorRunTime"][-1]))
+            mx = int(dist["executorRunTime"][-1])
+            if mx > max_task_ms:
+                max_task_ms = mx
+                hot_median_ms = int(dist["executorRunTime"][0])
         except Exception:
             pass
     return {
         "stages": len(stages),
         "max_task_ms": max_task_ms,
+        "hot_stage_median_ms": hot_median_ms,
         "shuffle_write_mb": round(
             sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
         ),
@@ -207,6 +212,73 @@ def main_ann100x() -> None:
         "lsh", cosine_topk_lsh(e100, queries, k=5, bits=8, tables=16)))
     run(spark, "cosine_topk_ivf 100x", lambda: check(
         "ivf", cosine_topk_ivf(e100, queries, k=5, nlist=64, nprobe=8)))
+    spark.stop()
+
+
+def main_rank100x() -> None:
+    """100× stress for the distributed exact-rank machine behind
+    dp_ccnet_buckets — WITH the language skew the machine exists to
+    survive. 500k docs (100 text-mutated replicas of sf0.1), langs
+    reassigned so 'en' holds 60% of the corpus (300k rows) and four
+    minor langs 10% each: the naive per-language ntile window would
+    sort all of 'en' in ONE task (the straggler shape DIVERGENCES #20
+    measured at 176 s for line_dedup's old window); the range-
+    partition + two-phase-offset machine must spread it across the
+    full parallelism.
+
+    Exact contract: per-(lang, tier) output counts equal the closed-
+    form ntile rule on the designed per-language totals (every
+    replica text is ≥ 2 chars, so every row scores); evidence to
+    watch is max_task_ms near the stage median — a language-sized
+    straggler would print as a ~20× max.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py rank100x
+    """
+    from pipz_spark.datapipe import perplexity_buckets
+
+    spark = get_session(
+        "pipz-scale-stress-rank100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_rank100_")
+    docs = load_table(spark, "documents", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    rid = F.col("doc_id") * 100 + F.col("_rep")
+    big = docs.crossJoin(reps).select(
+        rid.alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail"), F.col("_rep")).alias("text"),
+        F.when(rid % 10 < 6, F.lit("en"))
+        .otherwise(F.concat(F.lit("l"), (rid % 10).cast("string")))
+        .alias("lang"),
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents100")
+    d100 = spark.read.parquet(f"{tmp}/documents100")
+    n_total = d100.count()
+    print(f"corpus: {n_total} docs (en-skewed)")
+    designed = {r["lang"]: r["n"] for r in
+                d100.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert designed["en"] == n_total * 6 // 10, designed
+
+    def check() -> int:
+        out = perplexity_buckets(d100, buckets=3)
+        got = {
+            (r["lang"], r["ppl_bucket"]): r["n"]
+            for r in out.groupBy("lang", "ppl_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        want = {}
+        for lang, n in designed.items():
+            q, rem = divmod(n, 3)
+            for b in (1, 2, 3):
+                want[(lang, b)] = q + (1 if b <= rem else 0)
+        assert got == want, {k: (got.get(k), want.get(k))
+                             for k in set(got) | set(want)
+                             if got.get(k) != want.get(k)}
+        return sum(got.values())
+
+    run(spark, "perplexity_buckets 100x", check)
     spark.stop()
 
 
@@ -677,6 +749,8 @@ if __name__ == "__main__":
         main_pq100x()
     elif "ann100x" in _sys.argv[1:]:
         main_ann100x()
+    elif "rank100x" in _sys.argv[1:]:
+        main_rank100x()
     elif "megabucket" in _sys.argv[1:]:
         _ops = [a for a in _sys.argv[1:] if a in ("bucket", "simhash")]
         main_megabucket(_ops[0] if _ops else None)
