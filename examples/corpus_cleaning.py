@@ -14,6 +14,10 @@ from this repo's operators in the order the papers run them:
    repeated across the surviving corpus are clipped per document.
 4. **Exact dedup** of what remains (md5 keep-first), then a corpus
    profile before/after.
+5. **CCNet perplexity tiers** (Wenzek et al.) — score the survivors
+   under the corpus bigram LM and split each language into
+   head/middle/tail quality thirds; the published recipe trains on
+   head+middle and downweights or drops the tail.
 
     PYTHONPATH=/root/repo python examples/corpus_cleaning.py [sf_dir]
 
@@ -33,6 +37,7 @@ from pipz_spark.datapipe import (
     exact_dedup,
     gopher_quality,
     line_dedup,
+    perplexity_buckets,
     remove_repeated_spans,
 )
 from pipz_spark.sources.catalog import load_table
@@ -63,10 +68,17 @@ def main() -> None:
     )
 
     # 4. exact dedup of the cleaned text (keep-first Step; duplicate
-    # rows are dropped in place). One combined aggregate: a separate
-    # count() + sum() would run the whole 4-stage cascade twice
+    # rows are dropped in place). Landed once to parquet: stages 4
+    # AND 5 both consume it, and the CCNet pass scans the corpus
+    # twice (LM fit + score) on top — re-executing the whole cascade
+    # per action would dominate the demo
+    import tempfile
+
     final = split_ok(exact_dedup()(clipped)).select("doc_id", "text")
-    stats = final.agg(
+    land = tempfile.mkdtemp(prefix="pipz_clean_") + "/cleaned"
+    final.write.mode("overwrite").parquet(land)
+    cleaned = spark.read.parquet(land)
+    stats = cleaned.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c")
     ).first()
     n3, chars = stats["n"], stats["c"] or 0
@@ -74,6 +86,23 @@ def main() -> None:
         f"{n0} docs -> gopher {n1} -> line-dedup {n2} -> "
         f"span-clip + exact-dedup {n3} ({chars} chars retained)"
     )
+
+    # 5. CCNet quality tiers over the survivors (per-language thirds
+    # by bigram-LM score; tier 1 = head). The published recipe keeps
+    # head+middle for training.
+    langs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    tiers = perplexity_buckets(cleaned.join(langs, "doc_id"), buckets=3)
+    dist = {
+        (r["lang"], r["ppl_bucket"]): r["n"]
+        for r in tiers.groupBy("lang", "ppl_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept_tokens = tiers.where(F.col("ppl_bucket") <= 2).count()
+    # bucket None = docs too short to score (kept visible, never sorted)
+    shown = sorted(dist.items(), key=lambda kv: (kv[0][0], kv[0][1] or 0))
+    print(f"ccnet tiers per (lang, bucket): {dict(shown)}")
+    print(f"head+middle docs kept for training: {kept_tokens} of {n3}")
     spark.stop()
 
 

@@ -2098,3 +2098,22 @@ def test_semantic_dedup_clusters_and_keepers(spark, embeddings):
     for cid, members in clusters.items():
         assert cid == min(m["vec_id"] for m in members)
         assert sum(1 for m in members if m["is_keeper"]) == 1
+
+
+def test_perplexity_buckets_fewer_docs_than_buckets(spark):
+    # n < buckets per language: ntile gives each row its own tier
+    # (tiers 1..n) — the q=0 branch of the closed-form rule, where
+    # the guarded second division must never evaluate
+    from pipz_spark.datapipe import perplexity_buckets, release_caches
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc", "en"), (2, "dd ee ff", "en"), (3, "gg hh", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    try:
+        out = {r["doc_id"]: r["ppl_bucket"]
+               for r in perplexity_buckets(df, buckets=5).collect()}
+    finally:
+        release_caches()
+    assert sorted(out[i] for i in (1, 2)) == [1, 2]
+    assert out[3] == 1
