@@ -67,6 +67,7 @@ from .bpe import (
     save_merges,
 )
 from .search import bm25_topk
+from .rank import grouped_rank, ntile_expr
 from .lm_quality import (
     fit_bigram_lm,
     lm_quality_scores,
@@ -126,6 +127,8 @@ __all__ = [
     "fit_bigram_lm",
     "lang_id",
     "lm_quality_scores",
+    "grouped_rank",
+    "ntile_expr",
     "perplexity_buckets",
     "semantic_dedup",
     "lsh_candidate_pairs",

@@ -171,83 +171,36 @@ def perplexity_buckets(
     language in ONE task (English = half a 100 TB corpus through a
     single straggler — the same skewed-key window line_dedup's
     keep-first was rewritten to avoid; AQE cannot split window
-    sorts). Instead the rank machine is distributed exactly:
-
-      1. range-partition the scored rows by (lang, lm_logp DESC, id)
-         into an EXPLICIT ``num_partitions`` (user-numbered, so AQE
-         cannot coalesce it away — DIVERGENCES #21); every partition
-         holds a contiguous slice of the global order,
-      2. per-(partition, lang) counts — a tiny ≤ parts × langs frame
-         — prefix-summed into rank offsets and language totals, both
-         broadcast back,
-      3. per-partition local row_number (a window keyed by
-         (partition, lang), each key bounded by the range split size
-         regardless of language skew) + offset = exact global rank,
-      4. the closed-form ntile rule maps (rank, n) to the tier.
-
-    The same two-phase shape as ``budget_cap``'s global cumsum, but
-    producing order statistics instead of running sums. At 100 TB
-    the only corpus-wide exchange is the one range shuffle of skinny
-    (id, lang, score) rows; fit on a sample via ``fit_on``."""
+    sorts). Ranks come from the distributed exact-rank machine
+    (``rank.grouped_rank``: explicit range partition + two-phase
+    broadcast offsets, every task bounded by the range split size
+    regardless of language skew) and the closed-form
+    ``rank.ntile_expr`` maps (rank, language size) to the tier. At
+    100 TB the only corpus-wide exchange is one range shuffle of
+    skinny (id, lang, score) rows; fit on a sample via ``fit_on``."""
     if buckets <= 0:
         raise ValueError(f"need buckets > 0, got {buckets}")
-    from pyspark.sql import Window
-
     from ._caches import track
+    from .rank import grouped_rank, ntile_expr
 
     scores = lm_quality_scores(df, id_col=id_col, text_col=text_col, fit_on=fit_on)
     base = track(
         df.select(id_col, lang_col).join(scores, id_col).persist()
     )  # two consumers: the ranked path and the NULL-score passthrough
-    scored = base.where(F.col("lm_logp").isNotNull())
-    spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    part = track(
-        scored.repartitionByRange(
-            n_parts, F.col(lang_col), F.col("lm_logp").desc(), F.col(id_col)
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )  # persisted: counts + rank both consume it, and re-evaluating a
-    #    sampled range exchange under a nondeterministic _pid column
-    #    must never happen twice with different boundaries
-    counts = part.groupBy("_pid", lang_col).agg(F.count(F.lit(1)).alias("_c"))
-    w_off = (
-        Window.partitionBy(lang_col)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grouped_rank(
+        base.where(F.col("lm_logp").isNotNull()),
+        group_cols=[lang_col],
+        order_cols=[F.col("lm_logp").desc(), F.col(id_col)],
+        num_partitions=num_partitions,
+        rank_col="_rank",
+        count_col="_n",
     )
-    offsets = counts.select(
-        "_pid",
-        lang_col,
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
-    )
-    totals = counts.groupBy(lang_col).agg(F.sum("_c").alias("_n"))
-    w_local = Window.partitionBy("_pid", lang_col).orderBy(
-        F.col("lm_logp").desc(), F.col(id_col)
-    )
-    ranked = (
-        part.select(id_col, lang_col, "lm_logp", "n_bigrams", "_pid")
-        .withColumn("_r", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["_pid", lang_col])
-        .join(F.broadcast(totals), lang_col)
-        .withColumn("_rank", F.col("_off") + F.col("_r"))
-    )
-    # closed-form ntile(b): q = n div b rows per tier, the first
-    # r = n mod b tiers take one extra. Both divisions are guarded
-    # (q+1 ≥ 1 always; the q divisor only reaches rows with rank past
-    # the (q+1)-sized tiers, which exist only when q ≥ 1 — greatest()
-    # keeps the dead branch from tripping ANSI divide-by-zero)
-    n = F.col("_n")
-    b = F.lit(buckets).cast("long")
-    q = F.floor(n / b)
-    r = n % b
-    g = F.col("_rank") - 1
-    bucket = F.when(
-        F.col("_rank") <= (q + 1) * r, F.floor(g / (q + 1)) + 1
-    ).otherwise(r + F.floor((g - (q + 1) * r) / F.greatest(q, F.lit(1))) + 1)
     out = ranked.select(
-        id_col, lang_col, "lm_logp", "n_bigrams", bucket.alias("ppl_bucket")
+        id_col,
+        lang_col,
+        "lm_logp",
+        "n_bigrams",
+        ntile_expr(F.col("_rank"), F.col("_n"), buckets).alias("ppl_bucket"),
     )
     unscored = base.where(F.col("lm_logp").isNull()).select(
         id_col,

@@ -2117,3 +2117,49 @@ def test_perplexity_buckets_fewer_docs_than_buckets(spark):
         release_caches()
     assert sorted(out[i] for i in (1, 2)) == [1, 2]
     assert out[3] == 1
+
+
+def test_grouped_rank_matches_window_row_number(spark, orders):
+    # the distributed rank machine must equal the single-task window
+    # formulation row-for-row on any total order
+    from pyspark.sql import Window
+
+    from pipz_spark.datapipe import grouped_rank, release_caches
+
+    df = orders.limit(2000).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    try:
+        got = {
+            r["o_orderkey"]: (r["rank"], r["group_count"])
+            for r in grouped_rank(
+                df,
+                group_cols=["o_orderstatus"],
+                order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                num_partitions=13,
+            ).collect()
+        }
+    finally:
+        release_caches()
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    cnt = Window.partitionBy("o_orderstatus")
+    want = {
+        r["o_orderkey"]: (r["r"], r["n"])
+        for r in df.select(
+            "o_orderkey",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(cnt).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_validation(spark, orders):
+    import pytest as _pytest
+
+    from pipz_spark.datapipe import grouped_rank, ntile_expr
+
+    with _pytest.raises(ValueError):
+        grouped_rank(orders, group_cols=[], order_cols=[F.col("o_orderkey")])
+    with _pytest.raises(ValueError):
+        ntile_expr(F.lit(1), F.lit(1), 0)
