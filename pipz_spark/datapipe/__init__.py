@@ -80,6 +80,7 @@ from .sampling import (
     deterministic_sample,
     deterministic_shuffle,
     deterministic_split,
+    dsir_log_ratio,
     hash_bucket,
     mixture_resample,
     stratified_sample,
@@ -127,6 +128,7 @@ __all__ = [
     "fit_bigram_lm",
     "lang_id",
     "lm_quality_scores",
+    "dsir_log_ratio",
     "grouped_rank",
     "ntile_expr",
     "perplexity_buckets",

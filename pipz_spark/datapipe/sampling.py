@@ -525,6 +525,107 @@ def approx_dataset_profile(
     return Step(name, fn, node_type="approx_profile")
 
 
+def dsir_log_ratio(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document in ``df`` by
+    how much more likely its hashed-token profile is under the TARGET
+    distribution (a trusted/high-quality corpus) than under the raw
+    corpus distribution — the published recipe then samples training
+    data proportionally to exp(weight). Output: (id, dsir_logratio,
+    n_tokens) for every ``df`` row; a document with no tokens keeps
+    NULL dsir_logratio and n_tokens 0 (rows are never silently
+    dropped — the ``score_bigram_lm`` contract).
+
+    dsir_logratio = mean over the doc's tokens of
+    q(ln p_tgt(b)) − q(ln p_raw(b)), where b is the token's md5 hash
+    bucket in [0, n_buckets), both distributions are add-one smoothed
+    over the bucket space, and q floor-quantizes each log at 1e-6 so
+    the per-document mean sums as an exact decimal (the repo's
+    float-determinism discipline: partial-aggregation order cannot
+    move a bit, and any engine with md5 + ln replays the score).
+
+    100 TB posture: two vocabulary-sized hash aggregates (≤ n_buckets
+    rows each — map-side partial agg, the corpus never shuffles), a
+    broadcast of the n_buckets-row log-ratio table, one token explode
+    over the corpus, one per-doc aggregate. Same shape as the bigram
+    LM scorer; hashing (Xie et al.'s trick) is what keeps the "vocab"
+    fixed-size at any corpus scale."""
+    if n_buckets <= 0:
+        raise ValueError(f"need n_buckets > 0, got {n_buckets}")
+    from ._util import fan_out
+    from .text import WS
+
+    def toks(frame: DataFrame, with_id: bool) -> DataFrame:
+        t = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), WS), lambda x: x != ""
+        )
+        cols = [F.col(id_col)] if with_id else []
+        out = fan_out(frame).select(*cols, F.explode(t).alias("_t"))
+        b = (
+            F.conv(F.substring(F.md5(F.concat(F.col("_t"), F.lit(salt))), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        )
+        return out.select(*([id_col] if with_id else []), b.alias("_b"))
+
+    def dist(frame: DataFrame, cname: str) -> DataFrame:
+        counts = toks(frame, with_id=False).groupBy("_b").agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+        total = counts.agg(F.sum(cname).alias(f"_T{cname}"))
+        return counts.crossJoin(F.broadcast(total))
+
+    def q(c: Column) -> Column:
+        return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+    raw_counts = toks(df, with_id=False).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr")
+    )
+    tgt_counts = toks(target, with_id=False).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    raw_total = raw_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_tr"))
+    tgt_total = tgt_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
+    # full outer over the ≤ n_buckets bucket rows: a bucket unseen on
+    # one side still gets its smoothed mass; the scalar totals are
+    # cross-joined in (one-row broadcasts), never ridden on one side
+    # of the outer join where the other side's rows would see NULL
+    merged = (
+        raw_counts.join(tgt_counts, "_b", "full_outer")
+        .select(
+            "_b",
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        )
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+    )
+    bl = F.lit(n_buckets).cast("long")
+    logp_t = q(F.log((F.col("_ct") + 1) / (F.col("_tt") + bl)))
+    logp_r = q(F.log((F.col("_cr") + 1) / (F.col("_tr") + bl)))
+    table = merged.select("_b", (logp_t - logp_r).alias("_lr"))
+    scored = toks(df, with_id=True).join(F.broadcast(table), "_b")
+    agg = scored.groupBy(id_col).agg(
+        (
+            F.sum(F.col("_lr").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dsir_logratio"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+    )
+
+
 __all__ = [
     "hash_bucket",
     "deterministic_split",
@@ -534,4 +635,5 @@ __all__ = [
     "temperature_resample",
     "dataset_profile",
     "approx_dataset_profile",
+    "dsir_log_ratio",
 ]

@@ -2444,6 +2444,58 @@ def _dp_ann_pq(spark, sf):
     return cosine_topk_pq(emb, queries, k=5, m=32, ksub=64, shortlist=128)
 
 
+# DSIR importance weights (Xie et al. 2023): hashed-token likelihood
+# ratio of target vs raw corpus, the published data-SELECTION method
+# (sample ∝ exp(weight)). Target = the doc_id % 50 eval-like split
+# (same split the decontam family uses), pool = everything else;
+# raw distribution = the pool itself. Logs floor-quantized at 1e-6
+# per side before the exact-decimal per-doc mean, so the score is
+# engine-exact (the lm_quality discipline).
+def _dp_dsir_weights(spark, sf):
+    from .datapipe import dsir_log_ratio
+
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("doc_id") % 50 == 0)
+    pool = docs.where(F.col("doc_id") % 50 != 0)
+    return dsir_log_ratio(pool, target)
+
+
+_DP_DSIR_SQL = r"""
+WITH pool AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+tokp AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM pool),
+tbp AS (SELECT doc_id,
+               CAST(('0x' || substring(md5(t || 'dsir'), 1, 8)) AS BIGINT) % 4096 AS b
+        FROM tokp),
+tokt AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents WHERE doc_id % 50 = 0),
+tbt AS (SELECT CAST(('0x' || substring(md5(t || 'dsir'), 1, 8)) AS BIGINT) % 4096 AS b
+        FROM tokt),
+raw AS (SELECT b, count(*) AS cr FROM tbp GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM tbt GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM raw) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt),
+lrt AS (
+  SELECT coalesce(raw.b, tgt.b) AS b,
+         floor(ln((coalesce(ct, 0) + 1) / (tt + 4096)) * 1000000.0 + 0.5) / 1000000.0
+       - floor(ln((coalesce(cr, 0) + 1) / (tr + 4096)) * 1000000.0 + 0.5) / 1000000.0 AS lr
+  FROM raw FULL OUTER JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+agg AS (
+  SELECT tbp.doc_id,
+         CAST(sum(CAST(lr AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS dsir_logratio,
+         count(*) AS n_tokens
+  FROM tbp JOIN lrt ON tbp.b = lrt.b
+  GROUP BY tbp.doc_id)
+SELECT p.doc_id, agg.dsir_logratio, coalesce(agg.n_tokens, 0) AS n_tokens
+FROM pool p LEFT JOIN agg ON p.doc_id = agg.doc_id
+"""
+
+
 # SemDeDup — semantic cluster dedup over embeddings: the pair stage
 # is dp_embed_near_dup's exhaustive-recall family (bits=3/tables=32
 # at threshold 0.4 on the near-orthogonal synthetic vectors), the
@@ -3806,6 +3858,11 @@ QUERIES: dict[str, Declared] = {
     # the embed pair stage (dp_cosine_topk's scoring + the bucket
     # machine) and dp_jaccard_clusters' closure+keeper.
     "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
+    # DSIR data selection (r11 tail newcomer): hashed-token
+    # likelihood-ratio weights — two vocab-sized hash aggregates +
+    # one broadcast-scored token pass, the lm_quality machine shape
+    # with a fixed-size hashed vocabulary.
+    "dp_dsir_weights": Declared(_dp_dsir_weights, _DP_DSIR_SQL),
 }
 
 

@@ -2163,3 +2163,29 @@ def test_grouped_rank_validation(spark, orders):
         grouped_rank(orders, group_cols=[], order_cols=[F.col("o_orderkey")])
     with _pytest.raises(ValueError):
         ntile_expr(F.lit(1), F.lit(1), 0)
+
+
+def test_dsir_log_ratio_prefers_target_like_text(spark):
+    # a pool doc made of the target's own vocabulary must outscore a
+    # pool doc of vocabulary the target never uses (the whole point of
+    # importance weighting), and weights are finite/deterministic
+    from pipz_spark.datapipe import dsir_log_ratio
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),         # target-like
+            (2, "zork quux blarg frobnitz"), # out-of-target vocab
+            (3, ""),                         # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_log_ratio(pool, target).collect()}
+    assert out[1]["dsir_logratio"] > out[2]["dsir_logratio"]
+    assert out[3]["dsir_logratio"] is None and out[3]["n_tokens"] == 0
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 4
+    with __import__("pytest").raises(ValueError):
+        dsir_log_ratio(pool, target, n_buckets=0)
