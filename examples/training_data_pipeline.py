@@ -3,9 +3,10 @@
 Runnable demo of the engine as a product, in the order a real corpus
 assembly requires: quality scoring → gating (dead-letter queue) →
 language ID → exact dedup → near-dup CLUSTER dedup (connected
-components + canonical keeper) → benchmark decontamination →
-stratified language quota → deterministic train/val/test split →
-sharded parquet output. Cluster dedup and decontamination run BEFORE
+components + canonical keeper) → benchmark decontamination (exact
+n-gram AND GPT-3 near-dup halves) → DSIR importance weighting vs the
+trusted tier → stratified language quota → deterministic
+train/val/test split → sharded parquet output. Cluster dedup and decontamination run BEFORE
 the split on purpose: splitting first would leave near-duplicate (or
 benchmark-contaminated) documents straddling train and test —
 exactly the leakage these stages exist to prevent.
@@ -32,6 +33,7 @@ from pipz_spark.datapipe import (
     cross_near_dup_pairs,
     dedup_clusters,
     deterministic_split,
+    dsir_log_ratio,
     exact_dedup,
     lang_id,
     quality_score,
@@ -115,6 +117,19 @@ def main() -> None:
         )
         print("near-dup contaminated docs dropped:", fuzzy_dirty.count())
         survivors = survivors.join(fuzzy_dirty, "doc_id", "left_anti")
+        # DSIR importance weights (Xie et al. 2023): how much each
+        # survivor resembles the TRUSTED subset (here: the top
+        # quality-score tier stands in for a curated reference
+        # corpus). A selection pipeline samples ∝ exp(weight); the
+        # demo reports the spread so the signal is visible.
+        trusted = survivors.where(F.col("quality") >= 0.8)
+        w = dsir_log_ratio(survivors, trusted)
+        spread = w.agg(
+            F.min("dsir_logratio").alias("lo"), F.max("dsir_logratio").alias("hi")
+        ).first()
+        print(
+            f"dsir weights vs trusted tier: [{spread['lo']:.4f}, {spread['hi']:.4f}]"
+        )
         assemble = P.sequence(
             "assemble",
             stratified_sample(
