@@ -279,6 +279,29 @@ def main_rank100x() -> None:
         return sum(got.values())
 
     run(spark, "perplexity_buckets 100x", check)
+
+    # DSIR importance weights on the same 500k corpus: the machine is
+    # two fixed-size (4096-bucket) hash aggregates + one broadcast-
+    # scored token pass — nothing corpus-sized ever shuffles, so the
+    # evidence to watch is shuffle_mb staying vocabulary-sized and a
+    # balanced scoring stage. Exact contract: one output row per pool
+    # doc, every one scored (every replica text has tokens).
+    from pipz_spark.datapipe import dsir_log_ratio
+
+    target = d100.where(F.col("doc_id") % 50 == 0)
+    pool = d100.where(F.col("doc_id") % 50 != 0)
+    n_pool = pool.count()
+
+    def check_dsir() -> int:
+        out = dsir_log_ratio(pool, target)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("dsir_logratio").alias("scored"),
+        ).first()
+        assert agg["n"] == n_pool and agg["scored"] == n_pool, agg
+        return agg["n"]
+
+    run(spark, "dsir_log_ratio 100x    ", check_dsir)
     spark.stop()
 
 
