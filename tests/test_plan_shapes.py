@@ -354,3 +354,20 @@ def test_bm25_stats_broadcast_never_shuffle_postings(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_rank_rides_range_exchange(spark):
+    # the CCNet tier machine must rank via the explicit range exchange
+    # (bounded tasks under language skew), never a per-language window
+    # over the full frame — and nothing may cross-join
+    plan = _plan(spark, "dp_ccnet_buckets")
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_scores_through_broadcast_lr_table(spark):
+    # the 4096-row log-ratio table must meet the corpus token stream
+    # as a broadcast build side; the corpus never shuffles for scoring
+    plan = _plan(spark, "dp_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
