@@ -835,10 +835,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_latest(spark, land, keys=["day", "segment"])
 
 
-_SESSIONS_REPLAY_MEMO: dict[str, str] = {}
+_SESSIONS_REPLAY_MEMO: dict[tuple[str, int], str] = {}
 
 
-def _sessions_replay(spark: SparkSession, sf_dir: str) -> str:
+def _sessions_replay(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
     """The sessions rig's replay: the shared time-ordered
     materialization with a SENTINEL row (user_id -1, two hours past
     the real max ts — clearing the 30-minute gap AND the 30-minute
@@ -865,12 +865,14 @@ def _sessions_replay(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
     import shutil as _shutil
 
-    cached = _SESSIONS_REPLAY_MEMO.get(sf_dir)
+    cached = _SESSIONS_REPLAY_MEMO.get((sf_dir, n_files))
     if cached is not None and _os.path.isdir(cached):
         return cached
     from ..sources.catalog import load_table
 
-    replay = _clone_replay(replay_events_files(spark, sf_dir, order_by_ts=True))
+    replay = _clone_replay(
+        replay_events_files(spark, sf_dir, n_files=n_files, order_by_ts=True)
+    )
     max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
     # literal projection over range(1), NOT createDataFrame(list): a
     # local-list DataFrame parallelizes into defaultParallelism Python
@@ -907,11 +909,13 @@ def _sessions_replay(spark: SparkSession, sf_dir: str) -> str:
     _os.replace(_os.path.join(merged_dir, new_part), last_path)
     _os.utime(last_path, (mtime, mtime))
     _shutil.rmtree(merged_dir, ignore_errors=True)
-    _SESSIONS_REPLAY_MEMO[sf_dir] = replay
+    _SESSIONS_REPLAY_MEMO[(sf_dir, n_files)] = replay
     return replay
 
 
-def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events_sessions(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 2, n_files: int = 2
+) -> DataFrame:
     """STREAMING-EXECUTED session windows (30-minute gap per user),
     landed to parquet: time-ordered replay (strict per-file mtimes),
     session merging in the state store, APPEND mode with a tight
@@ -930,7 +934,7 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.processors import transform
 
-    replay = _sessions_replay(spark, sf_dir)
+    replay = _sessions_replay(spark, sf_dir, n_files=n_files)
     stream = (
         spark.readStream.schema(_NORMALIZED_EVENTS)
         .option("maxFilesPerTrigger", 1)
@@ -968,12 +972,17 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="pipz_stream_sess_ckpt_"),
         query_name="pipz-stream-sessions",
         output_mode="append",
-        # 2, measured against 4 and 1 solo at sf0.1 (2.5 vs 2.8 vs
-        # 3.0 s steady): the rig pays THREE state-store commit rounds
-        # (two data triggers + the watermark-close batch), so commit
-        # overhead scales with partitions while the replay's session
-        # keys saturate two stores' parallelism; 1 loses the overlap
-        state_partitions=2,
+        # default 2, measured against 4 and 1 solo at sf0.1 (2.5 vs
+        # 2.8 vs 3.0 s steady): the rig pays THREE state-store commit
+        # rounds (two data triggers + the watermark-close batch), so
+        # commit overhead scales with partitions while the replay's
+        # session keys saturate two stores' parallelism; 1 loses the
+        # overlap. The parameter exists because the right count
+        # GROWS with volume — the 100× stress runs 32 (state
+        # partitioning is fixed at first start, so production sizes
+        # it to key cardinality up front; tools/scale_stress.py
+        # stream100x).
+        state_partitions=state_partitions,
     )
     try:
         q.processAllAvailable()

@@ -305,6 +305,78 @@ def main_rank100x() -> None:
     spark.stop()
 
 
+def main_stream100x() -> None:
+    """100× STREAMING stress: the sessions rig — the stateful
+    append-mode machine that paces the concurrent block — executed
+    over 10M events (100 user-offset replicas of sf0.1's events
+    table; each replica user replays the base user's exact event
+    times, so the ground truth is the batch session_window twin over
+    the same corpus). The replay structure is the rig's own: strict
+    time-ordered files, one file per trigger, sentinel watermark
+    close — so the state store carries a genuine time-slice of open
+    sessions per trigger instead of an artificial all-at-once load.
+
+    Exact contract: the landed streaming result EQUALS the batch
+    session_window aggregate row-for-row (exceptAll both ways = 0) —
+    1.36M+ sessions at 100×. state_partitions=32 (the knob exists
+    because state partitioning is fixed at a stream's first start;
+    sizing it to key cardinality is the production posture — the
+    sf0.1 rig's tuned 2 would funnel 10M rows through two stores).
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py stream100x
+    """
+    from pipz_spark.queries import QUERIES
+    from pipz_spark.streaming import streams as streams_mod
+
+    spark = get_session(
+        "pipz-scale-stress-stream100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_stream100_")
+    ev = load_table(spark, "events", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = ev.crossJoin(reps).select(
+        (F.col("event_id") * 100 + F.col("_rep")).alias("event_id"),
+        F.col("ts"),
+        (F.col("user_id") * 100 + F.col("_rep")).alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    print(f"corpus: {spark.read.parquet(f'{tmp}/events.parquet').count()} events")
+
+    batch = QUERIES["events_sessions"].build(spark, tmp)
+    batch.write.mode("overwrite").parquet(f"{tmp}/truth")
+    truth = spark.read.parquet(f"{tmp}/truth")
+    n_truth = truth.count()
+    print(f"batch sessions (ground truth): {n_truth}")
+
+    # pre-materialize the time-ordered replay + sentinel merge (the
+    # same fixture-construction split bench.py makes): the range-
+    # sorted file writes are test-INPUT building, not rig cost.
+    # n_files=8: at 100× the honest replay is MANY trigger rounds of
+    # ~1.25M rows (the sf0.1 rig's 2-file minimum would make each
+    # micro-batch scan one 5M-row file — a single-task decode that
+    # says nothing about the operator); 8 data triggers also make
+    # the state story real — sessions open across SEVEN batch
+    # boundaries before the watermark closes them.
+    streams_mod._sessions_replay(spark, tmp, n_files=8)
+
+    def check() -> int:
+        out = streams_mod.stream_events_sessions(
+            spark, tmp, state_partitions=32, n_files=8
+        )
+        missing = truth.exceptAll(out).count()
+        extra = out.exceptAll(truth).count()
+        assert missing == 0 and extra == 0, (missing, extra)
+        return n_truth
+
+    run(spark, "stream_sessions 100x", check)
+    spark.stop()
+
+
 def main_dedup100x(only: str | None = None) -> None:
     """100× DEDUP stress (VERDICT r8 #7): ANN/PQ earned 100× evidence
     in r8; this gives the dedup side's worst cases the same treatment
@@ -774,6 +846,8 @@ if __name__ == "__main__":
         main_ann100x()
     elif "rank100x" in _sys.argv[1:]:
         main_rank100x()
+    elif "stream100x" in _sys.argv[1:]:
+        main_stream100x()
     elif "megabucket" in _sys.argv[1:]:
         _ops = [a for a in _sys.argv[1:] if a in ("bucket", "simhash")]
         main_megabucket(_ops[0] if _ops else None)
