@@ -2121,24 +2121,14 @@ def test_perplexity_buckets_fewer_docs_than_buckets(spark):
 
 def test_grouped_rank_matches_window_row_number(spark, orders):
     # the distributed rank machine must equal the single-task window
-    # formulation row-for-row on any total order
+    # formulation row-for-row on any total order — and be INVARIANT
+    # to the partition count (range boundaries shift balance, never
+    # ranks; 1 partition = the degenerate single-slice case)
     from pyspark.sql import Window
 
     from pipz_spark.datapipe import grouped_rank, release_caches
 
     df = orders.limit(2000).select("o_orderkey", "o_orderstatus", "o_totalprice")
-    try:
-        got = {
-            r["o_orderkey"]: (r["rank"], r["group_count"])
-            for r in grouped_rank(
-                df,
-                group_cols=["o_orderstatus"],
-                order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
-                num_partitions=13,
-            ).collect()
-        }
-    finally:
-        release_caches()
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -2151,7 +2141,20 @@ def test_grouped_rank_matches_window_row_number(spark, orders):
             F.count(F.lit(1)).over(cnt).alias("n"),
         ).collect()
     }
-    assert got == want
+    for n_parts in (1, 13, 40):
+        try:
+            got = {
+                r["o_orderkey"]: (r["rank"], r["group_count"])
+                for r in grouped_rank(
+                    df,
+                    group_cols=["o_orderstatus"],
+                    order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                    num_partitions=n_parts,
+                ).collect()
+            }
+        finally:
+            release_caches()
+        assert got == want, f"diverged at num_partitions={n_parts}"
 
 
 def test_grouped_rank_validation(spark, orders):
