@@ -53,6 +53,12 @@ def grouped_rank(
     (cache-tracked; ``release_caches()`` frees it) because the rank
     plan consumes the range exchange twice and partition ids must not
     be recomputed under different sampled boundaries.
+
+    NULL group values form their own group (the groupBy / window /
+    SQL-window convention) — the offset/total joins are NULL-SAFE
+    equality on the group keys, because a plain equi-join would
+    silently DROP every NULL-group row (NULL never equals NULL), the
+    one silent-data-loss hazard in this plan shape.
     """
     if not group_cols or not order_cols:
         raise ValueError("grouped_rank needs group_cols and order_cols")
@@ -70,18 +76,31 @@ def grouped_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "_pid",
-        *group_cols,
+        F.col("_pid").alias("_o_pid"),
+        *[F.col(g).alias(f"_o_{g}") for g in group_cols],
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
     )
     totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias(count_col))
+    totals = totals.select(
+        *[F.col(g).alias(f"_t_{g}") for g in group_cols], count_col
+    )
     w_local = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    off_cond = F.col("_pid") == F.col("_o_pid")
+    t_cond = F.lit(True)
+    for g in group_cols:
+        off_cond = off_cond & F.col(g).eqNullSafe(F.col(f"_o_{g}"))
+        t_cond = t_cond & F.col(g).eqNullSafe(F.col(f"_t_{g}"))
+    drop_cols = (
+        ["_pid", "_r", "_off", "_o_pid"]
+        + [f"_o_{g}" for g in group_cols]
+        + [f"_t_{g}" for g in group_cols]
+    )
     return (
         part.withColumn("_r", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["_pid", *group_cols])
-        .join(F.broadcast(totals), group_cols)
+        .join(F.broadcast(offsets), off_cond)
+        .join(F.broadcast(totals), t_cond)
         .withColumn(rank_col, F.col("_off") + F.col("_r"))
-        .drop("_pid", "_r", "_off")
+        .drop(*drop_cols)
     )
 
 

@@ -2192,3 +2192,22 @@ def test_dsir_log_ratio_prefers_target_like_text(spark):
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 4
     with __import__("pytest").raises(ValueError):
         dsir_log_ratio(pool, target, n_buckets=0)
+
+
+def test_grouped_rank_null_group_rows_survive(spark):
+    # NULL group values form their own ranked group (the groupBy /
+    # window convention); a plain equi-join on the group key would
+    # silently DROP these rows — the null-safe join is the contract
+    from pipz_spark.datapipe import grouped_rank, release_caches
+
+    df = spark.createDataFrame(
+        [(1, "en", 0.5), (2, "en", 0.7), (3, None, 0.9), (4, None, 0.1)],
+        "id long, lang string, score double",
+    )
+    try:
+        out = {r["id"]: (r["rank"], r["group_count"]) for r in grouped_rank(
+            df, ["lang"], [F.col("score").desc(), F.col("id")]
+        ).collect()}
+    finally:
+        release_caches()
+    assert out == {1: (2, 2), 2: (1, 2), 3: (1, 2), 4: (2, 2)}
