@@ -46,7 +46,19 @@ plan-invariant calibration probe at start and end (the stdout line
 carries ``cal`` so rounds are comparable at a glance), and any query
 whose min lands >1.5× its last committed min earns up to two extra
 repeats — transient hiccups wash out, real regressions survive and
-are listed in ``outliers`` WITH their history value.
+are listed in ``outliers`` WITH their history value. The same rule
+covers the concurrent stream BLOCK (r11: a contended driver host
+printed a 16.7s block against a 4.06s committed wall and nothing
+flagged it — the trigger-paced rigs are the suite's most
+scheduler-latency-sensitive members, so contention lands exactly
+there): min block wall >1.5× the committed ``stream_block_wall``
+earns up to two extra block repeats, a surviving excess is recorded
+as ``outliers["stream_block"]``, every block wall is kept in the
+sidecar next to the history it was judged against, and the printed
+tail line carries ``stream_hist`` + the loadavg bracket so the
+public record self-describes under contention. Retry-derived mins
+are also recorded pre-retry (``pre_retry_min``) so the committed
+history stays comparable run-to-run.
 """
 
 from __future__ import annotations
@@ -125,18 +137,21 @@ def _calibration_probe(spark) -> float:
     return round(best, 3)
 
 
-def _load_history(path: str) -> dict[str, float]:
-    """Per-query min times from the last committed BENCH_LOCAL.json —
-    the previous certified run on this machine. Used only to decide
-    which queries deserve extra repeats; never folded into results."""
+def _load_history(path: str) -> tuple[dict[str, float], float | None]:
+    """(per-query mins, committed stream_block_wall) from the last
+    committed BENCH_LOCAL.json — the previous certified run on this
+    machine. Used only to decide which queries (and whether the
+    stream block) deserve extra repeats; never folded into results."""
     try:
         with open(path) as f:
             prev = json.load(f)
-        return {
+        queries = {
             k: v for k, v in (prev.get("queries") or {}).items() if v is not None
         }
+        block = prev.get("stream_block_wall")
+        return queries, (float(block) if block else None)
     except (OSError, ValueError):
-        return {}
+        return {}, None
 
 
 def main() -> None:
@@ -191,13 +206,19 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
-    history = _load_history(sidecar)
+    history, hist_block = _load_history(sidecar)
     host: dict = {
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "gc_ms_start": _jvm_gc_millis(spark),
         "cal_start_sec": _calibration_probe(spark),
     }
     outliers: dict[str, dict] = {}
+    # retry-derived mins, kept apart (r11 advice): history-outlier
+    # retries sample slow-looking queries extra, so their reported
+    # min is taken over more runs exactly when a query regressed —
+    # recording the PRE-retry min alongside keeps the committed
+    # history comparable run-to-run instead of ratcheting downward
+    pre_retry_min: dict[str, float] = {}
     timings: dict[str, float | None] = {}
     timings_max: dict[str, float | None] = {}
     run_counts: dict[str, int] = {}
@@ -243,6 +264,7 @@ def main() -> None:
         hist = history.get(name)
         if runs and hist is not None and hist > 0:
             tried = 0
+            base_min = min(runs)
             while min(runs) > max(1.5 * hist, hist + 0.3) and tried < 2:
                 try:
                     runs.append(one_run(decl))
@@ -250,6 +272,8 @@ def main() -> None:
                     print(f"bench retry error in {name}: {e}", file=sys.stderr)
                     break
                 tried += 1
+            if tried:
+                pre_retry_min[name] = round(base_min, 3)
             if min(runs) > max(1.5 * hist, hist + 0.3):
                 outliers[name] = {
                     "hist": hist,
@@ -302,7 +326,8 @@ def main() -> None:
     # with fresh checkpoint/landing dirs; only the deterministic
     # replay materializations are shared.
     block_walls: list[float] = []
-    for _ in range(2):
+
+    def run_block() -> None:
         block_start = time.time()
         spans: dict[str, float | None] = {}
         with concurrent.futures.ThreadPoolExecutor(
@@ -330,6 +355,39 @@ def main() -> None:
                 prev_max = timings_max.get(name)
                 timings_max[name] = span if prev_max is None else max(prev_max, span)
                 run_counts[name] = run_counts.get(name, 0) + 1
+
+    for _ in range(2):
+        run_block()
+    # history-outlier retries for the BLOCK itself (r11 verdict ask
+    # #2: a contended driver host printed a 16.7s block vs 4.06
+    # committed and the sidecar neither retried nor flagged it — the
+    # trigger-paced rigs are the most scheduler-latency-sensitive
+    # thing in the suite, so this is exactly where host contention
+    # lands). Same rule as the per-query defense: min block wall
+    # >1.5× (and >0.3s over) the committed stream_block_wall → up to
+    # 2 extra block repeats; still over → an outliers[] entry with
+    # the history value so the public record says WHICH and BY WHAT.
+    if hist_block is not None and hist_block > 0:
+        block_tried = 0
+        base_block_min = min(block_walls)
+        while (
+            min(block_walls) > max(1.5 * hist_block, hist_block + 0.3)
+            and block_tried < 2
+        ):
+            try:
+                run_block()
+            except Exception as e:  # pragma: no cover
+                print(f"bench stream-block retry error: {e}", file=sys.stderr)
+                break
+            block_tried += 1
+        if block_tried:
+            pre_retry_min["stream_block"] = round(base_block_min, 3)
+        if min(block_walls) > max(1.5 * hist_block, hist_block + 0.3):
+            outliers["stream_block"] = {
+                "hist": hist_block,
+                "min": round(min(block_walls), 3),
+                "extra_runs": block_tried,
+            }
     stream_block_wall = min(block_walls)
     total += stream_block_wall
     release_caches()
@@ -356,8 +414,18 @@ def main() -> None:
                 "runs": run_counts,
                 # streaming rigs ran concurrently: their per-query
                 # spans overlap, and `value` bills this block wall
-                # once instead of their sum
+                # once instead of their sum. Every block wall is kept
+                # (walls beyond 2 exist iff the history rule fired)
+                # next to the committed history it was judged
+                # against, so a contended run is self-describing.
                 "stream_block_wall": stream_block_wall,
+                "stream_block_walls": block_walls,
+                "stream_block_hist": hist_block,
+                # mins as they stood BEFORE history-outlier retries
+                # (per-query and the stream block), so the committed
+                # history stays comparable run-to-run instead of
+                # ratcheting down via asymmetric extra sampling
+                "pre_retry_min": pre_retry_min,
                 # host-noise self-description: loadavg/GC bracket and
                 # the plan-invariant calibration probe (start + end);
                 # outliers lists queries still >1.5× their last
@@ -394,6 +462,12 @@ def main() -> None:
             # for all of them together.
             "rest_sec": round(sum(timings[n] for n in by_cost[n_top:]), 3),
             "stream_wall": stream_block_wall,
+            # last committed stream wall + loadavg bracket: the
+            # PUBLIC record carries enough to adjudicate a contended
+            # host without opening the sidecar (r11: a 16.7s-vs-4.06
+            # driver block had no machine-readable marker)
+            "stream_hist": hist_block,
+            "load": [host["loadavg_start"][0], host["loadavg_end"][0]],
             # machine-speed yardstick (plan-invariant probe): compare
             # across rounds before reading per-query deltas
             "cal": host["cal_start_sec"],

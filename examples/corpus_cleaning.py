@@ -98,11 +98,11 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    kept_tokens = tiers.where(F.col("ppl_bucket") <= 2).count()
+    kept_docs = tiers.where(F.col("ppl_bucket") <= 2).count()
     # bucket None = docs too short to score (kept visible, never sorted)
     shown = sorted(dist.items(), key=lambda kv: (kv[0][0], kv[0][1] or 0))
     print(f"ccnet tiers per (lang, bucket): {dict(shown)}")
-    print(f"head+middle docs kept for training: {kept_tokens} of {n3}")
+    print(f"head+middle docs kept for training: {kept_docs} of {n3}")
     spark.stop()
 
 

@@ -176,8 +176,14 @@ def perplexity_buckets(
     broadcast offsets, every task bounded by the range split size
     regardless of language skew) and the closed-form
     ``rank.ntile_expr`` maps (rank, language size) to the tier. At
-    100 TB the only corpus-wide exchange is one range shuffle of
-    skinny (id, lang, score) rows; fit on a sample via ``fit_on``."""
+    100 TB the corpus-wide exchanges are over skinny (id, lang,
+    score) rows only: the explicit range shuffle, plus a hash
+    exchange Catalyst plans for grouped_rank's (partition, group)
+    local window — RangePartitioning doesn't satisfy that clustering
+    requirement, so the rows move twice, but every task stays
+    bounded by the range split size either way (the point of the
+    machine is bounded tasks under skew, not exchange count). Fit
+    on a sample via ``fit_on``."""
     if buckets <= 0:
         raise ValueError(f"need buckets > 0, got {buckets}")
     from ._caches import track

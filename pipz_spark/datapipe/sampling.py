@@ -553,10 +553,15 @@ def dsir_log_ratio(
 
     100 TB posture: two vocabulary-sized hash aggregates (≤ n_buckets
     rows each — map-side partial agg, the corpus never shuffles), a
-    broadcast of the n_buckets-row log-ratio table, one token explode
-    over the corpus, one per-doc aggregate. Same shape as the bigram
-    LM scorer; hashing (Xie et al.'s trick) is what keeps the "vocab"
-    fixed-size at any corpus scale."""
+    broadcast of the n_buckets-row log-ratio table, and a broadcast-
+    scored token explode + per-doc aggregate. ``df`` is tokenized
+    TWICE (once for the raw distribution, once for scoring) and
+    ``target`` once — deliberately: persisting the exploded token
+    frame to save the re-scan would cache a corpus-sized
+    intermediate, while re-reading the pruned (id, text) columns
+    from parquet is the cheaper side at 100 TB. Hashing (Xie et
+    al.'s trick) is what keeps the "vocab" fixed-size at any corpus
+    scale."""
     if n_buckets <= 0:
         raise ValueError(f"need n_buckets > 0, got {n_buckets}")
     from ._util import fan_out
@@ -574,13 +579,6 @@ def dsir_log_ratio(
             % n_buckets
         )
         return out.select(*([id_col] if with_id else []), b.alias("_b"))
-
-    def dist(frame: DataFrame, cname: str) -> DataFrame:
-        counts = toks(frame, with_id=False).groupBy("_b").agg(
-            F.count(F.lit(1)).alias(cname)
-        )
-        total = counts.agg(F.sum(cname).alias(f"_T{cname}"))
-        return counts.crossJoin(F.broadcast(total))
 
     def q(c: Column) -> Column:
         return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)

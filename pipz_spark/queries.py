@@ -3722,7 +3722,18 @@ QUERIES: dict[str, Declared] = {
     "dp_jaccard_clusters": Declared(_dp_jaccard_clusters, _DP_JACCARD_CLUSTERS_SQL),
     # ---- r8 promotions retained (driver-green r8, unique paths) --
     "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
-    "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
+    # ---- r12 promotion #1: dp_semdedup landed in the r11 tail
+    # (after that window froze) — promoting it + dp_dsir_weights
+    # below completes driver evidence for all 113 queries (r11
+    # verdict ask #1). It takes dp_redact_pii's slot: redact's
+    # machine is a pure-JVM regexp_replace projection, the same
+    # text-expression family the dp_text_stats anchor pins (the
+    # taxonomy that demoted gopher_quality in r11 and
+    # lang_id/fingerprint in r6), while semdedup composes two
+    # machines whose pins stay in-window (the embed pair stage via
+    # dp_cosine_topk's scoring and the closure+keeper via
+    # dp_jaccard_clusters).
+    "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
     "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
     # ---- r9 promotions retained (driver-green r9) ------------------
@@ -3748,7 +3759,14 @@ QUERIES: dict[str, Declared] = {
     # family the dp_text_stats anchor pins — the same taxonomy that
     # sent lang_id/fingerprint/quality_score to the tail in r6.
     "dp_ccnet_buckets": Declared(_dp_ccnet_buckets, _DP_CCNET_BUCKETS_SQL),
-    "dp_pretoken_hist": Declared(_dp_pretoken_hist, _DP_PRETOKEN_HIST_SQL),
+    # ---- r12 promotion #2: dp_dsir_weights (the other r11 tail
+    # newcomer; r11 verdict ask #1). Takes dp_pretoken_hist's slot:
+    # pretoken_hist's map-side-combining token histogram neighbors
+    # dp_top_ngrams' explode→two-level agg, which stays in-window
+    # above, and bpe_train's corpus stage remains pytest-gated.
+    # DSIR's own machine — two vocab-sized hash aggregates + one
+    # broadcast-scored token pass — gets its first driver row here.
+    "dp_dsir_weights": Declared(_dp_dsir_weights, _DP_DSIR_SQL),
     # the 7th streaming machine (stream-static ANTI join — no other
     # rig exercises it), landed before the freeze; funded by demoting
     # dp_cross_embed, whose strictly-cross bucket join is the same
@@ -3852,17 +3870,16 @@ QUERIES: dict[str, Declared] = {
     # demoted r11 to fund dp_ccnet_buckets' in-window slot (green
     # r10; machine rationale at the promotion comment above)
     "dp_gopher_quality": Declared(_dp_gopher, _DP_GOPHER_SQL),
-    # ---- added r11 after the window filled → tail; r12 promotion
-    # candidate (the standard newcomer path when slots run out). A
-    # composition of two machines that BOTH hold in-window pins:
-    # the embed pair stage (dp_cosine_topk's scoring + the bucket
-    # machine) and dp_jaccard_clusters' closure+keeper.
-    "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
-    # DSIR data selection (r11 tail newcomer): hashed-token
-    # likelihood-ratio weights — two vocab-sized hash aggregates +
-    # one broadcast-scored token pass, the lm_quality machine shape
-    # with a fixed-size hashed vocabulary.
-    "dp_dsir_weights": Declared(_dp_dsir_weights, _DP_DSIR_SQL),
+    # ---- demoted r12 to fund the dp_semdedup + dp_dsir_weights
+    # promotions (r11 verdict ask #1); both driver-green r11 and
+    # both re-parameterize machines still pinned in-window:
+    # redact_pii's regexp_replace chain is the pure-JVM
+    # text-expression projection family the dp_text_stats anchor
+    # pins; pretoken_hist's map-side-combining histogram is
+    # dp_top_ngrams' explode→two-level agg shape (bpe_train's
+    # corpus stage stays pytest-gated).
+    "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
+    "dp_pretoken_hist": Declared(_dp_pretoken_hist, _DP_PRETOKEN_HIST_SQL),
 }
 
 
