@@ -74,6 +74,7 @@ from .lm_quality import (
     perplexity_buckets,
     score_bigram_lm,
 )
+from .kmeans import kmeans_embeddings
 from .sampling import (
     approx_dataset_profile,
     dataset_profile,
@@ -81,7 +82,9 @@ from .sampling import (
     deterministic_shuffle,
     deterministic_split,
     dsir_log_ratio,
+    exact_stratified_split,
     hash_bucket,
+    priority_sample,
     mixture_resample,
     stratified_sample,
     temperature_resample,
@@ -129,6 +132,9 @@ __all__ = [
     "lang_id",
     "lm_quality_scores",
     "dsir_log_ratio",
+    "exact_stratified_split",
+    "priority_sample",
+    "kmeans_embeddings",
     "grouped_rank",
     "ntile_expr",
     "perplexity_buckets",

@@ -1,0 +1,156 @@
+"""Distributed Lloyd k-means over an embedding column — the iterative
+broadcast-centroid machine (Lloyd 1982; the standard Spark design:
+centroids live on the driver, every iteration is ONE corpus pass).
+
+A 100 TB corpus cannot iterate by shuffling itself: the only state
+k-means actually carries between iterations is k × dims numbers.  So
+each iteration
+
+  1. assigns every vector to its nearest centroid with a PURE
+     whole-stage-codegen expression (the centroids are array
+     literals — no join, no broadcast variable, no Python),
+  2. map-side partial-aggregates per-cell coordinate sums + counts
+     down to ≤ k skinny rows, and
+  3. collects those k rows to the driver to form the next centroids
+     (a bounded driver materialization — k × (dims + 1) longs —
+     inventoried in README's collect audit).
+
+Corpus passes: ``iters`` assignment+update passes plus one final
+assignment pass; nothing corpus-sized ever shuffles or persists.
+
+Every arithmetic step is engine-portable by construction so a SQL
+oracle can replay the exact clustering (the repo's float-determinism
+discipline, cf. ``sampling.dsir_log_ratio``):
+
+  - coordinates are floor-quantized to integers (``coord_quant``)
+    before summation — the per-cell sums are exact integers under
+    any partial-aggregation order;
+  - a centroid coordinate is sum / (n · coord_quant) evaluated in
+    double — both operands exact integers < 2^53, so every engine
+    rounds to the identical double;
+  - a distance is the exact integer Σ_d floor((x_d − c_d)² ·
+    dist_quant + 0.5) — argmin over (distance, cell) has no float
+    comparison at all, and ties break on the lower cell index;
+  - seed centroids are the k vectors with the lexicographically
+    smallest md5(id || salt), the hash-order trick every
+    deterministic sampler in this repo uses.
+
+A cell that loses all members keeps its previous centroid (the
+standard Lloyd convention that keeps k stable).
+
+Reference parity: the reference engine has no clustering operator —
+this belongs to the repo's LLM-data-pipeline surface (embedding
+curation: IVF coarse quantizers, SemDeDup-style cluster-then-dedup
+per Abbas et al. 2023 §3, which runs k-means before per-cluster
+pairwise pruning).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantize_coord(x: float, coord_quant: int) -> float:
+    # identical to the engine-side floor(x * q + 0.5) / q (Python
+    # floats are the same IEEE binary64 the JVM and DuckDB use)
+    return math.floor(x * coord_quant + 0.5) / coord_quant
+
+
+def _assignment(vec, centroids: list[list[float]], dist_quant: int):
+    """(cell, dist_q) columns: argmin over integer-quantized squared
+    L2 distances to literal centroids — pure codegen, no join."""
+    structs = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        per_dim = F.zip_with(
+            vec,
+            lit_c,
+            lambda x, cc: F.floor(
+                (x - cc) * (x - cc) * F.lit(float(dist_quant)) + F.lit(0.5)
+            ),
+        )
+        d = F.aggregate(per_dim, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("cell")))
+    best = F.least(*structs)
+    return best["cell"].alias("cell"), best["d"].alias("dist_q")
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans",
+    coord_quant: int = 10_000_000,
+    dist_quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Cluster ``df[vec_col]`` into ``k`` cells with ``iters`` Lloyd
+    iterations; returns (id_col, cell INT, dist_q BIGINT) — the final
+    assignment under the post-iteration centroids, with the exact
+    integer-quantized squared distance (divide by ``dist_quant`` for
+    the float value). Deterministic end to end; see module docstring
+    for the engine-portability construction. Rows whose vector is
+    NULL are excluded (they have no geometry to cluster)."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    if iters < 0:
+        raise ValueError(f"need iters >= 0, got {iters}")
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), vec.alias("_v")
+    )
+    v = F.col("_v")
+
+    seed_rows = (
+        base.select(
+            id_col,
+            "_v",
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
+        )
+        .orderBy("_h", id_col)  # TakeOrdered: k rows, never a full sort
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} non-null vectors, got {len(seed_rows)}")
+    dims = len(seed_rows[0]["_v"])
+    centroids = [
+        [_quantize_coord(x, coord_quant) for x in r["_v"]] for r in seed_rows
+    ]
+
+    for _ in range(iters):
+        cell, _ = _assignment(v, centroids, dist_quant)
+        sums = (
+            base.select(
+                cell,
+                *[
+                    F.floor(v[d] * F.lit(float(coord_quant)) + F.lit(0.5)).alias(
+                        f"_q{d}"
+                    )
+                    for d in range(dims)
+                ],
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"_q{d}").alias(f"_s{d}") for d in range(dims)],
+            )
+            .collect()  # bounded: k rows of (dims + 1) longs
+        )
+        new_centroids = [c[:] for c in centroids]  # empty cell keeps its own
+        for r in sums:
+            n = r["_n"]
+            new_centroids[r["cell"]] = [
+                r[f"_s{d}"] / (n * coord_quant) for d in range(dims)
+            ]
+        centroids = new_centroids
+
+    cell, dist_q = _assignment(v, centroids, dist_quant)
+    return base.select(id_col, cell, dist_q)
+
+
+__all__ = ["kmeans_embeddings"]

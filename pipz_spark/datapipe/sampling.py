@@ -624,6 +624,118 @@ def dsir_log_ratio(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size
+    ``n``: priority sampling (Duffield, Lund & Thorup, JACM 2007) —
+    keep the n rows of largest priority w/u, u uniform on (0, 1].
+    High-weight rows are near-certain picks, low-weight rows enter
+    with probability ∝ w, and the kept set supports unbiased
+    subset-sum estimation (each kept row weighted max(w, τ) for the
+    (n+1)-th priority τ). The pipeline use: sample a corpus by token
+    count / quality weight reproducibly.
+
+    Priority sampling is chosen over the better-known
+    Efraimidis–Spirakis exponential-key scheme DELIBERATELY: the ES
+    key u^(1/w) needs pow/ln, whose last-ulp behavior is
+    library-specific, so no SQL oracle could replay the selection
+    exactly. The priority key is one IEEE division of two
+    exactly-representable doubles — every engine computes the
+    identical key, the identical order, the identical sample:
+
+      u = (h + 1) / 2^52, h = first 13 hex chars of
+      md5(id || salt) — 52 bits, exactly representable;
+      priority = w / u, ordered (priority DESC, id ASC).
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    sampling mass). Returns (id_col, weight_col, priority); the
+    top-n is a TakeOrdered — no full sort at any scale."""
+    if n <= 0:
+        raise ValueError(f"need n > 0, got {n}")
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**52))
+    # filter on the RAW column (not its double cast) so the predicate
+    # reaches the parquet scan as a pushed filter
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > F.lit(0)))
+        .select(F.col(id_col), F.col(weight_col), (w / u).alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    group_cols: Seq[str] = ("lang",),
+    id_col: str = "doc_id",
+    salt: str = "xsplit",
+    output: str = "split",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Split with EXACT per-group counts: every group (language,
+    domain, ...) contributes floor(cum_frac · n_group + 0.5) rows to
+    each successive split, in deterministic hash order — the
+    guarantee ``deterministic_split``'s content-hash buckets cannot
+    make (hash splits are only exact in expectation; a 300-doc
+    low-resource language can easily land 75/25 under a nominal
+    80/10/10). Rows are ordered within their group by
+    md5(id || salt) — an unbiased deterministic shuffle — and ranked
+    by the distributed exact-rank machine (``rank.grouped_rank``:
+    range partition + broadcast offsets, NEVER a per-group window
+    sort, so the biggest group costs the same per task as the
+    smallest at 100 TB). Returns ``df`` plus ``output``.
+
+    Cumulative fractions are rounded to 10 dp before the boundary
+    expression floor(cum · n + 0.5) so both the engine and any SQL
+    oracle evaluate the same double literal (0.8 + 0.1 in binary is
+    not 0.9; round(·, 10) is)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if not fractions:
+        raise ValueError("need at least one split")
+    if output in df.columns:
+        raise ValueError(f"exact_stratified_split: column {output!r} exists")
+    from .rank import grouped_rank
+
+    order = [
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).asc(),
+        F.col(id_col).asc(),
+    ]
+    ranked = grouped_rank(
+        df,
+        group_cols=list(group_cols),
+        order_cols=order,
+        num_partitions=num_partitions,
+        rank_col="_xrank",
+        count_col="_xn",
+    )
+    labels = list(fractions.items())
+    expr: Column = F.lit(labels[-1][0])
+    if len(labels) > 1:
+        chain = F
+        cum = 0.0
+        for label, frac in labels[:-1]:
+            cum = round(cum + frac, 10)
+            boundary = F.floor(F.lit(cum) * F.col("_xn") + F.lit(0.5))
+            chain = chain.when(F.col("_xrank") <= boundary, F.lit(label))  # type: ignore[assignment]
+        expr = chain.otherwise(expr)  # type: ignore[union-attr]
+    return ranked.withColumn(output, expr).drop("_xrank", "_xn")
+
+
 __all__ = [
     "hash_bucket",
     "deterministic_split",
@@ -634,4 +746,6 @@ __all__ = [
     "dataset_profile",
     "approx_dataset_profile",
     "dsir_log_ratio",
+    "priority_sample",
+    "exact_stratified_split",
 ]

@@ -2496,6 +2496,113 @@ FROM pool p LEFT JOIN agg ON p.doc_id = agg.doc_id
 """
 
 
+# Priority sampling (Duffield–Lund–Thorup 2007): deterministic
+# weighted sample without replacement, key = w / u with u derived
+# from a 52-bit md5 prefix — one IEEE division, no pow/ln, so the
+# oracle replays the selection bit-exactly (the reason this scheme
+# was chosen over Efraimidis–Spirakis; see sampling.priority_sample).
+# Weight = n_chars: sample 100 documents ∝ length.
+def _dp_priority_sample(spark, sf):
+    from .datapipe import priority_sample
+
+    return priority_sample(_t(spark, sf, "documents"), 100, "n_chars")
+
+
+_DP_PRIORITY_SAMPLE_SQL = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+         / ((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'priority'), 1, 13)) AS BIGINT) AS DOUBLE) + 1)
+            / 4503599627370496.0) AS priority
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars, priority FROM k ORDER BY priority DESC, doc_id LIMIT 100
+"""
+
+
+# Exact stratified split: every language contributes EXACTLY
+# floor(cum·n+0.5) rows per split in deterministic hash order — the
+# guarantee hash-bucket splits only meet in expectation. Second
+# consumer of the distributed exact-rank machine (rank.grouped_rank,
+# the dp_ccnet_buckets machine): the oracle's per-lang window
+# row_number is what the Spark side deliberately does NOT run.
+def _dp_exact_split(spark, sf):
+    from .datapipe import exact_stratified_split
+
+    return exact_stratified_split(
+        _t(spark, sf, "documents"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+_DP_EXACT_SPLIT_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'xsplit'), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rn <= floor(0.8 * n + 0.5) THEN 'train'
+            WHEN rn <= floor(0.9 * n + 0.5) THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+# Distributed Lloyd k-means (kmeans.kmeans_embeddings): k=4, two
+# iterations, integer-quantized coordinates/distances so the oracle
+# replays the exact clustering — seeds by md5 order, centroid =
+# exact integer sum / (n·quant) as double, argmin over BIGINT
+# distances with cell-index tie-break. The oracle unrolls both
+# iterations as CTEs over a per-dimension explode; the Spark side
+# computes the same numbers without ever exploding (zip_with +
+# aggregate expressions over literal centroids — pure codegen).
+def _dp_kmeans(spark, sf):
+    from .datapipe import kmeans_embeddings
+
+    return kmeans_embeddings(_t(spark, sf, "embeddings"), k=4, iters=2)
+
+
+_DP_KMEANS_SQL = """
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+xd AS (SELECT vec_id, CAST(generate_subscripts(e, 1) AS INT) AS d, unnest(e) AS v FROM x),
+seeds AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'kmeans'), vec_id) - 1 AS cell
+          FROM x ORDER BY md5(CAST(vec_id AS VARCHAR) || 'kmeans'), vec_id LIMIT 4),
+c0 AS (SELECT s.cell, xd.d,
+              CAST(CAST(SUM(CAST(floor(xd.v * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / (COUNT(*) * 10000000.0) AS cv
+       FROM seeds s JOIN xd ON xd.vec_id = s.vec_id GROUP BY s.cell, xd.d),
+d1 AS (SELECT xd.vec_id, c.cell,
+              CAST(SUM(CAST(floor((xd.v - c.cv) * (xd.v - c.cv) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+       FROM xd JOIN c0 c ON c.d = xd.d GROUP BY xd.vec_id, c.cell),
+a1 AS (SELECT vec_id, cell FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) = 1),
+c1 AS (SELECT a.cell, xd.d,
+              CAST(CAST(SUM(CAST(floor(xd.v * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / (COUNT(*) * 10000000.0) AS cv
+       FROM a1 a JOIN xd ON xd.vec_id = a.vec_id GROUP BY a.cell, xd.d),
+c1f AS (SELECT c0.cell, c0.d, COALESCE(c1.cv, c0.cv) AS cv
+        FROM c0 LEFT JOIN c1 ON c1.cell = c0.cell AND c1.d = c0.d),
+d2 AS (SELECT xd.vec_id, c.cell,
+              CAST(SUM(CAST(floor((xd.v - c.cv) * (xd.v - c.cv) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+       FROM xd JOIN c1f c ON c.d = xd.d GROUP BY xd.vec_id, c.cell),
+a2 AS (SELECT vec_id, cell FROM d2
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) = 1),
+c2 AS (SELECT a.cell, xd.d,
+              CAST(CAST(SUM(CAST(floor(xd.v * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / (COUNT(*) * 10000000.0) AS cv
+       FROM a2 a JOIN xd ON xd.vec_id = a.vec_id GROUP BY a.cell, xd.d),
+c2f AS (SELECT c1f.cell, c1f.d, COALESCE(c2.cv, c1f.cv) AS cv
+        FROM c1f LEFT JOIN c2 ON c2.cell = c1f.cell AND c2.d = c1f.d),
+d3 AS (SELECT xd.vec_id, c.cell,
+              CAST(SUM(CAST(floor((xd.v - c.cv) * (xd.v - c.cv) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+       FROM xd JOIN c2f c ON c.d = xd.d GROUP BY xd.vec_id, c.cell)
+SELECT vec_id, CAST(cell AS INT) AS cell, dq AS dist_q FROM d3
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) = 1
+"""
+
+
 # SemDeDup — semantic cluster dedup over embeddings: the pair stage
 # is dp_embed_near_dup's exhaustive-recall family (bits=3/tables=32
 # at threshold 0.4 on the near-orthogonal synthetic vectors), the
@@ -3697,16 +3804,29 @@ QUERIES: dict[str, Declared] = {
     # ---- machine-coverage keeps (all driver-green in r7) ---------
     "rel_cube": Declared(_rel_cube, _REL_CUBE_SQL),
     "rel_pivot": Declared(_rel_pivot, _REL_PIVOT_SQL),
-    "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
     "rel_exists_subquery": Declared(_rel_exists_subquery, _REL_EXISTS_SQL),
     "rel_multi_count_distinct": Declared(
         _rel_multi_count_distinct, _REL_MULTI_DISTINCT_SQL
     ),
     "rel_pricing_summary": Declared(_rel_pricing_summary, _REL_PRICING_SUMMARY_SQL),
     "events_funnel": Declared(_events_funnel, _EVENTS_FUNNEL_SQL),
-    "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
-    "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
     "events_gap_fill": Declared(_events_gap_fill, _EVENTS_GAP_FILL_SQL),
+    # ---- r12 newcomers, landed BEFORE the freeze (the r9 ask-#8
+    # discipline) so each debuts with a driver row. Funded by
+    # demoting three r11-green twins whose machines stay pinned
+    # in-window (rationale at the tail entries):
+    # Distributed Lloyd k-means — a NEW machine class (iterative
+    # broadcast-centroid refinement: literal-centroid codegen assign,
+    # k-row bounded update collect, one corpus pass per iteration)
+    "dp_kmeans": Declared(_dp_kmeans, _DP_KMEANS_SQL),
+    # Priority sampling — weighted sample whose w/u key is pure IEEE
+    # division (TakeOrdered top-n machine over a transcendental-free
+    # deterministic key)
+    "dp_priority_sample": Declared(_dp_priority_sample, _DP_PRIORITY_SAMPLE_SQL),
+    # Exact stratified split — second consumer of the distributed
+    # exact-rank machine (dp_ccnet_buckets' rank.grouped_rank), with
+    # exact per-group counts no hash-bucket split can guarantee
+    "dp_exact_split": Declared(_dp_exact_split, _DP_EXACT_SPLIT_SQL),
     "udtf_flat_map": Declared(_udtf_flat_map, _UDTF_FLAT_MAP_SQL),
     "json_variant_get": Declared(_json_variant_get, _JSON_PARSE_SQL),
     # ---- r11 promotion: dp_fuzzy_decontam landed in the r10 tail
@@ -3880,6 +4000,19 @@ QUERIES: dict[str, Declared] = {
     # corpus stage stays pytest-gated).
     "dp_redact_pii": Declared(_dp_redact, _DP_REDACT_SQL),
     "dp_pretoken_hist": Declared(_dp_pretoken_hist, _DP_PRETOKEN_HIST_SQL),
+    # ---- demoted r12 to fund the three r12 newcomers; all three
+    # driver-green r11 and each decomposes into machines still
+    # pinned in-window: rel_unpivot's melt lowers to the same Expand
+    # node the rel_cube anchor pins (the grouping_sets taxonomy from
+    # r7); events_anomaly = two-phase decimal group stats
+    # (rel_group_agg anchor) + broadcast stats-back join (p5_enrich
+    # anchor) + filter; events_retention = distinct projection +
+    # min-groupBy + equi-join + count-distinct agg
+    # (rel_multi_count_distinct pins the distinct-agg expand,
+    # rel_group_agg the two-phase agg).
+    "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
+    "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
+    "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
 }
 
 

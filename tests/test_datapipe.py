@@ -2211,3 +2211,171 @@ def test_grouped_rank_null_group_rows_survive(spark):
     finally:
         release_caches()
     assert out == {1: (2, 2), 2: (1, 2), 3: (1, 2), 4: (2, 2)}
+
+
+# ---- r12: distributed Lloyd k-means ---------------------------------
+
+
+def _ref_kmeans(ids_vecs, k, iters, cq=10**7, dq=10**9, salt="kmeans"):
+    """Pure-Python replay of kmeans_embeddings' exact arithmetic
+    contract (same md5 seed order, same integer quantization) — an
+    engine-independent oracle for the unit test."""
+    import hashlib
+    import math
+
+    def h(i):
+        return hashlib.md5((str(i) + salt).encode()).hexdigest()
+
+    seeds = sorted(ids_vecs, key=lambda r: (h(r[0]), r[0]))[:k]
+    cent = [[math.floor(x * cq + 0.5) / cq for x in v] for _, v in seeds]
+
+    def dist(v, c):
+        return sum(
+            math.floor((x - cc) * (x - cc) * dq + 0.5) for x, cc in zip(v, c)
+        )
+
+    def assign(v):
+        return min(range(k), key=lambda j: (dist(v, cent[j]), j))
+
+    for _ in range(iters):
+        sums: dict = {}
+        for i, v in ids_vecs:
+            j = assign(v)
+            s, n = sums.get(j, ([0] * len(v), 0))
+            sums[j] = ([a + math.floor(x * cq + 0.5) for a, x in zip(s, v)], n + 1)
+        for j, (s, n) in sums.items():
+            cent[j] = [si / (n * cq) for si in s]
+    return {i: (assign(v), dist(v, cent[assign(v)])) for i, v in ids_vecs}
+
+
+def test_kmeans_matches_python_replay(spark):
+    from pipz_spark.datapipe import kmeans_embeddings
+
+    ids_vecs = [
+        (i, [((i * 7 + d * 3) % 13) / 13.0 - 0.5 for d in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in ids_vecs], "vec_id long, embedding array<double>"
+    )
+    want = _ref_kmeans(ids_vecs, k=3, iters=2)
+    got = {
+        r["vec_id"]: (r["cell"], r["dist_q"])
+        for r in kmeans_embeddings(df, k=3, iters=2).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_partition_invariant_and_deterministic(spark, embeddings):
+    from pipz_spark.datapipe import kmeans_embeddings
+
+    base = {
+        r["vec_id"]: (r["cell"], r["dist_q"])
+        for r in kmeans_embeddings(embeddings, k=4, iters=1).collect()
+    }
+    assert len(base) == embeddings.count()
+    assert all(0 <= c < 4 and d >= 0 for c, d in base.values())
+    again = {
+        r["vec_id"]: (r["cell"], r["dist_q"])
+        for r in kmeans_embeddings(embeddings.repartition(7), k=4, iters=1).collect()
+    }
+    assert again == base
+
+
+def test_kmeans_excludes_null_vectors_and_validates(spark):
+    from pipz_spark.datapipe import kmeans_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, None), (4, [0.9, 1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_embeddings(df, k=2, iters=1).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2, 4]
+    with pytest.raises(ValueError):
+        kmeans_embeddings(df, k=1)
+    with pytest.raises(ValueError):
+        kmeans_embeddings(df, k=2, iters=-1)
+    with pytest.raises(ValueError):
+        kmeans_embeddings(df, k=4)  # only 3 non-null vectors
+
+
+# ---- r12: priority sampling ------------------------------------------
+
+
+def test_priority_sample_matches_python_replay(spark, documents):
+    import hashlib
+
+    from pipz_spark.datapipe import priority_sample
+
+    rows = documents.select("doc_id", "n_chars").collect()
+
+    def prio(doc_id, w):
+        h = int(
+            hashlib.md5((str(doc_id) + "priority").encode()).hexdigest()[:13], 16
+        )
+        return float(w) / ((h + 1) / 2.0**52)
+
+    eligible = [(r["doc_id"], r["n_chars"]) for r in rows if r["n_chars"] and r["n_chars"] > 0]
+    want = sorted(eligible, key=lambda t: (-prio(*t), t[0]))[:50]
+    got = priority_sample(documents, 50, "n_chars").collect()
+    assert [(r["doc_id"], r["n_chars"]) for r in got] == want
+    # doubles agree bit-for-bit with the Python IEEE replay
+    assert [r["priority"] for r in got] == [prio(i, w) for i, w in want]
+
+
+def test_priority_sample_weight_gate_and_validation(spark):
+    from pipz_spark.datapipe import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -4.0), (4, None), (5, 2.5)],
+        "doc_id long, w double",
+    )
+    out = priority_sample(df, 10, "w", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
+    with pytest.raises(ValueError):
+        priority_sample(df, 0, "w")
+
+
+# ---- r12: exact stratified split -------------------------------------
+
+
+def test_exact_split_counts_are_exact(spark, documents):
+    import math
+
+    from pipz_spark.datapipe import exact_stratified_split, release_caches
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    try:
+        out = exact_stratified_split(documents, fr).select(
+            "doc_id", "lang", "split"
+        )
+        got = {
+            (r["lang"], r["split"]): r["n"]
+            for r in out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        sizes = {
+            r["lang"]: r["n"]
+            for r in documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    finally:
+        release_caches()
+    for lang, n in sizes.items():
+        b1 = math.floor(0.8 * n + 0.5)
+        b2 = math.floor(0.9 * n + 0.5)
+        assert got.get((lang, "train"), 0) == b1
+        assert got.get((lang, "val"), 0) == b2 - b1
+        assert got.get((lang, "test"), 0) == n - b2
+    assert sum(got.values()) == sum(sizes.values())
+
+
+def test_exact_split_validation(spark, documents):
+    from pipz_spark.datapipe import exact_stratified_split
+
+    with pytest.raises(ValueError):
+        exact_stratified_split(documents, {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        exact_stratified_split(
+            documents.withColumn("split", F.lit("x")), {"a": 1.0}
+        )

@@ -371,3 +371,33 @@ def test_dsir_scores_through_broadcast_lr_table(spark):
     plan = _plan(spark, "dp_dsir_weights")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_pure_projection(spark):
+    # the final Lloyd assignment must be literal-centroid codegen over
+    # the scan — no join, no exchange, no cartesian. The iterative
+    # state (k × dims numbers) lives on the driver, never in the plan;
+    # a join or shuffle appearing here means the centroids stopped
+    # being literals and the one-pass-per-iteration contract broke
+    plan = _plan(spark, "dp_kmeans")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_take_ordered_with_pushed_weight_filter(spark):
+    # top-n must be a TakeOrdered (never a global sort) and the
+    # weight gate must reach the parquet scan on the RAW column — a
+    # cast in the predicate would strand it post-scan
+    plan = _plan(spark, "dp_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "GreaterThan(n_chars,0)" in plan
+
+
+def test_exact_split_rides_range_exchange(spark):
+    # the split ranks via the distributed rank machine's explicit
+    # range exchange — never a per-group window over the full frame
+    plan = _plan(spark, "dp_exact_split")
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan

@@ -367,3 +367,49 @@ def test_bm25_topk_agrees_with_reference(spark_prop, corpus, k):
     assert [(q, r, i) for q, r, i, _ in got] == [(q, r, i) for q, r, i, _ in expect]
     for (_, _, _, a), (_, _, _, b) in zip(got, expect):
         assert abs(a - b) < 1e-9, (a, b)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    groups=st.lists(
+        st.sampled_from(["en", "en", "en", "de", "zh", None]),  # en-skewed
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_grouped_rank_matches_window_for_any_skew(spark_prop, groups, nparts):
+    """The distributed rank machine equals the window row_number twin
+    for ANY group distribution — including all-one-group skew, NULL
+    groups, duplicate order keys — at ANY partition count (r11
+    verdict ask #7: the null-group equi-join bug was caught by
+    inspection; this pins the invariant mechanically)."""
+    from pyspark.sql import Window
+
+    from pipz_spark.datapipe import grouped_rank, release_caches
+
+    rows = [(i, g, float((i * 37) % 7)) for i, g in enumerate(groups)]
+    df = spark_prop.createDataFrame(rows, "id long, g string, score double")
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id"))
+    cnt = Window.partitionBy("g")
+    want = {
+        r["id"]: (r["r"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(cnt).alias("n"),
+        ).collect()
+    }
+    try:
+        got = {
+            r["id"]: (r["rank"], r["group_count"])
+            for r in grouped_rank(
+                df,
+                group_cols=["g"],
+                order_cols=[F.col("score").desc(), F.col("id")],
+                num_partitions=nparts,
+            ).collect()
+        }
+    finally:
+        release_caches()
+    assert got == want
