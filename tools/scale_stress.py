@@ -550,6 +550,118 @@ def main_dedup100x(only: str | None = None) -> None:
     spark.stop()
 
 
+def main_semdedup100x() -> None:
+    """100× SemDeDup stress (r11 verdict ask #4): the composed
+    operator — embedding pair stage + transitive closure + keeper
+    election — at ann100x's 200k-vector scale, with an EXACT designed
+    cluster/keeper contract (the dedup100x treatment, vector-side).
+
+    Corpus: 100 replicas per sf0.1 base vector arranged as 10
+    FAMILIES of 10 members (dedup100x's structure). The family offset
+    is comparable to the base norm (components up to ±0.3 against a
+    base norm ~1.6), so variants of the SAME base sit far below the
+    threshold across families; the member noise is ±0.001-scale, so
+    the worst within-family pair sits at cosine ≈ 0.999. The base corpus's own max
+    off-diagonal cosine is 0.60 (measured over all C(2000,2) pairs),
+    leaving three margins around threshold=0.99 — which makes the
+    truth EXACT: the cluster set must be precisely the 20,000
+    (base, family) groups of 10, keeper = the family's min vec_id.
+    A pair-stage recall miss (family split), a closure error (family
+    merged or split), or a keeper mis-election each fails a hard
+    assertion — no recall floor, no sampling.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py semdedup100x
+
+    Evidence to watch: the shuffle is the corpus riding its table
+    signatures into the bucket exchange (the pair stage's honest
+    scale cost, same shape ann100x pinned) plus skinny (long, long)
+    closure labels; max task near the stage median.
+    """
+    spark = get_session(
+        "pipz-scale-stress-semdedup100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_semdedup100_")
+    emb = load_table(spark, "embeddings", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    fam = F.floor(F.col("_rep") / 10)
+    # family offset: deterministic per (base, family, dim), magnitude
+    # up to 0.3/dim — breaks cosine across families of the same base;
+    # member noise: per (member, dim), ≤ 0.004/dim — keeps the family
+    # internally at cos ≈ 0.9999
+    # the offset keys on _base — NOT on a column literally named
+    # vec_id: the output select aliases vec_id to the replica id, and
+    # Spark's lateral-column-alias resolution would bind the family
+    # offset to THAT (unique per row → per-member offsets → no
+    # families, the dedup100x r9 silent-corpus bug)
+    big = (
+        emb.crossJoin(reps)
+        .select(F.col("vec_id").alias("_base"), "_rep", "embedding")
+        .select(
+            (F.col("_base") * 100 + F.col("_rep")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    + ((F.col("_base") * 31 + fam * 7 + i) % 11 - 5).cast(
+                        "double"
+                    )
+                    / 5.0
+                    * 0.3
+                    + ((F.col("_rep") % 10) * (i % 5 - 2)).cast("double")
+                    * 0.001
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    # 32 even files (the ann100x scan-skew lesson: one 85 MB file
+    # hands ~all rows to a single row-group-bounded scan task)
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/embeddings100")
+    e100 = spark.read.parquet(f"{tmp}/embeddings100")
+    print(f"corpus: {e100.count()} vectors")
+
+    from pipz_spark.datapipe import semantic_dedup
+
+    def check() -> tuple:
+        out = semantic_dedup(e100, threshold=0.99, bits=8, tables=16)
+        # exact designed contract: clusters == the (base, family)
+        # groups. One aggregate proves all of it: per (base, family),
+        # exactly 10 members, ONE distinct cluster id, ONE keeper,
+        # and the keeper is the family's min vec_id; per cluster id,
+        # exactly one (base, family) — i.e. families never merge.
+        # vec_id = base·100 + fam·10 + member → floor(/10) is the
+        # (base, family) key, unique per family
+        fam_key = F.floor(F.col("vec_id") / 10)
+        agg = (
+            out.groupBy(fam_key.alias("_fam"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("cluster_id").alias("n_cl"),
+                F.sum(F.col("is_keeper").cast("int")).alias("n_keep"),
+                F.min(F.when(F.col("is_keeper"), F.col("vec_id"))).alias("keeper"),
+                F.min("vec_id").alias("lo"),
+            )
+        )
+        bad = agg.where(
+            (F.col("n") != 10)
+            | (F.col("n_cl") != 1)
+            | (F.col("n_keep") != 1)
+            | (F.col("keeper") != F.col("lo"))
+        ).count()
+        n_fam = agg.count()
+        n_clusters = out.select("cluster_id").distinct().count()
+        n_rows = out.count()
+        assert n_rows == 200_000, f"every row labeled: {n_rows}"
+        assert n_fam == 20_000, f"expected 20k families, got {n_fam}"
+        assert bad == 0, f"{bad} families violate the exact contract"
+        assert n_clusters == 20_000, f"families merged: {n_clusters} clusters"
+        return (n_rows, n_clusters)
+
+    run(spark, "semantic_dedup 100x", check)
+    spark.stop()
+
+
 def main() -> None:
     # the stress rig needs the UI's REST API for task/shuffle evidence
     spark = get_session("pipz-scale-stress", extra_conf={"spark.ui.enabled": "true"})
@@ -851,6 +963,8 @@ if __name__ == "__main__":
     elif "megabucket" in _sys.argv[1:]:
         _ops = [a for a in _sys.argv[1:] if a in ("bucket", "simhash")]
         main_megabucket(_ops[0] if _ops else None)
+    elif "semdedup100x" in _sys.argv[1:]:
+        main_semdedup100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
