@@ -52,6 +52,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_dropped = clusters.where("NOT is_keeper").count()
     print(f"semantic duplicates dropped: {n_dropped}")
 
+    # 2b. the published SemDeDup recipe's FIRST stage (Abbas et al.
+    # 2023 cluster the corpus with k-means before in-cell pruning):
+    # distributed Lloyd over the same embeddings — one corpus pass
+    # per iteration, centroid state bounded on the driver
+    from pipz_spark.datapipe import kmeans_embeddings
+
+    cells = kmeans_embeddings(emb, k=8, iters=2)
+    sizes = sorted(
+        r["n"]
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    print(f"k-means cells (k=8, 2 Lloyd iterations): sizes {sizes}")
+
     # 3. the same top-k question, three index strategies
     queries = emb.where(F.col("vec_id") < 5)
     for label, fn in (

@@ -130,6 +130,19 @@ def main() -> None:
         print(
             f"dsir weights vs trusted tier: [{spread['lo']:.4f}, {spread['hi']:.4f}]"
         )
+        # weighted selection (priority sampling, Duffield et al.):
+        # a reproducible length-weighted subsample — long documents
+        # near-certain picks, short ones in ∝ weight; the kept set
+        # supports unbiased token-count estimation
+        from pipz_spark.datapipe import priority_sample
+
+        n_pick = 50
+        picked = priority_sample(survivors, n_pick, "n_chars")
+        tok_share = picked.agg(F.sum("n_chars")).first()[0]
+        print(
+            f"priority sample: {picked.count()} of "
+            f"{survivors.count()} docs carry {tok_share} chars"
+        )
         assemble = P.sequence(
             "assemble",
             stratified_sample(

@@ -387,12 +387,20 @@ def test_kmeans_assignment_is_pure_projection(spark):
 
 def test_priority_sample_take_ordered_with_pushed_weight_filter(spark):
     # top-n must be a TakeOrdered (never a global sort) and the
-    # weight gate must reach the parquet scan on the RAW column — a
-    # cast in the predicate would strand it post-scan
+    # weight gate must compare the RAW column — a cast in the
+    # predicate would strand the filter post-scan. When another test
+    # has CACHED the documents table, Spark substitutes the
+    # InMemoryRelation and parquet pushdown legitimately disappears;
+    # the cast-free predicate claim still holds and is asserted on
+    # the Filter node either way.
     plan = _plan(spark, "dp_priority_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
-    assert "GreaterThan(n_chars,0)" in plan
+    filt = [ln for ln in plan.splitlines() if "Filter" in ln and "n_chars" in ln]
+    assert filt, "expected a filter on the weight column"
+    assert all("cast(n_chars" not in ln for ln in filt), filt
+    if "InMemoryTableScan" not in plan:
+        assert "GreaterThan(n_chars,0)" in plan
 
 
 def test_exact_split_rides_range_exchange(spark):

@@ -662,6 +662,106 @@ def main_semdedup100x() -> None:
     spark.stop()
 
 
+def main_kmeans100x() -> None:
+    """100× k-means stress: the iterative broadcast-centroid machine
+    at 200k vectors (ann100x's corpus recipe), with an EXACT truth —
+    a vectorized numpy replay of the operator's integer-quantized
+    arithmetic (same IEEE doubles, same md5 seed order) recomputes
+    every assignment and distance on the driver and must match all
+    200k rows. The scale numbers to watch are the machine's whole
+    point: shuffle ≈ the k-row per-iteration aggregates (kilobytes
+    against a 100 MB corpus — nothing corpus-sized ever exchanges),
+    and max task near the stage median (the assignment is a pure
+    projection; the aggregate is map-side partial).
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py kmeans100x
+    """
+    import hashlib
+
+    import numpy as np
+
+    spark = get_session(
+        "pipz-scale-stress-kmeans100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_kmeans100_")
+    emb = load_table(spark, "embeddings", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") * 100 + F.col("_rep")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + (F.col("_rep") * (i % 7 - 3)).cast("float") * 0.0005,
+        ).alias("embedding"),
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/embeddings100")
+    e100 = spark.read.parquet(f"{tmp}/embeddings100")
+    print(f"corpus: {e100.count()} vectors")
+
+    from pipz_spark.datapipe import kmeans_embeddings
+
+    K, ITERS, CQ, DQ = 16, 2, 10_000_000, 1_000_000_000
+
+    # exact numpy replay, computed BEFORE the timed run (it is the
+    # truth oracle, not the operator): float32 → float64 widening,
+    # then the same floor-quantized IEEE arithmetic the operator
+    # defines — every op is exact or correctly-rounded identically
+    # in numpy and the JVM, so equality is bit-for-bit
+    pdf = e100.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    # the replica builder's transform emits doubles (no float cast),
+    # so the stored column is array<double>; take the values as-is —
+    # a float32 round-trip here would diverge from the operator,
+    # which casts whatever the scan provides straight to double
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    hashes = np.array(
+        [hashlib.md5((str(i) + "kmeans").encode()).hexdigest() for i in ids]
+    )
+    seed_idx = np.lexsort((ids, hashes))[:K]  # primary=hash, tie=id
+    cent = np.floor(X[seed_idx] * CQ + 0.5) / CQ
+
+    def assign(C):
+        # per-(row, cell) distance: exact integer sum of
+        # floor((x-c)*(x-c) * DQ + 0.5); argmin ties → lowest cell
+        D = np.zeros((len(X), K), dtype=np.int64)
+        for j in range(K):
+            diff = X - C[j]
+            D[:, j] = (
+                np.floor(diff * diff * DQ + 0.5).astype(np.int64).sum(axis=1)
+            )
+        cells = D.argmin(axis=1)  # first min = lowest cell index
+        return cells, D[np.arange(len(X)), cells]
+
+    for _ in range(ITERS):
+        cells, _ = assign(cent)
+        for j in range(K):
+            m = cells == j
+            if m.any():
+                s = np.floor(X[m] * CQ + 0.5).astype(np.int64).sum(axis=0)
+                cent[j] = np.array(
+                    [si / (int(m.sum()) * CQ) for si in s.tolist()]
+                )
+    cells, dists = assign(cent)
+    want = {int(i): (int(c), int(d)) for i, c, d in zip(ids, cells, dists)}
+
+    def check() -> tuple:
+        got = {
+            r["vec_id"]: (r["cell"], r["dist_q"])
+            for r in kmeans_embeddings(e100, k=K, iters=ITERS).collect()
+        }
+        assert len(got) == 200_000, f"every row labeled: {len(got)}"
+        mismatches = sum(1 for i, cd in want.items() if got.get(i) != cd)
+        assert mismatches == 0, f"{mismatches} rows diverge from the replay"
+        n_cells = len({c for c, _ in got.values()})
+        return (len(got), n_cells)
+
+    run(spark, "kmeans 100x (k=16) ", check)
+    spark.stop()
+
+
 def main() -> None:
     # the stress rig needs the UI's REST API for task/shuffle evidence
     spark = get_session("pipz-scale-stress", extra_conf={"spark.ui.enabled": "true"})
@@ -965,6 +1065,8 @@ if __name__ == "__main__":
         main_megabucket(_ops[0] if _ops else None)
     elif "semdedup100x" in _sys.argv[1:]:
         main_semdedup100x()
+    elif "kmeans100x" in _sys.argv[1:]:
+        main_kmeans100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
