@@ -9,11 +9,14 @@ each iteration
   1. assigns every vector to its nearest centroid with a PURE
      whole-stage-codegen expression (the centroids are array
      literals — no join, no broadcast variable, no Python),
-  2. map-side partial-aggregates per-cell coordinate sums + counts
-     down to ≤ k skinny rows, and
-  3. collects those k rows to the driver to form the next centroids
-     (a bounded driver materialization — k × (dims + 1) longs —
-     inventoried in README's collect audit).
+  2. map-side partial-aggregates per-(cell, dimension) coordinate
+     sums + counts down to ≤ k × dims skinny rows (the dimensions
+     ride an explode so the PLAN stays constant-size at any
+     embedding width — a dims-wide aggregate would grow Catalyst's
+     analysis cost with the vector dimension), and
+  3. collects those k × dims rows to the driver to form the next
+     centroids (a bounded driver materialization inventoried in
+     README's collect audit).
 
 Corpus passes: ``iters`` assignment+update passes plus one final
 assignment pass; nothing corpus-sized ever shuffles or persists.
@@ -124,29 +127,40 @@ def kmeans_embeddings(
 
     for _ in range(iters):
         cell, _ = _assignment(v, centroids, dist_quant)
+        # dims-EXPLODED update, not a dims-wide aggregate: a column
+        # per dimension would make the plan (and Catalyst's analysis
+        # cost) grow with the embedding width — a 1024-dim corpus
+        # would plan a 1025-column aggregate. Exploding keeps the
+        # plan constant-size at any dims; the generate fuses into the
+        # same whole-stage-codegen pipeline, the partial aggregate
+        # still combines map-side (k × dims cells), and the shuffle
+        # is the identical k × dims skinny longs either way.
+        # two selects: the struct-field extraction inside `cell` must
+        # resolve in a generator-free projection (posexplode in the
+        # same select trips the analyzer's struct-field naming);
+        # Catalyst collapses them into one stage regardless
         sums = (
-            base.select(
-                cell,
-                *[
-                    F.floor(v[d] * F.lit(float(coord_quant)) + F.lit(0.5)).alias(
-                        f"_q{d}"
+            base.select(cell, "_v")
+            .select(
+                "cell",
+                F.posexplode(
+                    F.transform(
+                        v,
+                        lambda x: F.floor(
+                            x * F.lit(float(coord_quant)) + F.lit(0.5)
+                        ),
                     )
-                    for d in range(dims)
-                ],
+                ).alias("_d", "_q"),
             )
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.sum(f"_q{d}").alias(f"_s{d}") for d in range(dims)],
-            )
-            .collect()  # bounded: k rows of (dims + 1) longs
+            .groupBy("cell", "_d")
+            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # bounded: k × dims skinny rows
         )
         new_centroids = [c[:] for c in centroids]  # empty cell keeps its own
         for r in sums:
-            n = r["_n"]
-            new_centroids[r["cell"]] = [
-                r[f"_s{d}"] / (n * coord_quant) for d in range(dims)
-            ]
+            new_centroids[r["cell"]][r["_d"]] = r["_s"] / (
+                r["_n"] * coord_quant
+            )
         centroids = new_centroids
 
     cell, dist_q = _assignment(v, centroids, dist_quant)
