@@ -413,3 +413,93 @@ def test_grouped_rank_matches_window_for_any_skew(spark_prop, groups, nparts):
     finally:
         release_caches()
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=4,
+    ),
+    groups=st.lists(
+        st.sampled_from(["en", "en", "de", "zh"]), min_size=4, max_size=50
+    ),
+)
+def test_exact_split_exact_for_any_fractions(spark_prop, fracs, groups):
+    """exact_stratified_split delivers floor(cum·n+0.5)-exact per-group
+    counts and partitions the input, for ANY normalized fraction set
+    and ANY group skew."""
+    import math
+
+    from pipz_spark.datapipe import exact_stratified_split, release_caches
+
+    total = sum(fracs)
+    fr = {f"s{i}": round(f / total, 10) for i, f in enumerate(fracs)}
+    # re-normalize the rounded dict exactly (the operator validates
+    # sum ≈ 1; the last label absorbs the rounding residue)
+    last = list(fr)[-1]
+    fr[last] = round(1.0 - sum(v for k, v in fr.items() if k != last), 10)
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, lang string")
+    try:
+        out = exact_stratified_split(df, fr).collect()
+    finally:
+        release_caches()
+    assert len(out) == len(rows)  # partition: nothing dropped or dup'd
+    sizes: dict = {}
+    got: dict = {}
+    for g in groups:
+        sizes[g] = sizes.get(g, 0) + 1
+    for r in out:
+        got[(r["lang"], r["split"])] = got.get((r["lang"], r["split"]), 0) + 1
+    labels = list(fr)
+    for g, n in sizes.items():
+        cum, prev = 0.0, 0
+        for lab in labels[:-1]:
+            cum = round(cum + fr[lab], 10)
+            b = math.floor(cum * n + 0.5)
+            assert got.get((g, lab), 0) == b - prev, (g, lab, fr, n)
+            prev = b
+        assert got.get((g, labels[-1]), 0) == n - prev, (g, fr, n)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    n=st.integers(min_value=1, max_value=12),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+def test_priority_sample_nested_and_partition_invariant(
+    spark_prop, weights, n, nparts
+):
+    """Priority samples nest (top-(n-1) ⊂ top-n — the consistency that
+    makes the scheme a SAMPLE, not n independent draws) and the
+    selection is invariant to the input partitioning, for ANY positive
+    weights."""
+    from pipz_spark.datapipe import priority_sample
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, w double")
+    picked = [
+        r["doc_id"] for r in priority_sample(df, n, "w", id_col="doc_id").collect()
+    ]
+    assert len(picked) == min(n, len(rows))
+    assert len(set(picked)) == len(picked)  # without replacement
+    if n > 1:
+        smaller = [
+            r["doc_id"]
+            for r in priority_sample(df, n - 1, "w", id_col="doc_id").collect()
+        ]
+        assert smaller == picked[: len(smaller)]  # nested prefix
+    again = [
+        r["doc_id"]
+        for r in priority_sample(
+            df.repartition(nparts), n, "w", id_col="doc_id"
+        ).collect()
+    ]
+    assert again == picked
