@@ -130,6 +130,21 @@ def main() -> None:
         print(
             f"dsir weights vs trusted tier: [{spread['lo']:.4f}, {spread['hi']:.4f}]"
         )
+        # GPT-3-style selection classifier (Brown et al. 2020 App. A):
+        # logistic regression separating the trusted tier from the
+        # pool — full-batch GD over a hashed vocabulary, the weight
+        # vector riding each epoch's one corpus pass as a plan
+        # literal (the k-means machine family). The published rule
+        # then keeps a doc when pareto_draw < sigmoid(score).
+        from pipz_spark.datapipe import train_quality_classifier
+
+        clf = train_quality_classifier(
+            survivors, F.col("quality") >= 0.8, epochs=2
+        )
+        csp = clf.where(F.col("label") == 0).agg(
+            F.min("clf_score").alias("lo"), F.max("clf_score").alias("hi")
+        ).first()
+        print(f"classifier scores over the pool: [{csp['lo']:.3f}, {csp['hi']:.3f}]")
         # weighted selection (priority sampling, Duffield et al.):
         # a reproducible length-weighted subsample — long documents
         # near-certain picks, short ones in ∝ weight; the kept set

@@ -74,6 +74,7 @@ from .lm_quality import (
     perplexity_buckets,
     score_bigram_lm,
 )
+from .classifier import train_quality_classifier
 from .kmeans import kmeans_embeddings
 from .sampling import (
     approx_dataset_profile,
@@ -135,6 +136,7 @@ __all__ = [
     "exact_stratified_split",
     "priority_sample",
     "kmeans_embeddings",
+    "train_quality_classifier",
     "grouped_rank",
     "ntile_expr",
     "perplexity_buckets",

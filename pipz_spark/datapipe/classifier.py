@@ -1,0 +1,143 @@
+"""Distributed logistic-regression quality classifier — the GPT-3 /
+CCNet data-selection recipe (Brown et al. 2020 Appendix A: a linear
+classifier trained to separate a trusted corpus from the raw pool,
+whose score then gates or samples the pool).
+
+The second member of this repo's ITERATIVE machine family (with
+``kmeans.kmeans_embeddings``): the only state an epoch carries is the
+hashed-vocabulary weight vector, so training never shuffles the
+corpus —
+
+  1. each epoch is ONE corpus pass: the per-document score is a pure
+     whole-stage-codegen expression (``element_at`` lookups into the
+     weight vector, which rides the plan as a single array LITERAL —
+     no join, no broadcast variable),
+  2. per-bucket gradient sums map-side partial-aggregate down to
+     ≤ n_buckets skinny rows (the corpus's tokens explode, but the
+     aggregate collapses them in-partition), and
+  3. those rows collect to the driver (bounded: the hashed vocab is
+     fixed-size at any corpus scale — Xie et al.'s hashing trick,
+     shared with ``sampling.dsir_log_ratio``) to form the next
+     weights.
+
+Every arithmetic step is engine-portable so a SQL oracle replays the
+exact training run (the kmeans/dsir float-determinism discipline):
+
+  - weight lookups floor-quantize at 1e-6 and accumulate as DECIMAL —
+    the per-document score is exact under any evaluation order;
+  - the only transcendental, sigmoid's exp, is floor-quantized at
+    1e-6 immediately ((p − y) → integer), the same guard dsir applies
+    to ln — a last-ulp library difference cannot cross the grid;
+  - gradient sums are exact BIGINT sums of qpy · (implicit token
+    multiplicity via the explode);
+  - the weight update w − lr · (g / (N · 1e6)) is evaluated in double
+    with this exact parenthesization on both engines, then
+    floor-quantized at 1e-6.
+
+Full-batch gradient descent (not SGD): batch order cannot matter, so
+the run is deterministic under any partitioning. Features are raw
+hashed-token counts; NULL text is treated as empty (score exactly 0
+at w = 0, no gradient mass). The published pipelines then keep a pool
+document when ``pareto_draw < sigmoid(score)`` — compose the returned
+score with this repo's deterministic hash-accept samplers for that.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    epochs: int = 2,
+    lr: float = 1.0,
+    salt: str = "clf",
+) -> DataFrame:
+    """Train the classifier on ``df`` with label 1 where ``target``
+    holds (the trusted/high-quality side) and 0 elsewhere, then score
+    EVERY row with the trained weights. Returns
+    (id_col, label INT, clf_score DOUBLE, n_tokens BIGINT) —
+    ``clf_score`` is the final linear score (monotone in the
+    membership probability; apply sigmoid for the probability).
+    Deterministic end to end; see the module docstring for the
+    engine-portability construction."""
+    if n_buckets <= 0:
+        raise ValueError(f"need n_buckets > 0, got {n_buckets}")
+    if epochs < 0:
+        raise ValueError(f"need epochs >= 0, got {epochs}")
+    from .text import WS
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.trim(F.lower(text)), WS), lambda x: x != "")
+    label = F.when(target, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    def bucket(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).cast("int")
+
+    def score_expr(weights: list[float]) -> Column:
+        w_lit = F.lit(weights)
+        q6w = lambda t: (  # noqa: E731 — local expression builder
+            F.floor(
+                F.element_at(w_lit, bucket(t) + F.lit(1)) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).cast("decimal(28,6)")
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("decimal(28,6)"),
+            lambda acc, t: (acc + q6w(t)).cast("decimal(28,6)"),
+        )
+
+    # the label is materialized INTO the training projection: the
+    # target expression may reference columns this narrow select
+    # drops (it resolves against the caller's df, once, here)
+    base = df.select(F.col(id_col), F.col(text_col), label.alias("_y"))
+    n_train = base.count()  # scalar, constant across epochs
+    weights = [0.0] * n_buckets
+
+    for _ in range(epochs):
+        s = score_expr(weights).cast("double")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+        qpy = F.floor((p - F.col("_y")) * F.lit(1e6) + F.lit(0.5))  # long
+        # two selects: qpy's decimal aggregate must resolve in a
+        # generator-free projection (DIVERGENCES #24); Catalyst
+        # collapses them into one stage
+        grads = (
+            base.select(qpy.alias("_qpy"), toks.alias("_tk"))
+            .select("_qpy", F.explode("_tk").alias("_t"))
+            .select("_qpy", bucket(F.col("_t")).alias("_b"))
+            .groupBy("_b")
+            .agg(F.sum("_qpy").alias("_g"))
+            .collect()  # bounded: ≤ n_buckets skinny rows
+        )
+        for r in grads:
+            b = r["_b"]
+            weights[b] = _q6(
+                weights[b] - lr * (r["_g"] / (n_train * 1_000_000.0))
+            )
+
+    return df.select(
+        F.col(id_col),
+        label.cast("int").alias("label"),
+        score_expr(weights).cast("double").alias("clf_score"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+__all__ = ["train_quality_classifier"]

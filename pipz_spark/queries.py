@@ -2496,6 +2496,75 @@ FROM pool p LEFT JOIN agg ON p.doc_id = agg.doc_id
 """
 
 
+# GPT-3-style quality classifier (Brown et al. 2020 Appendix A):
+# logistic regression trained to separate a trusted target (the
+# dsir family's doc_id % 50 eval-like split) from the pool, scoring
+# every document. Full-batch GD over a hashed 1024-bucket vocabulary;
+# weight lookups quantize at 1e-6 into exact DECIMAL score sums, the
+# sigmoid output quantizes at 1e-6 before the exact BIGINT gradient
+# sums, and the update is the same double expression on both engines
+# — so the DuckDB oracle replays BOTH training epochs and the final
+# scores bit-for-bit (the kmeans/dsir discipline).
+def _dp_quality_classifier(spark, sf):
+    from .datapipe import train_quality_classifier
+
+    return train_quality_classifier(
+        _t(spark, sf, "documents"), F.col("doc_id") % 50 == 0
+    )
+
+
+_DP_CLASSIFIER_SQL = r"""
+WITH train AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN 1.0 ELSE 0.0 END AS y,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+tb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(t || 'clf'), 1, 8)) AS BIGINT) % 1024 AS INT) AS b
+  FROM (SELECT doc_id, unnest(tk) AS t FROM train)),
+n AS (SELECT COUNT(*) AS n FROM train),
+g1 AS (
+  SELECT tb.b,
+         CAST(SUM(CAST(floor((0.5 - tr.y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+  FROM tb JOIN train tr USING (doc_id) GROUP BY tb.b),
+w1 AS (
+  SELECT b,
+         floor((0.0 - 1.0 * (CAST(g AS DOUBLE) / (n.n * 1000000.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS w
+  FROM g1 CROSS JOIN n),
+s2 AS (
+  SELECT tr.doc_id, tr.y,
+         COALESCE(SUM(CAST(floor(w1.w * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+                  CAST(0 AS DECIMAL(28,6))) AS s
+  FROM train tr
+  LEFT JOIN tb ON tb.doc_id = tr.doc_id
+  LEFT JOIN w1 ON w1.b = tb.b
+  GROUP BY tr.doc_id, tr.y),
+g2 AS (
+  SELECT tb.b,
+         CAST(SUM(CAST(floor((1.0 / (1.0 + exp(-CAST(s2.s AS DOUBLE))) - s2.y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+  FROM tb JOIN s2 USING (doc_id) GROUP BY tb.b),
+w2 AS (
+  SELECT w1.b,
+         floor((w1.w - 1.0 * (CAST(g2.g AS DOUBLE) / (n.n * 1000000.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS w
+  FROM w1 JOIN g2 ON g2.b = w1.b CROSS JOIN n),
+s3 AS (
+  SELECT tr.doc_id, tr.y,
+         COALESCE(SUM(CAST(floor(w2.w * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))),
+                  CAST(0 AS DECIMAL(28,6))) AS s,
+         CAST(len(tr.tk) AS BIGINT) AS n_tokens
+  FROM train tr
+  LEFT JOIN tb ON tb.doc_id = tr.doc_id
+  LEFT JOIN w2 ON w2.b = tb.b
+  GROUP BY tr.doc_id, tr.y, len(tr.tk))
+SELECT doc_id, CAST(y AS INT) AS label, CAST(s AS DOUBLE) AS clf_score, n_tokens
+FROM s3
+"""
+
+
 # Priority sampling (Duffield–Lund–Thorup 2007): deterministic
 # weighted sample without replacement, key = w / u with u derived
 # from a 52-bit md5 prefix — one IEEE division, no pow/ln, so the
@@ -4013,6 +4082,14 @@ QUERIES: dict[str, Declared] = {
     "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
     "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
     "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
+    # ---- added r12 after the window filled → tail; r13 promotion
+    # candidate (the standard newcomer path — semdedup/dsir took it
+    # in r11). GPT-3-style LR quality classifier: the iterative
+    # broadcast-weights machine (dp_kmeans' family), oracle replays
+    # both training epochs exactly.
+    "dp_quality_classifier": Declared(
+        _dp_quality_classifier, _DP_CLASSIFIER_SQL
+    ),
 }
 
 

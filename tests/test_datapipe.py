@@ -2379,3 +2379,57 @@ def test_exact_split_validation(spark, documents):
         exact_stratified_split(
             documents.withColumn("split", F.lit("x")), {"a": 1.0}
         )
+
+
+# ---- r12: logistic-regression quality classifier ---------------------
+
+
+def test_quality_classifier_separates_vocabularies(spark):
+    # a pool doc written in the target's vocabulary must outscore a
+    # pool doc of vocabulary the target never uses — the whole point
+    # of the GPT-3 selection classifier — and empty docs score 0 with
+    # n_tokens 0 (never dropped, never NULL)
+    from pipz_spark.datapipe import train_quality_classifier
+
+    rows = [(100 + i, "alpha beta gamma delta", 1) for i in range(10)] + [
+        (1, "alpha beta gamma", 0),
+        (2, "zork quux blarg frobnitz", 0),
+        (3, "", 0),
+        (4, None, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    out = {
+        r["doc_id"]: r
+        for r in train_quality_classifier(
+            df, F.col("is_t") == 1, id_col="doc_id", epochs=2
+        ).collect()
+    }
+    assert out[1]["clf_score"] > out[2]["clf_score"]
+    assert out[3]["clf_score"] == 0.0 and out[3]["n_tokens"] == 0
+    assert out[4]["clf_score"] == 0.0 and out[4]["n_tokens"] == 0
+    assert out[100]["label"] == 1 and out[1]["label"] == 0
+    with pytest.raises(ValueError):
+        train_quality_classifier(df, F.col("is_t") == 1, n_buckets=0)
+    with pytest.raises(ValueError):
+        train_quality_classifier(df, F.col("is_t") == 1, epochs=-1)
+
+
+def test_quality_classifier_partition_invariant(spark, documents):
+    # full-batch GD: batch order cannot matter, so the trained scores
+    # are identical under any input partitioning
+    from pipz_spark.datapipe import train_quality_classifier
+
+    t = F.col("doc_id") % 50 == 0
+    base = {
+        r["doc_id"]: r["clf_score"]
+        for r in train_quality_classifier(
+            documents.limit(200), t, epochs=1
+        ).collect()
+    }
+    again = {
+        r["doc_id"]: r["clf_score"]
+        for r in train_quality_classifier(
+            documents.limit(200).repartition(11), t, epochs=1
+        ).collect()
+    }
+    assert again == base

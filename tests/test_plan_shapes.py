@@ -409,3 +409,13 @@ def test_exact_split_rides_range_exchange(spark):
     plan = _plan(spark, "dp_exact_split")
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_scoring_is_pure_projection(spark):
+    # the trained-weights scoring pass must be element_at lookups into
+    # a weight-vector LITERAL over the scan — no join, no exchange
+    # (the iterative state lives on the driver, like dp_kmeans)
+    plan = _plan(spark, "dp_quality_classifier")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
