@@ -49,6 +49,7 @@ from .text import (
     ngram_repetition,
     fingerprint,
     lang_id,
+    pack_ffd,
     pack_sequences,
     quality_score,
     redact_pii,
@@ -164,6 +165,7 @@ __all__ = [
     "chunk_documents",
     "contamination",
     "ngram_repetition",
+    "pack_ffd",
     "pack_sequences",
     "redact_pii",
 ]

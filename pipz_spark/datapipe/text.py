@@ -390,6 +390,85 @@ def pack_sequences(
     )
 
 
+def pack_ffd(
+    chunks: DataFrame,
+    budget: int,
+    id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+    tokens_col: str = "n_chunk_tokens",
+    shards: int = 32,
+) -> DataFrame:
+    """NO-CROSSING pack assignment — the T5-style packing discipline
+    (Raffel et al. 2020 pack sequences without letting an example
+    straddle two packs): every chunk lands whole in exactly one pack
+    of capacity ``budget``, via first-fit-decreasing bin packing.
+    The complement of ``pack_sequences`` (concat-and-chop, which cuts
+    at every boundary): chop maximizes fill but splits chunks; FFD
+    never splits and wastes ≤ the FFD bound (11/9·OPT + 6/9 bins).
+
+    Greedy bin packing is inherently sequential (``pack_sequences``'
+    docstring explains why no window aggregate can express it), so
+    the distributed form is the packing literature's standard shard
+    decomposition: chunks shard deterministically by md5 of the doc
+    id (the ``pack_sequences`` derivation — engine-reproducible,
+    shards can reach cluster-core counts), and each shard runs an
+    EXACT in-memory FFD inside one Arrow-batched ``applyInPandas``
+    task. Shard-local FFD costs at most one partially-filled bin per
+    shard versus global FFD; ``shards`` bounds both the stage's
+    parallelism and each task's memory (size it so a shard's
+    (ids, token-count) rows fit comfortably — the text itself never
+    enters the packer, only the skinny count column).
+
+    A chunk larger than ``budget`` gets a pack of its own (splitting
+    or truncating is the dataloader's call, flagged by its fill
+    exceeding the budget). Deterministic: within a shard, chunks are
+    packed in (tokens DESC, doc, chunk) order, first-fit into the
+    lowest-numbered pack with room.
+
+    Output: input columns + ``shard``, ``pack_id`` (within shard).
+    Behavioral operator (like ``bpe_train``): greedy packing has no
+    SQL shape, so the gate is the pytest invariants (exact
+    pure-Python FFD replay, capacity, partition invariance), not a
+    DuckDB oracle.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import pandas as pd
+
+    doc_col, chunk_col = id_cols
+    key_str = F.coalesce(F.col(doc_col).cast("string"), F.lit("__pipz_null__"))
+    h = F.md5(F.concat(key_str, F.lit("pack")))
+    shard = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % shards).cast("int")
+    sharded = chunks.withColumn("shard", shard)
+    # fresh StructType — StructType.add MUTATES in place, and
+    # DataFrame.schema returns the frame's cached instance, so
+    # sharded.schema.add(...) would corrupt sharded's own column list
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(sharded.schema.fields) + [StructField("pack_id", LongType())]
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(
+            [tokens_col, doc_col, chunk_col], ascending=[False, True, True]
+        ).index
+        fills: list[int] = []
+        pack_ids = pd.Series(0, index=pdf.index, dtype="int64")
+        for i in order:
+            t = int(pdf.at[i, tokens_col])
+            for j, fill in enumerate(fills):
+                if fill + t <= budget:
+                    fills[j] = fill + t
+                    pack_ids.at[i] = j
+                    break
+            else:
+                pack_ids.at[i] = len(fills)
+                fills.append(t)
+        return pdf.assign(pack_id=pack_ids)
+
+    return sharded.groupBy("shard").applyInPandas(ffd, schema)
+
+
 def gopher_quality(
     df: DataFrame,
     text_col: str = "text",
@@ -534,6 +613,7 @@ __all__ = [
     "fingerprint",
     "chunk_documents",
     "ngram_repetition",
+    "pack_ffd",
     "pack_sequences",
     "redact_pii",
     "top_ngrams",

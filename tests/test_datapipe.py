@@ -2433,3 +2433,87 @@ def test_quality_classifier_partition_invariant(spark, documents):
         ).collect()
     }
     assert again == base
+
+
+# ---- r12: no-crossing FFD packing -------------------------------------
+
+
+def _ref_ffd(rows, budget):
+    """Pure-Python replay of pack_ffd's per-shard first-fit-decreasing
+    contract: (tokens DESC, doc, chunk) order, first bin with room."""
+    out = {}
+    for shard in sorted({r[3] for r in rows}):
+        members = sorted(
+            (r for r in rows if r[3] == shard),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )
+        fills: list = []
+        for doc, chunk, t, _ in members:
+            for j, fill in enumerate(fills):
+                if fill + t <= budget:
+                    fills[j] = fill + t
+                    out[(doc, chunk)] = (shard, j)
+                    break
+            else:
+                out[(doc, chunk)] = (shard, len(fills))
+                fills.append(t)
+    return out
+
+
+def test_pack_ffd_matches_python_replay_and_invariants(spark):
+    import hashlib
+
+    from pipz_spark.datapipe import pack_ffd
+
+    budget = 100
+    rows = [
+        (d, c, 10 + (d * 13 + c * 7) % 85)
+        for d in range(30)
+        for c in range((d % 4) + 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_chunk_tokens long"
+    )
+    got = pack_ffd(df, budget, shards=4).collect()
+    assert len(got) == len(rows)  # every chunk exactly once
+    # shard derivation replay + exact FFD replay
+    def shard_of(d):
+        return int(hashlib.md5((str(d) + "pack").encode()).hexdigest()[8:16], 16) % 4
+    ref_rows = [(d, c, t, shard_of(d)) for d, c, t in rows]
+    want = _ref_ffd(ref_rows, budget)
+    for r in got:
+        assert (r["shard"], r["pack_id"]) == want[(r["doc_id"], r["chunk_id"])]
+    # capacity: no pack exceeds budget (no oversize chunks here)
+    fills: dict = {}
+    toks = {(d, c): t for d, c, t in rows}
+    for r in got:
+        key = (r["shard"], r["pack_id"])
+        fills[key] = fills.get(key, 0) + toks[(r["doc_id"], r["chunk_id"])]
+    assert all(v <= budget for v in fills.values())
+    # partition invariance (full-shard FFD cannot see input layout)
+    again = {
+        (r["doc_id"], r["chunk_id"]): (r["shard"], r["pack_id"])
+        for r in pack_ffd(df.repartition(7), budget, shards=4).collect()
+    }
+    assert again == want
+    # all chunks of one doc share a shard (no doc straddles shards)
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in by_doc.values())
+
+
+def test_pack_ffd_oversize_chunk_gets_own_pack(spark):
+    from pipz_spark.datapipe import pack_ffd
+
+    df = spark.createDataFrame(
+        [(1, 0, 500), (1, 1, 30), (1, 2, 40)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    out = {r["chunk_id"]: r["pack_id"] for r in pack_ffd(df, 100, shards=1).collect()}
+    assert out[0] not in (out[1], out[2])  # oversize isolated
+    assert out[1] == out[2]  # the two small chunks co-pack
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_ffd(df, 0)
