@@ -630,6 +630,7 @@ def priority_sample(
     weight_col: str,
     id_col: str = "doc_id",
     salt: str = "priority",
+    estimate: bool = False,
 ) -> DataFrame:
     """Deterministic weighted sample WITHOUT replacement of size
     ``n``: priority sampling (Duffield, Lund & Thorup, JACM 2007) —
@@ -654,7 +655,16 @@ def priority_sample(
 
     Rows with NULL or non-positive weight are excluded (they have no
     sampling mass). Returns (id_col, weight_col, priority); the
-    top-n is a TakeOrdered — no full sort at any scale."""
+    top-n is a TakeOrdered — no full sort at any scale.
+
+    With ``estimate=True`` the output adds ``est_weight`` = max(w, τ)
+    where τ is the (n + 1)-th priority (0 when the population has
+    ≤ n rows) — the paper's whole point: Σ est_weight over the kept
+    rows is an UNBIASED estimator of any subset's total weight
+    (answer "how many tokens does the corpus hold per domain?" from
+    the n-row sample). τ costs one extra TakeOrdered(n + 1) pass and
+    rides back as a broadcast scalar; ties at the boundary are
+    resolved by the same total order both engines share."""
     if n <= 0:
         raise ValueError(f"need n > 0, got {n}")
     w = F.col(weight_col).cast("double")
@@ -668,11 +678,35 @@ def priority_sample(
     u = (h + F.lit(1)).cast("double") / F.lit(float(2**52))
     # filter on the RAW column (not its double cast) so the predicate
     # reaches the parquet scan as a pushed filter
-    return (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > F.lit(0)))
-        .select(F.col(id_col), F.col(weight_col), (w / u).alias("priority"))
-        .orderBy(F.col("priority").desc(), F.col(id_col))
-        .limit(n)
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > F.lit(0))
+    ).select(F.col(id_col), F.col(weight_col), (w / u).alias("priority"))
+    top = keyed.orderBy(F.col("priority").desc(), F.col(id_col)).limit(n)
+    if not estimate:
+        return top
+    # τ = the (n+1)-th priority: min over the TakeOrdered(n+1) frame
+    # when the population reaches n+1 rows, else 0 — a one-row
+    # broadcast, never a corpus-wide exchange
+    aux = (
+        keyed.orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(n + 1)
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("priority").alias("_minp"),
+        )
+        .select(
+            F.when(F.col("_c") == n + 1, F.col("_minp"))
+            .otherwise(F.lit(0.0))
+            .alias("_tau")
+        )
+    )
+    return top.crossJoin(F.broadcast(aux)).select(
+        F.col(id_col),
+        F.col(weight_col),
+        F.col("priority"),
+        F.greatest(F.col(weight_col).cast("double"), F.col("_tau")).alias(
+            "est_weight"
+        ),
     )
 
 

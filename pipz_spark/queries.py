@@ -2574,7 +2574,9 @@ FROM s3
 def _dp_priority_sample(spark, sf):
     from .datapipe import priority_sample
 
-    return priority_sample(_t(spark, sf, "documents"), 100, "n_chars")
+    return priority_sample(
+        _t(spark, sf, "documents"), 100, "n_chars", estimate=True
+    )
 
 
 _DP_PRIORITY_SAMPLE_SQL = """
@@ -2583,8 +2585,14 @@ WITH k AS (
          CAST(n_chars AS DOUBLE)
          / ((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'priority'), 1, 13)) AS BIGINT) AS DOUBLE) + 1)
             / 4503599627370496.0) AS priority
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-SELECT doc_id, n_chars, priority FROM k ORDER BY priority DESC, doc_id LIMIT 100
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+tau AS (
+  SELECT COALESCE(
+           (SELECT priority FROM k ORDER BY priority DESC, doc_id LIMIT 1 OFFSET 100),
+           0.0) AS t)
+SELECT doc_id, n_chars, priority,
+       greatest(CAST(n_chars AS DOUBLE), tau.t) AS est_weight
+FROM (SELECT * FROM k ORDER BY priority DESC, doc_id LIMIT 100) CROSS JOIN tau
 """
 
 

@@ -2517,3 +2517,34 @@ def test_pack_ffd_oversize_chunk_gets_own_pack(spark):
 
     with _pytest.raises(ValueError):
         pack_ffd(df, 0)
+
+
+def test_priority_sample_estimator_matches_replay(spark, documents):
+    import hashlib
+
+    from pipz_spark.datapipe import priority_sample
+
+    def prio(doc_id, w):
+        h = int(
+            hashlib.md5((str(doc_id) + "priority").encode()).hexdigest()[:13], 16
+        )
+        return float(w) / ((h + 1) / 2.0**52)
+
+    rows = [
+        (r["doc_id"], r["n_chars"])
+        for r in documents.select("doc_id", "n_chars").collect()
+        if r["n_chars"] and r["n_chars"] > 0
+    ]
+    ordered = sorted(rows, key=lambda t: (-prio(*t), t[0]))
+    n = 50
+    tau = prio(*ordered[n])  # population > n+1 here
+    got = priority_sample(documents, n, "n_chars", estimate=True).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in ordered[:n]]
+    for r, (d, w) in zip(got, ordered[:n]):
+        assert r["est_weight"] == max(float(w), tau)
+    # τ = 0 when the whole population fits in the sample: every
+    # est_weight is the row's own weight (the estimator is exact)
+    small = priority_sample(
+        documents.limit(5), 50, "n_chars", estimate=True
+    ).collect()
+    assert all(r["est_weight"] == float(r["n_chars"]) for r in small)

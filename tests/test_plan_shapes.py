@@ -395,7 +395,11 @@ def test_priority_sample_take_ordered_with_pushed_weight_filter(spark):
     # the Filter node either way.
     plan = _plan(spark, "dp_priority_sample")
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan
+    # the τ estimator attaches a ONE-ROW broadcast scalar (its
+    # BroadcastExchange is fine); the corpus itself must never hash-
+    # shuffle or sort-merge — only TakeOrdereds touch it
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
     filt = [ln for ln in plan.splitlines() if "Filter" in ln and "n_chars" in ln]
     assert filt, "expected a filter on the weight column"
     assert all("cast(n_chars" not in ln for ln in filt), filt
