@@ -503,3 +503,38 @@ def test_priority_sample_nested_and_partition_invariant(
         ).collect()
     ]
     assert again == picked
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+        min_size=12,
+        max_size=48,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    iters=st.integers(min_value=0, max_value=2),
+)
+def test_kmeans_matches_replay_for_any_vectors(spark_prop, vals, k, iters):
+    """kmeans_embeddings equals the pure-Python replay of its
+    quantized-arithmetic contract for ANY input vectors / k / iters —
+    the mechanical guard on the engine-portability construction (the
+    grouped_rank property-test pattern)."""
+    from test_datapipe import _ref_kmeans
+
+    from pipz_spark.datapipe import kmeans_embeddings
+
+    dims = 3
+    n = len(vals) // dims
+    ids_vecs = [(i, vals[i * dims : (i + 1) * dims]) for i in range(n)]
+    if n < k:
+        ids_vecs += [(n + j, [float(j), -1.0, 1.0]) for j in range(k - n)]
+    df = spark_prop.createDataFrame(
+        [(i, v) for i, v in ids_vecs], "vec_id long, embedding array<double>"
+    )
+    want = _ref_kmeans(ids_vecs, k=k, iters=iters)
+    got = {
+        r["vec_id"]: (r["cell"], r["dist_q"])
+        for r in kmeans_embeddings(df, k=k, iters=iters).collect()
+    }
+    assert got == want
