@@ -370,6 +370,16 @@ def main() -> None:
     if hist_block is not None and hist_block > 0:
         block_tried = 0
         base_block_min = min(block_walls)
+        # snapshot per-stream-query mins too: extra block runs fold
+        # into the per-query committed mins, and without a pre-retry
+        # record that asymmetric sampling could ratchet the per-query
+        # stream history down — the exact bias pre_retry_min exists
+        # to make visible (r12 advice)
+        base_stream_mins = {
+            name: timings.get(name)
+            for name, _ in stream_decls
+            if timings.get(name) is not None
+        }
         while (
             min(block_walls) > max(1.5 * hist_block, hist_block + 0.3)
             and block_tried < 2
@@ -382,6 +392,10 @@ def main() -> None:
             block_tried += 1
         if block_tried:
             pre_retry_min["stream_block"] = round(base_block_min, 3)
+            for name, base in base_stream_mins.items():
+                cur = timings.get(name)
+                if cur is not None and cur < base:
+                    pre_retry_min.setdefault(name, round(base, 3))
         if min(block_walls) > max(1.5 * hist_block, hist_block + 0.3):
             outliers["stream_block"] = {
                 "hist": hist_block,

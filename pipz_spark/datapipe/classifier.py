@@ -27,7 +27,11 @@ exact training run (the kmeans/dsir float-determinism discipline):
     the per-document score is exact under any evaluation order;
   - the only transcendental, sigmoid's exp, is floor-quantized at
     1e-6 immediately ((p − y) → integer), the same guard dsir applies
-    to ln — a last-ulp library difference cannot cross the grid;
+    to ln — a last-ulp library difference is overwhelmingly unlikely
+    to cross the 1e-6 grid (it CAN in principle: a sigmoid value
+    within one ulp of a grid boundary could floor differently across
+    engines and flip one gradient unit; see DIVERGENCES.md #25 for
+    the residual-risk ledger entry that pre-diagnoses such a row);
   - gradient sums are exact BIGINT sums of qpy · (implicit token
     multiplicity via the explode);
   - the weight update w − lr · (g / (N · 1e6)) is evaluated in double

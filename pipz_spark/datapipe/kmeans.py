@@ -97,7 +97,19 @@ def kmeans_embeddings(
     integer-quantized squared distance (divide by ``dist_quant`` for
     the float value). Deterministic end to end; see module docstring
     for the engine-portability construction. Rows whose vector is
-    NULL are excluded (they have no geometry to cluster)."""
+    NULL are excluded (they have no geometry to cluster).
+
+    PLAN-SIZE BOUNDARY: the assignment expression embeds the k
+    centroids as k × dims array literals, so the Catalyst expression
+    tree grows as O(k · dims). That is the right trade for the
+    regime this operator targets — IVF coarse quantizers and SemDeDup
+    cells, k up to a few hundred — where the plan stays tens of KB
+    and assignment compiles to join-free whole-stage codegen. Asking
+    k = 10⁴ over 1024-dim vectors would build a multi-megabyte
+    expression tree and stall the planner long before the executors;
+    for large k, use ``dp_ann_ivf``'s sampled-quantizer path (train
+    on a TakeOrdered sample, assign via the bucketed join) instead.
+    A guard warns past k · dims > 262,144 (~2 MB of literals)."""
     if k < 2:
         raise ValueError(f"need k >= 2, got {k}")
     if iters < 0:
@@ -121,6 +133,16 @@ def kmeans_embeddings(
     if len(seed_rows) < k:
         raise ValueError(f"need >= {k} non-null vectors, got {len(seed_rows)}")
     dims = len(seed_rows[0]["_v"])
+    if k * dims > 262_144:
+        import warnings
+
+        warnings.warn(
+            f"kmeans_embeddings: k*dims = {k}*{dims} = {k * dims} literal "
+            "centroid coordinates will build a multi-MB Catalyst expression "
+            "tree; this operator targets coarse-quantizer k (a few hundred) "
+            "— use dp_ann_ivf's sampled-quantizer path for large k",
+            stacklevel=2,
+        )
     centroids = [
         [_quantize_coord(x, coord_quant) for x in r["_v"]] for r in seed_rows
     ]

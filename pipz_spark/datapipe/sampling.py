@@ -736,11 +736,11 @@ def exact_stratified_split(
     expression floor(cum · n + 0.5) so both the engine and any SQL
     oracle evaluate the same double literal (0.8 + 0.1 in binary is
     not 0.9; round(·, 10) is)."""
+    if not fractions:
+        raise ValueError("need at least one split")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
-    if not fractions:
-        raise ValueError("need at least one split")
     if output in df.columns:
         raise ValueError(f"exact_stratified_split: column {output!r} exists")
     from .rank import grouped_rank

@@ -414,9 +414,20 @@ def pack_ffd(
     EXACT in-memory FFD inside one Arrow-batched ``applyInPandas``
     task. Shard-local FFD costs at most one partially-filled bin per
     shard versus global FFD; ``shards`` bounds both the stage's
-    parallelism and each task's memory (size it so a shard's
-    (ids, token-count) rows fit comfortably — the text itself never
-    enters the packer, only the skinny count column).
+    parallelism and each task's memory. Only the SKINNY columns
+    (shard, ids, token count) cross the Arrow boundary: the frame is
+    projected before ``applyInPandas`` and ``pack_id`` joins back on
+    the id columns, so a caller may pass the full frame — text or
+    embedding columns never enter the packer task or its groupBy
+    shuffle. (At 100 TB the wide frame shuffles once for the
+    join-back; shipping it INTO the packer would shuffle it into the
+    groupBy and move it through Arrow twice.)
+
+    A NULL token count fails fast with a clear error (a NULL chunk
+    length is an upstream tokenization bug; packing it as 0 would
+    silently overfill packs). ``shards`` must be positive — Spark's
+    non-ANSI ``%`` maps a zero divisor to NULL, which would silently
+    collapse every row into one NULL shard.
 
     A chunk larger than ``budget`` gets a pack of its own (splitting
     or truncating is the dataloader's call, flagged by its fill
@@ -425,6 +436,8 @@ def pack_ffd(
     lowest-numbered pack with room.
 
     Output: input columns + ``shard``, ``pack_id`` (within shard).
+    ``id_cols`` must uniquely identify a chunk (they key the
+    join-back; a duplicate pair would fan out).
     Behavioral operator (like ``bpe_train``): greedy packing has no
     SQL shape, so the gate is the pytest invariants (exact
     pure-Python FFD replay, capacity, partition invariance), not a
@@ -432,6 +445,8 @@ def pack_ffd(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
     import pandas as pd
 
     doc_col, chunk_col = id_cols
@@ -439,16 +454,26 @@ def pack_ffd(
     h = F.md5(F.concat(key_str, F.lit("pack")))
     shard = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % shards).cast("int")
     sharded = chunks.withColumn("shard", shard)
+    # only (shard, ids, count) enter the packer; everything else
+    # waits on the join-back side of the Arrow boundary
+    skinny = sharded.select("shard", doc_col, chunk_col, tokens_col)
     # fresh StructType — StructType.add MUTATES in place, and
     # DataFrame.schema returns the frame's cached instance, so
-    # sharded.schema.add(...) would corrupt sharded's own column list
+    # skinny.schema.add(...) would corrupt skinny's own column list
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
-        list(sharded.schema.fields) + [StructField("pack_id", LongType())]
+        list(skinny.schema.fields) + [StructField("pack_id", LongType())]
     )
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[tokens_col].isna().any():
+            bad = pdf.loc[pdf[tokens_col].isna(), [doc_col, chunk_col]].iloc[0]
+            raise ValueError(
+                f"pack_ffd: NULL {tokens_col} at "
+                f"({doc_col}={bad[doc_col]!r}, {chunk_col}={bad[chunk_col]!r}) "
+                "— token counts must be non-NULL (upstream tokenization bug)"
+            )
         order = pdf.sort_values(
             [tokens_col, doc_col, chunk_col], ascending=[False, True, True]
         ).index
@@ -466,7 +491,19 @@ def pack_ffd(
                 fills.append(t)
         return pdf.assign(pack_id=pack_ids)
 
-    return sharded.groupBy("shard").applyInPandas(ffd, schema)
+    packed = skinny.groupBy("shard").applyInPandas(ffd, schema)
+    # null-safe equi-join: the shard hash deliberately admits NULL
+    # doc ids (coalesced key above), so the join-back must too
+    assignments = packed.select(
+        F.col(doc_col).alias("_ffd_doc"),
+        F.col(chunk_col).alias("_ffd_chunk"),
+        "shard",
+        "pack_id",
+    )
+    cond = F.col(doc_col).eqNullSafe(F.col("_ffd_doc")) & F.col(
+        chunk_col
+    ).eqNullSafe(F.col("_ffd_chunk"))
+    return chunks.join(assignments, cond, "inner").drop("_ffd_doc", "_ffd_chunk")
 
 
 def gopher_quality(

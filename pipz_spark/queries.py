@@ -3900,10 +3900,19 @@ QUERIES: dict[str, Declared] = {
     # division (TakeOrdered top-n machine over a transcendental-free
     # deterministic key)
     "dp_priority_sample": Declared(_dp_priority_sample, _DP_PRIORITY_SAMPLE_SQL),
-    # Exact stratified split — second consumer of the distributed
-    # exact-rank machine (dp_ccnet_buckets' rank.grouped_rank), with
-    # exact per-group counts no hash-bucket split can guarantee
-    "dp_exact_split": Declared(_dp_exact_split, _DP_EXACT_SPLIT_SQL),
+    # ---- r13 promotion: dp_quality_classifier (registry #117 in
+    # r12, landed after that window filled — the last entry with no
+    # driver row; its green completes driver evidence for all
+    # queries). Takes dp_exact_split's slot (driver-green r12): the
+    # split's exact-rank machine stays pinned in-window by
+    # dp_ccnet_buckets (both ride rank.grouped_rank's range
+    # exchange) and its exactness is property-tested
+    # (test_properties.py exact-for-any-fractions). The classifier
+    # pins the iterative broadcast-state machine alongside dp_kmeans
+    # (weights-as-literals training + pure-projection scoring).
+    "dp_quality_classifier": Declared(
+        _dp_quality_classifier, _DP_CLASSIFIER_SQL
+    ),
     "udtf_flat_map": Declared(_udtf_flat_map, _UDTF_FLAT_MAP_SQL),
     "json_variant_get": Declared(_json_variant_get, _JSON_PARSE_SQL),
     # ---- r11 promotion: dp_fuzzy_decontam landed in the r10 tail
@@ -4090,14 +4099,10 @@ QUERIES: dict[str, Declared] = {
     "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
     "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
     "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
-    # ---- added r12 after the window filled → tail; r13 promotion
-    # candidate (the standard newcomer path — semdedup/dsir took it
-    # in r11). GPT-3-style LR quality classifier: the iterative
-    # broadcast-weights machine (dp_kmeans' family), oracle replays
-    # both training epochs exactly.
-    "dp_quality_classifier": Declared(
-        _dp_quality_classifier, _DP_CLASSIFIER_SQL
-    ),
+    # ---- demoted r13 (driver-green r12): exact stratified split —
+    # its rank.grouped_rank machine stays pinned in-window by
+    # dp_ccnet_buckets; funded dp_quality_classifier's promotion.
+    "dp_exact_split": Declared(_dp_exact_split, _DP_EXACT_SPLIT_SQL),
 }
 
 

@@ -2517,6 +2517,52 @@ def test_pack_ffd_oversize_chunk_gets_own_pack(spark):
 
     with _pytest.raises(ValueError):
         pack_ffd(df, 0)
+    with _pytest.raises(ValueError, match="shards"):
+        pack_ffd(df, 100, shards=0)
+    with _pytest.raises(ValueError, match="shards"):
+        pack_ffd(df, 100, shards=-3)
+
+
+def test_pack_ffd_text_never_crosses_arrow_boundary(spark):
+    """A wide frame (text column) packs fine AND the text stays out
+    of the packer: the FlatMapGroupsInPandas node must list only the
+    skinny (shard, ids, count) columns — the r12 verdict's wide-frame
+    pass-through fix, asserted on the executed plan."""
+    from pipz_spark.datapipe import pack_ffd
+
+    df = spark.createDataFrame(
+        [(d, c, 10 + (d * 13 + c * 7) % 85, "x" * 200) for d in range(20) for c in range(2)],
+        "doc_id long, chunk_id long, n_chunk_tokens long, text string",
+    )
+    out = pack_ffd(df, 100, shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    arrow_lines = [ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln]
+    assert arrow_lines, plan
+    assert all("text" not in ln for ln in arrow_lines), arrow_lines
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["text"] == "x" * 200 for r in rows)
+    # same assignments as packing the skinny frame alone
+    skinny = {
+        (r["doc_id"], r["chunk_id"]): (r["shard"], r["pack_id"])
+        for r in pack_ffd(df.drop("text"), 100, shards=4).collect()
+    }
+    assert {
+        (r["doc_id"], r["chunk_id"]): (r["shard"], r["pack_id"]) for r in rows
+    } == skinny
+
+
+def test_pack_ffd_null_tokens_fail_fast(spark):
+    from pipz_spark.datapipe import pack_ffd
+
+    df = spark.createDataFrame(
+        [(1, 0, 50), (1, 1, None), (2, 0, 40)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL n_chunk_tokens"):
+        pack_ffd(df, 100, shards=2).collect()
 
 
 def test_priority_sample_estimator_matches_replay(spark, documents):
