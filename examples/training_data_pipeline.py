@@ -145,6 +145,17 @@ def main() -> None:
             F.min("clf_score").alias("lo"), F.max("clf_score").alias("hi")
         ).first()
         print(f"classifier scores over the pool: [{csp['lo']:.3f}, {csp['hi']:.3f}]")
+        # ... and the keep rule itself (pareto_keep): accept a pool
+        # doc when the deterministic Pareto draw clears 1 − sigmoid —
+        # the published recipe closed end-to-end. α=2 keeps a visible
+        # share of a low-score pool; the paper's α=9 keeps ~1/512.
+        from pipz_spark.datapipe import pareto_keep
+
+        kept = pareto_keep(clf.where(F.col("label") == 0), alpha=2)
+        print(
+            f"GPT-3 keep rule: {kept.count()} of "
+            f"{clf.where(F.col('label') == 0).count()} pool docs kept"
+        )
         # weighted selection (priority sampling, Duffield et al.):
         # a reproducible length-weighted subsample — long documents
         # near-certain picks, short ones in ∝ weight; the kept set

@@ -75,8 +75,10 @@ from .lm_quality import (
     perplexity_buckets,
     score_bigram_lm,
 )
-from .classifier import train_quality_classifier
+from .classifier import pareto_keep, train_quality_classifier
+from .graph import pagerank
 from .kmeans import kmeans_embeddings
+from .sketches import hll_distinct
 from .sampling import (
     approx_dataset_profile,
     dataset_profile,
@@ -136,7 +138,10 @@ __all__ = [
     "dsir_log_ratio",
     "exact_stratified_split",
     "priority_sample",
+    "hll_distinct",
     "kmeans_embeddings",
+    "pagerank",
+    "pareto_keep",
     "train_quality_classifier",
     "grouped_rank",
     "ntile_expr",

@@ -144,4 +144,67 @@ def train_quality_classifier(
     )
 
 
-__all__ = ["train_quality_classifier"]
+def _ipow(x: Column, n: int) -> Column:
+    """x^n by LEFT-TO-RIGHT binary exponentiation with a fixed
+    parenthesization, so every engine rounds the same doubles in the
+    same order (an oracle must mirror this chain: for n = 9 it is
+    ((x²)²)²·x, i.e. x2 = x·x, x4 = x2·x2, x8 = x4·x4, x9 = x8·x)."""
+    r = x
+    for bit in bin(n)[3:]:
+        r = r * r
+        if bit == "1":
+            r = r * x
+    return r
+
+
+def pareto_keep(
+    df: DataFrame,
+    score_col: str = "clf_score",
+    id_col: str = "doc_id",
+    alpha: int = 9,
+    salt: str = "clfkeep",
+    p_col: str = "keep_p",
+) -> DataFrame:
+    """The GPT-3 keep rule (Brown et al. 2020 Appendix A): keep a
+    document when ``pareto_draw(α) > 1 − sigmoid(score)`` — the
+    stochastic acceptance that keeps high-score docs almost surely
+    while low-score docs survive ∝ their score, preserving tail
+    diversity. Returns the kept rows plus ``p_col`` (the quantized
+    sigmoid membership probability).
+
+    Deterministic, transcendental-minimal form: with u the repo's
+    52-bit md5 uniform (the ``priority_sample`` derivation) and the
+    Pareto draw its inverse-CDF u^(−1/α) − 1, the rule
+
+        u^(−1/α) − 1 > 1 − p   ⟺   u < 1 / (2 − p)^α
+
+    — so instead of evaluating a fractional pow per row, the engine
+    evaluates an INTEGER power by a fixed multiplication chain
+    (``_ipow``; IEEE-identical in every engine) and one division.
+    ``p`` is the sigmoid floor-quantized at 1e-6 (the module's
+    training discipline; exp's residual is DIVERGENCES #25). The
+    published pipelines apply this to the unlabeled pool only — pass
+    ``df.where(label == 0)``; trusted rows are kept by construction.
+    """
+    if alpha < 1:
+        raise ValueError(f"need alpha >= 1, got {alpha}")
+    s = F.col(score_col).cast("double")
+    p = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    x = F.lit(2.0) - p
+    thresh = F.lit(1.0) / _ipow(x, alpha)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4503599627370496.0)
+    return df.withColumn(p_col, p).where(u < thresh)
+
+
+__all__ = ["pareto_keep", "train_quality_classifier"]

@@ -1,0 +1,129 @@
+"""HyperLogLog distinct-count sketch — engine-exact by construction
+(Flajolet et al. 2007; the practical corrections follow Heule et
+al. 2013's reading of the small-range regime).
+
+WHY a sketch when Spark has ``approx_count_distinct``: (a) Spark's
+HLL++ register layout is JVM-internal, so no external oracle can
+replay it — this one is built from the repo's md5 idiom and replays
+bit-for-bit in DuckDB SQL; (b) the registers here are a first-class
+DataFrame, so sketches MERGE across partitions, days, or datasets by
+``max`` (the property that makes HLL the 100 TB tool: count distinct
+users per day once, then union any date range without rescanning).
+
+Scale shape: exact count-distinct shuffles every distinct value;
+HLL shuffles at most m = 2^b register rows per group, map-side
+combined (max is associative/commutative), so the exchange is
+O(groups × m) regardless of corpus size.
+
+Engine-exact construction (no float accumulation anywhere):
+
+  - hash: md5(value || salt) — bucket = first b/4 hex chars, and the
+    rank ρ (leading-zeros + 1 of the next 52 bits) is derived by
+    STRING arithmetic on the hex (count leading '0' chars → 4 bits
+    each; the first non-zero hex digit's value pins the remainder),
+    so ρ is exact in any engine with md5 + substring — no log2, no
+    bit intrinsics;
+  - per-(group, bucket) register M_j = max(ρ) — BIGINT;
+  - the harmonic denominator is held EXACTLY as the integer
+    S = Σ_j 2^(50 − min(M_j, 50)) (empty buckets contribute 2^50):
+    every term is a power of two ≤ 2^49, the sum is an exact BIGINT
+    under any order. (Clamping ρ at 50 perturbs terms < 2^-50 —
+    beyond double precision's contribution to the estimate anyway.)
+  - raw estimate = α_m·m²·2^50 / S: the numerator is one double
+    literal (computed once, embedded in both engines), S is an exact
+    integer, and one IEEE division is correctly rounded everywhere —
+    identical doubles, no quantization needed;
+  - the small-range branch (raw ≤ 2.5m with empty buckets) is
+    linear counting m·ln(m/V): ln is the suite's one transcendental,
+    floor-quantized at 1e-6 (the dsir/classifier discipline,
+    DIVERGENCES #25).
+
+Output also carries ``hll_s`` (the exact integer S) and
+``hll_empty`` (V) — the auditable register summary a red hash row
+would be diagnosed from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from collections.abc import Sequence as Seq
+
+
+def _hll_alpha_numer(m: int) -> float:
+    """α_m · m² · 2^50 as one double — embedded as the SAME literal
+    in the Spark plan and any SQL oracle."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2**50)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: Seq[str] = (),
+    b: int = 12,
+    salt: str = "hll",
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Estimate the distinct count of ``df[col]`` per ``group_cols``
+    (global if empty) with a 2^b-register HLL. Returns one row per
+    group: (*group_cols, out_col DOUBLE, hll_s BIGINT, hll_empty
+    BIGINT). NULL values are ignored (COUNT DISTINCT semantics).
+    Standard error ≈ 1.04/√(2^b) ≈ 1.6% at the default b=12.
+    Deterministic and oracle-replayable — see module docstring."""
+    if b % 4 != 0 or not (4 <= b <= 16):
+        raise ValueError(f"b must be a multiple of 4 in [4, 16], got {b}")
+    m = 1 << b
+    hb = b // 4  # hex chars consumed by the bucket
+    numer = _hll_alpha_numer(m)
+    gcols = list(group_cols)
+
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(salt)))
+    bucket = F.conv(F.substring(h, 1, hb), 16, 10).cast("long").alias("_bkt")
+    hx = F.substring(h, hb + 1, 13)  # 52 bits of rank material
+    stripped = F.regexp_replace(hx, "^0+", "")
+    zhex = F.lit(13) - F.length(stripped)
+    first = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    extra = (
+        F.when(first >= 8, F.lit(0))
+        .when(first >= 4, F.lit(1))
+        .when(first >= 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(53))
+        .otherwise(zhex * F.lit(4) + extra + F.lit(1))
+        .cast("long")
+        .alias("_rho")
+    )
+
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, bucket, rho)
+        .groupBy(*gcols, "_bkt")
+        .agg(F.max("_rho").alias("_r"))
+    )
+    # pyspark's F.shiftleft only takes a literal shift; the SQL form
+    # accepts an expression
+    term: Column = F.expr("shiftleft(1L, cast(50 - least(_r, 50) as int))")
+    per_group = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_seen"),
+        F.sum(term).alias("_sp"),
+    )
+    v = (F.lit(m) - F.col("_seen")).cast("long")
+    s = (F.col("_sp") + v * F.lit(2**50).cast("long")).alias("hll_s")
+    raw = F.lit(numer) / F.col("hll_s")
+    lnq = (
+        F.floor(F.log(F.lit(float(m)) / F.col("hll_empty").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("hll_empty") > 0), F.lit(float(m)) * lnq
+    ).otherwise(raw)
+    return per_group.select(
+        *gcols, s, v.alias("hll_empty")
+    ).select(*gcols, est.alias(out_col), "hll_s", "hll_empty")
+
+
+__all__ = ["hll_distinct"]

@@ -2513,8 +2513,9 @@ def _dp_quality_classifier(spark, sf):
     )
 
 
-_DP_CLASSIFIER_SQL = r"""
-WITH train AS (
+# the training CTE chain is shared with _DP_CLF_KEEP_SQL (which
+# composes the keep rule on top of the same two-epoch replay)
+_CLF_CTES = r"""train AS (
   SELECT doc_id,
          CASE WHEN doc_id % 50 = 0 THEN 1.0 ELSE 0.0 END AS y,
          list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
@@ -2559,10 +2560,54 @@ s3 AS (
   FROM train tr
   LEFT JOIN tb ON tb.doc_id = tr.doc_id
   LEFT JOIN w2 ON w2.b = tb.b
-  GROUP BY tr.doc_id, tr.y, len(tr.tk))
+  GROUP BY tr.doc_id, tr.y, len(tr.tk))"""
+
+_DP_CLASSIFIER_SQL = (
+    "WITH "
+    + _CLF_CTES
+    + r"""
 SELECT doc_id, CAST(y AS INT) AS label, CAST(s AS DOUBLE) AS clf_score, n_tokens
 FROM s3
 """
+)
+
+
+# GPT-3 keep rule end-to-end (Brown et al. 2020 Appendix A): train
+# the classifier, then keep pool docs when the deterministic Pareto
+# draw clears 1 − sigmoid(score). The engine evaluates the
+# transformed predicate u < 1/(2−p)^α — an integer power by a fixed
+# multiplication chain, no fractional pow — with p the 1e-6-floored
+# sigmoid and u the 52-bit md5 uniform (classifier.pareto_keep).
+# α = 2 here so the sf0.01 gate keeps a meaty row count (the paper's
+# α = 9 keeps ~1/512 of a low-score pool — pareto_keep's default);
+# the rule's machinery is identical at any α.
+def _dp_clf_keep(spark, sf):
+    from .datapipe import pareto_keep, train_quality_classifier
+
+    scored = train_quality_classifier(
+        _t(spark, sf, "documents"), F.col("doc_id") % 50 == 0
+    )
+    return pareto_keep(scored.where(F.col("label") == 0), alpha=2).select(
+        "doc_id", "clf_score", "keep_p"
+    )
+
+
+_DP_CLF_KEEP_SQL = (
+    "WITH "
+    + _CLF_CTES
+    + r""",
+pool AS (
+  SELECT doc_id, CAST(s AS DOUBLE) AS clf_score,
+         floor((1.0 / (1.0 + exp(-CAST(s AS DOUBLE)))) * 1000000.0 + 0.5)
+         / 1000000.0 AS p
+  FROM s3 WHERE y = 0.0)
+SELECT doc_id, clf_score, p AS keep_p
+FROM pool
+WHERE (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'clfkeep'), 1, 13)) AS BIGINT) AS DOUBLE) + 1)
+      / 4503599627370496.0
+      < 1.0 / ((2.0 - p) * (2.0 - p))
+"""
+)
 
 
 # Priority sampling (Duffield–Lund–Thorup 2007): deterministic
@@ -2748,6 +2793,120 @@ SELECT n.vec_id AS new_id, r.vec_id AS ref_id,
        round(list_cosine_similarity(n.e, r.e), 6) AS cos
 FROM n, r
 WHERE round(list_cosine_similarity(n.e, r.e), 6) >= 0.35
+"""
+
+
+# Distributed PageRank (graph.pagerank) over the symmetric
+# customer↔supplier purchase graph (distinct pairs from
+# orders ⋈ lineitem, both directions). The iterative
+# DISTRIBUTED-state machine — per-node state is corpus-sized, so it
+# stays a DataFrame and each iteration is join → map-side-combined
+# aggregate → left join (the Pregel shape); contrast dp_kmeans /
+# dp_quality_classifier, whose state rides the plan as literals.
+# Integer-exact end to end (BIGINT ranks, DIV flooring, 17/20
+# damping) so the oracle unrolls both iterations with zero float
+# residual.
+def _dp_pagerank(spark, sf):
+    from .datapipe import pagerank
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=2)
+
+
+_DP_PAGERANK_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+nd AS (SELECT n.node, CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg
+       FROM nodes n LEFT JOIN deg d ON d.node = n.node),
+r0 AS (SELECT node, outdeg, CAST(1000000000000 AS BIGINT) AS rank_q FROM nd),
+i1 AS (SELECT e.dst AS node, SUM(r.rank_q // r.outdeg) AS s
+       FROM e JOIN r0 r ON r.node = e.src AND r.outdeg > 0
+       GROUP BY e.dst),
+r1 AS (SELECT nd.node, nd.outdeg,
+              CAST(150000000000 + (COALESCE(i1.s, 0) * 17) // 20 AS BIGINT) AS rank_q
+       FROM nd LEFT JOIN i1 ON i1.node = nd.node),
+i2 AS (SELECT e.dst AS node, SUM(r.rank_q // r.outdeg) AS s
+       FROM e JOIN r1 r ON r.node = e.src AND r.outdeg > 0
+       GROUP BY e.dst),
+r2 AS (SELECT nd.node, nd.outdeg,
+              CAST(150000000000 + (COALESCE(i2.s, 0) * 17) // 20 AS BIGINT) AS rank_q
+       FROM nd LEFT JOIN i2 ON i2.node = nd.node)
+SELECT node, rank_q, outdeg FROM r2
+"""
+
+
+# HyperLogLog distinct users per event type (sketches.hll_distinct,
+# b=8 → 256 registers), joined with the exact count the sketch
+# approximates. The register pipeline is two map-side-combined hash
+# aggregates whose exchange carries ≤ groups × 256 rows at ANY
+# corpus size — the 100 TB shape exact count-distinct cannot have.
+# Registers and the harmonic denominator are integer-exact; the only
+# float is one correctly-rounded division (raw branch) or the
+# 1e-6-floored ln (linear-counting branch, DIVERGENCES #25).
+def _dp_hll_distinct(spark, sf):
+    from .datapipe import hll_distinct
+
+    ev = _t(spark, sf, "events")
+    sketch = hll_distinct(ev, "user_id", ["event_type"], b=8, out_col="hll_users")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return sketch.join(exact, "event_type")
+
+
+_DP_HLL_SQL = """
+WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR) || 'hll') AS h FROM ev),
+rb AS (SELECT event_type,
+              CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS bkt,
+              ltrim(substring(h, 3, 13), '0') AS st
+       FROM hx),
+rr AS (SELECT event_type, bkt,
+              CAST(CASE WHEN length(st) = 0 THEN 53
+                   ELSE (13 - length(st)) * 4
+                        + CASE WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 8 THEN 0
+                               WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 4 THEN 1
+                               WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 2 THEN 2
+                               ELSE 3 END
+                        + 1 END AS BIGINT) AS rho
+       FROM rb),
+regs AS (SELECT event_type, bkt, MAX(rho) AS r FROM rr GROUP BY event_type, bkt),
+pg AS (SELECT event_type, COUNT(*) AS seen,
+              SUM(CAST(1 AS BIGINT) << CAST(50 - LEAST(r, 50) AS INT)) AS sp
+       FROM regs GROUP BY event_type),
+fin AS (SELECT event_type,
+               CAST(sp + (256 - seen) * (CAST(1 AS BIGINT) << 50) AS BIGINT) AS hll_s,
+               CAST(256 - seen AS BIGINT) AS hll_empty
+        FROM pg)
+SELECT f.event_type,
+       CASE WHEN (CAST('5.2999162811336204e+19' AS DOUBLE) / hll_s) <= 640.0
+                 AND hll_empty > 0
+            THEN 256.0 * (floor(ln(256.0 / CAST(hll_empty AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+            ELSE CAST('5.2999162811336204e+19' AS DOUBLE) / hll_s END AS hll_users,
+       hll_s, hll_empty, x.exact_users
+FROM fin f
+JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM ev GROUP BY event_type) x ON x.event_type = f.event_type
 """
 
 
@@ -3896,10 +4055,37 @@ QUERIES: dict[str, Declared] = {
     # broadcast-centroid refinement: literal-centroid codegen assign,
     # k-row bounded update collect, one corpus pass per iteration)
     "dp_kmeans": Declared(_dp_kmeans, _DP_KMEANS_SQL),
-    # Priority sampling — weighted sample whose w/u key is pure IEEE
-    # division (TakeOrdered top-n machine over a transcendental-free
-    # deterministic key)
-    "dp_priority_sample": Declared(_dp_priority_sample, _DP_PRIORITY_SAMPLE_SQL),
+    # ---- r13 newcomers, landed BEFORE the freeze (the r9 ask-#8
+    # discipline) so each debuts with a driver row:
+    # Distributed PageRank — the iterative DISTRIBUTED-state machine
+    # (per-node state stays a DataFrame; Pregel join→agg→join per
+    # iteration), completing the iterative taxonomy next to
+    # dp_kmeans/dp_quality_classifier's driver-literal state.
+    # Integer-exact (BIGINT ranks, DIV flooring) — zero float
+    # residual. Takes dp_priority_sample's slot (green r12): its
+    # TakeOrdered top-n machine stays pinned in-window by
+    # dp_top_ngrams' TakeOrderedAndProject, and its selection is
+    # property-tested (nesting + partition invariance).
+    "dp_pagerank": Declared(_dp_pagerank, _DP_PAGERANK_SQL),
+    # HyperLogLog distinct sketch — mergeable 256-register cardinality
+    # (NEW machine: string-exact rank derivation + integer harmonic
+    # denominator; exchange bounded at groups × m rows at any corpus
+    # size). Takes dp_semdedup's slot (green r12): semdedup composes
+    # two machines whose pins stay in-window (embed pair scoring via
+    # dp_cosine_topk/dp_ann_pq, closure+keeper via
+    # dp_jaccard_clusters) — the same taxonomy that funded its OWN
+    # r12 promotion, now applied in reverse.
+    "dp_hll_distinct": Declared(_dp_hll_distinct, _DP_HLL_SQL),
+    # GPT-3 keep rule end-to-end (classifier → pareto accept; the r12
+    # verdict ask #8): the published recipe wired clf_score →
+    # hash-accept in ONE declared query whose oracle replays training
+    # AND the keep draw. Takes dp_temperature_resample's slot (green
+    # r8–r12): the md5-uniform-vs-threshold accept machine runs
+    # verbatim as dp_clf_keep's WHERE clause, so the machine stays
+    # gated in-window (the clip_spans/repeated_spans precedent);
+    # temperature's per-group rate broadcast is the ≤256-row totals
+    # machine dp_budget_cap also pins.
+    "dp_clf_keep": Declared(_dp_clf_keep, _DP_CLF_KEEP_SQL),
     # ---- r13 promotion: dp_quality_classifier (registry #117 in
     # r12, landed after that window filled — the last entry with no
     # driver row; its green completes driver evidence for all
@@ -3928,19 +4114,6 @@ QUERIES: dict[str, Declared] = {
     "dp_jaccard_clusters": Declared(_dp_jaccard_clusters, _DP_JACCARD_CLUSTERS_SQL),
     # ---- r8 promotions retained (driver-green r8, unique paths) --
     "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
-    # ---- r12 promotion #1: dp_semdedup landed in the r11 tail
-    # (after that window froze) — promoting it + dp_dsir_weights
-    # below completes driver evidence for all 113 queries (r11
-    # verdict ask #1). It takes dp_redact_pii's slot: redact's
-    # machine is a pure-JVM regexp_replace projection, the same
-    # text-expression family the dp_text_stats anchor pins (the
-    # taxonomy that demoted gopher_quality in r11 and
-    # lang_id/fingerprint in r6), while semdedup composes two
-    # machines whose pins stay in-window (the embed pair stage via
-    # dp_cosine_topk's scoring and the closure+keeper via
-    # dp_jaccard_clusters).
-    "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
-    "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
     "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
     # ---- r9 promotions retained (driver-green r9) ------------------
     # budget_cap also pins the two-phase-cumsum machine for demoted
@@ -4099,10 +4272,20 @@ QUERIES: dict[str, Declared] = {
     "rel_unpivot": Declared(_rel_unpivot, _REL_UNPIVOT_SQL),
     "events_anomaly": Declared(_events_anomaly, _EVENTS_ANOMALY_SQL),
     "events_retention": Declared(_events_retention, _EVENTS_RETENTION_SQL),
-    # ---- demoted r13 (driver-green r12): exact stratified split —
-    # its rank.grouped_rank machine stays pinned in-window by
-    # dp_ccnet_buckets; funded dp_quality_classifier's promotion.
+    # ---- demoted r13 (all driver-green r12, machines pinned
+    # in-window; each funded one r13 promotion — rationale at the
+    # promoted entries): exact stratified split (rank machine pinned
+    # by dp_ccnet_buckets) -> dp_quality_classifier; priority sample
+    # (TakeOrdered pinned by dp_top_ngrams; property-tested) ->
+    # dp_pagerank; semdedup (pair scoring pinned by
+    # dp_cosine_topk/dp_ann_pq, closure by dp_jaccard_clusters) ->
+    # dp_hll_distinct; temperature resample (u-vs-threshold accept
+    # runs verbatim inside dp_clf_keep; rate broadcast pinned by
+    # dp_budget_cap) -> dp_clf_keep.
     "dp_exact_split": Declared(_dp_exact_split, _DP_EXACT_SPLIT_SQL),
+    "dp_priority_sample": Declared(_dp_priority_sample, _DP_PRIORITY_SAMPLE_SQL),
+    "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
+    "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
 }
 
 

@@ -2594,3 +2594,198 @@ def test_priority_sample_estimator_matches_replay(spark, documents):
         documents.limit(5), 50, "n_chars", estimate=True
     ).collect()
     assert all(r["est_weight"] == float(r["n_chars"]) for r in small)
+
+
+# ---- r13: PageRank / HLL sketch / Pareto keep rule ----------------
+
+
+def _ref_pagerank(edge_pairs, iters, init_q=10**12, num=17, den=20):
+    """Pure-Python replay of pagerank's integer fixed-point contract."""
+    nodes = sorted({s for s, _ in edge_pairs} | {d for _, d in edge_pairs})
+    deg: dict = {}
+    for s, _ in edge_pairs:
+        deg[s] = deg.get(s, 0) + 1
+    base = (init_q * (den - num)) // den
+    rank = {n: init_q for n in nodes}
+    for _ in range(iters):
+        ins: dict = {}
+        for s, d in edge_pairs:
+            if deg.get(s, 0) > 0:
+                ins[d] = ins.get(d, 0) + rank[s] // deg[s]
+        rank = {n: base + (ins.get(n, 0) * num) // den for n in nodes}
+    return {n: (rank[n], deg.get(n, 0)) for n in nodes}
+
+
+def test_pagerank_matches_integer_replay(spark):
+    from pipz_spark.datapipe import pagerank
+
+    # small digraph with a dangling node (d has no out-edges), a
+    # multi-edge (a->b twice: weight 2), and a cycle
+    pairs = [
+        ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+        ("c", "a"), ("c", "d"), ("e", "a"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=3).collect()
+    }
+    assert got == _ref_pagerank(pairs, 3)
+    # partition invariance: integer sums are order-independent
+    again = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df.repartition(5), iters=3).collect()
+    }
+    assert again == got
+    # mass conservation sans damping leakage: every node's rank is
+    # at least the teleport base and the dangling node keeps exactly
+    # base + its damped in-flow
+    base = (10**12 * 3) // 20
+    assert all(rq >= base for rq, _ in got.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, iters=-1)
+    with _pytest.raises(ValueError):
+        pagerank(df, damping=(20, 17))
+
+
+def test_pagerank_zero_iters_is_init(spark):
+    from pipz_spark.datapipe import pagerank
+
+    df = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got = {r["node"]: r["rank_q"] for r in pagerank(df, iters=0).collect()}
+    assert got == {"x": 10**12, "y": 10**12}
+
+
+def _ref_hll(values, b, salt="hll"):
+    """Pure-Python replay of hll_distinct's register contract."""
+    import hashlib
+    import math
+
+    m = 1 << b
+    hb = b // 4
+    regs: dict = {}
+    for u in values:
+        if u is None:
+            continue
+        h = hashlib.md5((str(u) + salt).encode()).hexdigest()
+        bkt = int(h[:hb], 16)
+        st = h[hb : hb + 13].lstrip("0")
+        if not st:
+            rho = 53
+        else:
+            z = 13 - len(st)
+            v = int(st[0], 16)
+            extra = 0 if v >= 8 else (1 if v >= 4 else (2 if v >= 2 else 3))
+            rho = 4 * z + extra + 1
+        regs[bkt] = max(regs.get(bkt, 0), rho)
+    sp = sum(1 << (50 - min(r, 50)) for r in regs.values())
+    vempty = m - len(regs)
+    s = sp + vempty * (1 << 50)
+    numer = 0.7213 / (1.0 + 1.079 / m) * m * m * float(2**50)
+    raw = numer / s
+    if raw <= 2.5 * m and vempty > 0:
+        est = m * (math.floor(math.log(m / vempty) * 1e6 + 0.5) / 1e6)
+    else:
+        est = raw
+    return est, s, vempty
+
+
+def test_hll_matches_replay_and_estimates_well(spark):
+    from pipz_spark.datapipe import hll_distinct
+
+    # two groups: one small (linear-counting branch), one large
+    # enough at m=256 to take the raw-HLL branch
+    rows = [("small", i) for i in range(40)] + [
+        ("large", 1_000_000 + i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["hll_distinct"], r["hll_s"], r["hll_empty"])
+        for r in hll_distinct(df, "v", ["g"], b=8).collect()
+    }
+    want = {
+        "small": _ref_hll(list(range(40)), 8),
+        "large": _ref_hll([1_000_000 + i for i in range(5000)], 8),
+    }
+    assert got == want
+    # the branches actually differ: small has many empty registers
+    assert got["small"][2] > 0
+    # accuracy: within 3 standard errors (1.04/sqrt(256) ~ 6.5%)
+    assert abs(got["small"][0] - 40) / 40 < 0.2
+    assert abs(got["large"][0] - 5000) / 5000 < 0.2
+    # NULLs ignored; global (ungrouped) mode works
+    df2 = spark.createDataFrame(
+        [(None,), (1,), (2,), (1,)], "v long"
+    )
+    g = hll_distinct(df2, "v", b=8).collect()
+    assert len(g) == 1
+    assert g[0]["hll_distinct"] == _ref_hll([1, 2], 8)[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "v", b=10)  # not a multiple of 4
+
+
+def test_hll_registers_merge_across_unions(spark):
+    # the property that makes HLL the scale tool: sketching a union
+    # equals sketching the parts — max-merge over the same registers
+    from pipz_spark.datapipe import hll_distinct
+
+    a = spark.createDataFrame([(i,) for i in range(300)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(150, 450)], "v long")
+    whole = hll_distinct(a.union(b), "v", b=8).collect()[0]
+    parts = hll_distinct(a, "v", b=8).unionByName(
+        hll_distinct(b, "v", b=8)
+    )
+    # merging the two final estimates is NOT valid; re-sketching the
+    # union is — this asserts the estimate is a pure function of the
+    # value SET (duplicates across parts don't move it)
+    dedup_whole = hll_distinct(
+        a.union(b).distinct(), "v", b=8
+    ).collect()[0]
+    assert whole["hll_distinct"] == dedup_whole["hll_distinct"]
+    assert whole["hll_s"] == dedup_whole["hll_s"]
+    assert parts.count() == 2
+
+
+def test_pareto_keep_matches_replay(spark):
+    import hashlib
+    import math
+
+    from pipz_spark.datapipe import pareto_keep
+
+    rows = [(i, -8.0 + i * 0.4) for i in range(50)]  # scores -8..11.6
+    df = spark.createDataFrame(rows, "doc_id long, clf_score double")
+    for alpha in (2, 9):
+        got = {
+            r["doc_id"]: r["keep_p"]
+            for r in pareto_keep(df, alpha=alpha).collect()
+        }
+        want = {}
+        for did, s in rows:
+            p = math.floor((1.0 / (1.0 + math.exp(-s))) * 1e6 + 0.5) / 1e6
+            x = 2.0 - p
+            r = x
+            for bit in bin(alpha)[3:]:
+                r = r * r
+                if bit == "1":
+                    r = r * x
+            u = (
+                int(
+                    hashlib.md5((str(did) + "clfkeep").encode()).hexdigest()[:13],
+                    16,
+                )
+                + 1.0
+            ) / 4503599627370496.0
+            if u < 1.0 / r:
+                want[did] = p
+        assert got == want, alpha
+    # monotone in expectation: a high-score doc is kept surely
+    sure = spark.createDataFrame([(1, 50.0)], "doc_id long, clf_score double")
+    assert pareto_keep(sure, alpha=9).count() == 1  # p=1 -> thresh=1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pareto_keep(df, alpha=0)

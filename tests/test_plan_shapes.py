@@ -423,3 +423,38 @@ def test_quality_classifier_scoring_is_pure_projection(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_combine_map_side(spark):
+    # each Pregel iteration's contribution aggregate must partial-
+    # aggregate before its exchange (the shuffle carries at most
+    # partitions x distinct-dst rows), the node joins must be
+    # equi-joins (never a cartesian), and the whole machine must be
+    # pure JVM — per-node state never touches Python or the driver
+    plan = _plan(spark, "dp_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_hll_registers_combine_map_side(spark):
+    # the register max must partial-aggregate map-side (the exchange
+    # is bounded at groups x 256 rows at ANY corpus size) and the
+    # whole sketch is codegen expressions — no Python, no cartesian
+    plan = _plan(spark, "dp_hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_clf_keep_is_projection_plus_filter(spark):
+    # the keep rule rides the classifier's pure-projection scoring:
+    # trained weights are plan literals, the accept predicate is one
+    # more codegen expression — no join, no exchange, no cartesian
+    # (dp_quality_classifier's canary, preserved through the filter)
+    plan = _plan(spark, "dp_clf_keep")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

@@ -1049,6 +1049,190 @@ def _run_mega_simhash(spark, tmp: str) -> None:
     run(spark, "simhash mega10k      ", _simhash_mega)
 
 
+def main_pagerank100x() -> None:
+    """100× PageRank stress: the iterative DISTRIBUTED-state machine
+    at ~117M directed edges / 1.6M nodes (100 disjoint replicas of
+    the sf0.1 customer↔supplier purchase graph, both directions).
+    Truth is EXACT without a driver-sized collect: ranks on disjoint
+    replicas must equal the base graph's ranks, which a pure-Python
+    integer replay computes from the 587k base pairs; the comparison
+    joins the 16k-row want table against all 1.6M result rows IN
+    SPARK and asserts zero mismatches. Scale numbers to watch:
+    per-iteration shuffle ~ O(edges + nodes) rows (never quadratic),
+    max task near the stage median (the Pregel join/agg shard
+    cleanly; contributions combine map-side so no dst hot key).
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py pagerank100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-pagerank100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_pagerank100_")
+    o = load_table(spark, "orders", sf)
+    li = load_table(spark, "lineitem", sf)
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    base_pairs = [(r["ck"], r["sk"]) for r in pairs.collect()]
+    print(f"base graph: {len(base_pairs)} pairs")
+
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = pairs.crossJoin(reps).select(
+        F.concat_ws("_", F.lit("c"), F.col("_rep"), F.col("ck")).alias("src"),
+        F.concat_ws("_", F.lit("s"), F.col("_rep"), F.col("sk")).alias("dst"),
+    )
+    dbl = big.unionByName(
+        big.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dbl.repartition(64).write.mode("overwrite").parquet(f"{tmp}/edges")
+    e100 = spark.read.parquet(f"{tmp}/edges")
+    print(f"edges: {e100.count()}")
+
+    # exact integer replay on the BASE graph (each replica must equal it)
+    ITERS, INIT, NUM, DEN = 2, 10**12, 17, 20
+    ep = [("c_" + str(c), "s_" + str(s)) for c, s in base_pairs]
+    ep = ep + [(d, s) for s, d in ep]
+    nodes = sorted({s for s, _ in ep})
+    deg: dict = {}
+    for s, _ in ep:
+        deg[s] = deg.get(s, 0) + 1
+    base_tp = (INIT * (DEN - NUM)) // DEN
+    rank = {n: INIT for n in nodes}
+    for _ in range(ITERS):
+        ins: dict = {}
+        for s, d in ep:
+            ins[d] = ins.get(d, 0) + rank[s] // deg[s]
+        rank = {n: base_tp + (ins.get(n, 0) * NUM) // DEN for n in nodes}
+    want = spark.createDataFrame(
+        [(n, rank[n], deg[n]) for n in nodes],
+        "base_node string, want_rank long, want_deg long",
+    )
+
+    from pipz_spark.datapipe import pagerank
+
+    def check() -> tuple:
+        got = pagerank(e100, iters=ITERS)
+        # strip the replica index: c_<rep>_<key> -> c_<key>
+        keyed = got.select(
+            F.concat_ws(
+                "_",
+                F.split(F.col("node"), "_")[0],
+                F.split(F.col("node"), "_")[2],
+            ).alias("base_node"),
+            "rank_q",
+            "outdeg",
+        )
+        joined = keyed.join(F.broadcast(want), "base_node", "left")
+        bad = joined.where(
+            F.col("want_rank").isNull()
+            | (F.col("rank_q") != F.col("want_rank"))
+            | (F.col("outdeg") != F.col("want_deg"))
+        ).count()
+        total = joined.count()
+        assert bad == 0, f"{bad} of {total} nodes diverge from the replay"
+        assert total == len(nodes) * 100, total
+        return (total, bad)
+
+    run(spark, "pagerank 100x (2 iters)", check)
+    spark.stop()
+
+
+def main_hll100x() -> None:
+    """100× HLL stress: 10M event rows / 150k distinct users per
+    group shape (100 replicas of sf0.1 events, user space expanded
+    100×), b=12 → 4096 registers. Truth is exact twice over: the
+    register pipeline must equal a pure-Python md5 replay computed
+    from the DISTINCT user set (HLL is a pure function of the value
+    set — the replay is 150k hashes on the driver, not 10M rows),
+    and the estimate must land within 5 standard errors (5.2%) of
+    the exact distinct count. Scale numbers to watch: the register
+    exchange stays ≤ partitions × groups × 4096 rows — kilobytes
+    against the 10M-row corpus.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py hll100x
+    """
+    import hashlib
+    import math
+
+    spark = get_session(
+        "pipz-scale-stress-hll100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_hll100_")
+    ev = load_table(spark, "events", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = ev.crossJoin(reps).select(
+        "event_type", (F.col("user_id") * 100 + F.col("_rep")).alias("user_id")
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{tmp}/events100")
+    e100 = spark.read.parquet(f"{tmp}/events100")
+    print(f"corpus: {e100.count()} rows")
+
+    from pipz_spark.datapipe import hll_distinct
+
+    B = 12
+    m = 1 << B
+    distinct = (
+        e100.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    by_g: dict = {}
+    for r in distinct:
+        by_g.setdefault(r["event_type"], []).append(r["user_id"])
+
+    def ref(vals):
+        regs: dict = {}
+        for u in vals:
+            h = hashlib.md5((str(u) + "hll").encode()).hexdigest()
+            bkt = int(h[:3], 16)
+            st = h[3:16].lstrip("0")
+            if not st:
+                rho = 53
+            else:
+                z = 13 - len(st)
+                v = int(st[0], 16)
+                extra = 0 if v >= 8 else (1 if v >= 4 else (2 if v >= 2 else 3))
+                rho = 4 * z + extra + 1
+            regs[bkt] = max(regs.get(bkt, 0), rho)
+        sp = sum(1 << (50 - min(x, 50)) for x in regs.values())
+        ve = m - len(regs)
+        s = sp + ve * (1 << 50)
+        numer = 0.7213 / (1.0 + 1.079 / m) * m * m * float(2**50)
+        raw = numer / s
+        if raw <= 2.5 * m and ve > 0:
+            est = m * (math.floor(math.log(m / ve) * 1e6 + 0.5) / 1e6)
+        else:
+            est = raw
+        return est, s, ve
+
+    want = {g: ref(vs) for g, vs in by_g.items()}
+
+    def check() -> tuple:
+        got = {
+            r["event_type"]: (r["hll_distinct"], r["hll_s"], r["hll_empty"])
+            for r in hll_distinct(e100, "user_id", ["event_type"], b=B).collect()
+        }
+        assert got == want, {
+            g: (got.get(g), want.get(g)) for g in want if got.get(g) != want.get(g)
+        }
+        worst = 0.0
+        for g, vs in by_g.items():
+            err = abs(got[g][0] - len(vs)) / len(vs)
+            worst = max(worst, err)
+        assert worst < 5 * 1.04 / math.sqrt(m), f"worst rel err {worst:.4f}"
+        return (len(got), round(worst, 4))
+
+    run(spark, "hll 100x (b=12)      ", check)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -1067,6 +1251,10 @@ if __name__ == "__main__":
         main_semdedup100x()
     elif "kmeans100x" in _sys.argv[1:]:
         main_kmeans100x()
+    elif "pagerank100x" in _sys.argv[1:]:
+        main_pagerank100x()
+    elif "hll100x" in _sys.argv[1:]:
+        main_hll100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
