@@ -78,7 +78,7 @@ from .lm_quality import (
 from .classifier import pareto_keep, train_quality_classifier
 from .graph import pagerank
 from .kmeans import kmeans_embeddings
-from .sketches import hll_distinct
+from .sketches import bloom_contamination, build_bloom, hll_distinct
 from .sampling import (
     approx_dataset_profile,
     dataset_profile,
@@ -138,6 +138,8 @@ __all__ = [
     "dsir_log_ratio",
     "exact_stratified_split",
     "priority_sample",
+    "bloom_contamination",
+    "build_bloom",
     "hll_distinct",
     "kmeans_embeddings",
     "pagerank",

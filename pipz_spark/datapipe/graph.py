@@ -91,6 +91,15 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    if iters > 1:
+        # the edge list and node table feed EVERY iteration of one
+        # composed plan; without a persist each iteration would
+        # rescan the source and rebuild the upstream edge derivation
+        # (iters × redundant work at 100 TB). Tracked for
+        # release_caches() — the dedup-family discipline.
+        from . import _caches
+
+        e = _caches.track(e.persist())
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -100,6 +109,10 @@ def pagerank(
     ndeg = nodes.join(deg, nodes["node"] == deg["_src"], "left").select(
         "node", F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg")
     )
+    if iters > 1:
+        from . import _caches
+
+        ndeg = _caches.track(ndeg.persist())
     ranks = ndeg.withColumn("rank_q", F.lit(init_q).cast("long"))
 
     for _ in range(iters):

@@ -109,7 +109,11 @@ def hll_distinct(
     term: Column = F.expr("shiftleft(1L, cast(50 - least(_r, 50) as int))")
     per_group = regs.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("_seen"),
-        F.sum(term).alias("_sp"),
+        # coalesce: a GLOBAL aggregate over an empty frame yields one
+        # row with SUM = NULL; the sketch of nothing is 0 distinct
+        # (all m buckets empty -> linear counting m*ln(m/m) = 0),
+        # not NULL
+        F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("_sp"),
     )
     v = (F.lit(m) - F.col("_seen")).cast("long")
     s = (F.col("_sp") + v * F.lit(2**50).cast("long")).alias("hll_s")
@@ -126,4 +130,118 @@ def hll_distinct(
     ).select(*gcols, est.alias(out_col), "hll_s", "hll_empty")
 
 
-__all__ = ["hll_distinct"]
+def build_bloom(
+    ref: DataFrame,
+    col: str,
+    n_words: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> list[int]:
+    """Build a Bloom bitmap (Bloom 1970) over the distinct values of
+    ``ref[col]``: ``n_words`` 48-bit words (48, not 64, so the word
+    arithmetic never touches the sign bit in ANY engine — DuckDB's
+    BIGINT ``<<`` range-checks where the JVM wraps). Returns the
+    word list — a bounded driver materialization by construction:
+    the caller sizes ``n_words`` to the REFERENCE set (the eval
+    benchmark, a blocklist), never the corpus, exactly the dsir-vocab
+    stance. k hash positions per key come from independently salted
+    md5s (the repo's engine-portable hash idiom).
+
+    Sizing: false-positive rate ≈ (set_bits / (48·n_words))^k; for
+    n distinct keys, set_bits ≤ k·n. The default 4096 words = 196k
+    bits holds ~10k keys at k=3 under 0.4% FP."""
+    if n_words <= 0 or k <= 0:
+        raise ValueError(f"need n_words > 0 and k > 0, got {n_words}, {k}")
+    m_bits = n_words * 48
+    v = F.col(col).cast("string")
+    positions = [
+        F.conv(F.substring(F.md5(F.concat(v, F.lit(salt + str(i)))), 1, 13), 16, 10)
+        .cast("long")
+        % m_bits
+        for i in range(k)
+    ]
+    rows = (
+        ref.where(F.col(col).isNotNull())
+        .select(F.explode(F.array(*positions)).alias("_p"))
+        .select(F.expr("cast(_p DIV 48 as int)").alias("_w"),
+                F.expr("shiftleft(1L, cast(_p % 48 as int))").alias("_b"))
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_b)").alias("_bits"))
+        .collect()  # bounded: <= n_words skinny rows by construction
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["_w"]] = r["_bits"]
+    return words
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    n_words: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom membership sketch — the
+    JOIN-FREE complement of ``dedup.contamination``: the eval side's
+    distinct word n-grams build a ``build_bloom`` bitmap, the bitmap
+    rides the TRAIN scan as one array literal (the classifier-weights
+    stance), and a train gram is flagged when all k of its bits are
+    set. Returns (id, n_flagged) for flagged docs — a deterministic
+    SUPERSET of ``contamination``'s exact collisions (false positives
+    over-remove, the safe direction for hygiene; rate set by
+    ``n_words``/``k``).
+
+    Shape at 100 TB: ``contamination`` already broadcasts the eval
+    grams, but the broadcast is the gram STRINGS (tens of MB for a
+    large suite) and membership is a hash join per gram row; here the
+    corpus-side plan is scan → explode → pure-projection bit test →
+    one per-doc count — no join operator at all, and the "broadcast"
+    is n_words longs regardless of eval size. Same gram semantics as
+    the contamination family (lowercased distinct word n-grams,
+    short-doc fallback, blank docs excluded both sides).
+
+    Engine-exact: md5 positions, integer word/bit arithmetic, BIT_OR
+    aggregation — a SQL oracle replays the bitmap AND every false
+    positive bit-for-bit."""
+    from .dedup import word_ngrams
+    from ._util import fan_out
+
+    nonblank = F.trim(F.col(text_col)) != ""
+    eg = (
+        eval_df.where(nonblank)
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
+    words = build_bloom(eg, "_g", n_words=n_words, k=k, salt=salt)
+    m_bits = n_words * 48
+
+    tg = fan_out(train.where(nonblank)).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    g = F.col("_g")
+    probe = tg.withColumn("_bf", F.lit(words))
+    cond = F.lit(True)
+    for i in range(k):
+        probe = probe.withColumn(
+            f"_p{i}",
+            F.conv(
+                F.substring(F.md5(F.concat(g, F.lit(salt + str(i)))), 1, 13), 16, 10
+            ).cast("long")
+            % m_bits,
+        )
+        cond = cond & F.expr(
+            f"(shiftright(element_at(_bf, cast(_p{i} DIV 48 as int) + 1),"
+            f" cast(_p{i} % 48 as int)) & 1L) = 1L"
+        )
+    return (
+        probe.where(cond)
+        .groupBy(id_col)
+        .agg(F.count_distinct(g).alias("n_flagged"))
+    )
+
+
+__all__ = ["bloom_contamination", "build_bloom", "hll_distinct"]

@@ -2910,6 +2910,56 @@ JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
 """
 
 
+# Bloom-sketch decontamination (sketches.bloom_contamination): the
+# JOIN-FREE complement of dp_decontaminate — eval grams build a
+# 4096-word Bloom bitmap that rides the train scan as ONE array
+# literal; membership is a pure-projection bit test, so the corpus
+# side has no join operator at all. The oracle rebuilds the bitmap
+# (BIT_OR) and replays every bit test, so even false positives match
+# exactly (deterministic md5 positions).
+def _dp_bloom_decontam(spark, sf):
+    from .datapipe import bloom_contamination
+
+    docs = _t(spark, sf, "documents")
+    return bloom_contamination(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+
+
+_DP_BLOOM_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[s + 1 : s + 4], ' ') AS g
+  FROM toks, unnest(range(0, greatest(len(t) - 3, 1))) AS u(s)
+), eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+ep AS (
+  SELECT CAST(('0x' || substring(md5(g || 'bloom0'), 1, 13)) AS BIGINT) % 196608 AS p FROM eg
+  UNION ALL
+  SELECT CAST(('0x' || substring(md5(g || 'bloom1'), 1, 13)) AS BIGINT) % 196608 FROM eg
+  UNION ALL
+  SELECT CAST(('0x' || substring(md5(g || 'bloom2'), 1, 13)) AS BIGINT) % 196608 FROM eg),
+wrds AS (SELECT p // 48 AS w,
+                bit_or(CAST(1 AS BIGINT) << CAST(p % 48 AS INT)) AS bits
+         FROM ep GROUP BY p // 48),
+tg AS (
+  SELECT doc_id, g,
+         CAST(('0x' || substring(md5(g || 'bloom0'), 1, 13)) AS BIGINT) % 196608 AS p0,
+         CAST(('0x' || substring(md5(g || 'bloom1'), 1, 13)) AS BIGINT) % 196608 AS p1,
+         CAST(('0x' || substring(md5(g || 'bloom2'), 1, 13)) AS BIGINT) % 196608 AS p2
+  FROM grams WHERE doc_id % 50 <> 0)
+SELECT tg.doc_id, COUNT(DISTINCT tg.g) AS n_flagged
+FROM tg
+JOIN wrds w0 ON w0.w = tg.p0 // 48 AND ((w0.bits >> CAST(tg.p0 % 48 AS INT)) & 1) = 1
+JOIN wrds w1 ON w1.w = tg.p1 // 48 AND ((w1.bits >> CAST(tg.p1 % 48 AS INT)) & 1) = 1
+JOIN wrds w2 ON w2.w = tg.p2 // 48 AND ((w2.bits >> CAST(tg.p2 % 48 AS INT)) & 1) = 1
+GROUP BY tg.doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # SQL-surface queries: the engine's pipelines can equivalently be
 # written as SQL over registered views (sources/catalog.py:
@@ -4286,6 +4336,14 @@ QUERIES: dict[str, Declared] = {
     "dp_priority_sample": Declared(_dp_priority_sample, _DP_PRIORITY_SAMPLE_SQL),
     "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
+    # ---- added r13 after the window's three debut slots were
+    # spoken for → tail; r14 promotion candidate (the standard
+    # newcomer path — semdedup/dsir r11, quality_classifier r12).
+    # Bloom-sketch decontamination: join-free membership over a
+    # bitmap literal; oracle replays the bitmap and every false
+    # positive. Gated locally by test_tail_oracle + pytest until
+    # promoted.
+    "dp_bloom_decontam": Declared(_dp_bloom_decontam, _DP_BLOOM_DECONTAM_SQL),
 }
 
 

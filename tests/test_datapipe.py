@@ -2789,3 +2789,71 @@ def test_pareto_keep_matches_replay(spark):
 
     with _pytest.raises(ValueError):
         pareto_keep(df, alpha=0)
+
+
+def test_bloom_contamination_superset_and_fp_replay(spark, documents):
+    """Default sizing flags a SUPERSET of exact contamination (equal
+    here: FP rate ~1e-9 at sf0.001-scale gram counts); a deliberately
+    tiny 2-word filter forces heavy false positives and must equal
+    the pure-Python bitmap replay bit-for-bit."""
+    import hashlib
+    import re
+
+    from pipz_spark.datapipe import bloom_contamination, contamination
+
+    ev = documents.where(F.col("doc_id") % 50 == 0)
+    tr = documents.where(F.col("doc_id") % 50 != 0)
+    exact = {r["doc_id"]: r["n_collisions"] for r in contamination(tr, ev, n=4).collect()}
+    flagged = {
+        r["doc_id"]: r["n_flagged"] for r in bloom_contamination(tr, ev, n=4).collect()
+    }
+    assert set(exact) <= set(flagged)
+    assert all(flagged[d] >= exact[d] for d in exact)
+
+    got_small = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(tr, ev, n=4, n_words=2, k=2).collect()
+    }
+
+    def grams(text, n=4):
+        t = [w for w in re.split(r"\s+", text.strip().lower()) if w]
+        if not t:
+            return set()
+        return {" ".join(t[s : s + n]) for s in range(max(len(t) - (n - 1), 1))}
+
+    def pos(g, i, m_bits):
+        return (
+            int(hashlib.md5((g + "bloom" + str(i)).encode()).hexdigest()[:13], 16)
+            % m_bits
+        )
+
+    ev_rows = [r["text"] for r in ev.collect() if r["text"] and r["text"].strip()]
+    tr_rows = [
+        (r["doc_id"], r["text"])
+        for r in tr.collect()
+        if r["text"] and r["text"].strip()
+    ]
+    eg = set().union(*[grams(t) for t in ev_rows]) if ev_rows else set()
+    m_bits = 2 * 48
+    words = [0, 0]
+    for g in eg:
+        for i in range(2):
+            p = pos(g, i, m_bits)
+            words[p // 48] |= 1 << (p % 48)
+    want = {}
+    for did, t in tr_rows:
+        nf = sum(
+            1
+            for g in grams(t)
+            if all(
+                (words[pos(g, i, m_bits) // 48] >> (pos(g, i, m_bits) % 48)) & 1
+                for i in range(2)
+            )
+        )
+        if nf:
+            want[did] = nf
+    assert got_small == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_contamination(tr, ev, n_words=0)

@@ -458,3 +458,15 @@ def test_clf_keep_is_projection_plus_filter(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontam_corpus_side_has_no_join(spark):
+    # the operator's whole point vs dp_decontaminate: the bitmap is
+    # an array LITERAL in the projection, so the corpus plan is
+    # scan -> explode -> codegen bit test -> one partial-combined
+    # count — no join operator anywhere, no Python
+    plan = _plan(spark, "dp_bloom_decontam")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "partial_count" in plan

@@ -586,3 +586,56 @@ def test_pack_ffd_matches_replay_for_any_sizes(spark_prop, toks, budget, shards)
         assert fill <= budget or (
             len(members[pack]) == 1 and toks_by[members[pack][0]] > budget
         )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=30
+    ),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_pagerank_matches_replay_for_any_graph(spark_prop, edges, iters):
+    """pagerank equals the pure-Python integer replay for ANY small
+    digraph (self-loops, multi-edges, dangling nodes included) and
+    any iteration count — the mechanical guard on the fixed-point
+    contract (the kmeans/grouped_rank property-test pattern)."""
+    from test_datapipe import _ref_pagerank
+
+    from pipz_spark.datapipe import pagerank, release_caches
+
+    pairs = [(f"n{a}", f"n{b}") for a, b in edges]
+    df = spark_prop.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=iters).collect()
+    }
+    release_caches()
+    assert got == _ref_pagerank(pairs, iters)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-(10**9), max_value=10**9), max_size=80),
+    b=st.sampled_from([4, 8]),
+)
+def test_hll_matches_replay_for_any_values(spark_prop, vals, b):
+    """hll_distinct equals the pure-Python register replay for ANY
+    value multiset and register width — estimate, exact harmonic
+    integer, and empty-bucket count all bit-equal."""
+    from test_datapipe import _ref_hll
+
+    from pipz_spark.datapipe import hll_distinct
+
+    df = spark_prop.createDataFrame([(v,) for v in vals], "v long")
+    if not vals:
+        df = spark_prop.createDataFrame([], "v long")
+    rows = hll_distinct(df, "v", b=b).collect()
+    if not vals:
+        # a GLOBAL aggregate over zero rows yields one row (SQL
+        # semantics); all buckets empty -> linear counting of V=m ->
+        # m*ln(1) = exactly 0 distinct
+        assert len(rows) == 1 and rows[0]["hll_distinct"] == 0.0
+        return
+    got = (rows[0]["hll_distinct"], rows[0]["hll_s"], rows[0]["hll_empty"])
+    assert got == _ref_hll(vals, b)
