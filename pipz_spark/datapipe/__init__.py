@@ -78,13 +78,21 @@ from .lm_quality import (
 from .classifier import pareto_keep, train_quality_classifier
 from .graph import pagerank
 from .kmeans import kmeans_embeddings
-from .sketches import bloom_contamination, build_bloom, hll_distinct
+from .sketches import (
+    bloom_contamination,
+    build_bloom,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
 from .sampling import (
     approx_dataset_profile,
     dataset_profile,
     deterministic_sample,
     deterministic_shuffle,
     deterministic_split,
+    doremi_weights,
     dsir_log_ratio,
     exact_stratified_split,
     hash_bucket,
@@ -135,12 +143,16 @@ __all__ = [
     "fit_bigram_lm",
     "lang_id",
     "lm_quality_scores",
+    "doremi_weights",
     "dsir_log_ratio",
     "exact_stratified_split",
     "priority_sample",
     "bloom_contamination",
     "build_bloom",
     "hll_distinct",
+    "hll_estimate",
+    "hll_merge",
+    "hll_sketch",
     "kmeans_embeddings",
     "pagerank",
     "pareto_keep",

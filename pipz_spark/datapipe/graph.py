@@ -88,6 +88,8 @@ def pagerank(
         raise ValueError(f"need init_q > 0, got {init_q}")
     base = (init_q * (den - num)) // den
 
+    from . import _caches
+
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
@@ -97,8 +99,6 @@ def pagerank(
         # rescan the source and rebuild the upstream edge derivation
         # (iters × redundant work at 100 TB). Tracked for
         # release_caches() — the dedup-family discipline.
-        from . import _caches
-
         e = _caches.track(e.persist())
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -110,8 +110,6 @@ def pagerank(
         "node", F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg")
     )
     if iters > 1:
-        from . import _caches
-
         ndeg = _caches.track(ndeg.persist())
     ranks = ndeg.withColumn("rank_q", F.lit(init_q).cast("long"))
 

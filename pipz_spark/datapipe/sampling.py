@@ -360,6 +360,83 @@ def mixture_resample(
     )
 
 
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "lang",
+    loss_col: str = "loss",
+    rounds: int = 3,
+    eta: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture reweighting by multiplicative weights — the
+    Group-DRO weighting step of DoReMi (Xie et al. 2023 Algorithm 1;
+    the update rule is Hedge / exponentiated-gradient, Freund &
+    Schapire 1997): domains with higher reference loss earn larger
+    mixture weights, the published signal for where a data mix
+    under-serves the model. Returns one row per domain:
+    (domain_col, mean_loss DOUBLE, weight DOUBLE), weights summing
+    to <= 1 (integer-floor normalization; see below).
+
+    SCOPE: full DoReMi RETRAINS a proxy model between rounds so the
+    per-domain excess losses change; a relational engine sees fixed
+    reference losses, so this is the weighting step given static
+    losses — ``rounds`` then sharpens the mix toward the
+    highest-loss domains (Hedge dynamics under a constant loss
+    vector), and a pipeline that wants the full loop re-scores
+    ``loss_col`` between calls.
+
+    Shape at 100 TB: ONE corpus pass — a map-side-combined
+    per-domain aggregate of quantized-integer loss sums — then the
+    EG loop runs on the driver over |domains| numbers (a bounded
+    driver materialization, the kmeans-centroid stance; domain
+    counts are single digits to hundreds in every published mix).
+
+    Engine-exact (the kmeans/dsir discipline): losses floor-quantize
+    at 1e-6 into exact BIGINT sums (any aggregation order); the mean
+    is one correctly-rounded double division; exp(eta * mean)
+    floor-quantizes at 1e-6 (the suite's transcendental residual,
+    DIVERGENCES #25); weights live as integers scaled 1e6 and each
+    round renormalizes by integer floor division (w * 1e6 DIV
+    total) - so every engine replays the identical weight integers,
+    at the cost of the weight sum landing at most |domains| - 1
+    millionths under 1.0. Driver-side Python holds the loop in
+    arbitrary-precision ints; an SQL replay needs 128-bit arithmetic
+    (DuckDB HUGEINT) for the w * factor * 1e6 intermediate."""
+    if rounds < 0:
+        raise ValueError(f"need rounds >= 0, got {rounds}")
+    import math
+
+    lq = F.floor(F.col(loss_col).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    rows = (
+        df.where(F.col(domain_col).isNotNull() & F.col(loss_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.sum(lq).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .collect()  # bounded: one skinny row per domain
+    )
+    if not rows:
+        raise ValueError("doremi_weights: no rows with domain and loss")
+    doms = sorted((r[domain_col], r["_s"], r["_n"]) for r in rows)
+    scale = 1_000_000
+    means = {d: s / (n * 1e6) for d, s, n in doms}
+    factors = {
+        d: math.floor(math.exp(eta * means[d]) * 1e6 + 0.5) for d, _, _ in doms
+    }
+    w = {d: scale // len(doms) for d, _, _ in doms}
+    for _ in range(rounds):
+        raw = {d: w[d] * factors[d] for d in w}  # python ints: no overflow
+        total = sum(raw.values())
+        w = {d: (raw[d] * scale) // total for d in w}
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(d, means[d], w[d] / scale) for d, _, _ in doms],
+        f"{domain_col} string, mean_loss double, weight double",
+    )
+    return out
+
+
 def token_budget_cap(
     name: str,
     budget: int,

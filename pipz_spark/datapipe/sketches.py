@@ -58,29 +58,31 @@ def _hll_alpha_numer(m: int) -> float:
     return alpha * m * m * float(2**50)
 
 
-def hll_distinct(
+def _check_b(b: int) -> None:
+    if b % 4 != 0 or not (4 <= b <= 16):
+        raise ValueError(f"b must be a multiple of 4 in [4, 16], got {b}")
+
+
+def hll_sketch(
     df: DataFrame,
     col: str,
     group_cols: Seq[str] = (),
     b: int = 12,
     salt: str = "hll",
-    out_col: str = "hll_distinct",
 ) -> DataFrame:
-    """Estimate the distinct count of ``df[col]`` per ``group_cols``
-    (global if empty) with a 2^b-register HLL. Returns one row per
-    group: (*group_cols, out_col DOUBLE, hll_s BIGINT, hll_empty
-    BIGINT). NULL values are ignored (COUNT DISTINCT semantics).
-    Standard error ≈ 1.04/√(2^b) ≈ 1.6% at the default b=12.
-    Deterministic and oracle-replayable — see module docstring."""
-    if b % 4 != 0 or not (4 <= b <= 16):
-        raise ValueError(f"b must be a multiple of 4 in [4, 16], got {b}")
-    m = 1 << b
+    """The REGISTER stage of the HLL: one (*group_cols, hll_bucket,
+    hll_rho) row per non-empty register. This frame is the sketch's
+    merge currency — registers for the same (group, bucket) combine
+    by MAX, so sketches written per day/partition/dataset union and
+    re-aggregate without rescanning values (``hll_merge``), the
+    property that makes HLL the 100 TB distinct-count tool.
+    ``hll_estimate`` finalizes registers into a count."""
+    _check_b(b)
     hb = b // 4  # hex chars consumed by the bucket
-    numer = _hll_alpha_numer(m)
     gcols = list(group_cols)
 
     h = F.md5(F.concat(F.col(col).cast("string"), F.lit(salt)))
-    bucket = F.conv(F.substring(h, 1, hb), 16, 10).cast("long").alias("_bkt")
+    bucket = F.conv(F.substring(h, 1, hb), 16, 10).cast("long").alias("hll_bucket")
     hx = F.substring(h, hb + 1, 13)  # 52 bits of rank material
     stripped = F.regexp_replace(hx, "^0+", "")
     zhex = F.lit(13) - F.length(stripped)
@@ -97,16 +99,39 @@ def hll_distinct(
         .cast("long")
         .alias("_rho")
     )
-
-    regs = (
+    return (
         df.where(F.col(col).isNotNull())
         .select(*gcols, bucket, rho)
-        .groupBy(*gcols, "_bkt")
-        .agg(F.max("_rho").alias("_r"))
+        .groupBy(*gcols, "hll_bucket")
+        .agg(F.max("_rho").alias("hll_rho"))
     )
+
+
+def hll_merge(sketches: DataFrame, group_cols: Seq[str] = ()) -> DataFrame:
+    """Merge unioned ``hll_sketch`` frames: max per (group, bucket).
+    Lossless — merging per-part sketches equals sketching the union
+    of the parts (max is idempotent/associative/commutative)."""
+    return sketches.groupBy(*group_cols, "hll_bucket").agg(
+        F.max("hll_rho").alias("hll_rho")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Seq[str] = (),
+    b: int = 12,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Finalize an ``hll_sketch``/``hll_merge`` register frame into
+    (*group_cols, out_col DOUBLE, hll_s BIGINT, hll_empty BIGINT).
+    ``b`` must match the sketch's."""
+    _check_b(b)
+    m = 1 << b
+    numer = _hll_alpha_numer(m)
+    gcols = list(group_cols)
     # pyspark's F.shiftleft only takes a literal shift; the SQL form
     # accepts an expression
-    term: Column = F.expr("shiftleft(1L, cast(50 - least(_r, 50) as int))")
+    term: Column = F.expr("shiftleft(1L, cast(50 - least(hll_rho, 50) as int))")
     per_group = regs.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("_seen"),
         # coalesce: a GLOBAL aggregate over an empty frame yields one
@@ -128,6 +153,31 @@ def hll_distinct(
     return per_group.select(
         *gcols, s, v.alias("hll_empty")
     ).select(*gcols, est.alias(out_col), "hll_s", "hll_empty")
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: Seq[str] = (),
+    b: int = 12,
+    salt: str = "hll",
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Estimate the distinct count of ``df[col]`` per ``group_cols``
+    (global if empty) with a 2^b-register HLL — the one-shot
+    composition ``hll_estimate(hll_sketch(...))``; use the stages
+    directly to store and merge sketches incrementally. Returns one
+    row per group: (*group_cols, out_col DOUBLE, hll_s BIGINT,
+    hll_empty BIGINT). NULL values are ignored (COUNT DISTINCT
+    semantics). Standard error ≈ 1.04/√(2^b) ≈ 1.6% at the default
+    b=12. Deterministic and oracle-replayable — see module
+    docstring."""
+    return hll_estimate(
+        hll_sketch(df, col, group_cols, b=b, salt=salt),
+        group_cols,
+        b=b,
+        out_col=out_col,
+    )
 
 
 def build_bloom(
@@ -244,4 +294,11 @@ def bloom_contamination(
     )
 
 
-__all__ = ["bloom_contamination", "build_bloom", "hll_distinct"]
+__all__ = [
+    "bloom_contamination",
+    "build_bloom",
+    "hll_distinct",
+    "hll_estimate",
+    "hll_merge",
+    "hll_sketch",
+]

@@ -2960,6 +2960,46 @@ GROUP BY tg.doc_id
 """
 
 
+# DoReMi-style domain reweighting (sampling.doremi_weights): the
+# Group-DRO multiplicative-weights step over per-domain reference
+# losses — ONE map-side-combined corpus aggregate, then the EG loop
+# over |domains| integers on the driver (the kmeans-centroid
+# stance). Loss here is the n_chars/1000 stand-in (the operator is
+# loss-agnostic; a real pipeline feeds proxy-model losses). Weights
+# are integers scaled 1e6 renormalized by floor division each round,
+# so the oracle replays the exact integers (exp quantized at 1e-6,
+# DIVERGENCES #25; the w·f·1e6 intermediate needs 128-bit — HUGEINT
+# in DuckDB, arbitrary-precision Python ints on the driver).
+def _dp_doremi(spark, sf):
+    from .datapipe import doremi_weights
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "loss", F.col("n_chars") / F.lit(1000.0)
+    )
+    return doremi_weights(docs, "lang", "loss", rounds=3, eta=1.0)
+
+
+_DP_DOREMI_SQL = """
+WITH st AS (
+  SELECT lang,
+         SUM(CAST(floor((n_chars / 1000.0) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang),
+dd AS (SELECT COUNT(*) AS d FROM st),
+e AS (SELECT lang,
+             CAST(s AS DOUBLE) / (n * 1000000.0) AS mean_loss,
+             CAST(floor(exp(1.0 * (CAST(s AS DOUBLE) / (n * 1000000.0))) * 1000000.0 + 0.5) AS HUGEINT) AS f
+      FROM st),
+w0 AS (SELECT lang, mean_loss, f, CAST(1000000 // d AS HUGEINT) AS w
+       FROM e CROSS JOIN dd),
+r1 AS (SELECT lang, mean_loss, f, ((w * f) * 1000000) // SUM(w * f) OVER () AS w FROM w0),
+r2 AS (SELECT lang, mean_loss, f, ((w * f) * 1000000) // SUM(w * f) OVER () AS w FROM r1),
+r3 AS (SELECT lang, mean_loss, f, ((w * f) * 1000000) // SUM(w * f) OVER () AS w FROM r2)
+SELECT lang, mean_loss, CAST(w AS DOUBLE) / 1000000.0 AS weight FROM r3
+"""
+
+
 # --------------------------------------------------------------------
 # SQL-surface queries: the engine's pipelines can equivalently be
 # written as SQL over registered views (sources/catalog.py:
@@ -4344,6 +4384,10 @@ QUERIES: dict[str, Declared] = {
     # positive. Gated locally by test_tail_oracle + pytest until
     # promoted.
     "dp_bloom_decontam": Declared(_dp_bloom_decontam, _DP_BLOOM_DECONTAM_SQL),
+    # DoReMi-style domain reweighting (same r13-tail newcomer path,
+    # r14 promotion candidate): one corpus aggregate + driver EG
+    # loop, integer-exact weights.
+    "dp_doremi_weights": Declared(_dp_doremi, _DP_DOREMI_SQL),
 }
 
 

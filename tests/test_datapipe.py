@@ -2857,3 +2857,81 @@ def test_bloom_contamination_superset_and_fp_replay(spark, documents):
 
     with _pytest.raises(ValueError):
         bloom_contamination(tr, ev, n_words=0)
+
+
+def test_hll_sketch_merge_equals_whole(spark):
+    """The merge law, end to end: sketch two overlapping parts
+    separately, union + hll_merge the register frames, estimate —
+    result is BIT-IDENTICAL to sketching the union directly (max is
+    idempotent/associative/commutative), which is how per-day
+    sketches answer any date-range distinct query without rescans."""
+    from pipz_spark.datapipe import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    a = spark.createDataFrame([("g", i) for i in range(400)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g", i) for i in range(200, 700)], "g string, v long"
+    )
+    merged = hll_merge(
+        hll_sketch(a, "v", ["g"]).unionByName(hll_sketch(b, "v", ["g"])), ["g"]
+    )
+    got = hll_estimate(merged, ["g"]).collect()[0]
+    whole = hll_distinct(a.union(b), "v", ["g"]).collect()[0]
+    assert (got["hll_distinct"], got["hll_s"], got["hll_empty"]) == (
+        whole["hll_distinct"],
+        whole["hll_s"],
+        whole["hll_empty"],
+    )
+
+
+def test_doremi_weights_matches_replay_and_invariants(spark):
+    import math
+
+    from pipz_spark.datapipe import doremi_weights
+
+    rows = [
+        ("en", 1.0), ("en", 2.0), ("en", 3.0),
+        ("de", 4.0), ("de", 6.0),
+        ("fr", 0.5),
+        ("zh", None),  # NULL loss excluded
+        (None, 9.0),   # NULL domain excluded
+    ]
+    df = spark.createDataFrame(rows, "lang string, loss double")
+    got = {
+        r["lang"]: (r["mean_loss"], r["weight"])
+        for r in doremi_weights(df, "lang", "loss", rounds=3, eta=1.0).collect()
+    }
+    # independent replay from first principles
+    by_d = {"en": [1.0, 2.0, 3.0], "de": [4.0, 6.0], "fr": [0.5]}
+    means = {
+        d: sum(math.floor(v * 1e6 + 0.5) for v in vs) / (len(vs) * 1e6)
+        for d, vs in by_d.items()
+    }
+    f = {d: math.floor(math.exp(means[d]) * 1e6 + 0.5) for d in by_d}
+    w = {d: 1_000_000 // 3 for d in by_d}
+    for _ in range(3):
+        raw = {d: w[d] * f[d] for d in w}
+        t = sum(raw.values())
+        w = {d: (raw[d] * 1_000_000) // t for d in w}
+    want = {d: (means[d], w[d] / 1e6) for d in by_d}
+    assert got == want
+    # invariants: floor-normalized sum <= 1; loss order = weight order
+    assert sum(v[1] for v in got.values()) <= 1.0
+    assert got["de"][1] > got["en"][1] > got["fr"][1]
+    # rounds=0 -> uniform thirds
+    uni = {
+        r["lang"]: r["weight"]
+        for r in doremi_weights(df, "lang", "loss", rounds=0).collect()
+    }
+    assert all(v == 0.333333 for v in uni.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        doremi_weights(df, "lang", "loss", rounds=-1)
+    empty = spark.createDataFrame([], "lang string, loss double")
+    with _pytest.raises(ValueError, match="no rows"):
+        doremi_weights(empty, "lang", "loss")
