@@ -81,6 +81,9 @@ from .kmeans import kmeans_embeddings
 from .sketches import (
     bloom_contamination,
     build_bloom,
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
     hll_distinct,
     hll_estimate,
     hll_merge,
@@ -149,6 +152,9 @@ __all__ = [
     "priority_sample",
     "bloom_contamination",
     "build_bloom",
+    "cms_lookup",
+    "cms_merge",
+    "cms_sketch",
     "hll_distinct",
     "hll_estimate",
     "hll_merge",

@@ -180,6 +180,102 @@ def hll_distinct(
     )
 
 
+def _cms_pos(v: Column, j: int, width: int, salt: str) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(v, F.lit(salt + str(j)))), 1, 13), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 3,
+    group_cols: Seq[str] = (),
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows × ``width`` counters per group. Returns one
+    (*group_cols, cms_row, cms_pos, cms_count) row per non-zero
+    counter — at most depth × width rows per group at ANY corpus
+    size, map-side combined (exact integer sums), the third
+    mergeable sketch next to HLL (cardinality) and Bloom
+    (membership). Sketches over parts SUM to the sketch of the whole
+    (``cms_merge``); ``cms_lookup`` answers point queries with
+    est ≥ true (one-sided error ≤ e·N/width per row, ANDed across
+    depth rows). No transcendental anywhere — an SQL oracle replays
+    every counter and estimate exactly."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"need width > 0 and depth > 0, got {width}, {depth}")
+    gcols = list(group_cols)
+    v = F.col(col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_row"), _cms_pos(v, j, width, salt).alias("cms_pos")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, F.explode(rows).alias("_rp"))
+        .select(*gcols, "_rp.cms_row", "_rp.cms_pos")
+        .groupBy(*gcols, "cms_row", "cms_pos")
+        .agg(F.count(F.lit(1)).alias("cms_count"))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: Seq[str] = ()) -> DataFrame:
+    """Merge unioned ``cms_sketch`` frames: counters SUM per
+    (group, row, pos). Lossless — addition commutes with sketching."""
+    return sketches.groupBy(*group_cols, "cms_row", "cms_pos").agg(
+        F.sum("cms_count").alias("cms_count")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "cms",
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query ``probes[col]`` against a ``cms_sketch`` frame
+    (ungrouped): probes + ``out_col`` with est ≥ true count (the CMS
+    one-sided guarantee; never under). ``width``/``depth``/``salt``
+    must match the sketch's. The sketch side is ≤ depth × width rows
+    and broadcasts; the probe side never shuffles."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"need width > 0 and depth > 0, got {width}, {depth}")
+    v = F.col(col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_row"), _cms_pos(v, j, width, salt).alias("cms_pos")
+            )
+            for j in range(depth)
+        ]
+    )
+    probe_cols = probes.columns
+    exploded = probes.select(*probe_cols, F.posexplode(rows).alias("_i", "_rp")).select(
+        *probe_cols, "_rp.cms_row", "_rp.cms_pos"
+    )
+    joined = exploded.join(
+        F.broadcast(sketch.select("cms_row", "cms_pos", "cms_count")),
+        ["cms_row", "cms_pos"],
+        "left",
+    )
+    return joined.groupBy(*probe_cols).agg(
+        F.min(F.coalesce(F.col("cms_count"), F.lit(0).cast("long"))).alias(out_col)
+    )
+
+
 def build_bloom(
     ref: DataFrame,
     col: str,
@@ -297,6 +393,9 @@ def bloom_contamination(
 __all__ = [
     "bloom_contamination",
     "build_bloom",
+    "cms_lookup",
+    "cms_merge",
+    "cms_sketch",
     "hll_distinct",
     "hll_estimate",
     "hll_merge",

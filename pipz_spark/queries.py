@@ -3000,6 +3000,75 @@ SELECT lang, mean_loss, CAST(w AS DOUBLE) / 1000000.0 AS weight FROM r3
 """
 
 
+# Count-min frequency sketch (sketches.cms_sketch/cms_lookup): the
+# third mergeable sketch (HLL = cardinality, Bloom = membership,
+# CMS = frequency). Sketch the corpus token stream into 3 × 1024
+# integer counters (map-side-combined exact sums — no transcendental
+# anywhere), then point-query the exact top-20 tokens: cms_est is
+# the min over 3 counter lookups and must be >= the true count (the
+# CMS one-sided guarantee, which the oracle replays counter-exactly).
+def _dp_cms_freq(spark, sf):
+    from .datapipe import cms_lookup, cms_sketch
+
+    docs = _t(spark, sf, "documents")
+    from .datapipe.text import WS
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), WS),
+                lambda x: x != "",
+            )
+        ).alias("t")
+    )
+    sketch = cms_sketch(toks, "t", width=1024, depth=3)
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.col("n_true").desc(), F.col("t"))
+        .limit(20)
+    )
+    return cms_lookup(sketch, top, "t", width=1024, depth=3).select(
+        F.col("t").alias("token"), "n_true", "cms_est"
+    )
+
+
+_DP_CMS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+ctr AS (
+  SELECT 0 AS j, CAST(('0x' || substring(md5(t || 'cms0'), 1, 13)) AS BIGINT) % 1024 AS p,
+         COUNT(*) AS c FROM tok GROUP BY 2
+  UNION ALL
+  SELECT 1, CAST(('0x' || substring(md5(t || 'cms1'), 1, 13)) AS BIGINT) % 1024,
+         COUNT(*) FROM tok GROUP BY 2
+  UNION ALL
+  SELECT 2, CAST(('0x' || substring(md5(t || 'cms2'), 1, 13)) AS BIGINT) % 1024,
+         COUNT(*) FROM tok GROUP BY 2),
+top AS (
+  SELECT t, COUNT(*) AS n_true FROM tok GROUP BY t
+  ORDER BY n_true DESC, t LIMIT 20),
+lk AS (
+  SELECT t, n_true, 0 AS j,
+         CAST(('0x' || substring(md5(t || 'cms0'), 1, 13)) AS BIGINT) % 1024 AS p
+  FROM top
+  UNION ALL
+  SELECT t, n_true, 1,
+         CAST(('0x' || substring(md5(t || 'cms1'), 1, 13)) AS BIGINT) % 1024
+  FROM top
+  UNION ALL
+  SELECT t, n_true, 2,
+         CAST(('0x' || substring(md5(t || 'cms2'), 1, 13)) AS BIGINT) % 1024
+  FROM top)
+SELECT lk.t AS token, lk.n_true,
+       CAST(MIN(ctr.c) AS BIGINT) AS cms_est
+FROM lk JOIN ctr ON ctr.j = lk.j AND ctr.p = lk.p
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # SQL-surface queries: the engine's pipelines can equivalently be
 # written as SQL over registered views (sources/catalog.py:
@@ -4380,6 +4449,10 @@ QUERIES: dict[str, Declared] = {
     # r14 promotion candidate): one corpus aggregate + driver EG
     # loop, integer-exact weights.
     "dp_doremi_weights": Declared(_dp_doremi, _DP_DOREMI_SQL),
+    # Count-min frequency sketch (same path, r14 candidate): the
+    # third mergeable sketch, zero transcendentals, counter-exact
+    # oracle.
+    "dp_cms_freq": Declared(_dp_cms_freq, _DP_CMS_SQL),
 }
 
 

@@ -2935,3 +2935,64 @@ def test_doremi_weights_matches_replay_and_invariants(spark):
     empty = spark.createDataFrame([], "lang string, loss double")
     with _pytest.raises(ValueError, match="no rows"):
         doremi_weights(empty, "lang", "loss")
+
+
+def _ref_cms(values, width, depth, salt="cms"):
+    """Pure-Python replay of cms_sketch's counter contract."""
+    import hashlib
+
+    ctr: dict = {}
+    for v in values:
+        for j in range(depth):
+            p = (
+                int(
+                    hashlib.md5((str(v) + salt + str(j)).encode()).hexdigest()[:13],
+                    16,
+                )
+                % width
+            )
+            ctr[(j, p)] = ctr.get((j, p), 0) + 1
+    return ctr
+
+
+def test_cms_sketch_matches_replay_and_one_sided(spark):
+    from pipz_spark.datapipe import cms_lookup, cms_merge, cms_sketch
+
+    vals = [f"w{i % 17}" for i in range(300)] + ["hot"] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    # tiny width forces collisions: the replay must still match and
+    # the estimate must stay one-sided (est >= true, never under)
+    for width, depth in [(8, 2), (1024, 3)]:
+        sk = cms_sketch(df, "t", width=width, depth=depth)
+        got = {
+            (r["cms_row"], r["cms_pos"]): r["cms_count"] for r in sk.collect()
+        }
+        assert got == _ref_cms(vals, width, depth)
+        probes = spark.createDataFrame(
+            [("hot",), ("w3",), ("absent",)], "t string"
+        )
+        est = {
+            r["t"]: r["cms_est"]
+            for r in cms_lookup(sk, probes, "t", width=width, depth=depth).collect()
+        }
+        true = {"hot": 50, "w3": len([v for v in vals if v == "w3"]), "absent": 0}
+        for t, n in true.items():
+            assert est[t] >= n, (width, t, est[t], n)
+        if width == 1024:  # no collisions at this width/corpus
+            assert est == true
+    # merge law: sketch(parts) summed == sketch(whole)
+    a = spark.createDataFrame([(v,) for v in vals[:100]], "t string")
+    b = spark.createDataFrame([(v,) for v in vals[100:]], "t string")
+    merged = cms_merge(
+        cms_sketch(a, "t", width=64, depth=2).unionByName(
+            cms_sketch(b, "t", width=64, depth=2)
+        )
+    )
+    whole = cms_sketch(df, "t", width=64, depth=2)
+    got_m = {(r["cms_row"], r["cms_pos"]): r["cms_count"] for r in merged.collect()}
+    got_w = {(r["cms_row"], r["cms_pos"]): r["cms_count"] for r in whole.collect()}
+    assert got_m == got_w
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "t", width=0)

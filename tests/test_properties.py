@@ -639,3 +639,69 @@ def test_hll_matches_replay_for_any_values(spark_prop, vals, b):
         return
     got = (rows[0]["hll_distinct"], rows[0]["hll_s"], rows[0]["hll_empty"])
     assert got == _ref_hll(vals, b)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    probes=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    n_words=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bloom_membership_matches_replay_for_any_keys(
+    spark_prop, keys, probes, n_words, k
+):
+    """build_bloom + the membership bit test equal the pure-Python
+    bitmap replay for ANY key/probe sets and (tiny) filter geometry —
+    tiny filters maximize false positives, so the replay checks the
+    FP behavior, not just the happy path."""
+    import hashlib
+
+    from pipz_spark.datapipe import build_bloom
+    from pyspark.sql import functions as F
+
+    ref = spark_prop.createDataFrame([(str(v),) for v in keys], "g string")
+    words = build_bloom(ref, "g", n_words=n_words, k=k)
+    m_bits = n_words * 48
+
+    def pos(g, i):
+        return (
+            int(hashlib.md5((g + "bloom" + str(i)).encode()).hexdigest()[:13], 16)
+            % m_bits
+        )
+
+    ref_words = [0] * n_words
+    for v in set(keys):
+        for i in range(k):
+            p = pos(str(v), i)
+            ref_words[p // 48] |= 1 << (p % 48)
+    assert words == ref_words
+    # membership replay over the probe set via the same expression
+    # pipeline bloom_contamination uses
+    pf = spark_prop.createDataFrame([(str(v),) for v in probes], "g string")
+    probe = pf.withColumn("_bf", F.lit(words))
+    cond = F.lit(True)
+    for i in range(k):
+        probe = probe.withColumn(
+            f"_p{i}",
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("g"), F.lit("bloom" + str(i)))), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            % m_bits,
+        )
+        cond = cond & F.expr(
+            f"(shiftright(element_at(_bf, cast(_p{i} DIV 48 as int) + 1),"
+            f" cast(_p{i} % 48 as int)) & 1L) = 1L"
+        )
+    got = {r["g"] for r in probe.where(cond).collect()}
+    want = {
+        str(v)
+        for v in set(probes)
+        if all(
+            (ref_words[pos(str(v), i) // 48] >> (pos(str(v), i) % 48)) & 1
+            for i in range(k)
+        )
+    }
+    assert got == want
