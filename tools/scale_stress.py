@@ -1233,6 +1233,103 @@ def main_hll100x() -> None:
     spark.stop()
 
 
+def main_sketch100x() -> None:
+    """100× stress for the two tail sketches. (a) CMS: sketch the
+    ~27M-token stream of 500k docs (100 replicas of sf0.1) into
+    3 × 4096 counters and point-query the exact top-20 tokens —
+    counters must equal EXACTLY 100× the base corpus's counters
+    (same token stream replicated), estimates one-sided. The scale
+    number: the counter exchange is ≤ partitions × 3 × 4096 rows —
+    kilobytes against a 27M-occurrence stream. (b) Bloom decontam:
+    the 10k-doc eval split's grams build one bitmap literal and the
+    490k-doc train side is scan → explode → bit test → count, no
+    join; flagged docs AND per-doc counts must EQUAL the exact
+    broadcast-join contamination pass (FP rate ~1e-9 at this filter
+    size). Note the replica build makes this the total-contamination
+    regime (every train doc's text also exists in some eval replica,
+    so all 490k flag) — which makes the equality assertion a 490k-doc
+    exact-count comparison, the strongest version of the check; the
+    measured wall includes the exact-join truth pass it compares to.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py sketch100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-sketch100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_sketch100_")
+    docs = load_table(spark, "documents", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 100 + F.col("_rep")).alias("doc_id"), "text"
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{tmp}/docs100")
+    d100 = spark.read.parquet(f"{tmp}/docs100")
+    print(f"corpus: {d100.count()} docs")
+
+    from pipz_spark.datapipe import bloom_contamination, cms_lookup, cms_sketch
+    from pipz_spark.datapipe import contamination
+    from pipz_spark.datapipe.text import WS
+
+    W, D = 4096, 3
+
+    def toks_of(frame):
+        return frame.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), WS
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("t")
+        )
+
+    base_ctr = {
+        (r["cms_row"], r["cms_pos"]): r["cms_count"]
+        for r in cms_sketch(toks_of(docs), "t", width=W, depth=D).collect()
+    }
+
+    def check_cms() -> tuple:
+        toks = toks_of(d100)
+        sk = cms_sketch(toks, "t", width=W, depth=D)
+        got = {(r["cms_row"], r["cms_pos"]): r["cms_count"] for r in sk.collect()}
+        assert got == {k: v * 100 for k, v in base_ctr.items()}, "counters != 100x base"
+        top = (
+            toks.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n_true"))
+            .orderBy(F.col("n_true").desc(), F.col("t"))
+            .limit(20)
+        )
+        est = cms_lookup(sk, top, "t", width=W, depth=D).collect()
+        assert all(r["cms_est"] >= r["n_true"] for r in est)
+        n_tok = toks.count()
+        return (n_tok, len(got))
+
+    run(spark, "cms 100x (3x4096)    ", check_cms)
+
+    ev = d100.where(F.col("doc_id") % 50 == 0)
+    tr = d100.where(F.col("doc_id") % 50 != 0)
+
+    def check_bloom() -> tuple:
+        flagged = {
+            r["doc_id"]: r["n_flagged"]
+            for r in bloom_contamination(tr, ev, n=4, n_words=8192).collect()
+        }
+        exact = {
+            r["doc_id"]: r["n_collisions"]
+            for r in contamination(tr, ev, n=4).collect()
+        }
+        assert flagged == exact, (
+            len(flagged), len(exact), "bloom != exact at this filter size"
+        )
+        return (len(flagged), len(exact))
+
+    run(spark, "bloom decontam 100x  ", check_bloom)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -1255,6 +1352,8 @@ if __name__ == "__main__":
         main_pagerank100x()
     elif "hll100x" in _sys.argv[1:]:
         main_hll100x()
+    elif "sketch100x" in _sys.argv[1:]:
+        main_sketch100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
