@@ -87,6 +87,7 @@ from .sketches import (
     hll_distinct,
     hll_estimate,
     hll_merge,
+    hll_register_cols,
     hll_sketch,
 )
 from .sampling import (
@@ -158,6 +159,7 @@ __all__ = [
     "hll_distinct",
     "hll_estimate",
     "hll_merge",
+    "hll_register_cols",
     "hll_sketch",
     "kmeans_embeddings",
     "pagerank",

@@ -63,26 +63,17 @@ def _check_b(b: int) -> None:
         raise ValueError(f"b must be a multiple of 4 in [4, 16], got {b}")
 
 
-def hll_sketch(
-    df: DataFrame,
-    col: str,
-    group_cols: Seq[str] = (),
-    b: int = 12,
-    salt: str = "hll",
-) -> DataFrame:
-    """The REGISTER stage of the HLL: one (*group_cols, hll_bucket,
-    hll_rho) row per non-empty register. This frame is the sketch's
-    merge currency — registers for the same (group, bucket) combine
-    by MAX, so sketches written per day/partition/dataset union and
-    re-aggregate without rescanning values (``hll_merge``), the
-    property that makes HLL the 100 TB distinct-count tool.
-    ``hll_estimate`` finalizes registers into a count."""
+def hll_register_cols(col: Column, b: int = 12, salt: str = "hll") -> tuple:
+    """(bucket, rho) expressions for one value — the projection half
+    of the sketch, exposed so STREAMING aggregations can reuse it:
+    project these statelessly, then ``groupBy(..., bucket).max(rho)``
+    in update mode gives a bounded-state distinct-count over an
+    unbounded stream (max is exactly the aggregation Spark's state
+    store merges incrementally)."""
     _check_b(b)
     hb = b // 4  # hex chars consumed by the bucket
-    gcols = list(group_cols)
-
-    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(salt)))
-    bucket = F.conv(F.substring(h, 1, hb), 16, 10).cast("long").alias("hll_bucket")
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    bucket = F.conv(F.substring(h, 1, hb), 16, 10).cast("long")
     hx = F.substring(h, hb + 1, 13)  # 52 bits of rank material
     stripped = F.regexp_replace(hx, "^0+", "")
     zhex = F.lit(13) - F.length(stripped)
@@ -97,11 +88,29 @@ def hll_sketch(
         F.when(F.length(stripped) == 0, F.lit(53))
         .otherwise(zhex * F.lit(4) + extra + F.lit(1))
         .cast("long")
-        .alias("_rho")
     )
+    return bucket, rho
+
+
+def hll_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: Seq[str] = (),
+    b: int = 12,
+    salt: str = "hll",
+) -> DataFrame:
+    """The REGISTER stage of the HLL: one (*group_cols, hll_bucket,
+    hll_rho) row per non-empty register. This frame is the sketch's
+    merge currency — registers for the same (group, bucket) combine
+    by MAX, so sketches written per day/partition/dataset union and
+    re-aggregate without rescanning values (``hll_merge``), the
+    property that makes HLL the 100 TB distinct-count tool.
+    ``hll_estimate`` finalizes registers into a count."""
+    gcols = list(group_cols)
+    bucket, rho = hll_register_cols(F.col(col), b=b, salt=salt)
     return (
         df.where(F.col(col).isNotNull())
-        .select(*gcols, bucket, rho)
+        .select(*gcols, bucket.alias("hll_bucket"), rho.alias("_rho"))
         .groupBy(*gcols, "hll_bucket")
         .agg(F.max("_rho").alias("hll_rho"))
     )
@@ -399,5 +408,6 @@ __all__ = [
     "hll_distinct",
     "hll_estimate",
     "hll_merge",
+    "hll_register_cols",
     "hll_sketch",
 ]

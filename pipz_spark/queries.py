@@ -3069,6 +3069,55 @@ GROUP BY 1, 2
 """
 
 
+# STREAMING-EXECUTED HLL (streams.stream_hll_users): distinct users
+# per (day, event_type) with bounded state — the register projection
+# is stateless and the register aggregate is max, exactly what the
+# state store merges incrementally, so streaming registers (and the
+# estimate) are BIT-IDENTICAL to the batch sketch the oracle
+# computes. The 8th streaming rig: sketch-in-stream, the
+# bounded-state answer to streaming COUNT(DISTINCT).
+def _stream_hll_users(spark, sf):
+    from .streaming.streams import stream_hll_users
+
+    return stream_hll_users(spark, sf)
+
+
+_STREAM_HLL_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, user_id
+  FROM events WHERE user_id IS NOT NULL),
+hx AS (SELECT day, event_type, md5(CAST(user_id AS VARCHAR) || 'hll') AS h FROM ev),
+rb AS (SELECT day, event_type,
+              CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS bkt,
+              ltrim(substring(h, 3, 13), '0') AS st
+       FROM hx),
+rr AS (SELECT day, event_type, bkt,
+              CAST(CASE WHEN length(st) = 0 THEN 53
+                   ELSE (13 - length(st)) * 4
+                        + CASE WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 8 THEN 0
+                               WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 4 THEN 1
+                               WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 2 THEN 2
+                               ELSE 3 END
+                        + 1 END AS BIGINT) AS rho
+       FROM rb),
+regs AS (SELECT day, event_type, bkt, MAX(rho) AS r FROM rr GROUP BY day, event_type, bkt),
+pg AS (SELECT day, event_type, COUNT(*) AS seen,
+              SUM(CAST(1 AS BIGINT) << CAST(50 - LEAST(r, 50) AS INT)) AS sp
+       FROM regs GROUP BY day, event_type),
+fin AS (SELECT day, event_type,
+               CAST(sp + (256 - seen) * (CAST(1 AS BIGINT) << 50) AS BIGINT) AS hll_s,
+               CAST(256 - seen AS BIGINT) AS hll_empty
+        FROM pg)
+SELECT day, event_type,
+       CASE WHEN (CAST('5.2999162811336204e+19' AS DOUBLE) / hll_s) <= 640.0
+                 AND hll_empty > 0
+            THEN 256.0 * (floor(ln(256.0 / CAST(hll_empty AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+            ELSE CAST('5.2999162811336204e+19' AS DOUBLE) / hll_s END AS hll_users,
+       hll_s, hll_empty
+FROM fin
+"""
+
+
 # --------------------------------------------------------------------
 # SQL-surface queries: the engine's pipelines can equivalently be
 # written as SQL over registered views (sources/catalog.py:
@@ -4453,6 +4502,11 @@ QUERIES: dict[str, Declared] = {
     # third mergeable sketch, zero transcendentals, counter-exact
     # oracle.
     "dp_cms_freq": Declared(_dp_cms_freq, _DP_CMS_SQL),
+    # 8th streaming machine (same path, r14 candidate): HLL registers
+    # max-merged by the state store across micro-batches — the
+    # bounded-state streaming COUNT(DISTINCT); streaming registers
+    # are bit-identical to the batch sketch the oracle computes.
+    "stream_hll_users": Declared(_stream_hll_users, _STREAM_HLL_SQL),
 }
 
 

@@ -1288,3 +1288,81 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(land)
+
+
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED HyperLogLog: distinct users per (day,
+    event_type) over the event stream, with BOUNDED state — the
+    production ask exact streaming count-distinct cannot answer
+    (exact distinct state grows with the key universe; dropDuplicates
+    + count holds every key seen). The sketch is streaming-native by
+    construction: the register projection
+    (``sketches.hll_register_cols``) is stateless, and the register
+    aggregate is ``max`` — exactly the incremental merge Spark's
+    state store performs across micro-batches — so state is capped at
+    windows × types × 256 register rows whatever the stream's volume
+    or user cardinality.
+
+    Update mode emits each trigger's CHANGED registers through the
+    keyed merge-on-read log (the hourly rig's landing); the register
+    table resolves at read time and ``hll_estimate`` finalizes it
+    batch-side. Because registers are deterministic and max-merged,
+    the streaming execution's final register table — and therefore
+    the estimate — is BIT-IDENTICAL to the batch sketch of the same
+    events, which is what the oracle checks (the linear-counting ln
+    rides the usual 1e-6 grid, DIVERGENCES #25)."""
+    import tempfile
+
+    from ..datapipe.sketches import hll_estimate, hll_register_cols
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+
+    b = 8
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    bucket, rho = hll_register_cols(F.col("user_id"), b=b)
+    regs = windowed_agg(
+        stream.where(F.col("user_id").isNotNull())
+        .withColumn("hll_bucket", bucket)
+        .withColumn("_rho", rho),
+        {"hll_rho": F.max("_rho")},
+        window="1 day",
+        keys=["event_type", "hll_bucket"],
+        # replay-spanning watermark (see stream_events_hourly): part
+        # mtimes race, and a late-dropped file would lose registers
+        watermark="31 days",
+    )
+    fmt = transform(
+        "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_hll_")
+    log = append_log_sink(land, keys=["day", "event_type", "hll_bucket"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("day", "event_type", "hll_bucket", "hll_rho"), batch_id)
+
+    q = run_step_stream(
+        regs,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_hll_ckpt_"),
+        query_name="pipz-stream-hll",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final_regs = read_latest(spark, land, keys=["day", "event_type", "hll_bucket"])
+    return hll_estimate(
+        final_regs.select("day", "event_type", "hll_bucket", "hll_rho"),
+        ["day", "event_type"],
+        b=b,
+        out_col="hll_users",
+    )

@@ -774,3 +774,35 @@ def test_query_restart_resumes_exactly_once(spark, events, tmp_path):
     got = final.agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("t")).first()["t"]
     want = events.agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("t")).first()["t"]
     assert got == want
+
+
+def test_stream_hll_registers_equal_batch_sketch(spark, events):
+    """The streaming HLL's whole claim: state-store max-merge across
+    micro-batches produces registers (and therefore estimates)
+    BIT-IDENTICAL to the batch sketch of the same events — max is the
+    aggregation, so trigger boundaries cannot move it."""
+    from pipz_spark.datapipe import hll_estimate, hll_sketch
+    from pipz_spark.streaming.streams import stream_hll_users
+
+    from conftest import SF_DIR
+
+    got = {
+        (r["day"], r["event_type"]): (r["hll_users"], r["hll_s"], r["hll_empty"])
+        for r in stream_hll_users(spark, SF_DIR).collect()
+    }
+    batch = events.where(F.col("user_id").isNotNull()).select(
+        F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    want = {
+        (r["day"], r["event_type"]): (r["hll_users"], r["hll_s"], r["hll_empty"])
+        for r in hll_estimate(
+            hll_sketch(batch, "user_id", ["day", "event_type"], b=8),
+            ["day", "event_type"],
+            b=8,
+            out_col="hll_users",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 1  # multiple days x types actually streamed
