@@ -78,6 +78,7 @@ from .lm_quality import (
 from .classifier import pareto_keep, train_quality_classifier
 from .graph import pagerank
 from .kmeans import kmeans_embeddings
+from .pca import pca_project
 from .sketches import (
     bloom_contamination,
     build_bloom,
@@ -163,6 +164,7 @@ __all__ = [
     "hll_sketch",
     "kmeans_embeddings",
     "pagerank",
+    "pca_project",
     "pareto_keep",
     "train_quality_classifier",
     "grouped_rank",

@@ -3118,6 +3118,43 @@ FROM fin
 """
 
 
+# Top-principal-component projection (pca.pca_project): one d²-cell
+# integer scatter aggregate (the corpus's ONLY pass), driver-side
+# power iteration over d² numbers, pure-projection scoring. ZERO
+# transcendentals — the oracle unrolls both power steps in HUGEINT
+# and replays every projection integer bit-for-bit (no #25 residual).
+def _dp_pca(spark, sf):
+    from .datapipe import pca_project
+
+    return pca_project(_t(spark, sf, "embeddings"), iters=2)
+
+
+_DP_PCA_SQL = """
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+xd AS (SELECT vec_id, CAST(generate_subscripts(e, 1) AS INT) AS i,
+              CAST(floor(unnest(e) * 10000.0 + 0.5) AS BIGINT) AS xi
+       FROM x),
+sc AS (SELECT p.i, r.i AS j, SUM(p.xi * r.xi) AS s
+       FROM xd p JOIN xd r ON r.vec_id = p.vec_id GROUP BY p.i, r.i),
+k0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS k
+       FROM (SELECT DISTINCT i FROM sc)),
+w1 AS (SELECT sc.i, SUM(CAST(sc.s AS HUGEINT) * k0.k) AS w
+       FROM sc JOIN k0 ON k0.i = sc.j GROUP BY sc.i),
+s1 AS (SELECT MAX(ABS(w)) AS s FROM w1),
+k1 AS (SELECT i, (w * 1000000) // s1.s AS k FROM w1 CROSS JOIN s1),
+w2 AS (SELECT sc.i, SUM(CAST(sc.s AS HUGEINT) * k1.k) AS w
+       FROM sc JOIN k1 ON k1.i = sc.j GROUP BY sc.i),
+s2 AS (SELECT MAX(ABS(w)) AS s FROM w2),
+k2 AS (SELECT i, (w * 1000000) // s2.s AS k FROM w2 CROSS JOIN s2),
+proj AS (SELECT xd.vec_id, SUM(CAST(xd.xi AS HUGEINT) * k2.k) AS pq
+         FROM xd JOIN k2 ON k2.i = xd.i GROUP BY xd.vec_id)
+SELECT vec_id, CAST(pq AS BIGINT) AS pc1_q,
+       CAST(pq AS DOUBLE) / 10000000000.0 AS pc1
+FROM proj
+"""
+
+
 # --------------------------------------------------------------------
 # SQL-surface queries: the engine's pipelines can equivalently be
 # written as SQL over registered views (sources/catalog.py:
@@ -4507,6 +4544,9 @@ QUERIES: dict[str, Declared] = {
     # bounded-state streaming COUNT(DISTINCT); streaming registers
     # are bit-identical to the batch sketch the oracle computes.
     "stream_hll_users": Declared(_stream_hll_users, _STREAM_HLL_SQL),
+    # PCA power iteration (same path, r14 candidate): d²-cell scatter
+    # aggregate + driver linear algebra, zero transcendentals.
+    "dp_pca_project": Declared(_dp_pca, _DP_PCA_SQL),
 }
 
 

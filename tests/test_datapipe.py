@@ -2996,3 +2996,64 @@ def test_cms_sketch_matches_replay_and_one_sided(spark):
 
     with _pytest.raises(ValueError):
         cms_sketch(df, "t", width=0)
+
+
+def _ref_pca(ids_vecs, iters, q=10_000):
+    """Pure-Python replay of pca_project's integer contract."""
+    import math
+
+    xq = {i: [math.floor(v * q + 0.5) for v in vec] for i, vec in ids_vecs}
+    d = len(next(iter(xq.values())))
+    a = [[0] * d for _ in range(d)]
+    for v in xq.values():
+        for i in range(d):
+            for j in range(d):
+                a[i][j] += v[i] * v[j]
+    k = [1_000_000] * d
+    for _ in range(iters):
+        w = [sum(a[i][j] * k[j] for j in range(d)) for i in range(d)]
+        s = max(abs(x) for x in w)
+        if s == 0:
+            break
+        k = [(wi * 1_000_000) // s for wi in w]
+    out = {}
+    for i, v in xq.items():
+        pq = sum(v[t] * k[t] for t in range(d))
+        out[i] = (pq, pq / (q * 1e6))
+    return out
+
+
+def test_pca_project_matches_replay_and_finds_dominant_direction(spark):
+    from pipz_spark.datapipe import pca_project
+
+    # data with a designed dominant direction: spread along (3,4,0)
+    # with small noise off-axis; after 3 power steps the projection
+    # must order the points by their position along that axis
+    pts = [(i, [3.0 * t, 4.0 * t, 0.01 * ((i * 7) % 5 - 2)])
+           for i, t in enumerate([-2.0, -1.0, -0.5, 0.5, 1.0, 2.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["pc1_q"], r["pc1"])
+        for r in pca_project(df, iters=3).collect()
+    }
+    assert got == _ref_pca(pts, 3)
+    # dominant-direction sanity: projections are monotone in t
+    order = [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [0, 1, 2, 3, 4, 5] or order == [5, 4, 3, 2, 1, 0]
+    # partition invariance (integer sums)
+    again = {
+        r["vec_id"]: (r["pc1_q"], r["pc1"])
+        for r in pca_project(df.repartition(4), iters=3).collect()
+    }
+    assert again == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed dimensionalities"):
+        pca_project(
+            spark.createDataFrame(
+                [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+                "vec_id long, embedding array<double>",
+            )
+        ).collect()
+    with _pytest.raises(ValueError):
+        pca_project(df, iters=-1)

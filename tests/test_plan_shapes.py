@@ -470,3 +470,15 @@ def test_bloom_decontam_corpus_side_has_no_join(spark):
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "partial_count" in plan
+
+
+def test_pca_scoring_is_pure_projection(spark):
+    # the returned plan must be scan -> filter -> codegen projection:
+    # the scatter matrix was collected at build time (bounded d^2
+    # rows) and the iteration vector rides as an array literal — no
+    # join, no exchange, no Python (the kmeans/classifier stance)
+    plan = _plan(spark, "dp_pca_project")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -705,3 +705,32 @@ def test_bloom_membership_matches_replay_for_any_keys(
         )
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+        min_size=6,
+        max_size=48,
+    ),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_pca_matches_replay_for_any_vectors(spark_prop, vals, iters):
+    """pca_project equals the pure-Python integer replay for ANY
+    vectors and iteration count — the mechanical guard on the
+    scatter/power-iteration contract (the kmeans property pattern)."""
+    from test_datapipe import _ref_pca
+
+    from pipz_spark.datapipe import pca_project
+
+    dims = 3
+    n = max(len(vals) // dims, 1)
+    pts = [(i, vals[i * dims : (i + 1) * dims] or [0.0, 0.0, 0.0]) for i in range(n)]
+    pts = [(i, v if len(v) == dims else (v + [0.0] * dims)[:dims]) for i, v in pts]
+    df = spark_prop.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["pc1_q"], r["pc1"])
+        for r in pca_project(df, iters=iters).collect()
+    }
+    assert got == _ref_pca(pts, iters)
