@@ -25,8 +25,12 @@ DIVERGENCES-#25 residual at all):
     w = A·k is exact integer arithmetic (Python's arbitrary
     precision on the driver; an SQL replay needs 128-bit — DuckDB
     HUGEINT);
-  - normalization is MAX-ABS, not L2: k' = (w · 1e6) // max|w_i| —
-    floor division, no sqrt, still a valid power-iteration
+  - normalization is MAX-ABS, not L2: k' = (w · 1e6) div max|w_i| —
+    integer division TRUNCATED TOWARD ZERO (the semantics of both
+    Spark's ``DIV`` and DuckDB's integer ``//``; Python's ``//``
+    FLOORS, so the driver divides |w| and reapplies the sign — a
+    floored replay diverges on any negative component, caught by the
+    sf0.001 tail gate), no sqrt, still a valid power-iteration
     normalizer (any norm works; max-abs keeps everything integral);
   - the per-vector projection is the exact integer Σ_d xq_d·k_d,
     returned both raw (``pc1_q``) and as the one correctly-rounded
@@ -106,7 +110,11 @@ def pca_project(
         s = max(abs(wi) for wi in w)
         if s == 0:
             break  # zero matrix: projection stays the all-ones sum
-        k = [(wi * 1_000_000) // s for wi in w]
+        # TRUNCATING division (SQL DIV / DuckDB // semantics); see
+        # module docstring — Python's // floors negatives
+        k = [
+            (abs(wi) * 1_000_000 // s) * (1 if wi >= 0 else -1) for wi in w
+        ]
 
     k_lit = F.lit(k)
     pq = F.aggregate(

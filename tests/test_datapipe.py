@@ -3015,7 +3015,8 @@ def _ref_pca(ids_vecs, iters, q=10_000):
         s = max(abs(x) for x in w)
         if s == 0:
             break
-        k = [(wi * 1_000_000) // s for wi in w]
+        # truncating division (SQL DIV semantics), not Python floor
+        k = [(abs(wi) * 1_000_000 // s) * (1 if wi >= 0 else -1) for wi in w]
     out = {}
     for i, v in xq.items():
         pq = sum(v[t] * k[t] for t in range(d))
