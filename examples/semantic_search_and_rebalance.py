@@ -65,6 +65,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"k-means cells (k=8, 2 Lloyd iterations): sizes {sizes}")
 
+    # 2c. All-but-the-Top-style inspection (Mu & Viswanath 2018):
+    # project onto the top principal component — embedding sets with
+    # a dominant common direction benefit from removing it before
+    # cosine work; the projection spread is the diagnostic
+    from pipz_spark.datapipe import pca_project
+
+    pc = pca_project(emb, iters=3)
+    spread = pc.agg(F.min("pc1").alias("lo"), F.max("pc1").alias("hi")).first()
+    print(f"top-PC projection spread: [{spread['lo']:.4f}, {spread['hi']:.4f}]")
+
     # 3. the same top-k question, three index strategies
     queries = emb.where(F.col("vec_id") < 5)
     for label, fn in (
