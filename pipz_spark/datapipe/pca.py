@@ -8,11 +8,12 @@ same way).
 The machine completes the iterative taxonomy's third corner: kmeans
 carries k × dims state, the classifier n_buckets, PageRank per-node
 DataFrame state — PCA's state is the d × d scatter matrix, gathered
-by ONE corpus pass (a dims-pair exploded, map-side-combined integer
-aggregate: d² skinny rows shuffle no matter the corpus size), after
-which the power iteration is driver-side linear algebra over d²
-numbers (a bounded materialization, the kmeans-centroid stance —
-README's collect audit lists it).
+by ONE corpus pass (per-task integer numpy Gram accumulation over
+Arrow batches: each task emits d² skinny rows however many vectors
+it saw, so the shuffle is tasks × d² rows no matter the corpus
+size), after which the power iteration is driver-side linear algebra
+over d² numbers (a bounded materialization, the kmeans-centroid
+stance — README's collect audit lists it).
 
 Engine-exact with ZERO transcendentals — stronger than the kmeans
 discipline (no quantized exp/ln anywhere, so there is no
@@ -91,13 +92,38 @@ def pca_project(
         )
     d = dims_rows[0]["_d"]
 
-    # ONE corpus pass: the dims-pair exploded scatter aggregate —
-    # d² skinny rows after map-side combine, whatever the corpus size
+    # ONE corpus pass: per-task integer Gram accumulation. A naive
+    # dims-pair explode would generate d² rows PER VECTOR (4096 at
+    # d = 64) before the map-side combine — JVM row churn that grows
+    # with n·d², the wrong shape at 100 TB. Instead each Arrow task
+    # folds its batches into ONE d × d numpy int64 Gram matrix
+    # (Xqᵀ·Xq — exact integer matmul; entries bounded by
+    # rows_per_task · (coord_quant·|x|)², ~10⁶× headroom inside
+    # int64 at any sane task size) and emits d² skinny rows per
+    # TASK; the final aggregate sums tasks × d² rows. The values are
+    # identical to the explode formulation — an SQL oracle replays
+    # them with the d²-per-vector self-join, shape-free.
+    import pandas as pd
+    import numpy as np
+
+    def gram(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            m = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["_xq"]], dtype=np.int64
+            )
+            if len(m):
+                acc += m.T @ m
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {"_i": ii.ravel(), "_j": jj.ravel(), "_g": acc.ravel()}
+        )
+
     pairs = (
-        base.select(F.posexplode("_xq").alias("_i", "_xi"), F.col("_xq"))
-        .select("_i", "_xi", F.posexplode("_xq").alias("_j", "_xj"))
+        base.select("_xq")
+        .mapInPandas(gram, "_i int, _j int, _g long")
         .groupBy("_i", "_j")
-        .agg(F.sum(F.col("_xi") * F.col("_xj")).alias("_a"))
+        .agg(F.sum("_g").alias("_a"))
         .collect()  # bounded: d² skinny rows (README collect audit)
     )
     a = [[0] * d for _ in range(d)]

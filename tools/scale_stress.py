@@ -1330,6 +1330,68 @@ def main_sketch100x() -> None:
     spark.stop()
 
 
+def main_pca100x() -> None:
+    """100× PCA stress: the one-pass scatter machine at 200k × 64-dim
+    vectors (ann100x's corpus recipe). Truth is EXACT — a vectorized
+    numpy/python-int replay of the integer contract (int64 Gram
+    matmul, python-int power steps with truncating division)
+    recomputes every projection integer, and all 200k must match
+    bit-for-bit. The scale numbers to watch: the corpus's ONLY pass
+    emits d² rows per Arrow task (the per-task Gram fold — a
+    dims-pair explode would generate 4096 rows per VECTOR instead),
+    so the shuffle is kilobytes; scoring is a pure projection.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py pca100x
+    """
+    import numpy as np
+
+    spark = get_session(
+        "pipz-scale-stress-pca100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_pca100_")
+    emb = load_table(spark, "embeddings", sf)
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") * 100 + F.col("_rep")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + (F.col("_rep") * (i % 7 - 3)).cast("float") * 0.0005,
+        ).alias("embedding"),
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/emb100")
+    e100 = spark.read.parquet(f"{tmp}/emb100")
+    print(f"corpus: {e100.count()} vectors")
+
+    from pipz_spark.datapipe import pca_project
+
+    Q, ITERS = 10_000, 2
+    pdf = e100.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    Xq = np.floor(X * Q + 0.5).astype(np.int64)
+    d = Xq.shape[1]
+    A = (Xq.T @ Xq).tolist()  # exact int64 Gram; lists -> python ints
+    k = [1_000_000] * d
+    for _ in range(ITERS):
+        w = [sum(A[i][j] * k[j] for j in range(d)) for i in range(d)]
+        s = max(abs(x) for x in w)
+        k = [(abs(wi) * 1_000_000 // s) * (1 if wi >= 0 else -1) for wi in w]
+    pq = Xq @ np.asarray(k, dtype=np.int64)
+    want = {int(i): int(p) for i, p in zip(ids, pq)}
+
+    def check() -> tuple:
+        got = {r["vec_id"]: r["pc1_q"] for r in pca_project(e100, iters=ITERS).collect()}
+        assert len(got) == 200_000, len(got)
+        bad = sum(1 for i, p in want.items() if got.get(i) != p)
+        assert bad == 0, f"{bad} projections diverge from the replay"
+        return (len(got), bad)
+
+    run(spark, "pca 100x (d=64)      ", check)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -1354,6 +1416,8 @@ if __name__ == "__main__":
         main_hll100x()
     elif "sketch100x" in _sys.argv[1:]:
         main_sketch100x()
+    elif "pca100x" in _sys.argv[1:]:
+        main_pca100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
