@@ -205,6 +205,7 @@ def cms_sketch(
     depth: int = 3,
     group_cols: Seq[str] = (),
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min frequency sketch (Cormode & Muthukrishnan 2005):
     ``depth`` hash rows × ``width`` counters per group. Returns one
@@ -216,7 +217,15 @@ def cms_sketch(
     (``cms_merge``); ``cms_lookup`` answers point queries with
     est ≥ true (one-sided error ≤ e·N/width per row, ANDed across
     depth rows). No transcendental anywhere — an SQL oracle replays
-    every counter and estimate exactly."""
+    every counter and estimate exactly.
+
+    ``weight_col`` switches from occurrence counting to WEIGHTED
+    mass (exact BIGINT sum of the weight column — e.g. token counts
+    per doc, so the sketch answers "how many TOKENS does source X
+    contribute" without a doc-level explode): the estimate bound
+    becomes est ≥ true weighted mass. Weights must be non-negative
+    integers (a negative weight breaks the one-sided guarantee and
+    is rejected semantics — NULL weights count 0)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"need width > 0 and depth > 0, got {width}, {depth}")
     gcols = list(group_cols)
@@ -229,12 +238,22 @@ def cms_sketch(
             for j in range(depth)
         ]
     )
+    mass = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.coalesce(F.col("_wt"), F.lit(0).cast("long")))
+    )
+    wt = (
+        []
+        if weight_col is None
+        else [F.col(weight_col).cast("long").alias("_wt")]
+    )
     return (
         df.where(F.col(col).isNotNull())
-        .select(*gcols, F.explode(rows).alias("_rp"))
-        .select(*gcols, "_rp.cms_row", "_rp.cms_pos")
+        .select(*gcols, *wt, F.explode(rows).alias("_rp"))
+        .select(*gcols, *(["_wt"] if wt else []), "_rp.cms_row", "_rp.cms_pos")
         .groupBy(*gcols, "cms_row", "cms_pos")
-        .agg(F.count(F.lit(1)).alias("cms_count"))
+        .agg(mass.alias("cms_count"))
     )
 
 

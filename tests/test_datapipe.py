@@ -3058,3 +3058,32 @@ def test_pca_project_matches_replay_and_finds_dominant_direction(spark):
         ).collect()
     with _pytest.raises(ValueError):
         pca_project(df, iters=-1)
+
+
+def test_cms_weighted_mass(spark):
+    """weight_col switches the sketch to exact weighted mass: the
+    counters equal the Python replay with each key contributing its
+    weight, lookups stay one-sided, and NULL weights count zero."""
+    from pipz_spark.datapipe import cms_lookup, cms_sketch
+
+    rows = [("web", 100), ("web", 250), ("code", 40), ("books", None)]
+    df = spark.createDataFrame(rows, "src string, n_tokens long")
+    sk = cms_sketch(df, "src", width=1024, depth=3, weight_col="n_tokens")
+    got = {(r["cms_row"], r["cms_pos"]): r["cms_count"] for r in sk.collect()}
+    import hashlib
+
+    want: dict = {}
+    for src, w in rows:
+        for j in range(3):
+            p = (
+                int(hashlib.md5((src + "cms" + str(j)).encode()).hexdigest()[:13], 16)
+                % 1024
+            )
+            want[(j, p)] = want.get((j, p), 0) + (w or 0)
+    assert got == want
+    probes = spark.createDataFrame([("web",), ("books",)], "src string")
+    est = {
+        r["src"]: r["cms_est"]
+        for r in cms_lookup(sk, probes, "src", width=1024, depth=3).collect()
+    }
+    assert est["web"] >= 350 and est["books"] >= 0
