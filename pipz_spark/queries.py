@@ -4210,17 +4210,19 @@ FROM h
 # ever leaves the gate entirely, and the remaining slots cycle
 # through queries that have not yet earned a driver-green row.
 #
-# r13 window = the r12 window with four swaps (each funded by a
-# demotion whose machine stays pinned in-window; per-entry rationale
-# sits at the promoted and demoted entries themselves, and prior
-# rounds' full swap histories live in git):
-#   dp_quality_classifier  <- dp_exact_split     (r12 verdict ask #1)
-#   dp_pagerank            <- dp_priority_sample (r13 debut)
-#   dp_hll_distinct        <- dp_semdedup        (r13 debut)
-#   dp_clf_keep            <- dp_temperature_resample (r13 debut)
-# The r13 tail newcomers dp_bloom_decontam / dp_doremi_weights landed
-# after the debut slots were spoken for — r14 promotion candidates on
-# the standard path (semdedup/dsir r11, quality_classifier r12).
+# r14 window = the r13 window with five swaps (r13 verdict ask #1:
+# promote the five r13 tail newcomers — the only entries without a
+# driver row — funded by the verdict's own demote list; per-entry
+# rationale sits at the promoted and demoted entries themselves, and
+# prior rounds' full swap histories live in git):
+#   dp_bloom_decontam  <- dp_decontaminate
+#   dp_doremi_weights  <- dp_budget_cap
+#   dp_cms_freq        <- dp_clip_spans
+#   stream_hll_users   <- dp_line_dedup
+#   dp_pca_project     <- dp_top_ngrams
+# Their green makes driver evidence 125/125 for every pre-r14 query.
+# r14's OWN newcomers land at the tail (standard newcomer path) with
+# local oracle gates; r15 promotion candidates.
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {
@@ -4350,21 +4352,39 @@ QUERIES: dict[str, Declared] = {
     "dp_ann_pq": Declared(_dp_ann_pq, _DP_COSINE_TOPK_SQL),
     "dp_jaccard_clusters": Declared(_dp_jaccard_clusters, _DP_JACCARD_CLUSTERS_SQL),
     # ---- r8 promotions retained (driver-green r8, unique paths) --
-    "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
     "dp_bpe_tokens": Declared(_dp_bpe_tokens, _DP_BPE_SQL),
-    # ---- r9 promotions retained (driver-green r9) ------------------
-    # budget_cap also pins the two-phase-cumsum machine for demoted
-    # dp_pack_sequences; clip_spans runs demoted dp_repeated_spans'
-    # detection stage verbatim as its own first half
-    "dp_budget_cap": Declared(_dp_budget_cap, _DP_BUDGET_CAP_SQL),
-    "dp_clip_spans": Declared(_dp_clip_spans, _DP_CLIP_SPANS_SQL),
-    # ---- r10 promotions: the 4 post-r9-freeze entries with no
-    # driver row — closes driver evidence for every query that
-    # existed at the freeze — plus this round's newcomer, landed
-    # before the freeze
-    "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
     "dp_bm25_topk": Declared(_dp_bm25, _BM25_SQL),
-    "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
+    # ---- r14 promotions: the five r13 tail newcomers (r13 verdict
+    # ask #1 — the only registry entries with no driver row; their
+    # green makes evidence 125/125). Funded by the verdict's own
+    # demote list, each a re-parameterization of a machine still
+    # pinned in-window (rationale at the tail entries):
+    #   dp_bloom_decontam  <- dp_decontaminate (fuzzy twin stays)
+    #   dp_doremi_weights  <- dp_budget_cap (rank machine pinned by
+    #                         dp_ccnet_buckets)
+    #   dp_cms_freq        <- dp_clip_spans (span fold pinned via
+    #                         dp_exact_dedup family / JVM fold)
+    #   stream_hll_users   <- dp_line_dedup (min-struct agg pinned
+    #                         by dp_exact_dedup)
+    #   dp_pca_project     <- dp_top_ngrams (histogram family pinned
+    #                         by dp_bm25_topk)
+    # Bloom-sketch decontamination: join-free membership over a
+    # bitmap literal; oracle replays the bitmap and every false
+    # positive.
+    "dp_bloom_decontam": Declared(_dp_bloom_decontam, _DP_BLOOM_DECONTAM_SQL),
+    # DoReMi domain reweighting: one corpus aggregate + driver EG
+    # loop, integer-exact weights.
+    "dp_doremi_weights": Declared(_dp_doremi, _DP_DOREMI_SQL),
+    # Count-min frequency sketch: the third mergeable sketch,
+    # counter-exact oracle (weighted lookup column added r14 —
+    # verdict ask #5 — so the weight_col path is oracle-gated).
+    "dp_cms_freq": Declared(_dp_cms_freq, _DP_CMS_SQL),
+    # 9th streaming machine: HLL registers max-merged by the state
+    # store across micro-batches; bit-identical to the batch sketch.
+    "stream_hll_users": Declared(_stream_hll_users, _STREAM_HLL_SQL),
+    # Top-PC projection: per-task Gram fold + driver power
+    # iteration, zero transcendentals.
+    "dp_pca_project": Declared(_dp_pca, _DP_PCA_SQL),
     # ---- r11 newcomer, landed BEFORE the freeze (the r9 ask-#8
     # discipline): CCNet perplexity buckets — a NEW machine (the
     # distributed exact-rank: range partition + two-phase offsets,
@@ -4523,30 +4543,19 @@ QUERIES: dict[str, Declared] = {
     "dp_priority_sample": Declared(_dp_priority_sample, _DP_PRIORITY_SAMPLE_SQL),
     "dp_semdedup": Declared(_dp_semdedup, _DP_SEMDEDUP_SQL),
     "dp_temperature_resample": Declared(_dp_temperature, _DP_TEMPERATURE_SQL),
-    # ---- added r13 after the window's three debut slots were
-    # spoken for → tail; r14 promotion candidate (the standard
-    # newcomer path — semdedup/dsir r11, quality_classifier r12).
-    # Bloom-sketch decontamination: join-free membership over a
-    # bitmap literal; oracle replays the bitmap and every false
-    # positive. Gated locally by test_tail_oracle + pytest until
-    # promoted.
-    "dp_bloom_decontam": Declared(_dp_bloom_decontam, _DP_BLOOM_DECONTAM_SQL),
-    # DoReMi-style domain reweighting (same r13-tail newcomer path,
-    # r14 promotion candidate): one corpus aggregate + driver EG
-    # loop, integer-exact weights.
-    "dp_doremi_weights": Declared(_dp_doremi, _DP_DOREMI_SQL),
-    # Count-min frequency sketch (same path, r14 candidate): the
-    # third mergeable sketch, zero transcendentals, counter-exact
-    # oracle.
-    "dp_cms_freq": Declared(_dp_cms_freq, _DP_CMS_SQL),
-    # 8th streaming machine (same path, r14 candidate): HLL registers
-    # max-merged by the state store across micro-batches — the
-    # bounded-state streaming COUNT(DISTINCT); streaming registers
-    # are bit-identical to the batch sketch the oracle computes.
-    "stream_hll_users": Declared(_stream_hll_users, _STREAM_HLL_SQL),
-    # PCA power iteration (same path, r14 candidate): d²-cell scatter
-    # aggregate + driver linear algebra, zero transcendentals.
-    "dp_pca_project": Declared(_dp_pca, _DP_PCA_SQL),
+    # ---- demoted r14 to fund the five r13-tail promotions (r13
+    # verdict ask #1; all five driver-green r13, machines pinned
+    # in-window): decontaminate's exact-join membership — its fuzzy
+    # twin dp_fuzzy_decontam stays in-window and its bloom successor
+    # is now gated there too; budget_cap's two-phase cumsum — rank
+    # machine pinned by dp_ccnet_buckets; clip_spans + line_dedup —
+    # span-fold / min-struct agg family pinned by dp_exact_dedup;
+    # top_ngrams' explode→two-level histogram pinned by dp_bm25_topk.
+    "dp_decontaminate": Declared(_dp_decontaminate, _DP_DECONTAM_SQL),
+    "dp_budget_cap": Declared(_dp_budget_cap, _DP_BUDGET_CAP_SQL),
+    "dp_clip_spans": Declared(_dp_clip_spans, _DP_CLIP_SPANS_SQL),
+    "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
+    "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
 }
 
 
