@@ -22,11 +22,12 @@ DataFrame keyed by node, and each iteration is
      with no in-edges get the teleport base).
 
 Nothing is ever driver-materialized; the returned plan is lazy.
-Lineage grows linearly with ``iters`` — for long runs, checkpoint
-the ranks frame every ~10 iterations (`df.localCheckpoint()`), the
-standard Spark iterative-algorithm discipline. The declared query
-uses 2 iterations and stays a pure plan so the SQL oracle can replay
-it.
+Lineage grows linearly with ``iters`` — for long runs pass
+``checkpoint_every`` (≈10), which `localCheckpoint()`s the ranks
+frame at that cadence and truncates the analyzer plan, the standard
+Spark iterative-algorithm discipline. The declared query uses 2
+iterations with no checkpoint so it stays a pure plan the SQL oracle
+can replay.
 
 Every arithmetic step is integer-exact so the replay is bit-for-bit
 under ANY partitioning or aggregation order (no float sums — the
@@ -38,13 +39,22 @@ kmeans discipline, here with no quantization residual at all):
     at most outdeg−1 units per node per iteration);
   - the damped update is ``base + (Σ contribs · num) DIV den`` with
     damping = num/den (default 17/20 = 0.85) and
-    ``base = init_q · (den − num) DIV den`` — all BIGINT.
+    ``base = init_q · (den − num) DIV den`` — all BIGINT. To keep
+    the INTERMEDIATE inside int64 the engine evaluates it in the
+    algebraically identical divide-first form
+    ``(s DIV den)·num + ((s % den)·num) DIV den`` (exact for s ≥ 0:
+    write s = q·den + r; then (s·num) DIV den = q·num +
+    (r·num) DIV den), so no value in the plan ever exceeds
+    ``Σ contribs`` + base — multiplying the full sum by ``num``
+    first would overflow a star graph's hub at ``num×`` lower mass,
+    silently wrapping under non-ANSI Spark.
 
-Overflow bound: a node's rank is ≤ total mass ≈ n_nodes · init_q,
-so choose ``init_q ≤ 2^62 / n_nodes`` (the default 10^12 is safe to
-~4.6 M nodes; at 10^9 nodes use init_q = 10^9 — rank resolution
-scales down with it, which is exactly how fixed-point PageRank is
-deployed).
+Overflow bound: with the divide-first update the largest value in
+the plan is a node's in-sum, ≤ total mass ≈ n_nodes · init_q, so
+choose ``init_q ≤ 2^62 / n_nodes`` — factor-2 headroom below
+int64 — (the default 10^12 is safe to ~4.6 M nodes; at 10^9 nodes
+use init_q = 10^9 — rank resolution scales down with it, which is
+exactly how fixed-point PageRank is deployed).
 
 Dangling nodes (outdeg = 0) contribute nothing — their mass
 evaporates each iteration (the standard "remove dangling" variant;
@@ -71,14 +81,17 @@ def pagerank(
     dst_col: str = "dst",
     init_q: int = 1_000_000_000_000,
     damping: tuple[int, int] = (17, 20),
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list; returns
     (node, rank_q BIGINT, outdeg BIGINT) after ``iters`` damped
     iterations. ``rank_q / init_q`` is the rank in units of the
     initial per-node mass. Multi-edges contribute multiply (weight
     by multiplicity); pass a de-duplicated edge list for the simple
-    graph. Deterministic and integer-exact end to end — see the
-    module docstring."""
+    graph. ``checkpoint_every=N`` localCheckpoints the ranks frame
+    after every N iterations, truncating lineage for long runs
+    (values are identical with or without it). Deterministic and
+    integer-exact end to end — see the module docstring."""
     if iters < 0:
         raise ValueError(f"need iters >= 0, got {iters}")
     num, den = damping
@@ -86,6 +99,8 @@ def pagerank(
         raise ValueError(f"damping must be 0 < num < den, got {num}/{den}")
     if init_q <= 0:
         raise ValueError(f"need init_q > 0, got {init_q}")
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
     base = (init_q * (den - num)) // den
 
     # No .persist() on the per-iteration inputs, DELIBERATELY: every
@@ -112,7 +127,7 @@ def pagerank(
     )
     ranks = ndeg.withColumn("rank_q", F.lit(init_q).cast("long"))
 
-    for _ in range(iters):
+    for it in range(iters):
         contrib = e.join(
             ranks.where(F.col("outdeg") > 0).select(
                 F.col("node").alias("_n"),
@@ -121,6 +136,9 @@ def pagerank(
             F.col("_src") == F.col("_n"),
         ).select("_dst", "_c")
         insum = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        # divide-first damping: (s·num) DIV den without ever forming
+        # s·num — the intermediate stays ≤ s (see module docstring's
+        # overflow bound)
         ranks = (
             ndeg.join(insum, ndeg["node"] == insum["_dst"], "left")
             .select(
@@ -128,10 +146,15 @@ def pagerank(
                 "outdeg",
                 (
                     F.lit(base).cast("long")
-                    + F.expr(f"(coalesce(_s, 0L) * {num}L) DIV {den}L")
+                    + F.expr(
+                        f"(coalesce(_s, 0L) DIV {den}L) * {num}L"
+                        f" + ((coalesce(_s, 0L) % {den}L) * {num}L) DIV {den}L"
+                    )
                 ).alias("rank_q"),
             )
         )
+        if checkpoint_every is not None and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
 
     return ranks.select("node", "rank_q", "outdeg")
 

@@ -2658,6 +2658,53 @@ def test_pagerank_zero_iters_is_init(spark):
     assert got == {"x": 10**12, "y": 10**12}
 
 
+def test_pagerank_checkpoint_every_identical(spark):
+    """checkpoint_every truncates lineage only — 12 iterations with a
+    checkpoint every 4 are value-identical to the uncheckpointed run
+    and to the pure-Python replay (r13 verdict ask #3)."""
+    from pipz_spark.datapipe import pagerank
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "a"), ("e", "a"), ("a", "e"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    plain = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=12).collect()
+    }
+    ckpt = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=12, checkpoint_every=4).collect()
+    }
+    assert ckpt == plain == _ref_pagerank(pairs, 12)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, checkpoint_every=0)
+
+
+def test_pagerank_star_hub_no_overflow(spark):
+    """Divide-first damping keeps the intermediate ≤ the in-sum: a
+    star graph whose hub receives nearly the full corpus mass at the
+    documented bound init_q ≈ 2^62/n must NOT wrap (the r13 ADVICE
+    medium: multiplying the sum by num first overflows here)."""
+    from pipz_spark.datapipe import pagerank
+
+    n = 64
+    init_q = (2**62) // n  # documented safety bound, exactly
+    pairs = [(f"s{i}", "hub") for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=2, init_q=init_q).collect()
+    }
+    assert got == _ref_pagerank(pairs, 2, init_q=init_q)
+    # the hub's rank is positive and huge — a silent wrap would have
+    # driven it negative
+    assert got["hub"][0] > init_q
+
+
 def _ref_hll(values, b, salt="hll"):
     """Pure-Python replay of hll_distinct's register contract."""
     import hashlib
