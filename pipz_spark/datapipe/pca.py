@@ -13,7 +13,10 @@ Arrow batches: each task emits d² skinny rows however many vectors
 it saw, so the shuffle is tasks × d² rows no matter the corpus
 size), after which the power iteration is driver-side linear algebra
 over d² numbers (a bounded materialization, the kmeans-centroid
-stance — README's collect audit lists it).
+stance — README's collect audit lists it). The fold assumes
+roughly unit-norm embeddings (the standard case): the per-task
+guard raises — rather than letting numpy wrap silently — if
+rows · max|xq|² would exceed int64.
 
 Engine-exact with ZERO transcendentals — stronger than the kmeans
 discipline (no quantized exp/ln anywhere, so there is no
@@ -107,12 +110,30 @@ def pca_project(
     import numpy as np
 
     def gram(batches):
+        # numpy int64 matmul wraps SILENTLY on overflow (r13 ADVICE);
+        # guard with the exact worst case — a Gram entry is a sum of
+        # `rows` terms each ≤ max|xq|², so rows · max_xq² must stay
+        # under 2^62 (factor-2 headroom). Unit-norm embeddings at the
+        # default coord_quant=10⁴ allow ~4.6e10 rows per task; the
+        # guard only trips on unnormalized data, where the fix is a
+        # smaller coord_quant or more input partitions.
         acc = np.zeros((d, d), dtype=np.int64)
+        rows = 0
+        max_xq = 0
         for pdf in batches:
             m = np.asarray(
                 [np.asarray(v, dtype=np.int64) for v in pdf["_xq"]], dtype=np.int64
             )
             if len(m):
+                rows += len(m)
+                max_xq = max(max_xq, int(np.abs(m).max()))
+                if max_xq and rows > (2**62) // (max_xq * max_xq):
+                    raise OverflowError(
+                        f"pca_project: task Gram fold would exceed int64 "
+                        f"({rows} rows with max |xq| = {max_xq}); normalize "
+                        f"the embeddings, lower coord_quant, or repartition "
+                        f"the input into smaller tasks"
+                    )
                 acc += m.T @ m
         ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
         yield pd.DataFrame(

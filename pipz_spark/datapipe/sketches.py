@@ -224,8 +224,10 @@ def cms_sketch(
     per doc, so the sketch answers "how many TOKENS does source X
     contribute" without a doc-level explode): the estimate bound
     becomes est ≥ true weighted mass. Weights must be non-negative
-    integers (a negative weight breaks the one-sided guarantee and
-    is rejected semantics — NULL weights count 0)."""
+    (a negative weight breaks the one-sided guarantee and is
+    REJECTED at runtime — the plan raises on the first negative
+    value it scans); non-integer weights are truncated toward zero
+    by the BIGINT cast; NULL weights count 0."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"need width > 0 and depth > 0, got {width}, {depth}")
     gcols = list(group_cols)
@@ -243,10 +245,24 @@ def cms_sketch(
         if weight_col is None
         else F.sum(F.coalesce(F.col("_wt"), F.lit(0).cast("long")))
     )
+    # enforce the documented non-negativity IN the plan (distributed,
+    # no extra pass): the guard rides the same projection as the cast
     wt = (
         []
         if weight_col is None
-        else [F.col(weight_col).cast("long").alias("_wt")]
+        else [
+            F.when(
+                F.col(weight_col) < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"cms_sketch: negative weight in '{weight_col}': "),
+                        F.col(weight_col).cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col(weight_col).cast("long"))
+            .alias("_wt")
+        ]
     )
     return (
         df.where(F.col(col).isNotNull())
@@ -275,10 +291,13 @@ def cms_lookup(
     out_col: str = "cms_est",
 ) -> DataFrame:
     """Point-query ``probes[col]`` against a ``cms_sketch`` frame
-    (ungrouped): probes + ``out_col`` with est ≥ true count (the CMS
-    one-sided guarantee; never under). ``width``/``depth``/``salt``
-    must match the sketch's. The sketch side is ≤ depth × width rows
-    and broadcasts; the probe side never shuffles."""
+    (ungrouped): one row per DISTINCT probe row (the final per-probe
+    min-aggregate dedups exact duplicates — callers joining results
+    back do so by the probe columns, never by position) carrying
+    ``out_col`` with est ≥ true count (the CMS one-sided guarantee;
+    never under). ``width``/``depth``/``salt`` must match the
+    sketch's. The sketch side is ≤ depth × width rows and broadcasts;
+    the probe side never shuffles wider than its distinct rows."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"need width > 0 and depth > 0, got {width}, {depth}")
     v = F.col(col).cast("string")

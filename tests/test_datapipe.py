@@ -3107,6 +3107,25 @@ def test_pca_project_matches_replay_and_finds_dominant_direction(spark):
         pca_project(df, iters=-1)
 
 
+def test_pca_gram_overflow_guard(spark):
+    """r13 ADVICE: unnormalized embeddings whose quantized
+    coordinates would wrap the int64 Gram fold must RAISE in the
+    task, not silently corrupt the scatter matrix."""
+    from pyspark.errors import PythonException
+
+    from pipz_spark.datapipe import pca_project
+
+    # |x| = 1e6 at coord_quant=1e4 → xq = 1e10, xq² ≈ 1e20 > 2^62
+    df = spark.createDataFrame(
+        [(1, [1.0e6, 2.0e6]), (2, [1.5e6, 0.5e6])],
+        "vec_id long, embedding array<double>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(PythonException, match="exceed int64"):
+        pca_project(df, iters=1).collect()
+
+
 def test_cms_weighted_mass(spark):
     """weight_col switches the sketch to exact weighted mass: the
     counters equal the Python replay with each key contributing its
@@ -3134,3 +3153,36 @@ def test_cms_weighted_mass(spark):
         for r in cms_lookup(sk, probes, "src", width=1024, depth=3).collect()
     }
     assert est["web"] >= 350 and est["books"] >= 0
+
+
+def test_cms_negative_weight_rejected_and_probes_dedup(spark):
+    """r13 ADVICE: a negative weight voids the one-sided guarantee —
+    the plan must RAISE, not silently sketch; fractional weights
+    truncate toward zero per the documented BIGINT cast; duplicate
+    probe rows collapse to one output row (the documented distinct
+    contract)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from pipz_spark.datapipe import cms_lookup, cms_sketch
+
+    bad = spark.createDataFrame(
+        [("web", 10), ("code", -3)], "src string, n_tokens long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SparkRuntimeException, match="negative weight"):
+        cms_sketch(bad, "src", width=64, depth=2, weight_col="n_tokens").collect()
+
+    frac = spark.createDataFrame(
+        [("web", 2.9), ("web", 0.4)], "src string, n_tokens double"
+    )
+    sk = cms_sketch(frac, "src", width=64, depth=1, weight_col="n_tokens")
+    assert {r["cms_count"] for r in sk.collect()} == {2}  # 2.9→2, 0.4→0
+
+    ok = spark.createDataFrame([("web", 5)], "src string, n_tokens long")
+    sk2 = cms_sketch(ok, "src", width=64, depth=2, weight_col="n_tokens")
+    dup_probes = spark.createDataFrame(
+        [("web",), ("web",), ("x",)], "src string"
+    )
+    out = cms_lookup(sk2, dup_probes, "src", width=64, depth=2).collect()
+    assert sorted(r["src"] for r in out) == ["web", "x"]
