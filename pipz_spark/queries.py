@@ -3007,6 +3007,13 @@ SELECT lang, mean_loss, CAST(w AS DOUBLE) / 1000000.0 AS weight FROM r3
 # anywhere), then point-query the exact top-20 tokens: cms_est is
 # the min over 3 counter lookups and must be >= the true count (the
 # CMS one-sided guarantee, which the oracle replays counter-exactly).
+# The WEIGHTED path (r13 verdict ask #5) is gated in the same query:
+# a second sketch built from the pre-aggregated token histogram with
+# weight_col = per-token count must produce BIT-IDENTICAL counters
+# (Σ over a partition of the stream = the stream total), so
+# cms_wt_est replays as the same oracle value as cms_est — that is
+# also the weighted sketch's 100-TB shape: sketch the (key, mass)
+# aggregate, never the exploded occurrence stream.
 def _dp_cms_freq(spark, sf):
     from .datapipe import cms_lookup, cms_sketch
 
@@ -3022,14 +3029,20 @@ def _dp_cms_freq(spark, sf):
         ).alias("t")
     )
     sketch = cms_sketch(toks, "t", width=1024, depth=3)
+    hist = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    wsketch = cms_sketch(hist, "t", width=1024, depth=3, weight_col="n")
     top = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).alias("n_true"))
         .orderBy(F.col("n_true").desc(), F.col("t"))
         .limit(20)
     )
-    return cms_lookup(sketch, top, "t", width=1024, depth=3).select(
-        F.col("t").alias("token"), "n_true", "cms_est"
+    est = cms_lookup(sketch, top, "t", width=1024, depth=3)
+    west = cms_lookup(
+        wsketch, top, "t", width=1024, depth=3, out_col="cms_wt_est"
+    ).select("t", "cms_wt_est")
+    return est.join(west, "t").select(
+        F.col("t").alias("token"), "n_true", "cms_est", "cms_wt_est"
     )
 
 
@@ -3063,7 +3076,8 @@ lk AS (
          CAST(('0x' || substring(md5(t || 'cms2'), 1, 13)) AS BIGINT) % 1024
   FROM top)
 SELECT lk.t AS token, lk.n_true,
-       CAST(MIN(ctr.c) AS BIGINT) AS cms_est
+       CAST(MIN(ctr.c) AS BIGINT) AS cms_est,
+       CAST(MIN(ctr.c) AS BIGINT) AS cms_wt_est
 FROM lk JOIN ctr ON ctr.j = lk.j AND ctr.p = lk.p
 GROUP BY 1, 2
 """
