@@ -3186,3 +3186,45 @@ def test_cms_negative_weight_rejected_and_probes_dedup(spark):
     )
     out = cms_lookup(sk2, dup_probes, "src", width=64, depth=2).collect()
     assert sorted(r["src"] for r in out) == ["web", "x"]
+
+
+# ---- r14: examples run in CI (verdict asks #4/#8) -----------------
+
+
+def test_doremi_mixture_example(spark):
+    """The DoReMi recipe example (cms token mass -> doremi_weights ->
+    mixture_resample) runs end to end at sf0.001 and its audit holds:
+    weights are a sub-probability vector, the resample only removes
+    mass, and every surviving domain's token mass shrank or held."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from doremi_mixture import main
+    finally:
+        sys.path.pop(0)
+
+    out = main("/root/testdata/sf0.001", spark=spark)
+    assert out["n_after"] <= out["n_before"] and out["n_after"] > 0
+    w = out["weights"]
+    assert w and all(v >= 0 for v in w.values()) and sum(w.values()) <= 1.0 + 1e-9
+    for lang, est in out["mass_after"].items():
+        assert est <= out["mass_before"][lang]
+
+
+def test_incremental_sketches_example(spark, tmp_path):
+    """Per-day sketches persisted then merged equal the direct sketch
+    (the example asserts register/counter bit-identity itself); the
+    month-wide answers come back non-degenerate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from incremental_sketches import main
+    finally:
+        sys.path.pop(0)
+
+    out = main("/root/testdata/sf0.001", spark=spark, store_dir=str(tmp_path))
+    assert out["days"] >= 1
+    assert out["month_users"] > 0
+    assert out["traffic"] and all(v > 0 for v in out["traffic"].values())
