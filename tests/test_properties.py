@@ -734,3 +734,82 @@ def test_pca_matches_replay_for_any_vectors(spark_prop, vals, iters):
         for r in pca_project(df, iters=iters).collect()
     }
     assert got == _ref_pca(pts, iters)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    shared=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=0, max_size=5, unique=True
+    ),
+    train_only=st.lists(
+        st.integers(min_value=31, max_value=200), min_size=1, max_size=8, unique=True
+    ),
+    eval_only=st.lists(
+        st.integers(min_value=201, max_value=400), min_size=1, max_size=8, unique=True
+    ),
+    n_words=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_bloom_contamination_superset_of_exact(
+    spark_prop, shared, train_only, eval_only, n_words, k
+):
+    """r13 verdict ask #7: for ANY train/eval split and ANY (tiny —
+    FP-maximizing) filter geometry, bloom_contamination flags a
+    SUPERSET of the exact contamination join, and per doc counts at
+    least as many grams — false positives only ever over-remove."""
+    from pipz_spark.datapipe import bloom_contamination
+    from pipz_spark.datapipe.dedup import contamination
+
+    def doc(v):
+        return f"alpha{v} beta{v} gamma{v}"
+
+    train = spark_prop.createDataFrame(
+        [(v, doc(v)) for v in shared + train_only], "doc_id long, text string"
+    )
+    eva = spark_prop.createDataFrame(
+        [(v, doc(v)) for v in shared + eval_only], "doc_id long, text string"
+    )
+    exact = {
+        r["doc_id"]: r["n_collisions"]
+        for r in contamination(train, eva, n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(
+            train, eva, n=4, n_words=n_words, k=k
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for did, n_coll in exact.items():
+        assert bloom[did] >= n_coll
+
+
+def test_bloom_fp_rate_within_formula_bound(spark_prop):
+    """The documented sizing formula — FP rate ≈ (set_bits/m_bits)^k —
+    bounds the realized rate on a fully DISJOINT train/eval pair
+    (every flag is a false positive). Deterministic: md5 hashing over
+    fixed vocabularies, so the factor-2 slack covers the binomial
+    deviation once and the test never flakes."""
+    from pyspark.sql import functions as F
+
+    from pipz_spark.datapipe import bloom_contamination, build_bloom
+    from pipz_spark.datapipe.dedup import word_ngrams
+
+    n_words, k = 64, 3
+    train = spark_prop.createDataFrame(
+        [(i, f"traintok{i}") for i in range(4000)], "doc_id long, text string"
+    )
+    eva = spark_prop.createDataFrame(
+        [(i, f"evaltok{i}") for i in range(200)], "doc_id long, text string"
+    )
+    eg = eva.select(F.explode(word_ngrams(F.col("text"), 4)).alias("_g")).distinct()
+    words = build_bloom(eg, "_g", n_words=n_words, k=k)
+    set_bits = sum(bin(w).count("1") for w in words)
+    bound = (set_bits / (n_words * 48)) ** k
+    flagged = bloom_contamination(
+        train, eva, n=4, n_words=n_words, k=k
+    ).count()
+    rate = flagged / 4000
+    assert rate <= 2 * bound + 1e-9, (rate, bound, set_bits)
+    # and the bound is non-vacuous for this geometry: fill ~20%
+    assert 0.0 < bound < 0.05
