@@ -76,7 +76,8 @@ from .lm_quality import (
     score_bigram_lm,
 )
 from .classifier import pareto_keep, train_quality_classifier
-from .graph import pagerank
+from .graph import pagerank, propagate_min_labels, triangle_count
+from .winnow import winnow_fingerprints
 from .kmeans import kmeans_embeddings
 from .pca import pca_project
 from .sketches import (
@@ -164,6 +165,9 @@ __all__ = [
     "hll_sketch",
     "kmeans_embeddings",
     "pagerank",
+    "propagate_min_labels",
+    "triangle_count",
+    "winnow_fingerprints",
     "pca_project",
     "pareto_keep",
     "train_quality_classifier",

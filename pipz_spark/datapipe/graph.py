@@ -70,8 +70,13 @@ natural edge inputs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _ord_lt(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
+    """The degree-orientation total order (deg, node): strict less."""
+    return (d1 < d2) | ((d1 == d2) & (n1 < n2))
 
 
 def pagerank(
@@ -159,4 +164,146 @@ def pagerank(
     return ranks.select("node", "rank_q", "outdeg")
 
 
-__all__ = ["pagerank"]
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph given as an
+    edge list (either or both directions; duplicates and self-loops
+    ignored) — the node-iterator-with-degree-orientation method
+    (Schank & Wagner 2005; the MapReduce formulation is Suri &
+    Vassilvitskii 2011's "Counting triangles and the curse of the
+    last reducer", which exists precisely to kill the skewed-hub
+    wedge explosion this implementation avoids). Returns one row per
+    node that closes at least one triangle: (node, triangles BIGINT).
+
+    The machine: canonicalize to u < v pairs → per-node degree →
+    orient every edge from its lower endpoint to its higher endpoint
+    under the TOTAL order (degree, node) → wedges are the self-join
+    of the oriented list on the center ``a`` with ord(b) < ord(c) →
+    a wedge closes iff the oriented edge (b, c) exists (orientation
+    respects the order, so only ONE direction need be probed).
+    Exact integer counting, deterministic under any partitioning.
+
+    Why this survives 100 TB: a hub of degree D generates C(D, 2)
+    wedges under naive node-iteration — the "last reducer" that
+    never finishes. Orientation caps every node's OUT-degree at
+    O(√m) (a node with out-degree t has t higher-ordered neighbors
+    each of degree ≥ its own, so t² ≤ 2m), bounding total wedges at
+    m^{3/2} regardless of skew, with plain equi-join + filter shapes
+    throughout (never a cross join). The closing probe is another
+    equi-join on the (b, c) pair. Both joins shuffle skinny
+    (node, node, deg) rows only.
+
+    Reference parity: no graph operator in the reference engine —
+    LLM-data-pipeline surface (triangle density over near-dup pair
+    graphs separates template cliques from chance collisions)."""
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).where(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))
+    )
+    und = e.select(
+        F.least("_u", "_v").alias("u"), F.greatest("_u", "_v").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    lo_first = _ord_lt(F.col("du"), F.col("u"), F.col("dv"), F.col("v"))
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+    )
+    w1 = o.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("dhi").alias("db")
+    )
+    w2 = o.select(
+        F.col("lo").alias("a2"), F.col("hi").alias("c"), F.col("dhi").alias("dc")
+    )
+    wedges = w1.join(
+        w2,
+        (F.col("a") == F.col("a2"))
+        & _ord_lt(F.col("db"), F.col("b"), F.col("dc"), F.col("c")),
+    ).select("a", "b", "c")
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "leftsemi")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node
+
+
+def propagate_min_labels(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Synchronous min-label propagation over an undirected graph —
+    the Pregel connected-components/label-propagation machine
+    (Kang et al. 2009 HADI/PEGASUS formulation; the community-label
+    variant is Raghavan et al. 2007 made deterministic by replacing
+    the random tie-break with MIN). Returns (node, label) after
+    ``iters`` rounds: every node carries the smallest node id within
+    ``iters`` hops, so once ``iters`` reaches the graph diameter the
+    labels ARE the connected components.
+
+    This completes the Pregel aggregation taxonomy next to
+    ``pagerank``: same join → aggregate → join iteration shape, but
+    the merge is IDEMPOTENT MIN over an ordered domain instead of an
+    additive sum — the convergence argument (labels only ever
+    decrease, fixed point = per-component minimum) and the exchange
+    bound (map-side combine collapses each partition to one candidate
+    label per destination) both come from idempotence. The repo's
+    driver-side union-find (``dedup.dedup_clusters``) stays the right
+    tool below its documented edge cap; THIS is the shape that
+    replaces it when the pair graph itself is corpus-sized — no
+    driver state at any scale, ``checkpoint_every`` truncating
+    lineage exactly as in ``pagerank``.
+
+    Deterministic and engine-exact: MIN over the node id's natural
+    ordering, no arithmetic at all — any engine replays it with
+    ``iters`` rounds of join + GROUP BY MIN."""
+    if iters < 0:
+        raise ValueError(f"need iters >= 0, got {iters}")
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    sym = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    nodes = sym.select(F.col("_s").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+
+    for it in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("_n"), F.col("label").alias("_l")),
+            F.col("_s") == F.col("_n"),
+        ).select(F.col("_d").alias("node"), F.col("_l").alias("label"))
+        labels = (
+            nbr.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every is not None and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            labels = labels.localCheckpoint()
+
+    return labels
+
+
+__all__ = ["pagerank", "propagate_min_labels", "triangle_count"]

@@ -1,0 +1,110 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+2003 — the MOSS local fingerprinting algorithm).
+
+Where ``text.fingerprint`` hashes the WHOLE document (exact-dup key)
+and the shingle family feeds similarity joins, winnowing selects a
+guaranteed-coverage SUBSET of k-gram hashes: slide a window of ``w``
+consecutive gram hashes over the document and keep each window's
+minimum (rightmost occurrence on ties — the paper's robust-winnowing
+tie rule, which keeps the selected set stable under local edits).
+The paper's guarantee: any match of at least w + k - 1 consecutive
+tokens between two documents shares at least one selected
+fingerprint, at an expected density of 2/(w+1) of all grams — the
+index stays ~w/2× smaller than a full shingle index with NO recall
+loss above the guarantee threshold, which is exactly the overlap
+detector a 100 TB corpus can afford to build.
+
+Spark shape: ONE pure projection per document — tokens → gram-hash
+array → per-window (min, rightmost-pos) structs → array_distinct →
+explode. No shuffle anywhere (the output is already keyed by the
+input's partitioning); every step is a codegen higher-order array
+expression (transform/slice/array_min), never Python. Cost is
+O(tokens · w) expression work per doc, the algorithm's intrinsic
+bound.
+
+Engine-exact: gram hashes are the repo's md5-prefix→BIGINT idiom,
+selection is pure integer/array logic — DuckDB replays fingerprints
+row-for-row (window MIN over a rows-frame + rightmost join-back).
+
+Gram semantics follow the contamination family: lowercased,
+whitespace-tokenized; documents shorter than ``k`` tokens contribute
+their full token run as ONE gram; documents with fewer grams than
+``w`` yield one window over all grams; empty/whitespace-only
+documents are excluded.
+
+Reference parity: the reference engine has no fingerprinting
+operator — LLM-data-pipeline surface (SURVEY §2 datapipe family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WS
+
+
+def _gram_hash(gram: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(gram, F.lit(salt))), 1, 13), 16, 10
+    ).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    salt: str = "win",
+) -> DataFrame:
+    """Select winnowing fingerprints per document: one row per
+    DISTINCT selected (hash, position) — (id_col, fp_hash BIGINT,
+    fp_pos INT), fp_pos the 1-based gram index whose hash was
+    selected. Joining two corpora's outputs on fp_hash finds every
+    pair sharing ≥ w + k - 1 consecutive tokens (the winnowing
+    guarantee); positions localize the match."""
+    if k <= 0 or w <= 0:
+        raise ValueError(f"need k > 0 and w > 0, got {k}, {w}")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS),
+        lambda x: x != "",
+    )
+    n = F.size(toks)
+    # gram positions 1..max(n-k+1, 1); slice() truncates for short
+    # docs, so position 1 of a sub-k doc is the whole token run
+    n_grams = F.greatest(n - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _gram_hash(F.concat_ws(" ", F.slice(toks, i, k)), salt),
+    )
+
+    def window_struct(s: Column) -> Column:
+        win = F.slice(hashes, s, w)
+        mn = F.array_min(win)
+        # rightmost in-window index holding the min (robust
+        # winnowing): max j with win[j] == min
+        rj = F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), F.size(win)),
+                lambda j: F.when(F.element_at(win, j) == mn, j).otherwise(
+                    F.lit(0)
+                ),
+            )
+        )
+        return F.struct(
+            mn.alias("fp_hash"), (s + rj - 1).cast("int").alias("fp_pos")
+        )
+
+    n_wins = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_wins), window_struct)
+    )
+    return (
+        df.where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), F.explode(fps).alias("_fp"))
+        .select(id_col, F.col("_fp.fp_hash"), F.col("_fp.fp_pos"))
+    )
+
+
+__all__ = ["winnow_fingerprints"]

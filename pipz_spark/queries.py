@@ -4215,6 +4215,151 @@ FROM h
 """
 
 
+# Per-node triangle counts (graph.triangle_count) over the part
+# co-occurrence graph: parts are linked when they ship in the same
+# order (basket pairs — bounded by TPC-H's ≤7 lineitems per order,
+# the documented per-group explode cap). The degree-orientation
+# machine: canonical edges → degree → orient low→high under
+# (deg, node) → wedge self-join on the center with an order filter →
+# closing-edge semi-join. Orientation caps every out-degree at
+# O(√m), so wedge count ≤ m^{3/2} regardless of hub skew — the
+# Suri-Vassilvitskii "last reducer" fix. Exact integer counting;
+# the oracle replays the identical orientation and joins.
+def _dp_triangles(spark, sf):
+    from .datapipe import triangle_count
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "k").where(F.col("pa") != F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    return triangle_count(pairs).select("node", "triangles")
+
+
+_DP_TRIANGLES_SQL = """
+WITH pr AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM pr UNION ALL SELECT v AS n FROM pr)
+  GROUP BY n),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND pr.u < pr.v)
+              THEN pr.u ELSE pr.v END AS lo,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND pr.u < pr.v)
+              THEN pr.v ELSE pr.u END AS hi,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND pr.u < pr.v)
+              THEN dv.d ELSE du.d END AS dhi
+  FROM pr JOIN deg du ON du.n = pr.u JOIN deg dv ON dv.n = pr.v),
+w AS (
+  SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+  FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+  WHERE (o1.dhi < o2.dhi) OR (o1.dhi = o2.dhi AND o1.hi < o2.hi)),
+t AS (
+  SELECT w.a, w.b, w.c FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = w.b AND o.hi = w.c)),
+alln AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM alln GROUP BY node
+"""
+
+
+# Min-label propagation (graph.propagate_min_labels) over the same
+# symmetric customer↔supplier purchase graph dp_pagerank walks — the
+# OTHER Pregel aggregation: idempotent MIN instead of additive SUM
+# (labels only decrease; fixed point = per-component minimum =
+# distributed connected components with zero driver state, the
+# corpus-sized-pair-graph successor to dedup's capped union-find).
+# 3 rounds; the oracle replays them as three join + GROUP BY MIN
+# layers. No arithmetic at all — pure ordered-domain MIN.
+def _dp_labelprop(spark, sf):
+    from .datapipe import propagate_min_labels
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return propagate_min_labels(pairs, iters=3)
+
+
+_DP_LABELPROP_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src AS s, dst AS d FROM p UNION ALL SELECT dst AS s, src AS d FROM p),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+l1 AS (SELECT x.node, MIN(x.label) AS label FROM (
+         SELECT e.d AS node, l.label FROM e JOIN l0 l ON l.node = e.s
+         UNION ALL SELECT node, label FROM l0) x GROUP BY x.node),
+l2 AS (SELECT x.node, MIN(x.label) AS label FROM (
+         SELECT e.d AS node, l.label FROM e JOIN l1 l ON l.node = e.s
+         UNION ALL SELECT node, label FROM l1) x GROUP BY x.node),
+l3 AS (SELECT x.node, MIN(x.label) AS label FROM (
+         SELECT e.d AS node, l.label FROM e JOIN l2 l ON l.node = e.s
+         UNION ALL SELECT node, label FROM l2) x GROUP BY x.node)
+SELECT node, label FROM l3
+"""
+
+
+# Winnowing fingerprints (winnow.winnow_fingerprints — Schleimer et
+# al. 2003, the MOSS algorithm): per-doc word-3-gram hashes, window
+# of 4, keep each window's rightmost minimum. ONE pure projection →
+# explode per doc — no shuffle, no Python; expected density 2/(w+1)
+# of all grams with the w+k-1 match guarantee intact. The oracle
+# replays selection relationally: window MIN over a rows-frame +
+# rightmost join-back.
+def _dp_winnow(spark, sf):
+    from .datapipe import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf, "documents"), k=3, w=4
+    ).select("doc_id", "fp_hash", "fp_pos")
+
+
+_DP_WINNOW_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+  WHERE trim(coalesce(text, '')) <> ''),
+n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) >= 1),
+gi AS (
+  SELECT doc_id, toks, greatest(nt - 2, 1) AS ng,
+         unnest(range(1, greatest(nt - 2, 1) + 1)) AS i
+  FROM n),
+gr AS (
+  SELECT doc_id, i, ng,
+         CAST(('0x' || substring(md5(array_to_string(toks[i:i+2], ' ') || 'win'), 1, 13)) AS BIGINT) AS h
+  FROM gi),
+m AS (
+  SELECT doc_id, i AS s, ng,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM gr),
+ws_ AS (SELECT doc_id, s, mh FROM m WHERE s <= greatest(ng - 4 + 1, 1)),
+sel AS (
+  SELECT w.doc_id, w.mh AS fp_hash, MAX(g.i) AS fp_pos
+  FROM ws_ w JOIN gr g
+    ON g.doc_id = w.doc_id AND g.i BETWEEN w.s AND w.s + 3 AND g.h = w.mh
+  GROUP BY w.doc_id, w.s, w.mh)
+SELECT DISTINCT doc_id, fp_hash, CAST(fp_pos AS INT) AS fp_pos FROM sel
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -4570,6 +4715,19 @@ QUERIES: dict[str, Declared] = {
     "dp_clip_spans": Declared(_dp_clip_spans, _DP_CLIP_SPANS_SQL),
     "dp_line_dedup": Declared(_dp_line_dedup, _DP_LINE_DEDUP_SQL),
     "dp_top_ngrams": Declared(_dp_top_ngrams, _DP_TOP_NGRAMS_SQL),
+    # ---- r14 newcomers → tail (standard newcomer path; r15
+    # promotion candidates, gated locally by test_tail_oracle +
+    # tools/check_correctness until promoted) -----------------------
+    # Degree-oriented triangle counting: wedge self-join bounded at
+    # m^{3/2} by orientation (the Suri-Vassilvitskii last-reducer
+    # fix); exact integer counts, orientation replayed by the oracle.
+    "dp_triangles": Declared(_dp_triangles, _DP_TRIANGLES_SQL),
+    # Min-label propagation: the idempotent-MIN Pregel machine
+    # (distributed connected components with zero driver state).
+    "dp_components": Declared(_dp_labelprop, _DP_LABELPROP_SQL),
+    # Winnowing fingerprints: guaranteed-coverage shingle selection
+    # in one shuffle-free projection (MOSS).
+    "dp_winnow": Declared(_dp_winnow, _DP_WINNOW_SQL),
 }
 
 

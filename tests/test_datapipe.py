@@ -3228,3 +3228,95 @@ def test_incremental_sketches_example(spark, tmp_path):
     assert out["days"] >= 1
     assert out["month_users"] > 0
     assert out["traffic"] and all(v > 0 for v in out["traffic"].values())
+
+
+# ---- r14: triangle counting / label propagation -------------------
+
+
+def _ref_triangles(edge_pairs):
+    """Brute-force per-node triangle counts (simple undirected graph)."""
+    und = {frozenset((u, v)) for u, v in edge_pairs if u != v}
+    adj: dict = {}
+    for e in und:
+        u, v = tuple(e)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    from itertools import combinations
+
+    counts: dict = {}
+    nodes = sorted(adj)
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _ref_minlabels(edge_pairs, iters):
+    """Synchronous min-label propagation replay."""
+    adj: dict = {}
+    for u, v in edge_pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        lab = {
+            n: min([lab[n]] + [lab[m] for m in adj[n]]) for n in adj
+        }
+    return lab
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from pipz_spark.datapipe import triangle_count
+
+    # K4 + pendant + a separate triangle sharing no nodes; edges fed
+    # messy: both directions, duplicates, a self-loop
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("b", "a"), ("x", "y"), ("y", "z"),
+        ("z", "x"), ("x", "x"), ("y", "z"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _ref_triangles(pairs)
+    # partition invariance
+    again = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(df.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_triangle_count_bipartite_is_empty(spark):
+    """A bipartite graph has no triangles — the customer↔supplier
+    purchase graph shape must count zero everywhere."""
+    from pipz_spark.datapipe import triangle_count
+
+    pairs = [(f"c{i}", f"s{j}") for i in range(4) for j in range(3)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    assert triangle_count(df).count() == 0
+
+
+def test_propagate_min_labels_matches_replay(spark):
+    from pipz_spark.datapipe import propagate_min_labels
+
+    pairs = [("b", "c"), ("c", "d"), ("p", "q"), ("x", "b")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for iters in (0, 1, 2, 4):
+        got = {
+            r["node"]: r["label"]
+            for r in propagate_min_labels(df, iters=iters).collect()
+        }
+        assert got == _ref_minlabels(pairs, iters)
+    # diameter reached -> labels are connected components
+    got = {
+        r["node"]: r["label"]
+        for r in propagate_min_labels(df, iters=4, checkpoint_every=2).collect()
+    }
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "b", "p": "p", "q": "p"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        propagate_min_labels(df, iters=-1)
+    with _pytest.raises(ValueError):
+        propagate_min_labels(df, checkpoint_every=0)

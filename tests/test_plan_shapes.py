@@ -482,3 +482,27 @@ def test_pca_scoring_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_triangles_no_cartesian_and_combines_map_side(spark):
+    # orientation makes every stage an equi-join (wedge self-join
+    # keys on the center node; the order filter is a post-join
+    # predicate, NEVER a cartesian) and the final per-node count
+    # must partial-aggregate before its exchange; pure JVM throughout
+    plan = _plan(spark, "dp_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_labelprop_iterations_combine_map_side(spark):
+    # each propagation round's MIN must partial-aggregate map-side
+    # (idempotent min collapses each partition to one candidate per
+    # node before the exchange); equi-joins only; pure JVM
+    plan = _plan(spark, "dp_components")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -813,3 +813,55 @@ def test_bloom_fp_rate_within_formula_bound(spark_prop):
     assert rate <= 2 * bound + 1e-9, (rate, bound, set_bits)
     # and the bound is non-vacuous for this geometry: fill ~20%
     assert 0.0 < bound < 0.05
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_bruteforce_for_any_graph(spark_prop, edges):
+    """triangle_count equals the brute-force replay for ANY small
+    multigraph (self-loops and duplicate/reversed edges included)."""
+    from test_datapipe import _ref_triangles
+
+    from pipz_spark.datapipe import triangle_count
+
+    pairs = [(str(u), str(v)) for u, v in edges]
+    if not pairs:
+        return
+    df = spark_prop.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _ref_triangles(pairs)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+        min_size=1,
+        max_size=25,
+    ),
+    iters=st.integers(min_value=0, max_value=4),
+)
+def test_min_labels_match_replay_for_any_graph(spark_prop, edges, iters):
+    """propagate_min_labels equals the synchronous replay for ANY
+    small graph and iteration count; labels never increase round to
+    round (the idempotent-MIN convergence invariant)."""
+    from test_datapipe import _ref_minlabels
+
+    from pipz_spark.datapipe import propagate_min_labels
+
+    pairs = [(str(u), str(v)) for u, v in edges]
+    df = spark_prop.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in propagate_min_labels(df, iters=iters).collect()
+    }
+    assert got == _ref_minlabels(pairs, iters)
+    if iters:
+        prev = _ref_minlabels(pairs, iters - 1)
+        assert all(got[n] <= prev[n] for n in got)

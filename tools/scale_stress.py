@@ -1392,6 +1392,158 @@ def main_pca100x() -> None:
     spark.stop()
 
 
+def main_graph100x() -> None:
+    """Graph stress: triangle counting on 10 disjoint replicas of
+    the sf0.1 part co-occurrence graph (12M canonical edges — the
+    base graph is DENSE: 1.2M edges over 20k parts, 41M oriented
+    wedges per replica measured, so 10 replicas drive ~410M wedge
+    rows through the closing join; 100 replicas would be 4.1B, past
+    this box's disk, and the wedge row count — not the edge count —
+    is the scale axis for this machine) + min-label propagation on
+    100 replicas of the customer↔supplier graph (117M directed edges
+    after symmetrization, 3 rounds). Truth is EXACT: disjoint
+    replicas must reproduce the BASE graph's answer, which
+    pure-Python references compute (degree-oriented node iterator /
+    synchronous min rounds); the comparison joins the want table
+    against every replica's rows IN SPARK and asserts zero
+    mismatches. Scale numbers to watch: wedge rows ≈ Σ C(outdeg,2),
+    orientation capping max out-degree at O(√m) (measured 97 vs the
+    √(2m) ≈ 1550 bound on the base graph); labelprop per-round
+    shuffle O(edges + nodes).
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py graph100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-graph100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_graph100_")
+    from pipz_spark.datapipe import propagate_min_labels, triangle_count
+
+    # ---- triangles over the part co-occurrence graph -------------
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    base_edges = [(r["pa"], r["pb"]) for r in und.collect()]
+    print(f"base co-occurrence graph: {len(base_edges)} canonical edges")
+
+    # python reference: degree-oriented node iterator on the base
+    t0 = time.time()
+    deg: dict = {}
+    for u, v in base_edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    out: dict = {}
+    eset = set()
+    for u, v in base_edges:
+        lo, hi = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        out.setdefault(lo, []).append(hi)
+        eset.add((lo, hi))
+    tri_want: dict = {}
+    for a_n, nbrs in out.items():
+        nbrs = sorted(nbrs, key=lambda x: (deg[x], x))
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                if (nbrs[i], nbrs[j]) in eset:
+                    for n in (a_n, nbrs[i], nbrs[j]):
+                        tri_want[n] = tri_want.get(n, 0) + 1
+    print(
+        f"python reference: {sum(tri_want.values()) // 3} triangles over "
+        f"{len(tri_want)} closing nodes [{time.time() - t0:.1f}s]"
+    )
+    want_tri = spark.createDataFrame(
+        list(tri_want.items()), "base_node long, want_tri long"
+    )
+
+    treps = spark.range(10).select(F.col("id").alias("_rep"))
+    big = und.crossJoin(treps).select(
+        (F.col("pa") * 1000 + F.col("_rep")).alias("src"),
+        (F.col("pb") * 1000 + F.col("_rep")).alias("dst"),
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{tmp}/tri_edges")
+    e100 = spark.read.parquet(f"{tmp}/tri_edges")
+    print(f"triangle edges: {e100.count()}")
+
+    def check_tri() -> tuple:
+        got = triangle_count(e100)
+        keyed = got.select(
+            F.expr("node DIV 1000").alias("base_node"), "triangles"
+        )
+        joined = keyed.join(F.broadcast(want_tri), "base_node", "left")
+        bad = joined.where(
+            F.col("want_tri").isNull()
+            | (F.col("triangles") != F.col("want_tri"))
+        ).count()
+        total = joined.count()
+        assert bad == 0, f"{bad} of {total} nodes diverge from the replay"
+        assert total == len(tri_want) * 10, total
+        return (total, bad)
+
+    run(spark, "triangles 10x (410M wedges)", check_tri)
+
+    # ---- min-label propagation over the purchase graph -----------
+    o = load_table(spark, "orders", sf)
+    li2 = load_table(spark, "lineitem", sf)
+    pairs = (
+        o.join(li2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    base_pairs = [(r["ck"], r["sk"]) for r in pairs.collect()]
+    ITERS = 3
+    ep = [("c_" + str(c), "s_" + str(s)) for c, s in base_pairs]
+    adj: dict = {}
+    for s, d in ep:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    lab = {n: n for n in adj}
+    for _ in range(ITERS):
+        lab = {n: min([lab[n]] + [lab[m] for m in adj[n]]) for n in adj}
+    want_lab = spark.createDataFrame(
+        list(lab.items()), "base_node string, want_label string"
+    )
+
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    bigp = pairs.crossJoin(reps).select(
+        F.concat_ws("_", F.lit("c"), F.col("_rep"), F.col("ck")).alias("src"),
+        F.concat_ws("_", F.lit("s"), F.col("_rep"), F.col("sk")).alias("dst"),
+    )
+    bigp.repartition(64).write.mode("overwrite").parquet(f"{tmp}/lab_edges")
+    p100 = spark.read.parquet(f"{tmp}/lab_edges")
+    print(f"labelprop edges (pre-symmetrize): {p100.count()}")
+
+    def check_lab() -> tuple:
+        got = propagate_min_labels(p100, iters=ITERS, checkpoint_every=2)
+        # c_<rep>_<key> -> c_<key>; labels strip the same way (every
+        # replica's min label is the replica copy of the base min)
+        strip = lambda c: F.concat_ws(
+            "_", F.split(c, "_")[0], F.split(c, "_")[2]
+        )
+        keyed = got.select(
+            strip(F.col("node")).alias("base_node"),
+            strip(F.col("label")).alias("label"),
+        )
+        joined = keyed.join(F.broadcast(want_lab), "base_node", "left")
+        bad = joined.where(
+            F.col("want_label").isNull()
+            | (F.col("label") != F.col("want_label"))
+        ).count()
+        total = joined.count()
+        assert bad == 0, f"{bad} of {total} nodes diverge from the replay"
+        assert total == len(lab) * 100, total
+        return (total, bad)
+
+    run(spark, "labelprop 100x (3 it) ", check_lab)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -1418,6 +1570,8 @@ if __name__ == "__main__":
         main_sketch100x()
     elif "pca100x" in _sys.argv[1:]:
         main_pca100x()
+    elif "graph100x" in _sys.argv[1:]:
+        main_graph100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
