@@ -70,17 +70,32 @@ def winnow_fingerprints(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS),
         lambda x: x != "",
     )
-    n = F.size(toks)
+    # STAGED projections, deliberately: the token and hash arrays
+    # must be NAMED attributes, not inlined subtrees — inside nested
+    # higher-order lambdas Catalyst does no common-subexpression
+    # elimination, so a single-projection formulation re-evaluates
+    # the full md5 gram array once PER WINDOW (O(n²·w) per doc; the
+    # json_parse_props canary's lesson). Spark's CollapseProject
+    # declines to merge these because the refs are non-cheap and
+    # multiply referenced — asserted by the dp_winnow plan canary
+    # (exactly one md5 in the plan).
+    staged = (
+        df.where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), toks.alias("_toks"))
+    )
     # gram positions 1..max(n-k+1, 1); slice() truncates for short
     # docs, so position 1 of a sub-k doc is the whole token run
-    n_grams = F.greatest(n - F.lit(k - 1), F.lit(1))
+    n_grams = F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: _gram_hash(F.concat_ws(" ", F.slice(toks, i, k)), salt),
+        lambda i: _gram_hash(
+            F.concat_ws(" ", F.slice(F.col("_toks"), i, k)), salt
+        ),
     )
+    hashed = staged.select(F.col(id_col), hashes.alias("_hs"))
 
     def window_struct(s: Column) -> Column:
-        win = F.slice(hashes, s, w)
+        win = F.slice(F.col("_hs"), s, w)
         mn = F.array_min(win)
         # rightmost in-window index holding the min (robust
         # winnowing): max j with win[j] == min
@@ -96,14 +111,12 @@ def winnow_fingerprints(
             mn.alias("fp_hash"), (s + rj - 1).cast("int").alias("fp_pos")
         )
 
-    n_wins = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    n_wins = F.greatest(F.size("_hs") - F.lit(w - 1), F.lit(1))
     fps = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_wins), window_struct)
     )
-    return (
-        df.where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
-        .select(F.col(id_col), F.explode(fps).alias("_fp"))
-        .select(id_col, F.col("_fp.fp_hash"), F.col("_fp.fp_pos"))
+    return hashed.select(F.col(id_col), F.explode(fps).alias("_fp")).select(
+        id_col, F.col("_fp.fp_hash"), F.col("_fp.fp_pos")
     )
 
 

@@ -3320,3 +3320,89 @@ def test_propagate_min_labels_matches_replay(spark):
         propagate_min_labels(df, iters=-1)
     with _pytest.raises(ValueError):
         propagate_min_labels(df, checkpoint_every=0)
+
+
+# ---- r14: winnowing fingerprints ----------------------------------
+
+
+def _ref_winnow(text, k=3, w=4, salt="win"):
+    """Pure-Python replay of robust winnowing over word k-grams."""
+    import hashlib
+
+    toks = [t for t in (text or "").strip().lower().split() if t]
+    if not toks:
+        return set()
+    ng = max(len(toks) - k + 1, 1)
+    hs = [
+        int(
+            hashlib.md5(
+                (" ".join(toks[i - 1 : i - 1 + k]) + salt).encode()
+            ).hexdigest()[:13],
+            16,
+        )
+        for i in range(1, ng + 1)
+    ]
+    sel = set()
+    for s in range(1, max(len(hs) - w + 1, 1) + 1):
+        win = hs[s - 1 : s - 1 + w]
+        mn = min(win)
+        rj = max(j + 1 for j, h in enumerate(win) if h == mn)
+        sel.add((mn, s + rj - 1))
+    return sel
+
+
+def test_winnow_matches_replay_and_guarantee(spark):
+    from pipz_spark.datapipe import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different text with no overlap here at all friend"),
+        (3, "xx yy the quick brown fox jumps over the lazy dog zz"),
+        (4, "ab"),
+        (5, "  "),
+        (6, None),
+        (7, "one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    for did, text in rows:
+        if text is None or not text.strip():
+            assert did not in got  # blank docs excluded
+        else:
+            assert got[did] == _ref_winnow(text), did
+    # the winnowing guarantee: docs 1 and 3 share a 9-token run
+    # (>= w + k - 1 = 6) so they MUST share a fingerprint hash;
+    # disjoint docs share none
+    h = lambda d: {fh for fh, _ in got[d]}
+    assert h(1) & h(3)
+    assert not (h(1) & h(2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)
+
+
+def test_winnow_density(spark):
+    """Expected selected density ~ 2/(w+1) of grams (the paper's
+    bound); on real corpus text the realized density must sit well
+    below 1 and above the w-th fraction — the 'index got smaller'
+    contract that motivates winnowing at all."""
+    from pyspark.sql import functions as F
+
+    from pipz_spark.datapipe import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = 8
+    fps = winnow_fingerprints(docs, k=3, w=w).count()
+    grams = docs.select(
+        F.greatest(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) - F.lit(2),
+            F.lit(1),
+        ).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    density = fps / grams
+    assert 1.0 / w <= density <= 4.0 / (w + 1), (density, fps, grams)

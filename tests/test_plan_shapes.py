@@ -506,3 +506,18 @@ def test_labelprop_iterations_combine_map_side(spark):
     assert "partial_min" in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_winnow_is_one_shuffle_free_projection(spark):
+    # the whole selection is codegen array expressions: no exchange,
+    # no join, no Python; the staged projections must SURVIVE
+    # CollapseProject — exactly one md5 in the plan means the gram
+    # hash array is computed once per row, not once per window (the
+    # single-projection formulation re-evaluates it per window:
+    # O(n²·w) per doc)
+    plan = _plan(spark, "dp_winnow")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("md5") == 1
+    assert plan.count("split(trim") == 1

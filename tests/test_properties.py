@@ -865,3 +865,38 @@ def test_min_labels_match_replay_for_any_graph(spark_prop, edges, iters):
     if iters:
         prev = _ref_minlabels(pairs, iters - 1)
         assert all(got[n] <= prev[n] for n in got)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_winnow_matches_replay_for_any_doc(spark_prop, docs, k, w):
+    """winnow_fingerprints equals the pure-Python robust-winnowing
+    replay for ANY token stream and any (k, w) — tiny vocab maximizes
+    repeated grams, stressing the rightmost-tie rule."""
+    from test_datapipe import _ref_winnow
+
+    from pipz_spark.datapipe import winnow_fingerprints
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    for i, toks in enumerate(docs):
+        text = " ".join(toks)
+        if not text.strip():
+            assert i not in got
+        else:
+            assert got[i] == _ref_winnow(text, k=k, w=w), (i, k, w)
