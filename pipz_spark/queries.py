@@ -4360,6 +4360,55 @@ SELECT DISTINCT doc_id, fp_hash, CAST(fp_pos AS INT) AS fp_pos FROM sel
 """
 
 
+# STREAMING-EXECUTED count-min sketch (streams.stream_cms_traffic):
+# per-day event-type traffic counters with bounded state — the
+# frequency twin of stream_hll_users. The counter projection is
+# stateless and the aggregate is exact integer COUNT, which is
+# precisely the state store's incremental merge, so the streaming
+# counter table (and every point-query estimate) is BIT-IDENTICAL to
+# the batch sketch the oracle replays. 10th streaming machine; state
+# capped at days × depth × width rows at ANY stream volume.
+def _stream_cms_traffic(spark, sf):
+    from .streaming.streams import stream_cms_traffic
+
+    return stream_cms_traffic(spark, sf)
+
+
+_STREAM_CMS_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type
+  FROM events WHERE event_type IS NOT NULL),
+ctr AS (
+  SELECT day, 0 AS j,
+         CAST(('0x' || substring(md5(event_type || 'cms0'), 1, 13)) AS BIGINT) % 1024 AS p,
+         COUNT(*) AS c FROM ev GROUP BY 1, 3
+  UNION ALL
+  SELECT day, 1,
+         CAST(('0x' || substring(md5(event_type || 'cms1'), 1, 13)) AS BIGINT) % 1024,
+         COUNT(*) FROM ev GROUP BY 1, 3
+  UNION ALL
+  SELECT day, 2,
+         CAST(('0x' || substring(md5(event_type || 'cms2'), 1, 13)) AS BIGINT) % 1024,
+         COUNT(*) FROM ev GROUP BY 1, 3),
+pr AS (SELECT DISTINCT day, event_type FROM ev),
+lk AS (
+  SELECT day, event_type, 0 AS j,
+         CAST(('0x' || substring(md5(event_type || 'cms0'), 1, 13)) AS BIGINT) % 1024 AS p
+  FROM pr
+  UNION ALL
+  SELECT day, event_type, 1,
+         CAST(('0x' || substring(md5(event_type || 'cms1'), 1, 13)) AS BIGINT) % 1024
+  FROM pr
+  UNION ALL
+  SELECT day, event_type, 2,
+         CAST(('0x' || substring(md5(event_type || 'cms2'), 1, 13)) AS BIGINT) % 1024
+  FROM pr)
+SELECT lk.day, lk.event_type, CAST(MIN(ctr.c) AS BIGINT) AS cms_est
+FROM lk JOIN ctr ON ctr.day = lk.day AND ctr.j = lk.j AND ctr.p = lk.p
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -4728,6 +4777,10 @@ QUERIES: dict[str, Declared] = {
     # Winnowing fingerprints: guaranteed-coverage shingle selection
     # in one shuffle-free projection (MOSS).
     "dp_winnow": Declared(_dp_winnow, _DP_WINNOW_SQL),
+    # 10th streaming machine: CMS counters sum-merged by the state
+    # store — the frequency twin of stream_hll_users, bit-identical
+    # to the batch sketch.
+    "stream_cms_traffic": Declared(_stream_cms_traffic, _STREAM_CMS_SQL),
 }
 
 

@@ -1366,3 +1366,121 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         b=b,
         out_col="hll_users",
     )
+
+
+def stream_cms_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED count-min sketch: event-type traffic per
+    day with BOUNDED state — the frequency twin of
+    ``stream_hll_users``'s cardinality sketch, completing the
+    sketch-in-stream pair. The counter projection (the same
+    ``sketches._cms_pos`` md5 positions the batch sketch uses) is
+    stateless, and the counter aggregate is ``count`` — an exact
+    integer SUM, precisely the incremental merge the state store
+    performs across micro-batches — so state is capped at days ×
+    depth × width counter rows whatever the stream's key cardinality
+    or volume. An exact streaming per-key count holds one state row
+    per distinct key; the sketch holds depth × width REGARDLESS.
+
+    Update mode emits each trigger's changed counters through the
+    keyed merge-on-read log; read-time resolution yields the final
+    counter table, and the point-query (min over depth rows per
+    probe) runs batch-side against the distinct (day, event_type)
+    probes. Because counters are exact integer sums, the streaming
+    execution's final counter table — and therefore every estimate —
+    is BIT-IDENTICAL to the batch ``cms_sketch`` of the same events,
+    which is what the oracle replays (no transcendental anywhere)."""
+    import tempfile
+
+    from ..datapipe.sketches import _cms_pos
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+
+    width, depth, salt = 1024, 3, "cms"
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    v = F.col("event_type").cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                _cms_pos(v, j, width, salt).alias("cms_pos"),
+            )
+            for j in range(depth)
+        ]
+    )
+    ctr = windowed_agg(
+        stream.where(F.col("event_type").isNotNull())
+        .withColumn("_rp", F.explode(rows))
+        .select("ts", "_rp.cms_row", "_rp.cms_pos"),
+        {"cms_count": F.count(F.lit(1))},
+        window="1 day",
+        keys=["cms_row", "cms_pos"],
+        # replay-spanning watermark (see stream_events_hourly): part
+        # mtimes race, and a late-dropped file would lose counts
+        watermark="31 days",
+    )
+    fmt = transform(
+        "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_cms_")
+    log = append_log_sink(land, keys=["day", "cms_row", "cms_pos"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("day", "cms_row", "cms_pos", "cms_count"), batch_id)
+
+    q = run_step_stream(
+        ctr,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_cms_ckpt_"),
+        query_name="pipz-stream-cms",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sketch = read_latest(spark, land, keys=["day", "cms_row", "cms_pos"]).select(
+        "day", "cms_row", "cms_pos", "cms_count"
+    )
+    # batch-side point query: distinct (day, event_type) probes, min
+    # over the depth counter lookups — the sketch side is ≤ days ×
+    # depth × width rows and broadcasts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = (
+        ev.where(F.col("event_type").isNotNull())
+        .select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .distinct()
+    )
+    pv = F.col("event_type").cast("string")
+    prows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                _cms_pos(pv, j, width, salt).alias("cms_pos"),
+            )
+            for j in range(depth)
+        ]
+    )
+    exploded = probes.withColumn("_rp", F.explode(prows)).select(
+        "day", "event_type", "_rp.cms_row", "_rp.cms_pos"
+    )
+    joined = exploded.join(
+        F.broadcast(sketch), ["day", "cms_row", "cms_pos"], "left"
+    )
+    return joined.groupBy("day", "event_type").agg(
+        F.min(F.coalesce(F.col("cms_count"), F.lit(0).cast("long"))).alias(
+            "cms_est"
+        )
+    )

@@ -806,3 +806,43 @@ def test_stream_hll_registers_equal_batch_sketch(spark, events):
     }
     assert got == want
     assert len(got) > 1  # multiple days x types actually streamed
+
+
+def test_stream_cms_counters_equal_batch_sketch(spark, events):
+    """The streaming CMS's whole claim: state-store count-merge
+    across micro-batches produces counters (and therefore every
+    point-query estimate) BIT-IDENTICAL to the batch sketch of the
+    same events — exact integer sums, so trigger boundaries cannot
+    move them; and every estimate holds the one-sided cms_est >=
+    true guarantee."""
+    from pipz_spark.datapipe import cms_lookup, cms_sketch
+    from pipz_spark.streaming.streams import stream_cms_traffic
+
+    from conftest import SF_DIR
+
+    got = {
+        (r["day"], r["event_type"]): r["cms_est"]
+        for r in stream_cms_traffic(spark, SF_DIR).collect()
+    }
+    batch = events.where(F.col("event_type").isNotNull()).select(
+        F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    truth = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in batch.groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # per-day batch sketch + lookup must equal the streaming output
+    want: dict = {}
+    for day in sorted({d for d, _ in truth}):
+        day_ev = batch.where(F.col("day") == day)
+        sk = cms_sketch(day_ev, "event_type", width=1024, depth=3)
+        probes = day_ev.select("event_type").distinct()
+        for r in cms_lookup(sk, probes, "event_type", width=1024, depth=3).collect():
+            want[(day, r["event_type"])] = r["cms_est"]
+    assert got == want
+    assert len(got) > 5  # multiple days x types actually streamed
+    for key, est in got.items():
+        assert est >= truth[key]  # one-sided guarantee survives streaming
