@@ -4228,7 +4228,14 @@ FROM h
 def _dp_triangles(spark, sf):
     from .datapipe import triangle_count
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # deterministic 1-in-5 order slice: the full co-occurrence graph
+    # is DENSE (41M wedges at sf0.1 — the graph100x rig stresses it);
+    # the declared query gates the machine at bench-friendly density
+    li = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     pairs = a.join(b, "k").where(F.col("pa") != F.col("pb")).select(
@@ -4242,7 +4249,8 @@ WITH pr AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
                   greatest(a.l_partkey, b.l_partkey) AS v
   FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 5 = 0 AND b.l_orderkey % 5 = 0),
 deg AS (
   SELECT n, COUNT(*) AS d
   FROM (SELECT u AS n FROM pr UNION ALL SELECT v AS n FROM pr)
