@@ -176,4 +176,91 @@ def pca_project(
     )
 
 
-__all__ = ["pca_project"]
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_out: int = 8,
+    coord_quant: int = 10_000,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the
+    database-friendly ±1 projection matrix (Achlioptas 2003: entries
+    s_jd ∈ {+1, −1} uniformly preserve pairwise distances within
+    (1 ± ε) at d_out = O(log n / ε²), no Gaussians needed). The
+    reduced vectors feed the ANN / k-means / SemDeDup machines at a
+    fraction of the storage and dot-product cost — the published
+    pre-step for embedding pipelines whose native dimension is
+    larger than the similarity task needs.
+
+    Returns one row per (vector, output dimension): (id_col, jl_dim
+    INT, jl_q BIGINT) — jl_q the EXACT integer projection
+    Σ_d xq_d · s_jd of the floor-quantized coordinates (the pca
+    discipline: engine-exact, zero transcendentals; divide by
+    coord_quant for the real-valued coordinate). The sign matrix is
+    derived ONCE on the driver from md5(salt, j, d) parity — d_out×d
+    integers riding the plan as literals (the classifier-weights
+    stance; at the published d_out = O(log n) this is hundreds of
+    literals, never corpus-sized) — so ANY engine given the same
+    matrix replays every projection bit-for-bit.
+
+    Spark shape: ONE pure projection, no shuffle, no Python —
+    per-dimension zip_with/aggregate folds inside whole-stage
+    codegen. Rows with NULL vectors are excluded; mixed
+    dimensionalities raise (the pca_project contract)."""
+    if d_out <= 0:
+        raise ValueError(f"need d_out > 0, got {d_out}")
+    if coord_quant <= 0:
+        raise ValueError(f"need coord_quant > 0, got {coord_quant}")
+    q = float(coord_quant)
+    xq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(q) + F.lit(0.5)).cast("long"),
+    )
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), xq.alias("_xq")
+    )
+    dims_rows = base.select(F.size("_xq").alias("_d")).distinct().collect()
+    if not dims_rows:
+        raise ValueError("jl_project: no non-null vectors")
+    if len(dims_rows) > 1:
+        raise ValueError(
+            f"jl_project: mixed dimensionalities {sorted(r['_d'] for r in dims_rows)}"
+        )
+    d = dims_rows[0]["_d"]
+    signs = jl_signs(d, d_out, salt)
+    projs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("jl_dim"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_xq"),
+                        F.lit(signs[j]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).alias("jl_q"),
+            )
+            for j in range(d_out)
+        ]
+    )
+    return base.select(F.col(id_col), F.explode(projs).alias("_p")).select(
+        id_col, F.col("_p.jl_dim"), F.col("_p.jl_q")
+    )
+
+
+def jl_signs(d: int, d_out: int, salt: str = "jl") -> list[list[int]]:
+    """The ±1 sign matrix ``jl_project`` embeds — exposed so oracles
+    and callers building the SQL replay share the exact literals."""
+    import hashlib
+
+    def sign(j: int, dd: int) -> int:
+        h = hashlib.md5(f"{salt}:{j}:{dd}".encode()).hexdigest()
+        return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+    return [[sign(j, dd) for dd in range(d)] for j in range(d_out)]
+
+
+__all__ = ["jl_project", "jl_signs", "pca_project"]

@@ -189,6 +189,61 @@ def hll_distinct(
     )
 
 
+def hll_intersect_estimate(
+    df: DataFrame,
+    col: str,
+    part_col: str,
+    part_a,
+    part_b,
+    b: int = 12,
+    salt: str = "hll",
+) -> DataFrame:
+    """Set-algebra over HLL sketches: estimate |A ∩ B| of the
+    distinct ``col`` values of two partitions by inclusion-exclusion
+    (Flajolet et al. 2007 §4 — HLLs support union NATIVELY via
+    register max, so |A∩B| ≈ |A| + |B| − |A∪B| with no third scan).
+    Returns ONE row: (hll_a, hll_b, hll_union, hll_overlap DOUBLE).
+
+    The union sketch is DERIVED from the per-part register frames by
+    ``hll_merge`` — the input is scanned once for the two part
+    sketches and never again, which is the whole reason sketches are
+    the merge currency: pre-computed per-partition registers answer
+    any union/overlap question later. Inclusion-exclusion error
+    compounds the individual standard errors (≈1.04/√2^b each), so
+    small true overlaps need larger ``b`` — the published caveat,
+    the caller's knob. Deterministic: every register replays
+    engine-exactly, and the overlap is one IEEE sum of three
+    replayed doubles."""
+    gcol = F.when(F.col(part_col) == part_a, F.lit("a")).otherwise(F.lit("b"))
+    regs = hll_sketch(
+        df.where(F.col(part_col).isin([part_a, part_b])).select(
+            gcol.alias("_g"), F.col(col)
+        ),
+        col,
+        ["_g"],
+        b=b,
+        salt=salt,
+    )
+    per = hll_estimate(regs, ["_g"], b=b, out_col="_e")
+    ea = per.where(F.col("_g") == "a").select(F.col("_e").alias("hll_a"))
+    eb = per.where(F.col("_g") == "b").select(F.col("_e").alias("hll_b"))
+    eu = hll_estimate(hll_merge(regs), [], b=b, out_col="hll_union").select(
+        "hll_union"
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            (F.col("hll_a") + F.col("hll_b") - F.col("hll_union")).alias(
+                "hll_overlap"
+            ),
+        )
+    )
+
+
 def _cms_pos(v: Column, j: int, width: int, salt: str) -> Column:
     return (
         F.conv(
@@ -445,6 +500,7 @@ __all__ = [
     "cms_sketch",
     "hll_distinct",
     "hll_estimate",
+    "hll_intersect_estimate",
     "hll_merge",
     "hll_register_cols",
     "hll_sketch",

@@ -10,6 +10,8 @@ text column pruned in.
 
 from __future__ import annotations
 
+from collections.abc import Sequence as Seq
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -638,10 +640,51 @@ def top_ngrams(
     )
 
 
+def blocklist_report(
+    df: DataFrame,
+    words: Seq[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist filter report (Raffel et al. 2020 §2.2
+    removed any page containing a word from the "List of Dirty,
+    Naughty, Obscene or Otherwise Bad Words"; same machine, caller's
+    list): one row per INPUT document (the gopher_quality universe
+    rule) with ``n_blocked`` — distinct blocklist words present as
+    lowercased whitespace tokens — and ``keep`` = no hit.
+
+    Scale shape: blocklists are SMALL by definition (the published
+    list is ~400 entries), so the list rides the plan as ONE array
+    literal and the membership test is a pure codegen projection —
+    ``array_intersect`` against the token array, no join, no
+    shuffle, no Python (the bloom/classifier literal stance). For a
+    reference set too large to inline, that is a different operator:
+    ``bloom_contamination`` (bitmap literal) or ``contamination``
+    (broadcast join) — this one deliberately stays the projection.
+
+    Matching is exact-token (the published filter's semantics);
+    substring/obfuscation matching is out of scope. Blank/NULL text
+    → 0 tokens, n_blocked 0, keep true."""
+    if not words:
+        raise ValueError("blocklist_report: words must be non-empty")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS),
+        lambda x: x != "",
+    )
+    wl = F.lit(sorted({w.lower() for w in words}))
+    n_blocked = F.size(F.array_intersect(toks, wl))
+    return df.select(
+        F.col(id_col),
+        n_blocked.cast("int").alias("n_blocked"),
+        (n_blocked == 0).alias("keep"),
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "PII_PATTERNS",
     "tokens",
+    "blocklist_report",
     "token_count",
     "text_stats",
     "quality_score",

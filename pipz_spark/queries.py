@@ -4417,6 +4417,152 @@ GROUP BY 1, 2
 """
 
 
+# Johnson-Lindenstrauss ±1 projection (pca.jl_project — Achlioptas
+# 2003's database-friendly matrix): reduce the 64-dim embeddings to
+# 8 exact-integer coordinates in ONE shuffle-free codegen projection.
+# The sign matrix is md5-parity-derived on the driver and rides BOTH
+# the plan and the oracle as the same 512 literals (jl_signs — the
+# kmeans-initial-centroid stance), so the oracle independently
+# replays every Σ xq_d·s_jd integer.
+def _dp_jl_project(spark, sf):
+    from .datapipe import jl_project
+
+    return jl_project(
+        _t(spark, sf, "embeddings"), d_out=8
+    ).select("vec_id", "jl_dim", "jl_q")
+
+
+def _jl_sql() -> str:
+    from .datapipe import jl_signs
+
+    signs = jl_signs(64, 8)
+    rows = ",\n  ".join(
+        f"({j}, {i + 1}, {signs[j][i]})" for j in range(8) for i in range(64)
+    )
+    return f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+xd AS (SELECT vec_id, CAST(generate_subscripts(e, 1) AS INT) AS i,
+              CAST(floor(unnest(e) * 10000.0 + 0.5) AS BIGINT) AS xi
+       FROM x),
+sg(j, i, s) AS (VALUES
+  {rows}),
+pr AS (SELECT xd.vec_id, sg.j, SUM(xd.xi * sg.s) AS jl_q
+       FROM xd JOIN sg ON sg.i = xd.i GROUP BY 1, 2)
+SELECT vec_id, CAST(j AS INT) AS jl_dim, CAST(jl_q AS BIGINT) AS jl_q
+FROM pr
+"""
+
+
+_DP_JL_SQL = _jl_sql()
+
+
+# HLL set algebra (sketches.hll_intersect_estimate): overlap of the
+# distinct click vs view user sets by inclusion-exclusion — the
+# union sketch is DERIVED from the two part sketches by register max
+# (hll_merge), never a third scan, which is the merge-currency
+# property the sketch family exists for. b=8 like dp_hll_distinct;
+# joined with the exact overlap the estimate approximates. The
+# oracle replays all three register sets and the identical
+# finalization (the dp_hll_distinct machinery × 3).
+def _dp_hll_overlap(spark, sf):
+    from .datapipe import hll_intersect_estimate
+
+    ev = _t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    est = hll_intersect_estimate(ev, "user_id", "event_type", "click", "view", b=8)
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    bb = ev.where(F.col("event_type") == "view").select("user_id")
+    exact = a.intersect(bb).agg(F.count(F.lit(1)).alias("exact_overlap"))
+    return est.crossJoin(exact)
+
+
+def _hll_overlap_sql() -> str:
+    fin = """
+ (SELECT CAST(sp + (256 - seen) * (CAST(1 AS BIGINT) << 50) AS BIGINT) AS s,
+         CAST(256 - seen AS BIGINT) AS v
+  FROM (SELECT COUNT(*) AS seen,
+               SUM(CAST(1 AS BIGINT) << CAST(50 - LEAST(r, 50) AS INT)) AS sp
+        FROM {REGS}) )"""
+    est = """
+ (SELECT CASE WHEN (CAST('5.2999162811336204e+19' AS DOUBLE) / s) <= 640.0
+                   AND v > 0
+              THEN 256.0 * (floor(ln(256.0 / CAST(v AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+              ELSE CAST('5.2999162811336204e+19' AS DOUBLE) / s END
+  FROM {FIN})"""
+
+    def one(regs: str) -> str:
+        return est.replace("{FIN}", fin.replace("{REGS}", regs))
+
+    return f"""
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g, user_id
+  FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+hx AS (SELECT g, md5(CAST(user_id AS VARCHAR) || 'hll') AS h FROM ev),
+rb AS (SELECT g,
+              CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS bkt,
+              ltrim(substring(h, 3, 13), '0') AS st
+       FROM hx),
+rr AS (SELECT g, bkt,
+              CAST(CASE WHEN length(st) = 0 THEN 53
+                   ELSE (13 - length(st)) * 4
+                        + CASE WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 8 THEN 0
+                               WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 4 THEN 1
+                               WHEN CAST(('0x' || substring(st, 1, 1)) AS BIGINT) >= 2 THEN 2
+                               ELSE 3 END
+                        + 1 END AS BIGINT) AS rho
+       FROM rb),
+regs AS (SELECT g, bkt, MAX(rho) AS r FROM rr GROUP BY g, bkt),
+uregs AS (SELECT bkt, MAX(r) AS r FROM regs GROUP BY bkt),
+vals AS (SELECT
+  {one("regs WHERE g = 'a'")} AS hll_a,
+  {one("regs WHERE g = 'b'")} AS hll_b,
+  {one("uregs")} AS hll_union),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM
+    (SELECT user_id FROM ev WHERE g = 'a'
+     INTERSECT
+     SELECT user_id FROM ev WHERE g = 'b'))
+SELECT hll_a, hll_b, hll_union,
+       hll_a + hll_b - hll_union AS hll_overlap, exact_overlap
+FROM vals CROSS JOIN exact
+"""
+
+
+_DP_HLL_OVERLAP_SQL = _hll_overlap_sql()
+
+
+# C4-style blocklist filter (text.blocklist_report — Raffel et al.
+# 2020 §2.2's bad-words removal, caller's list): the list rides the
+# plan as ONE array literal, membership is a pure codegen
+# array_intersect — no join, no shuffle, no Python. One row per
+# input doc (filter-report universe rule).
+_BLOCKLIST = ("slow", "skew", "spill", "nosuchword")
+
+
+def _dp_blocklist(spark, sf):
+    from .datapipe import blocklist_report
+
+    return blocklist_report(_t(spark, sf, "documents"), _BLOCKLIST)
+
+
+def _blocklist_sql() -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(set(_BLOCKLIST)))
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_intersect(toks, [{words}])) AS INT) AS n_blocked,
+       len(list_intersect(toks, [{words}])) = 0 AS keep
+FROM t
+"""
+
+
+_DP_BLOCKLIST_SQL = _blocklist_sql()
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -4789,6 +4935,14 @@ QUERIES: dict[str, Declared] = {
     # store — the frequency twin of stream_hll_users, bit-identical
     # to the batch sketch.
     "stream_cms_traffic": Declared(_stream_cms_traffic, _STREAM_CMS_SQL),
+    # JL ±1 projection: integer-exact dimensionality reduction in
+    # one shuffle-free projection (Achlioptas database-friendly).
+    "dp_jl_project": Declared(_dp_jl_project, _DP_JL_SQL),
+    # HLL inclusion-exclusion overlap: the union sketch derived by
+    # register max-merge — sketch algebra, no third scan.
+    "dp_hll_overlap": Declared(_dp_hll_overlap, _DP_HLL_OVERLAP_SQL),
+    # C4 blocklist filter: literal-list membership as pure codegen.
+    "dp_blocklist": Declared(_dp_blocklist, _DP_BLOCKLIST_SQL),
 }
 
 

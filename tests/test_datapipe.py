@@ -3406,3 +3406,154 @@ def test_winnow_density(spark):
     ).agg(F.sum("n")).collect()[0][0]
     density = fps / grams
     assert 1.0 / w <= density <= 4.0 / (w + 1), (density, fps, grams)
+
+
+# ---- r14: JL projection / HLL set algebra / blocklist -------------
+
+
+def test_jl_project_matches_replay(spark):
+    import math
+
+    from pipz_spark.datapipe import jl_project, jl_signs
+
+    rows = [(1, [0.5, -0.25, 1.0]), (2, [0.1, 0.2, 0.3]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["jl_dim"]): r["jl_q"]
+        for r in jl_project(df, d_out=4).collect()
+    }
+    signs = jl_signs(3, 4)
+    want = {}
+    for vid, vec in [(1, [0.5, -0.25, 1.0]), (2, [0.1, 0.2, 0.3])]:
+        xq = [math.floor(x * 10000 + 0.5) for x in vec]
+        for j in range(4):
+            want[(vid, j)] = sum(x * s for x, s in zip(xq, signs[j]))
+    assert got == want
+    # partition invariance (pure projection, but assert anyway)
+    again = {
+        (r["vec_id"], r["jl_dim"]): r["jl_q"]
+        for r in jl_project(df.repartition(3), d_out=4).collect()
+    }
+    assert again == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jl_project(df, d_out=0)
+    with _pytest.raises(ValueError, match="mixed"):
+        jl_project(
+            spark.createDataFrame(
+                [(1, [1.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+            )
+        ).collect()
+
+
+def test_jl_project_preserves_distances_roughly(spark):
+    """The JL point: pairwise distances in the projected space track
+    the originals. With d_out=16 over 64-dim unit-ish vectors the
+    Achlioptas bound gives ~50% distortion w.h.p. — assert ratios
+    stay within a loose band (deterministic: fixed signs, fixed
+    data)."""
+    import math
+    import random
+
+    from pipz_spark.datapipe import jl_project
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(64)] for i in range(8)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    d_out = 16
+    proj: dict = {}
+    for r in jl_project(df, d_out=d_out).collect():
+        proj.setdefault(r["vec_id"], {})[r["jl_dim"]] = r["jl_q"]
+    q = 10000.0
+
+    def dist_orig(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b])))
+
+    def dist_proj(a, b):
+        # E[|Px - Py|^2] = d_out * |x-y|^2 for +-1 entries
+        return math.sqrt(
+            sum((proj[a][j] - proj[b][j]) ** 2 for j in range(d_out))
+        ) / (q * math.sqrt(d_out))
+
+    ratios = [
+        dist_proj(a, b) / dist_orig(a, b)
+        for a in vecs
+        for b in vecs
+        if a < b
+    ]
+    assert all(0.4 <= r <= 1.8 for r in ratios), ratios
+
+
+def test_hll_intersect_estimate(spark):
+    """Inclusion-exclusion overlap: on sets with a known overlap the
+    estimate lands within the compounded HLL error; the union sketch
+    must equal max-merged registers (the derivation IS hll_merge)."""
+    from pipz_spark.datapipe import (
+        hll_intersect_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rows = (
+        [("a", v) for v in range(2000)]
+        + [("b", v) for v in range(1500, 3500)]
+    )
+    df = spark.createDataFrame(rows, "part string, val long")
+    out = hll_intersect_estimate(df, "val", "part", "a", "b", b=12).collect()[0]
+    # true: |A|=2000 |B|=2000 |A∩B|=500 |A∪B|=3500; b=12 → ~1.6% se,
+    # overlap compounds three estimates — allow ±25% of the overlap
+    assert abs(out["hll_a"] - 2000) < 2000 * 0.06
+    assert abs(out["hll_b"] - 2000) < 2000 * 0.06
+    assert abs(out["hll_union"] - 3500) < 3500 * 0.06
+    assert abs(out["hll_overlap"] - 500) < 500 * 0.5
+    assert out["hll_overlap"] == out["hll_a"] + out["hll_b"] - out["hll_union"]
+    # union registers == max-merge of the part registers
+    regs = hll_sketch(
+        df.select(
+            F.when(F.col("part") == "a", "a").otherwise("b").alias("_g"), "val"
+        ),
+        "val",
+        ["_g"],
+        b=12,
+    )
+    merged = {
+        r["hll_bucket"]: r["hll_rho"] for r in hll_merge(regs).collect()
+    }
+    direct = {
+        r["hll_bucket"]: r["hll_rho"]
+        for r in hll_sketch(df, "val", b=12).collect()
+    }
+    assert merged == direct
+
+
+def test_blocklist_report(spark):
+    from pipz_spark.datapipe import blocklist_report
+
+    rows = [
+        (1, "the Slow lazy dog"),        # 'slow' case-insensitive hit
+        (2, "clean text only"),
+        (3, "slow slow spill"),          # distinct hits: slow, spill
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_blocked"], r["keep"])
+        for r in blocklist_report(df, ["slow", "SPILL", "absent"]).collect()
+    }
+    assert got == {
+        1: (1, False),
+        2: (0, True),
+        3: (2, False),
+        4: (0, True),
+        5: (0, True),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocklist_report(df, [])

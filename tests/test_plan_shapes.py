@@ -521,3 +521,23 @@ def test_winnow_is_one_shuffle_free_projection(spark):
     assert "ArrowEvalPython" not in plan
     assert plan.count("md5") == 1
     assert plan.count("split(trim") == 1
+
+
+def test_jl_project_is_pure_projection(spark):
+    # the sign matrix rides the plan as literals; the projection is
+    # zip_with/aggregate folds in codegen — no exchange, no join,
+    # no Python (the classifier-weights stance)
+    plan = _plan(spark, "dp_jl_project")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_blocklist_is_pure_projection(spark):
+    # the blocklist is ONE array literal; membership is codegen
+    # array_intersect — no join, no exchange, no Python
+    plan = _plan(spark, "dp_blocklist")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
