@@ -3557,3 +3557,21 @@ def test_blocklist_report(spark):
 
     with _pytest.raises(ValueError):
         blocklist_report(df, [])
+
+
+def test_near_dup_graph_example(spark):
+    """The graph-over-pair-graph example runs end to end at sf0.001;
+    its own internal assertion (Pregel labels == union-find clusters)
+    is the load-bearing check."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from near_dup_graph_analysis import main
+    finally:
+        sys.path.pop(0)
+
+    out = main("/root/testdata/sf0.001", spark=spark)
+    assert out["n_pairs"] > 0
+    assert out["n_keepers"] == out["n_clusters"] > 0
+    assert 0 < out["dense_docs"] <= out["n_pairs"] * 3
