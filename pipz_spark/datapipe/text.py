@@ -680,11 +680,75 @@ def blocklist_report(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the within-doc token
+    distribution — the repetitiveness signal (template spam and
+    looping generations sit near 0 nats; natural prose near
+    ln(n_distinct)): H = ln n − (1/n)·Σ_t c_t·ln c_t over lowercased
+    whitespace token counts c_t.
+
+    Engine-exact under the suite's transcendental discipline
+    (DIVERGENCES #25): each ln floor-quantizes at 1e-6 into BIGINT,
+    the numerator n·lnq(n) − Σ c_t·lnq(c_t) is an exact integer sum
+    (any aggregation order), and the entropy is that integer over
+    n·10⁶ in ONE correctly-rounded division — any engine replays the
+    identical double.
+
+    Machine shape: explode → per-(doc, token) count (map-side
+    combined) → per-doc aggregate → projection; both exchanges carry
+    skinny (id, count) rows, linear in corpus token count. One row
+    per INPUT doc (the filter-report universe rule): blank/NULL text
+    → n_tokens 0, NULL entropy."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS),
+        lambda x: x != "",
+    )
+    lnq = lambda c: F.floor(F.log(c.cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    per_tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("_c") * lnq(F.col("_c"))).alias("_s"),
+    )
+    ent = (F.col("_n") * lnq(F.col("_n")) - F.col("_s")).cast("double") / (
+        F.col("_n").cast("double") * F.lit(1e6)
+    )
+    scored = per_doc.select(
+        id_col,
+        F.col("_n").alias("n_tokens"),
+        F.col("n_distinct"),
+        ent.alias("entropy"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
+            "entropy",
+        )
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "PII_PATTERNS",
     "tokens",
     "blocklist_report",
+    "token_entropy",
     "token_count",
     "text_stats",
     "quality_score",

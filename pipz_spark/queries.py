@@ -4563,6 +4563,106 @@ FROM t
 _DP_BLOCKLIST_SQL = _blocklist_sql()
 
 
+# Winnowing-index overlap detection — the COMPOSITION the
+# fingerprint operator exists for (Schleimer et al. §5 run MOSS this
+# way): fingerprint both corpora, equi-join on fp_hash, count shared
+# fingerprints per (train, eval) doc pair. Any pair sharing a
+# ≥ w+k−1-token run MUST surface (the winnowing guarantee) at ~2/(w+1)
+# of a full shingle index's size. The doc_id % 50 split stands in
+# for the eval benchmark (the bloom_decontam convention); pairs with
+# ≥ 2 shared prints (damping single-gram chance collisions).
+def _dp_winnow_overlap(spark, sf):
+    from .datapipe import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    evald = docs.where(F.col("doc_id") % 50 == 0)
+    tf = winnow_fingerprints(train, k=3, w=4).select(
+        F.col("doc_id").alias("train_id"), "fp_hash"
+    )
+    ef = winnow_fingerprints(evald, k=3, w=4).select(
+        F.col("doc_id").alias("eval_id"), "fp_hash"
+    )
+    return (
+        tf.join(ef.distinct(), "fp_hash")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count_distinct("fp_hash").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+def _winnow_fp_cte(src_filter: str) -> str:
+    """The dp_winnow selection SQL parameterized by a doc filter —
+    shared by the overlap oracle's two sides."""
+    return rf"""
+  SELECT DISTINCT doc_id, fp_hash FROM (
+    SELECT w.doc_id, w.mh AS fp_hash
+    FROM (SELECT doc_id, s, mh FROM (
+            SELECT doc_id, i AS s, ng,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+            FROM (
+              SELECT doc_id, i, ng,
+                     CAST(('0x' || substring(md5(array_to_string(toks[i:i+2], ' ') || 'win'), 1, 13)) AS BIGINT) AS h
+              FROM (
+                SELECT doc_id, toks, greatest(len(toks) - 2, 1) AS ng,
+                       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+                FROM (
+                  SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                                     x -> x <> '') AS toks
+                  FROM documents
+                  WHERE trim(coalesce(text, '')) <> '' AND {src_filter})
+                WHERE len(toks) >= 1)))
+          WHERE s <= greatest(ng - 4 + 1, 1)) w)
+"""
+
+
+_DP_WINNOW_OVERLAP_SQL = f"""
+WITH tf AS ({_winnow_fp_cte("doc_id % 50 <> 0")}),
+ef AS ({_winnow_fp_cte("doc_id % 50 = 0")})
+SELECT tf.doc_id AS train_id, ef.doc_id AS eval_id,
+       CAST(COUNT(DISTINCT tf.fp_hash) AS BIGINT) AS n_shared
+FROM tf JOIN ef ON ef.fp_hash = tf.fp_hash
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT tf.fp_hash) >= 2
+"""
+
+
+# Token-entropy repetitiveness signal (text.token_entropy): Shannon
+# entropy of the within-doc token distribution, the template-spam /
+# looping-generation detector. Integer-numerator construction under
+# the 1e-6 ln quantization discipline (DIVERGENCES #25): the oracle
+# replays n·lnq(n) − Σ c·lnq(c) exactly and performs the same single
+# division.
+def _dp_token_entropy(spark, sf):
+    from .datapipe import token_entropy
+
+    return token_entropy(_t(spark, sf, "documents"))
+
+
+_DP_TOKEN_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+ct AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+agg AS (
+  SELECT doc_id,
+         SUM(c) AS n,
+         COUNT(*) AS n_distinct,
+         SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS s
+  FROM ct GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(a.n * CAST(floor(ln(CAST(a.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) - a.s AS DOUBLE)
+         / (CAST(a.n AS DOUBLE) * 1000000.0) AS entropy
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -4943,6 +5043,13 @@ QUERIES: dict[str, Declared] = {
     "dp_hll_overlap": Declared(_dp_hll_overlap, _DP_HLL_OVERLAP_SQL),
     # C4 blocklist filter: literal-list membership as pure codegen.
     "dp_blocklist": Declared(_dp_blocklist, _DP_BLOCKLIST_SQL),
+    # Winnow-index overlap: fingerprint both corpora, equi-join on
+    # the hash — the MOSS composition, w+k−1 guarantee intact at
+    # 2/(w+1) of a shingle index's size.
+    "dp_winnow_overlap": Declared(_dp_winnow_overlap, _DP_WINNOW_OVERLAP_SQL),
+    # Token-entropy repetitiveness signal: integer-numerator Shannon
+    # entropy under the 1e-6 ln discipline.
+    "dp_token_entropy": Declared(_dp_token_entropy, _DP_TOKEN_ENTROPY_SQL),
 }
 
 

@@ -3575,3 +3575,71 @@ def test_near_dup_graph_example(spark):
     assert out["n_pairs"] > 0
     assert out["n_keepers"] == out["n_clusters"] > 0
     assert 0 < out["dense_docs"] <= out["n_pairs"] * 3
+
+
+def _ref_token_entropy(text):
+    import math
+    from collections import Counter
+
+    toks = [t for t in (text or "").strip().lower().split() if t]
+    if not toks:
+        return (0, 0, None)
+    c = Counter(toks)
+    n = len(toks)
+    lnq = lambda x: math.floor(math.log(x) * 1e6 + 0.5)
+    num = n * lnq(n) - sum(v * lnq(v) for v in c.values())
+    return (n, len(c), num / (n * 1e6))
+
+
+def test_token_entropy_matches_replay(spark):
+    from pipz_spark.datapipe import token_entropy
+
+    rows = [
+        (1, "a a a a"),          # fully repetitive: 0 nats
+        (2, "a b c d"),          # uniform: ln 4
+        (3, "a a b b"),          # ln 2
+        (4, ""),
+        (5, None),
+        (6, "the The THE spam spam x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy"])
+        for r in token_entropy(df).collect()
+    }
+    for did, text in rows:
+        assert got[did] == _ref_token_entropy(text), did
+    # the signal's point: repetition sorts below diversity
+    assert got[1][2] < got[3][2] < got[2][2]
+    # universe rule: blank docs present with NULL entropy
+    assert got[4] == (0, 0, None) and got[5] == (0, 0, None)
+
+
+def test_winnow_overlap_guarantee(spark):
+    """Joining two corpora's winnow fingerprints finds every pair
+    sharing >= w+k-1 consecutive tokens — the MOSS composition the
+    dp_winnow_overlap query gates on real data."""
+    from pipz_spark.datapipe import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= 4+3-1
+    train = spark.createDataFrame(
+        [(1, f"intro words {shared} trailing bits"),
+         (2, "completely unrelated training text with other words")],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, f"different framing {shared} other ending")],
+        "doc_id long, text string",
+    )
+    tf = winnow_fingerprints(train, k=3, w=4).select(
+        F.col("doc_id").alias("train_id"), "fp_hash"
+    )
+    ef = winnow_fingerprints(evald, k=3, w=4).select(
+        F.col("doc_id").alias("eval_id"), "fp_hash"
+    ).distinct()
+    hits = {
+        (r["train_id"], r["eval_id"])
+        for r in tf.join(ef, "fp_hash").select("train_id", "eval_id").distinct().collect()
+    }
+    assert (1, 100) in hits
+    assert (2, 100) not in hits
