@@ -4663,6 +4663,52 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+# STREAMING-EXECUTED Bloom signature store
+# (streams.stream_bloom_signatures): the third sketch-in-stream —
+# Bloom's merge is BIT_OR, idempotent, exactly the state store's
+# incremental fold, so the streamed per-day bitmap is bit-identical
+# to the batch bitmap of the same keys. Output audits the store: per
+# day, every present (type, user) key must test positive (zero false
+# negatives — the oracle REPLAYS every bit test rather than assuming
+# the theorem) plus the day's set-bit fill.
+def _stream_bloom(spark, sf):
+    from .streaming.streams import stream_bloom_signatures
+
+    return stream_bloom_signatures(spark, sf)
+
+
+_STREAM_BLOOM_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type || '|' || CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+ks AS (SELECT DISTINCT day, key FROM ev),
+pos AS (
+  SELECT day, key,
+         CAST(('0x' || substring(md5(key || 'bloom' || CAST(i AS VARCHAR)), 1, 13)) AS BIGINT) % 12288 AS p
+  FROM ks, range(3) t(i)),
+wb AS (
+  SELECT day, CAST(p // 48 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 48 AS INT)) AS bits
+  FROM pos GROUP BY 1, 2),
+chk AS (
+  SELECT pos.day, pos.key,
+         BOOL_AND(((wb.bits >> CAST(pos.p % 48 AS INT)) & 1) = 1) AS hit
+  FROM pos JOIN wb
+    ON wb.day = pos.day AND wb.word_idx = CAST(pos.p // 48 AS INT)
+  GROUP BY 1, 2),
+agg AS (
+  SELECT day, COUNT(*) AS n_keys,
+         COUNT(CASE WHEN hit THEN 1 END) AS n_positive
+  FROM chk GROUP BY day),
+fl AS (SELECT day, SUM(bit_count(bits)) AS set_bits FROM wb GROUP BY day)
+SELECT a.day, CAST(a.n_keys AS BIGINT) AS n_keys,
+       CAST(a.n_positive AS BIGINT) AS n_positive,
+       CAST(fl.set_bits AS BIGINT) AS set_bits
+FROM agg a JOIN fl ON fl.day = a.day
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -5050,6 +5096,10 @@ QUERIES: dict[str, Declared] = {
     # Token-entropy repetitiveness signal: integer-numerator Shannon
     # entropy under the 1e-6 ln discipline.
     "dp_token_entropy": Declared(_dp_token_entropy, _DP_TOKEN_ENTROPY_SQL),
+    # 11th streaming machine: Bloom bitmap bit_or-merged by the
+    # state store — the third sketch-in-stream; the oracle replays
+    # every membership bit test.
+    "stream_bloom_signatures": Declared(_stream_bloom, _STREAM_BLOOM_SQL),
 }
 
 

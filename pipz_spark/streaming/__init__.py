@@ -22,6 +22,7 @@ from .streams import (
     stream_ingest_dedup,
     stream_events_hourly,
     stream_events_join,
+    stream_bloom_signatures,
     stream_cms_traffic,
     stream_events_sessions,
     stream_running_totals,
@@ -42,6 +43,7 @@ __all__ = [
     "stream_ingest_dedup",
     "stream_events_hourly",
     "stream_events_join",
+    "stream_bloom_signatures",
     "stream_cms_traffic",
     "stream_events_sessions",
     "stream_running_totals",

@@ -1484,3 +1484,149 @@ def stream_cms_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_est"
         )
     )
+
+
+def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED Bloom filter: fold the stream's distinct
+    (event_type, user_id) memberships into a per-day 48-bit-word
+    bitmap — the third sketch-in-stream next to ``stream_hll_users``
+    (max-merge) and ``stream_cms_traffic`` (sum-merge): Bloom's merge
+    is BIT_OR, idempotent and associative, exactly the state store's
+    incremental fold, so state is capped at days × n_words rows at
+    ANY stream volume and the streamed bitmap is BIT-IDENTICAL to
+    the batch ``build_bloom`` of the same keys (the oracle's check).
+    This is the streaming signature store: a crawler appends one
+    tiny bitmap per day, and "have we seen this (type, user)?" is a
+    pure bit test against the merged words — over-approximate only
+    (Bloom false positives), never under.
+
+    The query RETURNS the day × word bitmap joined with per-day
+    membership probes: for each day, every distinct (type, user)
+    key actually present must test positive (zero false negatives by
+    construction — replayed by the oracle), plus the day's set-bit
+    count, the fill-rate the FP formula reasons about."""
+    import tempfile
+
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+
+    n_words, k, salt = 256, 3, "bloom"
+    m_bits = n_words * 48
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    key = F.concat_ws("|", F.col("event_type"), F.col("user_id").cast("string"))
+    positions = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(key, F.lit(salt + str(i)))), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+    bits = windowed_agg(
+        stream.where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .withColumn("_p", F.explode(positions))
+        .select(
+            "ts",
+            F.expr("cast(_p DIV 48 as int)").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(_p % 48 as int))").alias("_b"),
+        ),
+        {"word_bits": F.expr("bit_or(_b)")},
+        window="1 day",
+        keys=["word_idx"],
+        watermark="31 days",
+    )
+    fmt = transform(
+        "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_bloom_")
+    log = append_log_sink(land, keys=["day", "word_idx"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("day", "word_idx", "word_bits"), batch_id)
+
+    q = run_step_stream(
+        bits,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_bloom_ckpt_"),
+        query_name="pipz-stream-bloom",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    words = read_latest(spark, land, keys=["day", "word_idx"]).select(
+        "day", "word_idx", "word_bits"
+    )
+    # batch-side audit: every present key tests positive (no false
+    # negatives), per day; plus the day's fill (set-bit count)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = (
+        ev.where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.concat_ws(
+                "|", F.col("event_type"), F.col("user_id").cast("string")
+            ).alias("key"),
+        )
+        .distinct()
+    )
+    pp = probes.withColumn(
+        "_p",
+        F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("key"), F.lit(salt + str(i)))), 1, 13
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                    for i in range(k)
+                ]
+            )
+        ),
+    ).select(
+        "day",
+        "key",
+        F.expr("cast(_p DIV 48 as int)").alias("word_idx"),
+        F.expr("cast(_p % 48 as int)").alias("bit_idx"),
+    )
+    tested = (
+        pp.join(words, ["day", "word_idx"], "left")
+        .select(
+            "day",
+            "key",
+            (
+                F.expr("(shiftright(coalesce(word_bits, 0L), bit_idx) & 1L) = 1L")
+            ).alias("_hit"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count_distinct("key").alias("n_keys"),
+            F.count_distinct(F.when(F.col("_hit"), F.col("key"))).alias(
+                "n_positive"
+            ),
+        )
+    )
+    fill = words.groupBy("day").agg(
+        F.sum(F.bit_count("word_bits")).alias("set_bits")
+    )
+    return tested.join(fill, "day").select(
+        "day", "n_keys", "n_positive", "set_bits"
+    )

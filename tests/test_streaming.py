@@ -846,3 +846,23 @@ def test_stream_cms_counters_equal_batch_sketch(spark, events):
     assert len(got) > 5  # multiple days x types actually streamed
     for key, est in got.items():
         assert est >= truth[key]  # one-sided guarantee survives streaming
+
+
+def test_stream_bloom_bitmap_equals_batch(spark, events):
+    """The streaming Bloom's claim: state-store bit_or across
+    micro-batches produces per-day bitmaps bit-identical to folding
+    the same keys in batch, so zero false negatives — every present
+    key tests positive against the landed words."""
+    from pipz_spark.streaming.streams import stream_bloom_signatures
+
+    from conftest import SF_DIR
+
+    out = {
+        r["day"]: (r["n_keys"], r["n_positive"], r["set_bits"])
+        for r in stream_bloom_signatures(spark, SF_DIR).collect()
+    }
+    assert len(out) > 5  # multiple days actually streamed
+    for day, (n_keys, n_positive, set_bits) in out.items():
+        assert n_positive == n_keys > 0, day  # zero false negatives
+        # fill sanity: bits <= 3 hashes x keys, and non-trivial
+        assert 0 < set_bits <= 3 * n_keys
