@@ -306,4 +306,67 @@ def propagate_min_labels(
     return labels
 
 
-__all__ = ["pagerank", "propagate_min_labels", "triangle_count"]
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Iterative k-core peeling (Seidman 1983; the distributed
+    peel-until-stable formulation is Montresor et al. 2013): each
+    round drops every node whose CURRENT degree is below ``k`` and
+    the edges touching it, exposing the next layer to peel. Returns
+    (node, degree BIGINT) — every surviving node of the undirected
+    simple graph after ``rounds`` peels, with its degree in the
+    peeled subgraph. Once a round removes nothing the result IS the
+    k-core (the unique maximal subgraph of min-degree ≥ k — dense
+    template farms in a near-dup pair graph, hub communities in a
+    co-purchase graph); ``rounds`` bounds work exactly like
+    ``propagate_min_labels``'s ``iters`` bounds the component hops,
+    and the peel sequence is deterministic (synchronous rounds), so
+    any engine replays it as ``rounds`` join+filter layers.
+
+    The third Pregel-taxonomy member next to pagerank (additive sum)
+    and min-labels (idempotent min): here the per-round aggregate is
+    a degree COUNT and the state update is a FILTER — each round is
+    one map-side-combined count plus two semi-joins, O(edges) rows
+    per round, no driver state ever."""
+    if k < 0:
+        raise ValueError(f"need k >= 0, got {k}")
+    if rounds < 0:
+        raise ValueError(f"need rounds >= 0, got {rounds}")
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).where(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))
+    )
+    und = e.select(
+        F.least("_u", "_v").alias("u"), F.greatest("_u", "_v").alias("v")
+    ).distinct()
+    cur = und.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        und.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    for r in range(rounds):
+        keep = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= k)
+            .select("s")
+        )
+        cur = cur.join(keep, "s", "leftsemi").join(
+            keep.select(F.col("s").alias("d")), "d", "leftsemi"
+        )
+        if checkpoint_every is not None and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            cur = cur.localCheckpoint()
+    return cur.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("s").alias("node"), "degree"
+    )
+
+
+__all__ = ["kcore_peel", "pagerank", "propagate_min_labels", "triangle_count"]

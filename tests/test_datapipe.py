@@ -3643,3 +3643,50 @@ def test_winnow_overlap_guarantee(spark):
     }
     assert (1, 100) in hits
     assert (2, 100) not in hits
+
+
+def _ref_kcore(edge_pairs, k, rounds):
+    """Synchronous peel replay: drop deg<k nodes each round."""
+    und = {frozenset((u, v)) for u, v in edge_pairs if u != v}
+    edges = {tuple(sorted(e)) for e in und}
+    for _ in range(rounds):
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_peel_matches_replay(spark):
+    from pipz_spark.datapipe import kcore_peel
+
+    # K4 + a chain hung off it: the 3-core is exactly the K4, found
+    # after one peel round and stable after
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("b", "a"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for rounds in (0, 1, 3):
+        got = {
+            r["node"]: r["degree"]
+            for r in kcore_peel(df, k=3, rounds=rounds).collect()
+        }
+        assert got == _ref_kcore(pairs, 3, rounds), rounds
+    assert set(kcore_peel(df, k=3, rounds=1).toPandas()["node"]) == {
+        "a", "b", "c", "d"
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcore_peel(df, k=-1)
+    with _pytest.raises(ValueError):
+        kcore_peel(df, k=3, rounds=-1)
+    with _pytest.raises(ValueError):
+        kcore_peel(df, k=3, checkpoint_every=0)

@@ -541,3 +541,14 @@ def test_blocklist_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_kcore_rounds_combine_map_side(spark):
+    # each peel round's degree count must partial-aggregate before
+    # its exchange and the survivor filters must stay semi-joins —
+    # never a cartesian; pure JVM
+    plan = _plan(spark, "dp_kcore")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "LeftSemi" in plan
+    assert "ArrowEvalPython" not in plan

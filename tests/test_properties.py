@@ -900,3 +900,33 @@ def test_winnow_matches_replay_for_any_doc(spark_prop, docs, k, w):
             assert i not in got
         else:
             assert got[i] == _ref_winnow(text, k=k, w=w), (i, k, w)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    rounds=st.integers(min_value=0, max_value=3),
+)
+def test_kcore_matches_replay_for_any_graph(spark_prop, edges, k, rounds):
+    """kcore_peel equals the synchronous peel replay for ANY small
+    graph, k, and round count; survivors shrink monotonically with
+    rounds (peeling never adds nodes)."""
+    from test_datapipe import _ref_kcore
+
+    from pipz_spark.datapipe import kcore_peel
+
+    pairs = [(str(u), str(v)) for u, v in edges]
+    df = spark_prop.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == _ref_kcore(pairs, k, rounds)
+    if rounds:
+        prev = set(_ref_kcore(pairs, k, rounds - 1))
+        assert set(got) <= prev
