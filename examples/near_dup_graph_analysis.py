@@ -92,6 +92,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     dense = tri.where(F.col("triangles") >= 1).count()
     print(f"docs closing >=1 triangle (template-clique evidence): {dense}")
 
+    # 3b. k-core peeling: the 2-core keeps only docs in cyclic
+    # duplicate structure (chains and pendants peel away) — the
+    # dense-template extraction the triangle counts hint at
+    from pipz_spark.datapipe import kcore_peel
+
+    core = kcore_peel(edges, k=2, rounds=4, checkpoint_every=1)
+    n_core = core.count()
+    print(f"docs in the 2-core (cyclic duplicate structure): {n_core}")
+
     # 4. centrality keeper: highest pagerank per component (fall
     # back to node id for ties) — per-node state stays distributed
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -110,6 +119,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_pairs": n_pairs,
         "n_clusters": n_clusters,
         "dense_docs": dense,
+        "n_core": n_core,
         "n_keepers": n_keepers,
     }
 

@@ -3575,6 +3575,9 @@ def test_near_dup_graph_example(spark):
     assert out["n_pairs"] > 0
     assert out["n_keepers"] == out["n_clusters"] > 0
     assert 0 < out["dense_docs"] <= out["n_pairs"] * 3
+    # every triangle-closing doc has degree >= 2, so the 2-core
+    # contains at least the dense docs
+    assert out["n_core"] >= out["dense_docs"]
 
 
 def _ref_token_entropy(text):
