@@ -87,6 +87,7 @@ def pagerank(
     init_q: int = 1_000_000_000_000,
     damping: tuple[int, int] = (17, 20),
     checkpoint_every: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list; returns
     (node, rank_q BIGINT, outdeg BIGINT) after ``iters`` damped
@@ -95,8 +96,20 @@ def pagerank(
     by multiplicity); pass a de-duplicated edge list for the simple
     graph. ``checkpoint_every=N`` localCheckpoints the ranks frame
     after every N iterations, truncating lineage for long runs
-    (values are identical with or without it). Deterministic and
-    integer-exact end to end — see the module docstring."""
+    (values are identical with or without it).
+
+    ``seeds`` switches to PERSONALIZED PageRank (Page et al. 1998
+    §6's personalization vector; the seed-set trust-propagation use
+    is TrustRank, Gyöngyi et al. 2004 — the published corpus-quality
+    signal: mass injected at trusted sources flows along links, and
+    a page's rank is its proximity to trust): a one-column frame of
+    node ids (column ``node``) that receive the teleport base and
+    the initial mass; every other node starts at 0 and earns rank
+    only through in-links. The seed frame joins once onto the node
+    table (broadcast-sized seed sets broadcast; corpus-sized seed
+    sets hash-join) — the iteration shape is unchanged.
+    Deterministic and integer-exact end to end — see the module
+    docstring."""
     if iters < 0:
         raise ValueError(f"need iters >= 0, got {iters}")
     num, den = damping
@@ -130,7 +143,26 @@ def pagerank(
     ndeg = nodes.join(deg, nodes["node"] == deg["_src"], "left").select(
         "node", F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg")
     )
-    ranks = ndeg.withColumn("rank_q", F.lit(init_q).cast("long"))
+    if seeds is None:
+        ndeg = ndeg.withColumn("_base", F.lit(base).cast("long"))
+    else:
+        sd = seeds.select(F.col("node")).distinct().withColumn(
+            "_is_seed", F.lit(True)
+        )
+        ndeg = ndeg.join(sd, "node", "left").select(
+            "node",
+            "outdeg",
+            F.when(F.col("_is_seed"), F.lit(base))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_base"),
+        )
+    ranks = ndeg.withColumn(
+        "rank_q",
+        F.when(F.col("_base") > 0, F.lit(init_q)).otherwise(F.lit(0)).cast("long")
+        if seeds is not None
+        else F.lit(init_q).cast("long"),
+    )
 
     for it in range(iters):
         contrib = e.join(
@@ -149,8 +181,9 @@ def pagerank(
             .select(
                 "node",
                 "outdeg",
+                "_base",
                 (
-                    F.lit(base).cast("long")
+                    F.col("_base")
                     + F.expr(
                         f"(coalesce(_s, 0L) DIV {den}L) * {num}L"
                         f" + ((coalesce(_s, 0L) % {den}L) * {num}L) DIV {den}L"

@@ -4757,6 +4757,67 @@ SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM e3 GROUP BY s
 """
 
 
+# Personalized PageRank / TrustRank (graph.pagerank with seeds= —
+# Gyöngyi et al. 2004): teleport mass only at the supplier nodes of
+# the same purchase graph dp_pagerank walks; customers earn rank
+# solely through purchase links — proximity-to-trust, the published
+# seed-based corpus-quality signal. Same integer-exact Pregel
+# machine; the oracle unrolls both iterations with the seed CASE.
+def _dp_trustrank(spark, sf):
+    from .datapipe import pagerank
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = edges.select("src").where(F.col("src").startswith("s")).distinct().select(
+        F.col("src").alias("node")
+    )
+    return pagerank(edges, iters=2, seeds=seeds)
+
+
+_DP_TRUSTRANK_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+nd AS (SELECT n.node, CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg,
+              CASE WHEN n.node LIKE 's%' THEN CAST(150000000000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS base
+       FROM nodes n LEFT JOIN deg d ON d.node = n.node),
+r0 AS (SELECT node, outdeg, base,
+              CASE WHEN base > 0 THEN CAST(1000000000000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS rank_q
+       FROM nd),
+i1 AS (SELECT e.dst AS node, SUM(r.rank_q // r.outdeg) AS s
+       FROM e JOIN r0 r ON r.node = e.src AND r.outdeg > 0
+       GROUP BY e.dst),
+r1 AS (SELECT nd.node, nd.outdeg, nd.base,
+              CAST(nd.base + (COALESCE(i1.s, 0) * 17) // 20 AS BIGINT) AS rank_q
+       FROM nd LEFT JOIN i1 ON i1.node = nd.node),
+i2 AS (SELECT e.dst AS node, SUM(r.rank_q // r.outdeg) AS s
+       FROM e JOIN r1 r ON r.node = e.src AND r.outdeg > 0
+       GROUP BY e.dst),
+r2 AS (SELECT nd.node, nd.outdeg, nd.base,
+              CAST(nd.base + (COALESCE(i2.s, 0) * 17) // 20 AS BIGINT) AS rank_q
+       FROM nd LEFT JOIN i2 ON i2.node = nd.node)
+SELECT node, rank_q, outdeg FROM r2
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -5151,6 +5212,9 @@ QUERIES: dict[str, Declared] = {
     # k-core peeling: the filter-update Pregel machine (dense
     # subgraph extraction, synchronous peel rounds).
     "dp_kcore": Declared(_dp_kcore, _DP_KCORE_SQL),
+    # TrustRank: seeded personalization of the pagerank machine —
+    # proximity-to-trust as a curation signal.
+    "dp_trustrank": Declared(_dp_trustrank, _DP_TRUSTRANK_SQL),
 }
 
 

@@ -3693,3 +3693,51 @@ def test_kcore_peel_matches_replay(spark):
         kcore_peel(df, k=3, rounds=-1)
     with _pytest.raises(ValueError):
         kcore_peel(df, k=3, checkpoint_every=0)
+
+
+def _ref_ppr(edge_pairs, iters, seeds, init_q=10**12, num=17, den=20):
+    """Personalized-PageRank replay: teleport base only at seeds."""
+    nodes = sorted({s for s, _ in edge_pairs} | {d for _, d in edge_pairs})
+    deg: dict = {}
+    for s, _ in edge_pairs:
+        deg[s] = deg.get(s, 0) + 1
+    base = (init_q * (den - num)) // den
+    rank = {n: (init_q if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        ins: dict = {}
+        for s, d in edge_pairs:
+            if deg.get(s, 0) > 0:
+                ins[d] = ins.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            n: (base if n in seeds else 0) + (ins.get(n, 0) * num) // den
+            for n in nodes
+        }
+    return {n: (rank[n], deg.get(n, 0)) for n in nodes}
+
+
+def test_personalized_pagerank_matches_replay(spark):
+    """seeds= switches to TrustRank-style personalization: teleport
+    mass only at the seed set; non-seeds earn rank solely through
+    in-links (zero if unreachable from trust)."""
+    from pipz_spark.datapipe import pagerank
+
+    pairs = [
+        ("s1", "a"), ("a", "b"), ("b", "a"), ("s1", "b"),
+        ("x", "y"), ("y", "x"),  # a 2-cycle unreachable from seeds
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = spark.createDataFrame([("s1",)], "node string")
+    got = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=3, seeds=seeds).collect()
+    }
+    assert got == _ref_ppr(pairs, 3, {"s1"})
+    # trust decays with distance; unreachable nodes hold zero
+    assert got["x"][0] == 0 and got["y"][0] == 0
+    assert got["s1"][0] > 0 and got["a"][0] > 0
+    # seeds=None unchanged (the uniform machine)
+    uni = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=3).collect()
+    }
+    assert uni == _ref_pagerank(pairs, 3)
