@@ -859,4 +859,98 @@ __all__ = [
     "dsir_log_ratio",
     "priority_sample",
     "exact_stratified_split",
+    "waterfill_allocation",
 ]
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "lang",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Capped proportional (water-filling) budget allocation across
+    domains — the max-min fair split of a token budget (Bertsekas &
+    Gallager 1992 §6.5.2's max-min fairness; the data-mixing use:
+    cap the biggest web domains at the water level L so no domain
+    floods the mix, while every domain smaller than L keeps all of
+    its supply). Returns one row per domain: (domain_col, supply
+    BIGINT, allocation BIGINT) with Σ allocation = min(budget,
+    Σ supply): allocation_i = supply_i below the level, = L or L+1
+    at the level (the integer remainder goes one unit each to the
+    lexicographically-first capped domains — deterministic).
+
+    Fully RELATIONAL — the level derivation is window prefix sums
+    over the |domains|-row aggregate, so there is no driver loop at
+    all (contrast ``doremi_weights``'s EG iterations): one
+    map-side-combined corpus aggregate, then window functions over a
+    tiny frame, all exact BIGINT. Any engine replays it. Ascending
+    (supply, domain) order makes the scan total; the first row whose
+    supply exceeds the even split of the remaining budget pins
+    L = (B − prefix) DIV slots and R = (B − prefix) % slots, and
+    every capped domain's supply strictly exceeds L (the binding row
+    is strict and supplies are sorted), so the +1 units always fit.
+
+    ``token_col=None`` measures supply in rows; a column name
+    measures it in that column's sum (NULLs count 0)."""
+    if budget <= 0:
+        raise ValueError(f"need budget > 0, got {budget}")
+    from pyspark.sql import Window
+
+    mass = (
+        F.count(F.lit(1)).cast("long")
+        if token_col is None
+        else F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0)))
+    )
+    sup = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(mass.alias("supply"))
+    )
+    w = Window.orderBy("supply", domain_col)
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = sup.select(
+        domain_col,
+        "supply",
+        (F.sum("supply").over(w) - F.col("supply")).alias("prefix"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(full).alias("n"),
+    )
+    binds = F.col("supply") > F.expr(f"({budget}L - prefix) DIV (n - i + 1)")
+    marked = ranked.select(
+        domain_col,
+        "supply",
+        F.when(binds, F.col("i")).alias("_bi"),
+        F.when(binds, F.expr(f"({budget}L - prefix) DIV (n - i + 1)")).alias("_l"),
+        F.when(binds, F.expr(f"({budget}L - prefix) % (n - i + 1)")).alias("_r"),
+    )
+    # the FIRST binding row (min i) pins the level; min_by is exact
+    # over the tiny frame. NULL level (no binding row) = budget
+    # covers every supply.
+    first_bind = Window.orderBy(F.col("_bi").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    leveled = marked.select(
+        domain_col,
+        "supply",
+        F.first("_l", ignorenulls=True).over(first_bind).alias("L"),
+        F.first("_r", ignorenulls=True).over(first_bind).alias("R"),
+    )
+    capped_rank = F.row_number().over(
+        Window.partitionBy(
+            F.when(F.col("supply") > F.col("L"), F.lit(1)).otherwise(F.lit(0))
+        ).orderBy(domain_col)
+    )
+    return leveled.select(
+        domain_col,
+        "supply",
+        F.when(F.col("L").isNull() | (F.col("supply") <= F.col("L")), F.col("supply"))
+        .otherwise(
+            F.col("L")
+            + F.when(capped_rank <= F.col("R"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("allocation"),
+    )

@@ -4818,6 +4818,58 @@ SELECT node, rank_q, outdeg FROM r2
 """
 
 
+# Water-filling budget allocation (sampling.waterfill_allocation):
+# max-min fair token-budget split across languages — big domains cap
+# at the water level, small ones keep their full supply. The level
+# derivation is pure window prefix sums over the |domains|-row
+# aggregate (no driver loop — contrast doremi's EG iterations); the
+# oracle replays the identical integer scan. Budget 15000 exercises
+# BOTH branches across SFs: at sf0.001 total supply < budget (all
+# full), at sf0.01+ the level binds.
+def _dp_waterfill(spark, sf):
+    from .datapipe import token_count, waterfill_allocation
+
+    flat = split_ok(token_count()(_t(spark, sf, "documents")))
+    return waterfill_allocation(flat, 15000, "lang", "n_tokens")
+
+
+_DP_WATERFILL_SQL = r"""
+WITH sup AS (
+  SELECT lang,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS supply
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+rk AS (
+  SELECT lang, supply,
+         SUM(supply) OVER (ORDER BY supply, lang
+                           ROWS UNBOUNDED PRECEDING) - supply AS prefix,
+         ROW_NUMBER() OVER (ORDER BY supply, lang) AS i,
+         COUNT(*) OVER () AS n
+  FROM sup),
+mk AS (
+  SELECT lang, supply,
+         CASE WHEN supply > (15000 - prefix) // (n - i + 1) THEN i END AS bi,
+         CASE WHEN supply > (15000 - prefix) // (n - i + 1)
+              THEN (15000 - prefix) // (n - i + 1) END AS l,
+         CASE WHEN supply > (15000 - prefix) // (n - i + 1)
+              THEN (15000 - prefix) % (n - i + 1) END AS r
+  FROM rk),
+lv AS (SELECT MIN(bi) AS mb FROM mk),
+pin AS (SELECT mk2.l AS lev, mk2.r AS rem FROM mk mk2, lv WHERE mk2.bi = lv.mb),
+cr AS (
+  SELECT mk.lang, mk.supply, pin.lev, pin.rem,
+         ROW_NUMBER() OVER (
+           PARTITION BY (CASE WHEN pin.lev IS NOT NULL AND mk.supply > pin.lev
+                              THEN 1 ELSE 0 END)
+           ORDER BY mk.lang) AS capped_rank
+  FROM mk LEFT JOIN pin ON TRUE)
+SELECT lang, supply,
+       CAST(CASE WHEN lev IS NULL OR supply <= lev THEN supply
+                 ELSE lev + (CASE WHEN capped_rank <= rem THEN 1 ELSE 0 END)
+            END AS BIGINT) AS allocation
+FROM cr
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -5215,6 +5267,9 @@ QUERIES: dict[str, Declared] = {
     # TrustRank: seeded personalization of the pagerank machine —
     # proximity-to-trust as a curation signal.
     "dp_trustrank": Declared(_dp_trustrank, _DP_TRUSTRANK_SQL),
+    # Water-filling budget allocation: max-min fair split via window
+    # prefix sums — no driver loop.
+    "dp_waterfill": Declared(_dp_waterfill, _DP_WATERFILL_SQL),
 }
 
 

@@ -3741,3 +3741,47 @@ def test_personalized_pagerank_matches_replay(spark):
         for r in pagerank(df, iters=3).collect()
     }
     assert uni == _ref_pagerank(pairs, 3)
+
+
+def _ref_waterfill(supplies, budget):
+    """Integer max-min fair allocation replay."""
+    items = sorted(supplies.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    prefix = 0
+    lev = rem = None
+    for idx, (dom, s) in enumerate(items, 1):
+        cand = (budget - prefix) // (n - idx + 1)
+        if s > cand:
+            lev, rem = cand, (budget - prefix) % (n - idx + 1)
+            break
+        prefix += s
+    if lev is None:
+        return dict(supplies)
+    plus = set(sorted(d for d, s in supplies.items() if s > lev)[:rem])
+    return {
+        d: (s if s <= lev else lev + (1 if d in plus else 0))
+        for d, s in supplies.items()
+    }
+
+
+def test_waterfill_allocation(spark):
+    from pipz_spark.datapipe import waterfill_allocation
+
+    rows = (
+        [("web",)] * 40 + [("code",)] * 25 + [("books",)] * 10 + [("ref",)] * 3
+    )
+    df = spark.createDataFrame(rows, "lang string")
+    for budget in (5, 20, 50, 77, 78, 100):
+        got = {
+            r["lang"]: (r["supply"], r["allocation"])
+            for r in waterfill_allocation(df, budget).collect()
+        }
+        sup = {"web": 40, "code": 25, "books": 10, "ref": 3}
+        want = _ref_waterfill(sup, budget)
+        assert got == {d: (sup[d], want[d]) for d in sup}, budget
+        # conservation + the max-min cap property
+        assert sum(a for _, a in got.values()) == min(budget, 78)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        waterfill_allocation(df, 0)

@@ -930,3 +930,32 @@ def test_kcore_matches_replay_for_any_graph(spark_prop, edges, k, rounds):
     if rounds:
         prev = set(_ref_kcore(pairs, k, rounds - 1))
         assert set(got) <= prev
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    supplies=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=6,
+    ),
+    budget=st.integers(min_value=1, max_value=200),
+)
+def test_waterfill_matches_replay_for_any_mix(spark_prop, supplies, budget):
+    """waterfill_allocation equals the integer max-min replay for ANY
+    supply mix and budget, conserves the budget exactly, and never
+    allocates above supply."""
+    from test_datapipe import _ref_waterfill
+
+    from pipz_spark.datapipe import waterfill_allocation
+
+    rows = [(d,) for d, s in supplies.items() for _ in range(s)]
+    df = spark_prop.createDataFrame(rows, "lang string")
+    got = {
+        r["lang"]: r["allocation"]
+        for r in waterfill_allocation(df, budget).collect()
+    }
+    assert got == _ref_waterfill(supplies, budget)
+    assert sum(got.values()) == min(budget, sum(supplies.values()))
+    assert all(got[d] <= supplies[d] for d in supplies)

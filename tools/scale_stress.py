@@ -1541,6 +1541,46 @@ def main_graph100x() -> None:
         return (total, bad)
 
     run(spark, "labelprop 100x (3 it) ", check_lab)
+
+    # ---- k-core peeling on the 10-replica co-occurrence graph ----
+    from pipz_spark.datapipe import kcore_peel
+
+    K, ROUNDS = 22, 3
+    t0 = time.time()
+    # python reference: synchronous peel on the base graph
+    pedges = set(base_edges)
+    for _ in range(ROUNDS):
+        pdeg: dict = {}
+        for u, v in pedges:
+            pdeg[u] = pdeg.get(u, 0) + 1
+            pdeg[v] = pdeg.get(v, 0) + 1
+        keep = {n for n, c in pdeg.items() if c >= K}
+        pedges = {(u, v) for u, v in pedges if u in keep and v in keep}
+    core_want: dict = {}
+    for u, v in pedges:
+        core_want[u] = core_want.get(u, 0) + 1
+        core_want[v] = core_want.get(v, 0) + 1
+    print(
+        f"python reference: {len(core_want)} nodes in the {K}-core after "
+        f"{ROUNDS} peels [{time.time() - t0:.1f}s]"
+    )
+    want_core = spark.createDataFrame(
+        list(core_want.items()), "base_node long, want_deg long"
+    )
+
+    def check_core() -> tuple:
+        got = kcore_peel(e100, k=K, rounds=ROUNDS, checkpoint_every=1)
+        keyed = got.select(F.expr("node DIV 1000").alias("base_node"), "degree")
+        joined = keyed.join(F.broadcast(want_core), "base_node", "left")
+        bad = joined.where(
+            F.col("want_deg").isNull() | (F.col("degree") != F.col("want_deg"))
+        ).count()
+        total = joined.count()
+        assert bad == 0, f"{bad} of {total} nodes diverge from the replay"
+        assert total == len(core_want) * 10, total
+        return (total, bad)
+
+    run(spark, "kcore 10x (3 peels)   ", check_core)
     spark.stop()
 
 
