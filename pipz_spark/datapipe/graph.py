@@ -88,6 +88,7 @@ def pagerank(
     damping: tuple[int, int] = (17, 20),
     checkpoint_every: int | None = None,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list; returns
     (node, rank_q BIGINT, outdeg BIGINT) after ``iters`` damped
@@ -97,6 +98,17 @@ def pagerank(
     graph. ``checkpoint_every=N`` localCheckpoints the ranks frame
     after every N iterations, truncating lineage for long runs
     (values are identical with or without it).
+
+    ``weight_col`` switches to WEIGHTED PageRank (Xing & Ghorbani
+    2004): a node splits its mass proportionally to positive integer
+    edge weights instead of evenly — per edge ``(rank·w) DIV wsum``
+    evaluated divide-first (``(rank DIV wsum)·w +
+    ((rank % wsum)·w) DIV wsum``, exact for rank, w ≥ 0), and the
+    returned ``outdeg`` becomes the node's out-STRENGTH Σw. Edges
+    with NULL or non-positive weight are dropped (a zero weight
+    carries no mass; a negative one would corrupt the distribution).
+    Extra overflow term: per node, wsum · max-edge-weight must stay
+    under 2^62 — trivially true for multiplicity-style weights.
 
     ``seeds`` switches to PERSONALIZED PageRank (Page et al. 1998
     §6's personalization vector; the seed-set trust-propagation use
@@ -131,15 +143,23 @@ def pagerank(
     # persist on top of that pays a second full materialization and
     # breaks stage pipelining: measured 5.5 s vs 1.7 s per run on the
     # sf0.1 declared query, and neutral at the 117M-edge 100× rig.
+    wcols = (
+        []
+        if weight_col is None
+        else [F.col(weight_col).cast("long").alias("_w")]
+    )
     e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), *wcols
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    if weight_col is not None:
+        e = e.where(F.col("_w").isNotNull() & (F.col("_w") > 0))
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    mass = F.count(F.lit(1)) if weight_col is None else F.sum("_w")
+    deg = e.groupBy("_src").agg(mass.alias("outdeg"))
     ndeg = nodes.join(deg, nodes["node"] == deg["_src"], "left").select(
         "node", F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg")
     )
@@ -165,13 +185,30 @@ def pagerank(
     )
 
     for it in range(iters):
-        contrib = e.join(
-            ranks.where(F.col("outdeg") > 0).select(
-                F.col("node").alias("_n"),
-                F.expr("rank_q DIV outdeg").alias("_c"),
-            ),
-            F.col("_src") == F.col("_n"),
-        ).select("_dst", "_c")
+        if weight_col is None:
+            contrib = e.join(
+                ranks.where(F.col("outdeg") > 0).select(
+                    F.col("node").alias("_n"),
+                    F.expr("rank_q DIV outdeg").alias("_c"),
+                ),
+                F.col("_src") == F.col("_n"),
+            ).select("_dst", "_c")
+        else:
+            # proportional split, divide-first (see docstring): the
+            # per-edge share (rank·w) DIV wsum without forming rank·w
+            contrib = e.join(
+                ranks.where(F.col("outdeg") > 0).select(
+                    F.col("node").alias("_n"),
+                    F.col("rank_q").alias("_rq"),
+                    F.col("outdeg").alias("_ws"),
+                ),
+                F.col("_src") == F.col("_n"),
+            ).select(
+                "_dst",
+                F.expr(
+                    "(_rq DIV _ws) * _w + ((_rq % _ws) * _w) DIV _ws"
+                ).alias("_c"),
+            )
         insum = contrib.groupBy("_dst").agg(F.sum("_c").alias("_s"))
         # divide-first damping: (s·num) DIV den without ever forming
         # s·num — the intermediate stays ≤ s (see module docstring's

@@ -4870,6 +4870,62 @@ FROM cr
 """
 
 
+# Weighted PageRank (graph.pagerank with weight_col= — Xing &
+# Ghorbani 2004): the purchase graph weighted by how many orders
+# link each (customer, supplier) pair — mass splits proportionally
+# to relationship strength instead of evenly. Same integer-exact
+# machine (per-edge share (rank·w) DIV wsum, divide-first); outdeg
+# becomes out-strength Σw. The oracle unrolls both iterations with
+# the weighted split.
+def _dp_pagerank_weighted(spark, sf):
+    from .datapipe import pagerank
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pw = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    edges = pw.union(
+        pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return pagerank(edges, iters=2, weight_col="w")
+
+
+_DP_PAGERANK_WEIGHTED_SQL = """
+WITH pw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM pw UNION ALL SELECT dst, src, w FROM pw),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+ws AS (SELECT src AS node, SUM(w) AS outdeg FROM e GROUP BY src),
+nd AS (SELECT n.node, CAST(COALESCE(ws.outdeg, 0) AS BIGINT) AS outdeg
+       FROM nodes n LEFT JOIN ws ON ws.node = n.node),
+r0 AS (SELECT node, outdeg, CAST(1000000000000 AS BIGINT) AS rank_q FROM nd),
+i1 AS (SELECT e.dst AS node, SUM((r.rank_q * e.w) // r.outdeg) AS s
+       FROM e JOIN r0 r ON r.node = e.src AND r.outdeg > 0
+       GROUP BY e.dst),
+r1 AS (SELECT nd.node, nd.outdeg,
+              CAST(150000000000 + (COALESCE(i1.s, 0) * 17) // 20 AS BIGINT) AS rank_q
+       FROM nd LEFT JOIN i1 ON i1.node = nd.node),
+i2 AS (SELECT e.dst AS node, SUM((r.rank_q * e.w) // r.outdeg) AS s
+       FROM e JOIN r1 r ON r.node = e.src AND r.outdeg > 0
+       GROUP BY e.dst),
+r2 AS (SELECT nd.node, nd.outdeg,
+              CAST(150000000000 + (COALESCE(i2.s, 0) * 17) // 20 AS BIGINT) AS rank_q
+       FROM nd LEFT JOIN i2 ON i2.node = nd.node)
+SELECT node, rank_q, outdeg FROM r2
+"""
+
+
 # --------------------------------------------------------------------
 # The registry IS the driver contract: the driver's correctness gate
 # hashes only the FIRST 50 entries against their DuckDB oracles, so
@@ -5270,6 +5326,11 @@ QUERIES: dict[str, Declared] = {
     # Water-filling budget allocation: max-min fair split via window
     # prefix sums — no driver loop.
     "dp_waterfill": Declared(_dp_waterfill, _DP_WATERFILL_SQL),
+    # Weighted PageRank: proportional mass split by edge weight,
+    # divide-first exact.
+    "dp_pagerank_weighted": Declared(
+        _dp_pagerank_weighted, _DP_PAGERANK_WEIGHTED_SQL
+    ),
 }
 
 

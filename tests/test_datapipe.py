@@ -3785,3 +3785,51 @@ def test_waterfill_allocation(spark):
 
     with _pytest.raises(ValueError):
         waterfill_allocation(df, 0)
+
+
+def _ref_wpagerank(weighted_edges, iters, init_q=10**12, num=17, den=20):
+    """Weighted-PageRank replay: proportional split by edge weight."""
+    edges = [(s, d, w) for s, d, w in weighted_edges if w and w > 0]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    ws: dict = {}
+    for s, _, w in edges:
+        ws[s] = ws.get(s, 0) + w
+    base = (init_q * (den - num)) // den
+    rank = {n: init_q for n in nodes}
+    for _ in range(iters):
+        ins: dict = {}
+        for s, d, w in edges:
+            ins[d] = ins.get(d, 0) + (rank[s] * w) // ws[s]
+        rank = {n: base + (ins.get(n, 0) * num) // den for n in nodes}
+    return {n: (rank[n], ws.get(n, 0)) for n in nodes}
+
+
+def test_weighted_pagerank_matches_replay(spark):
+    """weight_col= splits mass proportionally to edge weights
+    (divide-first exact); weight 1 everywhere equals the unweighted
+    machine; non-positive/NULL weights drop."""
+    from pipz_spark.datapipe import pagerank
+
+    wedges = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5),
+        ("c", "d", 1), ("d", "a", 4), ("a", "d", 0), ("b", "d", None),
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=3, weight_col="w").collect()
+    }
+    assert got == _ref_wpagerank(wedges, 3)
+    # unit weights == the unweighted machine exactly
+    ones = spark.createDataFrame(
+        [(s, d, 1) for s, d, w in wedges if w], "src string, dst string, w long"
+    )
+    uni = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(ones.select("src", "dst"), iters=2).collect()
+    }
+    wuni = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(ones, iters=2, weight_col="w").collect()
+    }
+    assert uni == wuni
