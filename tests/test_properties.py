@@ -959,3 +959,29 @@ def test_waterfill_matches_replay_for_any_mix(spark_prop, supplies, budget):
     assert got == _ref_waterfill(supplies, budget)
     assert sum(got.values()) == min(budget, sum(supplies.values()))
     assert all(got[d] <= supplies[d] for d in supplies)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_vals=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    b_vals=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+)
+def test_hll_overlap_matches_register_replay(spark_prop, a_vals, b_vals):
+    """hll_intersect_estimate is ENGINE-EXACT, not just accurate: for
+    ANY two value sets, the three estimates equal the pure-Python
+    register replay (part registers + max-merged union) and the
+    overlap is exactly their IEEE inclusion-exclusion sum."""
+    from test_datapipe import _ref_hll
+
+    from pipz_spark.datapipe import hll_intersect_estimate
+
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark_prop.createDataFrame(rows, "part string, val long")
+    out = hll_intersect_estimate(df, "val", "part", "a", "b", b=8).collect()[0]
+    ea = _ref_hll(a_vals, 8)[0]
+    eb = _ref_hll(b_vals, 8)[0]
+    eu = _ref_hll(list(set(a_vals) | set(b_vals)), 8)[0]
+    assert out["hll_a"] == ea
+    assert out["hll_b"] == eb
+    assert out["hll_union"] == eu
+    assert out["hll_overlap"] == ea + eb - eu
