@@ -169,9 +169,14 @@ def pagerank(
         sd = seeds.select(F.col("node")).distinct().withColumn(
             "_is_seed", F.lit(True)
         )
+        # keep the seed flag itself for the rank init below: base
+        # floors to 0 when init_q·(den−num) < den (damping near 1
+        # with a small init_q), and inferring seed-ness from
+        # ``_base > 0`` would then zero the seeds' initial mass too
         ndeg = ndeg.join(sd, "node", "left").select(
             "node",
             "outdeg",
+            F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
             F.when(F.col("_is_seed"), F.lit(base))
             .otherwise(F.lit(0))
             .cast("long")
@@ -179,7 +184,7 @@ def pagerank(
         )
     ranks = ndeg.withColumn(
         "rank_q",
-        F.when(F.col("_base") > 0, F.lit(init_q)).otherwise(F.lit(0)).cast("long")
+        F.when(F.col("_is_seed"), F.lit(init_q)).otherwise(F.lit(0)).cast("long")
         if seeds is not None
         else F.lit(init_q).cast("long"),
     )

@@ -225,8 +225,20 @@ def hll_intersect_estimate(
         salt=salt,
     )
     per = hll_estimate(regs, ["_g"], b=b, out_col="_e")
-    ea = per.where(F.col("_g") == "a").select(F.col("_e").alias("hll_a"))
-    eb = per.where(F.col("_g") == "b").select(F.col("_e").alias("hll_b"))
+    # GLOBAL aggregates (one row even when a part has no rows): an
+    # empty partition's sketch is 0 distinct, and the single-row
+    # contract must hold — a where+crossJoin shape would instead
+    # collapse the whole result to zero rows on an empty part
+    ea = per.select(
+        F.coalesce(
+            F.max(F.when(F.col("_g") == "a", F.col("_e"))), F.lit(0.0)
+        ).alias("hll_a")
+    )
+    eb = per.select(
+        F.coalesce(
+            F.max(F.when(F.col("_g") == "b", F.col("_e"))), F.lit(0.0)
+        ).alias("hll_b")
+    )
     eu = hll_estimate(hll_merge(regs), [], b=b, out_col="hll_union").select(
         "hll_union"
     )

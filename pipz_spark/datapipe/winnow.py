@@ -5,8 +5,10 @@ Where ``text.fingerprint`` hashes the WHOLE document (exact-dup key)
 and the shingle family feeds similarity joins, winnowing selects a
 guaranteed-coverage SUBSET of k-gram hashes: slide a window of ``w``
 consecutive gram hashes over the document and keep each window's
-minimum (rightmost occurrence on ties — the paper's robust-winnowing
-tie rule, which keeps the selected set stable under local edits).
+minimum (rightmost occurrence on ties — standard winnowing's tie
+rule in the paper; its ROBUST variant additionally prefers the hash
+the previous window already selected, a density optimization this
+implementation does not apply).
 The paper's guarantee: any match of at least w + k - 1 consecutive
 tokens between two documents shares at least one selected
 fingerprint, at an expected density of 2/(w+1) of all grams — the
@@ -97,8 +99,8 @@ def winnow_fingerprints(
     def window_struct(s: Column) -> Column:
         win = F.slice(F.col("_hs"), s, w)
         mn = F.array_min(win)
-        # rightmost in-window index holding the min (robust
-        # winnowing): max j with win[j] == min
+        # rightmost in-window index holding the min (the paper's
+        # standard-winnowing tie rule): max j with win[j] == min
         rj = F.array_max(
             F.transform(
                 F.sequence(F.lit(1), F.size(win)),

@@ -1607,6 +1607,11 @@ def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(_p DIV 48 as int)").alias("word_idx"),
         F.expr("cast(_p % 48 as int)").alias("bit_idx"),
     )
+    # Bloom membership is ALL k bits set: fold per (day, key) with
+    # bool_and FIRST (mirroring the oracle's BOOL_AND), then count
+    # members per day. Counting any-bit hits instead would let a
+    # 1-of-k collision mask a lost bit — exactly the false negative
+    # this audit exists to detect.
     tested = (
         pp.join(words, ["day", "word_idx"], "left")
         .select(
@@ -1616,12 +1621,12 @@ def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(shiftright(coalesce(word_bits, 0L), bit_idx) & 1L) = 1L")
             ).alias("_hit"),
         )
+        .groupBy("day", "key")
+        .agg(F.bool_and("_hit").alias("_member"))
         .groupBy("day")
         .agg(
-            F.count_distinct("key").alias("n_keys"),
-            F.count_distinct(F.when(F.col("_hit"), F.col("key"))).alias(
-                "n_positive"
-            ),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("_member"), F.lit(1))).alias("n_positive"),
         )
     )
     fill = words.groupBy("day").agg(

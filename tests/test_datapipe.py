@@ -3531,6 +3531,30 @@ def test_hll_intersect_estimate(spark):
     assert merged == direct
 
 
+def test_hll_intersect_empty_partition_single_row(spark):
+    """The ONE-row contract holds when a part (or both) has no rows:
+    an empty part estimates 0 distinct, never an empty result frame
+    (r14 ADVICE regression — the old where+crossJoin shape collapsed
+    the whole result to zero rows)."""
+    from pipz_spark.datapipe import hll_intersect_estimate
+
+    rows = [("a", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "part string, val long")
+    out = hll_intersect_estimate(df, "val", "part", "a", "b", b=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["hll_b"] == 0.0
+    assert abs(r["hll_a"] - 100) < 15
+    assert r["hll_overlap"] == r["hll_a"] + r["hll_b"] - r["hll_union"]
+    empty = hll_intersect_estimate(
+        df.where("part = 'zzz'"), "val", "part", "a", "b", b=8
+    ).collect()
+    assert len(empty) == 1
+    assert empty[0]["hll_a"] == 0.0
+    assert empty[0]["hll_b"] == 0.0
+    assert empty[0]["hll_union"] == 0.0
+
+
 def test_blocklist_report(spark):
     from pipz_spark.datapipe import blocklist_report
 
@@ -3741,6 +3765,34 @@ def test_personalized_pagerank_matches_replay(spark):
         for r in pagerank(df, iters=3).collect()
     }
     assert uni == _ref_pagerank(pairs, 3)
+
+
+def test_personalized_pagerank_zero_floored_base_keeps_seed_mass(spark):
+    """base = init_q·(den−num)//den floors to 0 for damping near 1
+    with a small init_q (99/100 with init_q=50 → base=0); seeds must
+    STILL start with init_q mass — the seed FLAG decides the rank
+    init, not ``_base > 0`` (r14 ADVICE regression)."""
+    from pipz_spark.datapipe import pagerank
+
+    pairs = [("s1", "a"), ("a", "s1")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = spark.createDataFrame([("s1",)], "node string")
+    for iters in (1, 2):
+        got = {
+            r["node"]: (r["rank_q"], r["outdeg"])
+            for r in pagerank(
+                df, iters=iters, seeds=seeds, damping=(99, 100), init_q=50
+            ).collect()
+        }
+        assert got == _ref_ppr(pairs, iters, {"s1"}, init_q=50, num=99, den=100)
+    # the decisive check: the seed's initial mass actually flowed
+    one = dict(
+        (r["node"], r["rank_q"])
+        for r in pagerank(
+            df, iters=1, seeds=seeds, damping=(99, 100), init_q=50
+        ).collect()
+    )
+    assert one["a"] > 0
 
 
 def _ref_waterfill(supplies, budget):
