@@ -122,4 +122,63 @@ def winnow_fingerprints(
     )
 
 
-__all__ = ["winnow_fingerprints"]
+def winnow_overlap(
+    train_fps: DataFrame,
+    eval_fps: DataFrame,
+    train_id: str = "train_id",
+    eval_id: str = "eval_id",
+    min_shared: int = 2,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """The MOSS composition (Schleimer et al. §5): join two
+    fingerprint frames (``winnow_fingerprints`` output, or a
+    PERSISTED index of it — the incremental-contamination story:
+    fingerprint the training corpus once, store the skinny
+    (id, fp_hash) index, and screen every future eval set against it
+    without re-fingerprinting 100 TB) on ``fp_hash`` and count the
+    shared fingerprints per (train, eval) document pair. Returns
+    (train_id, eval_id, n_shared BIGINT) for pairs with
+    ``n_shared >= min_shared``.
+
+    ``max_doc_freq`` caps the TRAIN-side document frequency of a
+    joinable fingerprint — PART OF THE SEMANTICS, the dedup family's
+    df-cap convention (``dedup.jaccard_near_dup_pairs``): a print
+    selected from web boilerplate lands in a large fraction of both
+    corpora, and its candidate fan-out is train_df × eval_df — the
+    chance-collision explosion, and at scale a skewed hot key in the
+    shuffle. Capping bounds every print's pair fan-out a priori at
+    ``max_doc_freq × eval_df`` while dropping exactly the LEAST
+    informative prints. The winnowing guarantee degrades gracefully:
+    a ≥ w+k−1-token shared run surfaces unless EVERY print it
+    selects is over-cap boilerplate — in which case the run itself
+    is boilerplate. ``min_shared`` damps single-gram chance
+    collisions (2 is the family default).
+
+    Scale shape: distinct → one map-side-combined df count over the
+    train index → df-cap semi-shape join → equi-join on fp_hash →
+    two-phase count per pair. Never all-pairs, never a cartesian;
+    both inputs stay skinny (id, hash) longs end to end. The
+    per-pair count is COUNT(*), exact because each side is distinct
+    (the triple (fp, train, eval) is unique in the join output)."""
+    if min_shared <= 0:
+        raise ValueError(f"need min_shared > 0, got {min_shared}")
+    if max_doc_freq <= 0:
+        raise ValueError(f"need max_doc_freq > 0, got {max_doc_freq}")
+    t = train_fps.select(F.col(train_id), "fp_hash").distinct()
+    e = eval_fps.select(F.col(eval_id), "fp_hash").distinct()
+    keep = (
+        t.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("fp_hash")
+    )
+    return (
+        t.join(keep, "fp_hash")
+        .join(e, "fp_hash")
+        .groupBy(train_id, eval_id)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+__all__ = ["winnow_fingerprints", "winnow_overlap"]

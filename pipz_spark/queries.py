@@ -4565,14 +4565,18 @@ _DP_BLOCKLIST_SQL = _blocklist_sql()
 
 # Winnowing-index overlap detection — the COMPOSITION the
 # fingerprint operator exists for (Schleimer et al. §5 run MOSS this
-# way): fingerprint both corpora, equi-join on fp_hash, count shared
-# fingerprints per (train, eval) doc pair. Any pair sharing a
-# ≥ w+k−1-token run MUST surface (the winnowing guarantee) at ~2/(w+1)
-# of a full shingle index's size. The doc_id % 50 split stands in
-# for the eval benchmark (the bloom_decontam convention); pairs with
-# ≥ 2 shared prints (damping single-gram chance collisions).
+# way): fingerprint both corpora, df-cap the train side (boilerplate
+# prints generate train_df × eval_df candidates — the dedup family's
+# cap convention, PART OF THE SEMANTICS and replayed by the oracle),
+# equi-join on fp_hash, count shared prints per (train, eval) doc
+# pair. Any pair sharing a ≥ w+k−1-token NON-boilerplate run MUST
+# surface (the winnowing guarantee, degrading only on over-cap
+# prints) at ~2/(w+1) of a full shingle index's size. The doc_id %
+# 50 split stands in for the eval benchmark (the bloom_decontam
+# convention); pairs with ≥ 2 shared prints (damping single-gram
+# chance collisions).
 def _dp_winnow_overlap(spark, sf):
-    from .datapipe import winnow_fingerprints
+    from .datapipe import winnow_fingerprints, winnow_overlap
 
     docs = _t(spark, sf, "documents")
     train = docs.where(F.col("doc_id") % 50 != 0)
@@ -4583,12 +4587,7 @@ def _dp_winnow_overlap(spark, sf):
     ef = winnow_fingerprints(evald, k=3, w=4).select(
         F.col("doc_id").alias("eval_id"), "fp_hash"
     )
-    return (
-        tf.join(ef.distinct(), "fp_hash")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count_distinct("fp_hash").alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-    )
+    return winnow_overlap(tf, ef, min_shared=2, max_doc_freq=64)
 
 
 def _winnow_fp_cte(src_filter: str) -> str:
@@ -4620,12 +4619,15 @@ def _winnow_fp_cte(src_filter: str) -> str:
 
 _DP_WINNOW_OVERLAP_SQL = f"""
 WITH tf AS ({_winnow_fp_cte("doc_id % 50 <> 0")}),
-ef AS ({_winnow_fp_cte("doc_id % 50 = 0")})
+ef AS ({_winnow_fp_cte("doc_id % 50 = 0")}),
+keep AS (
+  SELECT fp_hash FROM tf GROUP BY fp_hash HAVING COUNT(*) <= 64)
 SELECT tf.doc_id AS train_id, ef.doc_id AS eval_id,
-       CAST(COUNT(DISTINCT tf.fp_hash) AS BIGINT) AS n_shared
-FROM tf JOIN ef ON ef.fp_hash = tf.fp_hash
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tf JOIN keep ON keep.fp_hash = tf.fp_hash
+        JOIN ef ON ef.fp_hash = tf.fp_hash
 GROUP BY 1, 2
-HAVING COUNT(DISTINCT tf.fp_hash) >= 2
+HAVING COUNT(*) >= 2
 """
 
 

@@ -3408,6 +3408,68 @@ def test_winnow_density(spark):
     assert 1.0 / w <= density <= 4.0 / (w + 1), (density, fps, grams)
 
 
+def test_winnow_overlap_df_cap_bounds_boilerplate_fanout(spark):
+    """The df-cap property on a DESIGNED boilerplate corpus: every
+    train and eval doc shares one boilerplate sentence, so uncapped
+    the fp_hash join fans out to |train| × |eval| pairs (the chance-
+    collision explosion the dedup family's cap exists for); capped,
+    the boilerplate prints are dropped and only the one TRUE
+    overlapping pair (a long unique shared run) survives, with the
+    candidate volume provably bounded at cap × |eval print rows|."""
+    from pipz_spark.datapipe import winnow_fingerprints, winnow_overlap
+
+    boiler = "this site uses cookies to improve your browsing experience today"
+    run = "orbital mechanics of the restricted three body problem near lagrange points"
+    train_rows = [
+        (i, f"{boiler} train unique alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(40)
+    ] + [(999, f"{run} train tail words here")]
+    eval_rows = [
+        (1000 + j, f"{boiler} eval unique eps{j} zeta{j} eta{j} theta{j}")
+        for j in range(8)
+    ] + [(1999, f"prefix words then {run}")]
+    tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
+    edf = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    tf = winnow_fingerprints(tdf, k=3, w=4).select(
+        F.col("doc_id").alias("train_id"), "fp_hash"
+    )
+    ef = winnow_fingerprints(edf, k=3, w=4).select(
+        F.col("doc_id").alias("eval_id"), "fp_hash"
+    )
+    cap = 8
+    capped = winnow_overlap(tf, ef, min_shared=1, max_doc_freq=cap).collect()
+    # boilerplate (train df = 40 > cap) no longer bridges pairs; the
+    # true pair's unique ≥ w+k−1 run still surfaces (the guarantee)
+    assert {(r["train_id"], r["eval_id"]) for r in capped} == {(999, 1999)}
+    uncapped = winnow_overlap(
+        tf, ef, min_shared=1, max_doc_freq=10**9
+    ).count()
+    assert uncapped >= 40 * 8  # the explosion the cap prevents
+    # candidate bound: per kept print, train fan-out ≤ cap, so the
+    # join output is ≤ cap × (eval print rows) — assert the realized
+    # capped candidate volume honors it while the uncapped one breaks
+    # the same bound (i.e. the cap is what bounds it)
+    t = tf.distinct()
+    e = ef.distinct()
+    keep = (
+        t.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= cap)
+        .select("fp_hash")
+    )
+    capped_cands = t.join(keep, "fp_hash").join(e, "fp_hash").count()
+    uncapped_cands = t.join(e, "fp_hash").count()
+    e_rows = e.count()
+    assert capped_cands <= cap * e_rows
+    assert uncapped_cands > cap * e_rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_overlap(tf, ef, min_shared=0)
+    with _pytest.raises(ValueError):
+        winnow_overlap(tf, ef, max_doc_freq=0)
+
+
 # ---- r14: JL projection / HLL set algebra / blocklist -------------
 
 

@@ -523,6 +523,19 @@ def test_winnow_is_one_shuffle_free_projection(spark):
     assert plan.count("split(trim") == 1
 
 
+def test_winnow_overlap_join_is_df_capped(spark):
+    # the fp_hash equi-join must sit behind the train-side df-cap
+    # (hot boilerplate prints are dropped BEFORE pairing — without it
+    # a web-boilerplate corpus turns fp_hash into a skewed hot key
+    # whose fan-out is train_df × eval_df); the df count itself must
+    # partial-aggregate map-side, and nothing may go cartesian
+    plan = _plan(spark, "dp_winnow_overlap")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # two-phase df count
+    assert "<= 64" in plan  # the cap filter survived into the plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_jl_project_is_pure_projection(spark):
     # the sign matrix rides the plan as literals; the projection is
     # zip_with/aggregate folds in codegen — no exchange, no join,
