@@ -2,8 +2,8 @@
 tiny sketch per day, answer month-wide questions by MERGING sketches
 — the raw events are never rescanned.
 
-The three mergeable sketches this repo gates (HLL = cardinality,
-CMS = frequency) share the property that the sketch of a UNION is a
+The mergeable sketches this repo gates (HLL = cardinality, CMS =
+frequency, Bloom = membership, KLL = distribution) share the property that the sketch of a UNION is a
 cheap fold of per-part sketches (register max / counter sum). That
 is the whole 100 TB play: a daily job sketches only that day's
 partition (bounded output: ≤ 2^b register rows, ≤ depth × width
@@ -14,10 +14,15 @@ traffic this month" — is answered from the store alone.
   1. split the events table into per-day batches (the stand-in for
      daily partitions landing over a month),
   2. per day: ``hll_sketch`` over user_id + ``cms_sketch`` over
-     event_type, appended to a parquet sketch store partitioned by
-     day,
-  3. month-end: read the store back, ``hll_merge`` + ``cms_merge``
-     across days, ``hll_estimate`` / ``cms_lookup`` for the answers,
+     event_type + ``kll_sketch`` over the event value, appended to a
+     parquet sketch store partitioned by day,
+  3. month-end: read the store back, ``hll_merge`` + ``cms_merge`` +
+     ``kll_merge`` across days, ``hll_estimate`` / ``cms_lookup`` /
+     ``kll_quantile`` for the answers — percentiles INCLUDED, the
+     quantile question every 100 TB pipeline asks that exact
+     ``rel_percentile`` cannot answer from a store without
+     rescanning (KLL closes that gap: ≤ k+1 rows per day, merged at
+     ≤ ceil(W/k) added rank error),
   4. audit: the merged registers and counters are BIT-IDENTICAL to
      sketching the whole period directly (max/sum commute with
      union) — asserted, not assumed.
@@ -43,6 +48,9 @@ from pipz_spark.datapipe import (
     hll_estimate,
     hll_merge,
     hll_sketch,
+    kll_merge,
+    kll_quantile,
+    kll_sketch,
 )
 from pipz_spark.sources.catalog import load_table
 
@@ -70,6 +78,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         cms_sketch(batch, "event_type", width=1024, depth=3).withColumn(
             "day", F.lit(day)
         ).write.mode("append").parquet(f"{store_dir}/cms")
+        kll_sketch(batch, "value", k=64, id_col="event_id").withColumn(
+            "day", F.lit(day)
+        ).write.mode("append").parquet(f"{store_dir}/kll")
 
     # 3. month-end: answers come from the store, not the events
     hll_store = spark.read.parquet(f"{store_dir}/hll")
@@ -85,6 +96,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         for r in cms_lookup(merged_ctr, etypes, "event_type", width=1024, depth=3).collect()
     }
     print(f"event-type traffic this month (merged CMS): {traffic}")
+    kll_store = spark.read.parquet(f"{store_dir}/kll")
+    month_kll = kll_merge(kll_store.select("kll_value", "kll_weight"), k=64)
+    quantiles = {
+        r["q"]: r["kll_quantile"]
+        for r in kll_quantile(month_kll, [(1, 2), (9, 10), (99, 100)]).collect()
+    }
+    print(f"event-value percentiles this month (merged KLL): {quantiles}")
 
     # 4. merge == direct: registers and counters bit-identical to
     # sketching the whole period in one pass
@@ -101,11 +119,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         (r["cms_row"], r["cms_pos"]): r["cms_count"] for r in merged_ctr.collect()
     }
     assert merged_c == direct_ctr, "CMS merge must equal the direct sketch"
-    print("audit: merged sketches bit-identical to direct sketches")
+    # KLL's merge is a lossy re-compaction (unlike max/sum), so the
+    # audit is the BOUND, not bit-equality: every merged answer must
+    # sit within per-day build error + one merge stride of the true
+    # rank (computed here from the raw events, the oracle we are
+    # about to stop needing)
+    import bisect
+
+    sv = sorted(r["value"] for r in events.select("value").collect())
+    n = len(sv)
+    kll_n = kll_quantile(month_kll, [(1, 2)]).collect()[0]["kll_n"]
+    assert kll_n == n, "merged KLL total weight must equal the event count"
+    day_s = max((c + 63) // 64 for c in
+                [events.where(F.col("day") == d).count() for d in days])
+    merge_s = (n + 63) // 64
+    for phi, v in quantiles.items():
+        lo = bisect.bisect_left(sv, v) + 1
+        hi = bisect.bisect_right(sv, v)
+        err = min(abs(lo - phi * n), abs(hi - phi * n))
+        assert err <= day_s + merge_s, (phi, v, err)
+    print("audit: merged sketches bit-identical (HLL/CMS), KLL within bound")
 
     if own_session:
         spark.stop()
-    return {"days": len(days), "month_users": month_users, "traffic": traffic}
+    return {"days": len(days), "month_users": month_users, "traffic": traffic, "quantiles": quantiles}
 
 
 if __name__ == "__main__":

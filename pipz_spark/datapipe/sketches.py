@@ -504,6 +504,207 @@ def bloom_contamination(
     )
 
 
+# --------------------------------------------------------------------
+# KLL-style mergeable quantile sketch — the FOURTH sketch-family
+# member (cardinality=HLL, frequency=CMS, membership=Bloom,
+# DISTRIBUTION=this). Lineage: the deterministic even-rank compaction
+# of Manku, Rajagopalan & Lindsay 1998 (MRL) / the compactor hierarchy
+# of Karnin, Lang & Liberty 2016 (KLL), with one deliberate change:
+# the randomized / insertion-order-dependent compactor is replaced by
+# a MULTISET-CANONICAL rule — compact in sorted value order, keeping
+# the rows whose cumulative weight first crosses each multiple of the
+# stride s = ceil(W/k). That trades KLL's O((1/ε)·√log(1/δ)) space
+# optimality for the repo's engine-exact discipline: the sketch is a
+# pure function of the value multiset (no RNG, no order dependence),
+# so a DuckDB window query replays it row-for-row, and partition
+# layout can never change a byte of it.
+#
+# Contract (the quantile "merge currency", same shape as the other
+# three): a sketch frame is (*group_cols, kll_value, kll_weight
+# BIGINT) with the invariant that the cumulative weight of the
+# sketch rows up to and including a row, in value order, equals an
+# EXACT rank of that row's value in the summarized multiset. Build
+# error ≤ ceil(n/k) ranks (ε ≈ 1/k); each merge+re-compact adds
+# ≤ ceil(W/k) more (the MRL additive composition) — so day-sketches
+# merged over a year answer any percentile at ~2/k relative rank
+# error without ever rescanning or re-sorting the year.
+#
+# Scale shape: the BUILD pass rides ``rank.grouped_rank`` (range
+# exchange + two-phase offsets — bounded tasks under any group skew,
+# never a per-group window sort); kept rows and their weights are
+# CLOSED FORM in (rank, n, s), so the build adds zero passes on top
+# of the rank machine. Merge and quantile run window cumsums over
+# SKETCH rows only — ≤ parts × (k+1) rows per group, driver-free.
+# --------------------------------------------------------------------
+
+
+def _iceil(a: str, b: str) -> str:
+    """Integer ceil(a/b) as a SQL fragment — engine-portable (Spark
+    DIV / DuckDB //) and exact for BIGINT, never a double."""
+    return f"(({a}) + ({b}) - 1) DIV ({b})"
+
+
+def kll_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: Seq[str] = (),
+    k: int = 256,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Build a ≤ k+1-row quantile sketch of ``df[col]`` per group
+    (global if ``group_cols`` empty): keep the values at sorted ranks
+    1, s+1, 2s+1, … and n (s = ceil(n/k)), each weighted by the ranks
+    it absorbs, so cumulative sketch weight = exact rank. NULLs are
+    ignored. ``id_col`` (optional) is only a rank tiebreaker — the
+    output is value-deterministic with or without it, because every
+    row of a rank-tie carries the same value. Values are cast to
+    DOUBLE (the sketch never does arithmetic on them, so they replay
+    exactly)."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    from .rank import grouped_rank
+
+    gcols = list(group_cols)
+    tie = [F.col(id_col).alias("_tie")] if id_col else []
+    sel = df.where(F.col(col).isNotNull()).select(
+        *gcols, F.col(col).cast("double").alias("kll_value"), *tie
+    )
+    rank_groups = gcols
+    if not gcols:
+        # grouped_rank requires a group key; a literal group is the
+        # global sketch
+        sel = sel.withColumn("_kg", F.lit(0))
+        rank_groups = ["_kg"]
+    order = [F.col("kll_value")] + ([F.col("_tie")] if id_col else [])
+    # rank_col must not shadow grouped_rank's internal ``_r``
+    ranked = grouped_rank(sel, rank_groups, order, rank_col="_kr", count_col="_kn")
+    kept = ranked.withColumn("_s", F.expr(_iceil("_kn", str(k)))).where(
+        ((F.col("_kr") - 1) % F.col("_s") == 0) | (F.col("_kr") == F.col("_kn"))
+    )
+    # weight = rank − previous kept rank, closed form (no second
+    # window): 1 for the min, s for each stride row, the remainder
+    # (n−1) % s for a non-stride max
+    w = (
+        F.when(F.col("_kr") == 1, F.lit(1))
+        .when((F.col("_kr") - 1) % F.col("_s") == 0, F.col("_s"))
+        .otherwise((F.col("_kn") - 1) % F.col("_s"))
+    )
+    return kept.select(
+        *gcols, "kll_value", w.cast("long").alias("kll_weight")
+    )
+
+
+def _kll_windows(gcols: list):
+    from pyspark.sql import Window
+
+    pcols = [F.col(g) for g in gcols] if gcols else [F.lit(0)]
+    w_cum = (
+        Window.partitionBy(*pcols)
+        .orderBy("kll_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*pcols)
+    return w_cum, w_tot
+
+
+def kll_merge(
+    sketches: DataFrame, group_cols: Seq[str] = (), k: int = 256
+) -> DataFrame:
+    """Merge unioned ``kll_sketch`` frames per group and re-compact
+    to ≤ k+1 rows with the same canonical rule: pre-sum weights per
+    value (makes the cumsum tie-free, hence engine-deterministic),
+    keep the rows whose cumulative weight first crosses each multiple
+    of s = ceil(W/k), plus the max. Adds ≤ s rank error per merge
+    (MRL composition). Bounded work: windows over sketch rows only."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    gcols = list(group_cols)
+    pre = sketches.groupBy(*gcols, "kll_value").agg(
+        F.sum("kll_weight").alias("_w")
+    )
+    w_cum, w_tot = _kll_windows(gcols)
+    t = pre.select(
+        *gcols,
+        "kll_value",
+        "_w",
+        F.sum("_w").over(w_cum).alias("_cum"),
+        F.sum("_w").over(w_tot).alias("_wt"),
+    ).withColumn("_s", F.expr(_iceil("_wt", str(k))))
+    kept = t.where(
+        (
+            F.expr(_iceil("_cum", "_s"))
+            > F.expr(_iceil("_cum - _w", "_s"))
+        )
+        | (F.col("_cum") == F.col("_wt"))
+    )
+    from pyspark.sql import Window
+
+    pcols = [F.col(g) for g in gcols] if gcols else [F.lit(0)]
+    w_lag = Window.partitionBy(*pcols).orderBy("kll_value")
+    return kept.select(
+        *gcols,
+        "kll_value",
+        (
+            F.col("_cum")
+            - F.coalesce(F.lag("_cum").over(w_lag), F.lit(0).cast("long"))
+        ).alias("kll_weight"),
+    )
+
+
+def kll_quantile(
+    sketch: DataFrame,
+    probs: Seq[tuple],
+    group_cols: Seq[str] = (),
+    out_col: str = "kll_quantile",
+) -> DataFrame:
+    """Answer quantile queries from a sketch frame: for each
+    ``(num, den)`` INTEGER probability pair (the float-free gate —
+    targets are exact BIGINT arithmetic, never an IEEE multiply),
+    return the smallest sketch value whose cumulative weight reaches
+    ceil(num·W/den). One row per (group, prob): (*group_cols,
+    q DOUBLE, out_col DOUBLE, kll_n BIGINT) where kll_n is the
+    sketch's total weight (= exact summarized count for built or
+    losslessly merged sketches)."""
+    probs = list(probs)
+    if not probs:
+        raise ValueError("need at least one (num, den) prob")
+    for nd in probs:
+        n_, d_ = nd
+        if d_ <= 0 or n_ < 0 or n_ > d_:
+            raise ValueError(f"need 0 <= num <= den, got {nd}")
+    gcols = list(group_cols)
+    w_cum, w_tot = _kll_windows(gcols)
+    t = sketch.select(
+        *gcols,
+        "kll_value",
+        F.sum("kll_weight").over(w_cum).alias("_cum"),
+        F.sum("kll_weight").over(w_tot).alias("_wt"),
+    ).withColumn(
+        "_q",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(n_)).alias("_qn"), F.lit(int(d_)).alias("_qd")
+                    )
+                    for n_, d_ in probs
+                ]
+            )
+        ),
+    )
+    target = F.greatest(
+        F.expr(_iceil("_q._qn * _wt", "_q._qd")), F.lit(1).cast("long")
+    )
+    return t.groupBy(
+        *gcols, (F.col("_q._qn") / F.col("_q._qd")).alias("q")
+    ).agg(
+        F.min(F.when(F.col("_cum") >= target, F.col("kll_value"))).alias(
+            out_col
+        ),
+        F.max("_wt").alias("kll_n"),
+    )
+
+
 __all__ = [
     "bloom_contamination",
     "build_bloom",
@@ -516,4 +717,7 @@ __all__ = [
     "hll_merge",
     "hll_register_cols",
     "hll_sketch",
+    "kll_merge",
+    "kll_quantile",
+    "kll_sketch",
 ]

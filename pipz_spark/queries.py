@@ -4531,6 +4531,92 @@ FROM vals CROSS JOIN exact
 _DP_HLL_OVERLAP_SQL = _hll_overlap_sql()
 
 
+# KLL-style quantile sketch (sketches.kll_sketch/kll_merge/
+# kll_quantile — the FOURTH sketch-family member; MRL/KLL lineage
+# with the canonical sorted-order compactor, so the whole pipeline
+# is a pure function of the value multiset): per-returnflag k=256
+# sketches of l_extendedprice built on the grouped_rank machine,
+# queried at 4 integer-rational quantiles, PLUS the cross-group
+# merge re-compacted to k and queried the same way (the 'ALL' rows)
+# — build, merge, and query all under the one exact gate. The
+# oracle replays rank selection, closed-form weights, the merge's
+# crossing rule, and the ceil-target quantile lookup in window SQL;
+# every comparison is BIGINT (values pass through untouched).
+def _dp_kll_quantiles(spark, sf):
+    from .datapipe import kll_merge, kll_quantile, kll_sketch
+    from .datapipe._caches import track
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("_rid"),
+    )
+    # consumed twice (per-group quantiles + the cross-group merge):
+    # persist the ≤ 7 × 257-row sketch, not the corpus
+    sk = track(
+        kll_sketch(li, "price", ["l_returnflag"], k=256, id_col="_rid").persist()
+    )
+    probs = [(1, 4), (1, 2), (3, 4), (19, 20)]
+    per = kll_quantile(sk, probs, ["l_returnflag"])
+    glob = kll_quantile(kll_merge(sk, [], k=256), probs, []).select(
+        F.lit("ALL").alias("l_returnflag"), "q", "kll_quantile", "kll_n"
+    )
+    return per.select("l_returnflag", "q", "kll_quantile", "kll_n").unionByName(
+        glob
+    )
+
+
+_DP_KLL_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem),
+rk AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM base),
+sk AS (
+  SELECT g, v, r, n, (n + 255) // 256 AS s
+  FROM rk
+  WHERE (r - 1) % ((n + 255) // 256) = 0 OR r = n),
+skw AS (
+  SELECT g, v,
+         CAST(CASE WHEN r = 1 THEN 1
+              WHEN (r - 1) % s = 0 THEN s
+              ELSE (n - 1) % s END AS BIGINT) AS w,
+         r AS cum, n AS wt
+  FROM sk),
+qs(qn, qd) AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (19, 20)) t(a, b)),
+per AS (
+  SELECT g AS l_returnflag,
+         CAST(qn AS DOUBLE) / qd AS q,
+         MIN(CASE WHEN cum >= GREATEST((qn * wt + qd - 1) // qd, 1) THEN v END)
+           AS kll_quantile,
+         MAX(wt) AS kll_n
+  FROM skw, qs GROUP BY 1, 2),
+pre AS (SELECT v, SUM(w) AS w FROM skw GROUP BY v),
+mt AS (
+  SELECT v, w,
+         SUM(w) OVER (ORDER BY v) AS cum,
+         SUM(w) OVER () AS wt
+  FROM pre),
+ms AS (SELECT v, w, cum, wt, (wt + 255) // 256 AS s FROM mt),
+mk AS (
+  SELECT v, cum, wt FROM ms
+  WHERE (cum + s - 1) // s > (cum - w + s - 1) // s OR cum = wt),
+mg AS (
+  SELECT 'ALL' AS l_returnflag,
+         CAST(qn AS DOUBLE) / qd AS q,
+         MIN(CASE WHEN cum >= GREATEST((qn * wt + qd - 1) // qd, 1) THEN v END)
+           AS kll_quantile,
+         MAX(wt) AS kll_n
+  FROM mk, qs GROUP BY 1, 2)
+SELECT l_returnflag, q, kll_quantile, CAST(kll_n AS BIGINT) AS kll_n FROM per
+UNION ALL
+SELECT l_returnflag, q, kll_quantile, CAST(kll_n AS BIGINT) AS kll_n FROM mg
+"""
+
+
 # C4-style blocklist filter (text.blocklist_report — Raffel et al.
 # 2020 §2.2's bad-words removal, caller's list): the list rides the
 # plan as ONE array literal, membership is a pure codegen
@@ -5333,6 +5419,9 @@ QUERIES: dict[str, Declared] = {
     "dp_pagerank_weighted": Declared(
         _dp_pagerank_weighted, _DP_PAGERANK_WEIGHTED_SQL
     ),
+    # KLL-style quantile sketch: build + cross-group merge + query
+    # under one exact gate — the fourth sketch-family member.
+    "dp_kll_quantiles": Declared(_dp_kll_quantiles, _DP_KLL_SQL),
 }
 
 

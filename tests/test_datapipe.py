@@ -3617,6 +3617,117 @@ def test_hll_intersect_empty_partition_single_row(spark):
     assert empty[0]["hll_union"] == 0.0
 
 
+def _ref_kll_build(values, k):
+    """Canonical-compaction replay: keep sorted ranks 1, s+1, …, n."""
+    sv = sorted(values)
+    n = len(sv)
+    s = (n + k - 1) // k
+    return sorted(
+        (sv[r - 1], 1 if r == 1 else s if (r - 1) % s == 0 else (n - 1) % s)
+        for r in range(1, n + 1)
+        if (r - 1) % s == 0 or r == n
+    )
+
+
+def test_kll_sketch_engine_exact_and_partition_invariant(spark):
+    """The build sketch is a PURE FUNCTION of the value multiset:
+    bit-identical to the Python replay of the canonical even-rank
+    compaction, invariant under repartitioning, Σ weights = n (the
+    cum-weight-equals-exact-rank invariant), ≤ k+1 rows."""
+    import random
+
+    from pipz_spark.datapipe import kll_sketch
+
+    random.seed(11)
+    vals = [float(random.randint(0, 10**6)) for _ in range(997)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    k = 16
+    got = sorted(
+        (r["kll_value"], r["kll_weight"])
+        for r in kll_sketch(df, "v", [], k=k, id_col="id").collect()
+    )
+    assert got == _ref_kll_build(vals, k)
+    assert sum(w for _, w in got) == len(vals)
+    assert len(got) <= k + 1
+    got2 = sorted(
+        (r["kll_value"], r["kll_weight"])
+        for r in kll_sketch(df.repartition(13), "v", [], k=k, id_col="id").collect()
+    )
+    assert got2 == got
+    # grouped build replays per group independently
+    gdf = df.withColumn("g", (F.col("id") % 2).cast("string"))
+    gsk = kll_sketch(gdf, "v", ["g"], k=k, id_col="id")
+    per: dict = {}
+    for r in gsk.collect():
+        per.setdefault(r["g"], []).append((r["kll_value"], r["kll_weight"]))
+    for gval in ("0", "1"):
+        ref = _ref_kll_build(
+            [v for i, v in enumerate(vals) if i % 2 == int(gval)], k
+        )
+        assert sorted(per[gval]) == ref, gval
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kll_sketch(df, "v", [], k=0)
+
+
+def test_kll_merge_and_quantile_error_bounds(spark):
+    """Quantile answers respect the published rank-error bounds:
+    build ≤ ceil(n/k); merged day-sketches ≤ part-build error +
+    merge stride (the MRL additive composition). Merge preserves
+    total weight exactly and re-compacts to ≤ k+1 rows."""
+    import bisect
+    import random
+
+    from pipz_spark.datapipe import kll_merge, kll_quantile, kll_sketch
+
+    random.seed(13)
+    vals = [float(random.randint(0, 10**6)) for _ in range(1200)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    k = 16
+    sv = sorted(vals)
+    n = len(sv)
+    s_build = (n + k - 1) // k
+    sk = kll_sketch(df, "v", [], k=k, id_col="id")
+    for r in kll_quantile(sk, [(1, 4), (1, 2), (3, 4), (1, 1)], []).collect():
+        phi, v = r["q"], r["kll_quantile"]
+        lo = bisect.bisect_left(sv, v) + 1
+        hi = bisect.bisect_right(sv, v)
+        err = min(abs(lo - phi * n), abs(hi - phi * n))
+        assert err <= s_build, (phi, v, err, s_build)
+        assert r["kll_n"] == n
+    # 3-way split → build each → merge → query
+    parts = [df.where(F.col("id") % 3 == i) for i in range(3)]
+    u = None
+    for p in parts:
+        skp = kll_sketch(p, "v", [], k=k, id_col="id")
+        u = skp if u is None else u.unionByName(skp)
+    merged = kll_merge(u, [], k=k)
+    rows = merged.collect()
+    assert sum(r["kll_weight"] for r in rows) == n
+    assert len(rows) <= k + 1
+    part_s = (n // 3 + 1 + k - 1) // k
+    merge_s = (n + k - 1) // k
+    for r in kll_quantile(merged, [(1, 2), (19, 20)], []).collect():
+        phi, v = r["q"], r["kll_quantile"]
+        lo = bisect.bisect_left(sv, v) + 1
+        hi = bisect.bisect_right(sv, v)
+        err = min(abs(lo - phi * n), abs(hi - phi * n))
+        assert err <= part_s + merge_s, (phi, v, err)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kll_quantile(sk, [])
+    with _pytest.raises(ValueError):
+        kll_quantile(sk, [(3, 2)])
+    with _pytest.raises(ValueError):
+        kll_merge(u, [], k=-1)
+
+
 def test_blocklist_report(spark):
     from pipz_spark.datapipe import blocklist_report
 

@@ -523,6 +523,18 @@ def test_winnow_is_one_shuffle_free_projection(spark):
     assert plan.count("split(trim") == 1
 
 
+def test_kll_build_rides_the_range_exchange(spark):
+    # the sketch build must rank via grouped_rank's range exchange
+    # (bounded tasks under any group skew), NEVER a per-group window
+    # sort of the corpus; downstream windows run over sketch rows
+    # only; pure JVM end to end
+    plan = _plan(spark, "dp_kll_quantiles")
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
 def test_winnow_overlap_join_is_df_capped(spark):
     # the fp_hash equi-join must sit behind the train-side df-cap
     # (hot boilerplate prints are dropped BEFORE pairing — without it
