@@ -24,7 +24,12 @@ import tempfile
 from pyspark.sql import functions as F
 
 from pipz_spark import get_session
-from pipz_spark.datapipe import cross_near_dup_pairs, minhash_signatures_df
+from pipz_spark.datapipe import (
+    cross_near_dup_pairs,
+    minhash_signatures_df,
+    winnow_fingerprints,
+    winnow_overlap,
+)
 from pipz_spark.sources.catalog import load_table
 
 NUM_HASHES = 120  # part of the index's identity — batches must match
@@ -46,7 +51,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     minhash_signatures_df(corpus, num_hashes=NUM_HASHES).write.mode(
         "overwrite"
     ).parquet(idx_path)
-    print(f"corpus: {corpus.count()} docs, index at {idx_path}")
+    # second persisted signature: the winnow fingerprint index
+    # (MOSS), ~2/(w+1) of a full shingle index — the CONTAMINATION
+    # currency: eval sets are screened against it later without ever
+    # re-fingerprinting the corpus
+    win_path = f"{work}/winnow_index"
+    winnow_fingerprints(corpus, k=3, w=4).select(
+        F.col("doc_id").alias("train_id"), "fp_hash"
+    ).write.mode("overwrite").parquet(win_path)
+    print(f"corpus: {corpus.count()} docs, indexes at {idx_path} / {win_path}")
 
     for i, batch in enumerate(batches):
         index = spark.read.parquet(idx_path)
@@ -66,8 +79,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         minhash_signatures_df(novel, num_hashes=NUM_HASHES).write.mode(
             "append"
         ).parquet(idx_path)
+        winnow_fingerprints(novel, k=3, w=4).select(
+            F.col("doc_id").alias("train_id"), "fp_hash"
+        ).write.mode("append").parquet(win_path)
 
     print(f"final corpus: {corpus.count()} docs")
+
+    # contamination screen: an eval benchmark arrives AFTER the
+    # corpus is built — fingerprint only the (small) eval set and
+    # join it against the persisted index; the corpus is never
+    # rescanned (the dp_cross_winnow shape, df-capped like every
+    # fingerprint join in the family)
+    eval_set = docs.where(F.col("doc_id") % 17 == 3)
+    ef = winnow_fingerprints(eval_set, k=3, w=4).select(
+        F.col("doc_id").alias("eval_id"), "fp_hash"
+    )
+    hits = winnow_overlap(
+        spark.read.parquet(win_path), ef, min_shared=2, max_doc_freq=64
+    )
+    n_pairs = hits.count()
+    n_eval = hits.select("eval_id").distinct().count()
+    print(
+        f"contamination screen: {eval_set.count()} eval docs vs the index -> "
+        f"{n_pairs} overlapping pairs, {n_eval} contaminated eval docs"
+    )
+    assert n_eval > 0, "eval slice overlaps the corpus by construction"
     spark.stop()
 
 

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .graph import connected_components
+
 from ..core.errors import ERROR_COL, ensure_error_column, is_ok, null_error
 from .text import WS
 from ..core.step import Step
@@ -981,304 +983,6 @@ def simhash_near_dup_pairs(
     )
 
 
-def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
-    """(node, component) via alternating large-star / small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce
-    and Beyond") — O(log n) rounds on ANY graph shape, the escalation
-    path for components whose min-label propagation distance exceeds
-    the round budget (crawl-mirror CHAINS, where propagation is
-    O(diameter)).
-
-    ``edges`` must be the symmetrized (u, v) frame. Each round is two
-    skinny shuffles over (long, long) rows:
-
-    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
-      re-points its strictly-LARGER neighbors at m — long tails fold
-      onto local minima in parallel;
-    - small-star: edges orient toward the smaller endpoint, every
-      node re-points its smaller-or-equal neighbors (and itself) at
-      m — stars of stars collapse one level.
-
-    Fixpoint = the edge set is unchanged by a full round (checked
-    exactly — equal count + one empty set-difference on the distinct
-    canonicalized frame — not a hashable summary); at fixpoint the
-    graph is a forest of stars
-    whose centers are the component minima, so the oriented edge list
-    IS the (node, component) map and centers map to themselves.
-    ``max_rounds=50`` is unreachable in practice (covers ~2^50-node
-    chains) and fails loudly rather than returning a non-fixpoint."""
-    canon = (
-        edges.where(F.col("u") != F.col("v"))
-        .select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    for _ in range(max_rounds):
-        sym = canon.unionByName(
-            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        # large-star: for each directed (u, v) with v > u, emit {v, m(u)}
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("_mv"))
-            .select("u", F.least("u", "_mv").alias("_m"))
-        )
-        large = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .select(
-                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-        # small-star over the large-star output: orient big→small,
-        # re-point every smaller neighbor (and the node itself) at m
-        oriented = large.select(
-            F.col("v").alias("u"), F.col("u").alias("v")
-        )  # canon is (small, big); oriented = (big, small)
-        omins = oriented.groupBy("u").agg(F.min("v").alias("_m"))
-        j = oriented.join(omins, "u")
-        small = (
-            j.where(F.col("v") != F.col("_m"))
-            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
-            .unionByName(j.select(F.col("u").alias("a"), F.col("_m").alias("b")))
-            .where(F.col("a") != F.col("b"))
-            .select(
-                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-        # both frames are distinct, so equal cardinality plus an empty
-        # one-way difference IS set equality — one subtract shuffle
-        # per round instead of two (the check runs O(log n) times on
-        # exactly the large-graph case this path exists for)
-        if small.count() == canon.count() and small.subtract(canon).isEmpty():
-            canon = small
-            break
-        canon = small
-    else:
-        raise RuntimeError(
-            f"star contraction did not converge within {max_rounds} rounds — "
-            "this exceeds the O(log n) bound for any real graph; the pair "
-            "frame is likely nondeterministic across re-evaluations"
-        )
-    # fixpoint stars: canon is (small, big) = (center, leaf); every
-    # leaf maps to its center and centers map to themselves
-    leaves = canon.select(F.col("v").alias("node"), F.col("u").alias("component"))
-    centers = canon.select(F.col("u").alias("node")).distinct()
-    mapped = leaves.unionByName(
-        centers.select("node", F.col("node").alias("component"))
-    )
-    # node-universe contract parity with the label path: a node whose
-    # only pairs are self-loops has no canonical edge (u != v filtered
-    # it) but the label path still emits it as its own singleton —
-    # the star path must return the SAME (node, component) universe
-    # or an auto-escalation would silently drop nodes from the map
-    singletons = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .join(mapped, "node", "left_anti")
-        .select("node", F.col("node").alias("component"))
-    )
-    return mapped.unionByName(singletons)
-
-
-def _driver_union_find(spark, us, vs, id_type) -> DataFrame:
-    """Exact min-label components for a driver-resident edge list
-    (two parallel Arrow-decoded columns): path-halving union-find,
-    then one pass electing each root's minimum member — the same
-    (node, component = min reachable id) contract as the distributed
-    paths, including self-loop singletons (a (7,7) edge registers
-    node 7 with no union). The output schema carries the INPUT id
-    type: the auto fast path must never make the result type a
-    function of data volume (the driver hash gate is type-sensitive,
-    DIVERGENCES.md #18)."""
-    from pyspark.sql.types import StructField, StructType
-
-    parent: dict = {}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for u, v in zip(us, vs):
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[ru] = rv
-    comp_min: dict = {}
-    for node in parent:
-        r = find(node)
-        if r not in comp_min or node < comp_min[r]:
-            comp_min[r] = node
-    out = [(node, comp_min[find(node)]) for node in parent]
-    schema = StructType(
-        [StructField("node", id_type), StructField("component", id_type)]
-    )
-    return spark.createDataFrame(out, schema)
-
-
-def connected_components(
-    pairs: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    max_iter: int = 30,
-    algorithm: str = "auto",
-    driver_cap: int = 1_000_000,
-) -> DataFrame:
-    """(node, component) for the undirected pair graph; component =
-    the minimum node id reachable from each node.
-
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors — one shuffle
-    (edge⨝label join + min-aggregate) per round over skinny
-    (long, long) rows; converges in O(component diameter) rounds.
-    Near-dup components are dense template clusters whose diameter is
-    1-2 (LSH puts every member of a template in shared buckets), so
-    round count stays in single digits at any corpus size — the
-    100 TB consideration is per-round shuffle VOLUME (two longs per
-    edge), not round count. Each round ``localCheckpoint``s the label
-    frame: an iterative plan otherwise nests one join per round and
-    re-executes the whole history every action. Convergence is
-    detected by the label-sum invariant — labels only ever decrease,
-    so an unchanged sum means a fixpoint (one cheap aggregate per
-    round, no full-frame comparison join).
-
-    ``algorithm`` picks the long-chain posture (crawl-mirror chains —
-    the adversarial 100 TB case — have diameter ≫ ``max_iter``):
-
-    - ``"auto"`` (default): propagate for ``max_iter`` rounds; if not
-      converged, ESCALATE to alternating large-star/small-star
-      contraction (O(log n) rounds on any shape) instead of raising.
-    - ``"label"``: propagation only; non-convergence raises loudly
-      (a silent non-fixpoint would split true clusters and leak
-      duplicates through dedup_clusters).
-    - ``"star"``: star contraction directly — the right call when the
-      caller KNOWS the graph is chain-shaped.
-
-    ``driver_cap``: pair graphs at or below this many edges skip the
-    iterative machinery entirely — fetch the edge list via one
-    bounded Arrow collect and run an exact union-find on the driver
-    (labels IDENTICAL to the distributed paths by construction:
-    component = min reachable id either way; output schema carries
-    the input id type, so the result type never depends on data
-    volume). The same bounded-collect reasoning as the other driver
-    sites — at the 1M default the transient footprint is two Arrow
-    int64 columns (~16 MB) plus the union-find dicts (boxed Python
-    ints, worst case ~100-200 MB: bounded by the cap, never by data
-    volume, and sized against the 8 GB driver, not hand-waved). The
-    honest 100 TB posture: dedup pair graphs are SPARSE relative to
-    the corpus (pairs ≈ duplicates, not documents²), so most real
-    closures fit the cap; those that don't take the distributed path
-    unchanged, reading the same persisted edge frame the probe
-    materialized (the pair plan runs once either way).
-    ``driver_cap=0`` disables (every round-trip test of the
-    distributed machinery does this). Applies to ``"auto"`` only:
-    explicit ``"label"``/``"star"`` are requests for a specific
-    distributed algorithm.
-    """
-    from . import _caches
-
-    if algorithm not in ("auto", "label", "star"):
-        raise ValueError("algorithm must be 'auto', 'label' or 'star'")
-    # pin the DIRECTED edge list once: the probe below, the
-    # symmetrized frame, and every propagation round all read it, so
-    # an over-cap graph pays its (possibly expensive) pair plan
-    # exactly once — CollectLimit feeding the probe materializes the
-    # persisted rows the distributed path then reuses
-    e = _caches.track(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
-    )
-    if algorithm == "auto" and driver_cap > 0:
-        # one bounded action sizes the graph AND fetches it when small
-        # (cap+1 rows back = too big, fall through); Arrow-decoded
-        # columns, not Row objects, so the transient driver footprint
-        # at the 1M default cap is two int64 columns (~16 MB) plus
-        # the union-find dicts (~100-200 MB of boxed ints at the
-        # worst case) — bounded by the cap, never by data volume
-        probe = e.limit(driver_cap + 1).toPandas()
-        # NULL ids would make pandas widen the int columns to float64
-        # (NaN), and the union-find would silently run on floats —
-        # labels and dict-key identity both diverge from the
-        # distributed path. NULL endpoints are a malformed pair graph
-        # either way (a NULL never equi-joins in the distributed
-        # rounds), so fall through to the distributed path, which
-        # keeps behavior volume-independent for such inputs.
-        if len(probe) <= driver_cap and not (
-            probe["u"].isna().any() or probe["v"].isna().any()
-        ):
-            return _driver_union_find(
-                pairs.sparkSession,
-                probe["u"].tolist(),
-                probe["v"].tolist(),
-                e.schema["u"].dataType,
-            )
-    # symmetrize; every round reads this frame, so pin it (skinny rows)
-    edges = _caches.track(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    )
-    if algorithm == "star":
-        return _star_contraction(edges)
-    # init fuses the FIRST propagation round: with every label equal
-    # to its node id, round 1's join+min is just min over neighbors —
-    # one aggregate over the edge list, no join. Saves a full
-    # join+checkpoint round on every call (dense near-dup components
-    # then converge in the next round and confirm in the one after).
-    labels = (
-        edges.groupBy(F.col("u").alias("node"))
-        .agg(F.min("v").alias("_mv"))
-        .select("node", F.least(F.col("node"), F.col("_mv")).alias("label"))
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-    converged = False
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels.withColumnRenamed("node", "u"), "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("label").alias("_cand"))
-        )
-        labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("_cand", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # a silent non-fixpoint would split true clusters into
-        # several, and dedup_clusters would then keep multiple
-        # "canonical" docs per duplicate group — the exact leakage
-        # the operator exists to prevent. auto: the graph has a
-        # propagation chain longer than max_iter (crawl-mirror
-        # shape) — switch to the O(log n) star contraction, which is
-        # immune to diameter. label: fail loudly (r6 behavior).
-        if algorithm == "auto":
-            return _star_contraction(edges)
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds; the pair graph contains a component with a longer "
-            "propagation chain — raise max_iter or use algorithm='auto'/'star'"
-        )
-    return labels.select("node", F.col("label").alias("component"))
-
-
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -1701,6 +1405,5 @@ __all__ = [
     "near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
-    "connected_components",
     "dedup_clusters",
 ]

@@ -4617,6 +4617,46 @@ SELECT l_returnflag, q, kll_quantile, CAST(kll_n AS BIGINT) AS kll_n FROM mg
 """
 
 
+# Connected components by large-star/small-star CONTRACTION
+# (graph.connected_components mode='contract' — Kiveris et al.,
+# promoted out of dedup's internal escalation path, r14 verdict ask
+# #4): the declared graph is the ADVERSARIAL shape for min-label
+# propagation — consecutive-partkey chains broken where p_size = 25,
+# longest run ≈ 300 (≈ 3000 at sf0.1), so propagation needs
+# Θ(diameter) rounds while contraction closes in O(log n) (~9
+# alternating rounds here, each two skinny (long, long) shuffles).
+# The oracle doesn't iterate at all: on a chain graph the exact
+# components are the gaps-and-islands closed form (island id =
+# id − row_number), which is precisely why this graph can gate a
+# fixpoint algorithm exactly.
+def _dp_cc_contract(spark, sf):
+    from .datapipe import connected_components
+
+    k = (
+        _t(spark, sf, "part")
+        .where(F.col("p_size") != 25)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    e = (
+        k.alias("a")
+        .join(k.alias("b"), F.col("b.id") == F.col("a.id") + 1)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return connected_components(e, algorithm="contract")
+
+
+_DP_CC_CONTRACT_SQL = """
+WITH k AS (SELECT p_partkey AS id FROM part WHERE p_size <> 25),
+e AS (SELECT a.id AS u, b.id AS v FROM k a JOIN k b ON b.id = a.id + 1),
+nodes AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e),
+isl AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM nodes)
+SELECT id AS node, MIN(id) OVER (PARTITION BY grp) AS component FROM isl
+"""
+
+
+
+
+
 # C4-style blocklist filter (text.blocklist_report — Raffel et al.
 # 2020 §2.2's bad-words removal, caller's list): the list rides the
 # plan as ONE array literal, membership is a pure codegen
@@ -4714,6 +4754,47 @@ FROM tf JOIN keep ON keep.fp_hash = tf.fp_hash
         JOIN ef ON ef.fp_hash = tf.fp_hash
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
+"""
+
+
+# Winnow-index contamination screen (the dp_cross_embed convention,
+# r14 verdict ask #6): fingerprint the train corpus ONCE, persist
+# the skinny (train_id, fp_hash) index to parquet, then screen the
+# eval batch against the READ-BACK index — the round-trip is part
+# of the declared plan, proving the stored index answers
+# contamination checks without re-fingerprinting the corpus. Same
+# winnow_overlap machine as dp_winnow_overlap at a different
+# operating point (split % 40, min_shared=1, cap 32); the oracle is
+# index-free because persistence is value-neutral.
+def _dp_cross_winnow(spark, sf):
+    import tempfile
+
+    from .datapipe import winnow_fingerprints, winnow_overlap
+
+    docs = _t(spark, sf, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="pipz_winnow_index_")
+    winnow_fingerprints(docs.where(F.col("doc_id") % 40 != 1), k=3, w=4).select(
+        F.col("doc_id").alias("train_id"), "fp_hash"
+    ).write.mode("overwrite").parquet(idx_dir)
+    ef = winnow_fingerprints(
+        docs.where(F.col("doc_id") % 40 == 1), k=3, w=4
+    ).select(F.col("doc_id").alias("eval_id"), "fp_hash")
+    return winnow_overlap(
+        spark.read.parquet(idx_dir), ef, min_shared=1, max_doc_freq=32
+    )
+
+
+_DP_CROSS_WINNOW_SQL = f"""
+WITH tf AS ({_winnow_fp_cte("doc_id % 40 <> 1")}),
+ef AS ({_winnow_fp_cte("doc_id % 40 = 1")}),
+keep AS (
+  SELECT fp_hash FROM tf GROUP BY fp_hash HAVING COUNT(*) <= 32)
+SELECT tf.doc_id AS train_id, ef.doc_id AS eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tf JOIN keep ON keep.fp_hash = tf.fp_hash
+        JOIN ef ON ef.fp_hash = tf.fp_hash
+GROUP BY 1, 2
+HAVING COUNT(*) >= 1
 """
 
 
@@ -5422,6 +5503,12 @@ QUERIES: dict[str, Declared] = {
     # KLL-style quantile sketch: build + cross-group merge + query
     # under one exact gate — the fourth sketch-family member.
     "dp_kll_quantiles": Declared(_dp_kll_quantiles, _DP_KLL_SQL),
+    # Star-contraction connected components on a diameter-300 chain
+    # min-label cannot close — the O(log n) escalation, public.
+    "dp_cc_contract": Declared(_dp_cc_contract, _DP_CC_CONTRACT_SQL),
+    # Winnow-index contamination screen: eval batch vs the PERSISTED
+    # fingerprint index (parquet round-trip in the declared plan).
+    "dp_cross_winnow": Declared(_dp_cross_winnow, _DP_CROSS_WINNOW_SQL),
 }
 
 

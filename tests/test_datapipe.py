@@ -3940,6 +3940,50 @@ def test_personalized_pagerank_matches_replay(spark):
     assert uni == _ref_pagerank(pairs, 3)
 
 
+def test_pagerank_tol_early_exit_matches_fixed_iters(spark):
+    """tol= stops once the exact L1 rank delta falls to tol; the
+    early-stopped frame must be IDENTICAL to running with iters =
+    the stopping round (no approximation is introduced — only the
+    round count becomes data-driven), and a zero-delta fixpoint
+    stops well inside a generous budget."""
+    from pipz_spark.datapipe import pagerank
+
+    # a 2-cycle reaches an exact integer fixpoint quickly: ranks
+    # alternate then stabilize when base + damped inflow maps the
+    # rank to itself under integer truncation
+    pairs = [("a", "b"), ("b", "a"), ("a", "c")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    fixed = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=60, init_q=10**6).collect()
+    }
+    got = {
+        r["node"]: (r["rank_q"], r["outdeg"])
+        for r in pagerank(df, iters=200, init_q=10**6, tol=0).collect()
+    }
+    # a tol=0 stop IS a fixpoint: more rounds cannot change it, so
+    # it equals any sufficiently long fixed run
+    assert got == fixed
+    # looser tol stops earlier but must equal SOME fixed-iters run
+    loose = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(df, iters=200, init_q=10**6, tol=10**4).collect()
+    }
+    candidates = []
+    for it in range(1, 25):
+        candidates.append(
+            {
+                r["node"]: r["rank_q"]
+                for r in pagerank(df, iters=it, init_q=10**6).collect()
+            }
+        )
+    assert loose in candidates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, iters=3, tol=-1)
+
+
 def test_personalized_pagerank_zero_floored_base_keeps_seed_mass(spark):
     """base = init_q·(den−num)//den floors to 0 for damping near 1
     with a small init_q (99/100 with init_q=50 → base=0); seeds must

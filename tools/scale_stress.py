@@ -1584,6 +1584,52 @@ def main_graph100x() -> None:
     spark.stop()
 
 
+def main_cc100x() -> None:
+    """Star-contraction stress: connected components of a 5M-node
+    CHAIN graph — 100 runs of ~50k consecutive ids (breaks at
+    multiples of 50,000), the adversarial shape the operator's
+    'contract' mode exists for (min-label propagation would need
+    Θ(50k) rounds; contraction closes in ⌈log₂ 50k⌉ ≈ 16 alternating
+    rounds, each two skinny (long, long) shuffles + one exact
+    fixpoint check). Truth is CLOSED FORM — on a chain the component
+    of id is the run head ((id−1) DIV 50000)·50000 + 1 — so every
+    one of the ~5M labels is checked exactly in Spark, zero collects.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py cc100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-cc100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pipz_spark.datapipe import connected_components
+
+    N, RUN = 5_000_000, 50_000
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_cc100_")
+    edges = (
+        spark.range(1, N)
+        .where((F.col("id") % RUN != 0) & ((F.col("id") + 1) % RUN != 0))
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    edges.repartition(64).write.mode("overwrite").parquet(f"{tmp}/chain")
+    e = spark.read.parquet(f"{tmp}/chain")
+    n_edges = e.count()
+    print(f"chain edges: {n_edges} ({N} ids, breaks every {RUN})")
+
+    def check() -> tuple:
+        got = connected_components(e, algorithm="contract")
+        want = F.expr(f"((node - 1) DIV {RUN}) * {RUN} + 1")
+        bad = got.where(F.col("component") != want).count()
+        total = got.count()
+        assert bad == 0, f"{bad} of {total} labels diverge from closed form"
+        # node universe = every id with a kept neighbor: each of the
+        # (N−1)//RUN + 1 runs holds one more node than it has edges
+        assert total == n_edges + (N - 1) // RUN + 1, total
+        return (total, bad)
+
+    run(spark, "cc contract 5M chain  ", check)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -1612,6 +1658,8 @@ if __name__ == "__main__":
         main_pca100x()
     elif "graph100x" in _sys.argv[1:]:
         main_graph100x()
+    elif "cc100x" in _sys.argv[1:]:
+        main_cc100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
