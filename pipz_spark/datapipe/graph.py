@@ -276,6 +276,122 @@ def pagerank(
     return ranks.select("node", "rank_q", "outdeg")
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    norm_every: int | None = None,
+    norm_target: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment") over a directed edge list
+    — the fourth link-analysis member next to PageRank / TrustRank /
+    weighted PageRank: a good AUTHORITY is pointed at by good hubs,
+    a good HUB points at good authorities. The curation reading on a
+    citation/hyperlink corpus graph: authorities are the reference
+    pages worth up-weighting, hubs the index/directory pages worth
+    recognizing as such. Returns (node, auth_q BIGINT, hub_q BIGINT).
+
+    Integer-exact by the pagerank discipline — hubs start at 1, each
+    iteration is the pure mutual recursion a ← Σ_in h, h ← Σ_out a
+    over BIGINT with NO per-iteration float normalization (classic
+    HITS L2-normalizes; scores here are compared WITHIN a run, so
+    only the ratios matter and the oracle replays every sum
+    exactly). Unnormalized scores grow like (d_in·d_out)^iters:
+    bound max_indeg^iters · max_outdeg^iters < 2^62 when choosing
+    ``iters``, or pass ``norm_every=N`` to rescale both score
+    columns by k = max(score) DIV ``norm_target`` every N iterations
+    (one MAX aggregate — a single number to the driver, the
+    classifier's bounded-collect discipline; k is replayable, so the
+    result stays engine-exact, and relative order within a column is
+    preserved up to the documented DIV truncation).
+
+    Scale shape: identical to the pagerank machine — two
+    co-partitionable equi-joins + map-side-combined sums per
+    iteration over skinny (node, BIGINT) rows; state never touches
+    the driver except the optional norm scalar. Multi-edges
+    contribute multiplicity; pass a distinct edge list for the
+    simple graph."""
+    if iters < 0:
+        raise ValueError(f"need iters >= 0, got {iters}")
+    if norm_every is not None and norm_every <= 0:
+        raise ValueError(f"need norm_every > 0, got {norm_every}")
+    if norm_target <= 0:
+        raise ValueError(f"need norm_target > 0, got {norm_target}")
+    from . import _caches
+
+    # persist HERE, unlike pagerank's deliberate no-persist: that
+    # machine's consumers all hash on the SAME node key, so
+    # ReuseExchange dedups the edge scan; HITS alternates the join
+    # key every half-iteration (src for the authority step, dst for
+    # the hub step, node for the universe), no two exchanges match,
+    # and an unpersisted edge plan re-runs its upstream join
+    # 4×iters times (measured 13.0 s vs 4.4 s at sf0.1, iters=2)
+    e = _caches.track(
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+        .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .persist()
+    )
+    nodes = _caches.track(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # intermediate score frames stay SPARSE (only nodes with a
+    # nonzero sum): an absent node contributes nothing to the next
+    # sum, so zero-filling against the universe every half-iteration
+    # would be pure shuffle waste — the universe joins back exactly
+    # once, at the end
+    hub = nodes.withColumn("hub_q", F.lit(1).cast("long"))
+    auth = nodes.withColumn("auth_q", F.lit(0).cast("long")).limit(0)
+    for it in range(iters):
+        auth = (
+            e.join(
+                hub.select(F.col("node").alias("_n"), "hub_q"),
+                F.col("_src") == F.col("_n"),
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub_q").cast("long").alias("auth_q"))
+        )
+        hub = (
+            e.join(
+                auth.select(F.col("node").alias("_n"), "auth_q"),
+                F.col("_dst") == F.col("_n"),
+            )
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("auth_q").cast("long").alias("hub_q"))
+        )
+        if norm_every is not None and (it + 1) % norm_every == 0:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+            mx = (
+                auth.agg(F.max("auth_q"))
+                .crossJoin(hub.agg(F.max("hub_q")))
+                .first()
+            )
+            k = max(mx[0] or 0, mx[1] or 0) // norm_target
+            if k >= 2:
+                auth = auth.select(
+                    "node", F.expr(f"auth_q DIV {k}L").alias("auth_q")
+                )
+                hub = hub.select(
+                    "node", F.expr(f"hub_q DIV {k}L").alias("hub_q")
+                )
+    return (
+        nodes.join(auth.withColumnRenamed("auth_q", "_a"), "node", "left")
+        .join(hub.withColumnRenamed("hub_q", "_h"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("_a", F.lit(0)).cast("long").alias("auth_q"),
+            F.coalesce("_h", F.lit(0)).cast("long").alias("hub_q"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
@@ -794,6 +910,7 @@ def connected_components(
 
 __all__ = [
     "connected_components",
+    "hits",
     "kcore_peel",
     "pagerank",
     "propagate_min_labels",

@@ -3940,6 +3940,69 @@ def test_personalized_pagerank_matches_replay(spark):
     assert uni == _ref_pagerank(pairs, 3)
 
 
+def _ref_hits(edge_pairs, iters, norm_every=None, norm_target=10**6):
+    """Integer HITS replay: a ← Σ_in h, h ← Σ_out a, hubs start 1."""
+    nodes = sorted({s for s, _ in edge_pairs} | {d for _, d in edge_pairs})
+    h = {n: 1 for n in nodes}
+    a = {n: 0 for n in nodes}
+    for it in range(iters):
+        a = {n: 0 for n in nodes}
+        for s, d in edge_pairs:
+            a[d] += h[s]
+        h = {n: 0 for n in nodes}
+        for s, d in edge_pairs:
+            h[s] += a[d]
+        if norm_every and (it + 1) % norm_every == 0:
+            k = max(max(a.values()), max(h.values())) // norm_target
+            if k >= 2:
+                a = {n: v // k for n, v in a.items()}
+                h = {n: v // k for n, v in h.items()}
+    return {n: (a[n], h[n]) for n in nodes}
+
+
+def test_hits_matches_integer_replay(spark):
+    """HITS mutual recursion is integer-exact against a pure-Python
+    replay, including the optional norm_every rescale; authorities
+    with no in-links and hubs with no out-links hold zero."""
+    from pipz_spark.datapipe import hits
+
+    pairs = [
+        ("h1", "a1"), ("h1", "a2"), ("h2", "a1"),
+        ("h2", "a3"), ("h3", "a1"), ("a1", "a2"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for iters in (0, 1, 2, 3):
+        got = {
+            r["node"]: (r["auth_q"], r["hub_q"])
+            for r in hits(df, iters=iters).collect()
+        }
+        if iters == 0:
+            # pre-iteration state: hubs 1, authorities 0
+            assert got == {n: (0, 1) for n in got}
+        else:
+            assert got == _ref_hits(pairs, iters), iters
+    # pure-sink node: nonzero authority, zero hub
+    two = {
+        r["node"]: (r["auth_q"], r["hub_q"])
+        for r in hits(df, iters=2).collect()
+    }
+    assert two["a3"][0] > 0 and two["a3"][1] == 0
+    # norm path replays exactly too
+    got_n = {
+        r["node"]: (r["auth_q"], r["hub_q"])
+        for r in hits(df, iters=3, norm_every=1, norm_target=2).collect()
+    }
+    assert got_n == _ref_hits(pairs, 3, norm_every=1, norm_target=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hits(df, iters=-1)
+    with _pytest.raises(ValueError):
+        hits(df, norm_every=0)
+    with _pytest.raises(ValueError):
+        hits(df, norm_target=0)
+
+
 def test_pagerank_tol_early_exit_matches_fixed_iters(spark):
     """tol= stops once the exact L1 rank delta falls to tol; the
     early-stopped frame must be IDENTICAL to running with iters =
