@@ -743,6 +743,63 @@ def token_entropy(
     )
 
 
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document readability — Flesch Reading Ease and
+    Flesch–Kincaid Grade Level (Flesch 1948; Kincaid et al. 1975),
+    the classic prose-complexity quality signals (low ease / high
+    grade flags legalese and machine-generated word salad; absurdly
+    HIGH ease flags listicles and keyword stuffing). Returns
+    (id_col, n_words, n_sentences, n_syllables, flesch, fk_grade)
+    for documents with at least one word.
+
+    Counting conventions, pinned so the oracle replays exactly:
+    words = whitespace tokens (the family's WS rule); sentences =
+    count of terminator runs [.!?]+, floored at 1 (prose without
+    terminal punctuation is one sentence); syllables = vowel-group
+    runs [aeiouy]+ of the lowercased text, floored at n_words (every
+    word has ≥ 1 syllable — the standard heuristic, counted
+    corpus-portably with one regexp instead of a dictionary).
+
+      flesch   = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+      fk_grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Each score is a fixed left-to-right chain of IEEE ops on exact
+    integer counts, quantized by the module's ``quantize4`` floor
+    rule — bit-deterministic in any engine. Pure codegen projection:
+    no shuffle, no join, no Python."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(F.filter(F.split(F.trim(text), WS), lambda x: x != ""))
+    n_sents = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")), n_words
+    )
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    flesch = quantize4(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk = quantize4(
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.cast("long").alias("n_words"),
+            n_sents.cast("long").alias("n_sentences"),
+            n_syll.cast("long").alias("n_syllables"),
+            flesch.alias("flesch"),
+            fk.alias("fk_grade"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "PII_PATTERNS",
@@ -752,6 +809,7 @@ __all__ = [
     "token_count",
     "text_stats",
     "quality_score",
+    "readability_scores",
     "regex_token_count",
     "lang_id",
     "fingerprint",

@@ -4980,6 +4980,46 @@ LEFT JOIN h2 ON h2.node = n.node
 """
 
 
+# Flesch Reading Ease + Flesch-Kincaid Grade (text.readability_
+# scores — Flesch 1948, Kincaid et al. 1975): the classic
+# prose-complexity quality signals as ONE codegen projection over
+# documents; integer word/sentence/vowel-group counts, two fixed
+# IEEE chains quantized by the module's floor rule, replayed
+# term-for-term by the oracle.
+def _dp_readability(spark, sf):
+    from .datapipe import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents"))
+
+
+_DP_READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')), '[ \t\n\f\r]+'),
+                         x -> x <> '')) AS n_words,
+         GREATEST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+           AS n_syll_raw
+  FROM documents),
+t AS (
+  SELECT doc_id, n_words, n_sentences,
+         GREATEST(n_syll_raw, n_words) AS n_syllables
+  FROM c WHERE n_words > 0)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+             * 10000.0 + 0.5) / 10000.0 AS flesch,
+       floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+              + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59)
+             * 10000.0 + 0.5) / 10000.0 AS fk_grade
+FROM t
+"""
+
+
 # Personalized PageRank / TrustRank (graph.pagerank with seeds= —
 # Gyöngyi et al. 2004): teleport mass only at the supplier nodes of
 # the same purchase graph dp_pagerank walks; customers earn rank
@@ -5496,6 +5536,10 @@ QUERIES: dict[str, Declared] = {
     # join→sum machine the in-window pagerank family pins, mutual
     # recursion instead of damped mass. r16 promotion candidate.
     "dp_hits": Declared(_dp_hits, _DP_HITS_SQL),
+    # ---- r15 newcomer → tail: Flesch/Kincaid readability — the
+    # pure-JVM text-expression projection family dp_text_stats
+    # anchors. r16 promotion candidate.
+    "dp_readability": Declared(_dp_readability, _DP_READABILITY_SQL),
 }
 
 

@@ -3728,6 +3728,49 @@ def test_kll_merge_and_quantile_error_bounds(spark):
         kll_merge(u, [], k=-1)
 
 
+def test_readability_scores_match_replay(spark):
+    """Flesch / FK-grade replay on designed docs: the pinned counting
+    conventions (WS words, terminator-run sentences floored at 1,
+    vowel-group syllables floored at n_words) and the quantized IEEE
+    chains reproduce a pure-Python evaluation exactly; empty docs
+    are excluded."""
+    import math
+    import re
+
+    from pipz_spark.datapipe import readability_scores
+
+    rows = [
+        (1, "The cat sat on the mat. It was happy!"),
+        (2, "no terminal punctuation here at all"),
+        (3, "Incomprehensibility characterizes extraordinarily convoluted documentation."),
+        (4, ""),
+        (5, None),
+        (6, "Why? Because. Exactly!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"],
+            r["flesch"], r["fk_grade"],
+        )
+        for r in readability_scores(df).collect()
+    }
+    assert 4 not in got and 5 not in got
+    for did, text in rows:
+        if not text:
+            continue
+        w = len([t for t in re.split(r"[ \t\n\f\r]+", text.strip()) if t])
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = max(len(re.findall(r"[aeiouy]+", text.lower())), w)
+        fl = math.floor((206.835 - 1.015 * (w / s) - 84.6 * (y / w)) * 1e4 + 0.5) / 1e4
+        fk = math.floor((0.39 * (w / s) + 11.8 * (y / w) - 15.59) * 1e4 + 0.5) / 1e4
+        assert got[did] == (w, s, y, fl, fk), did
+    # the signal points the right way: the polysyllabic doc reads
+    # harder than the simple one
+    assert got[3][3] < got[1][3]
+    assert got[3][4] > got[1][4]
+
+
 def test_blocklist_report(spark):
     from pipz_spark.datapipe import blocklist_report
 

@@ -523,6 +523,15 @@ def test_winnow_is_one_shuffle_free_projection(spark):
     assert plan.count("split(trim") == 1
 
 
+def test_readability_is_pure_projection(spark):
+    # two quantized IEEE chains over regexp counts — one codegen
+    # projection + filter, no exchange, no join, no Python
+    plan = _plan(spark, "dp_readability")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_kll_build_rides_the_range_exchange(spark):
     # the sketch build must rank via grouped_rank's range exchange
     # (bounded tasks under any group skew), NEVER a per-group window
