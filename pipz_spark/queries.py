@@ -4244,7 +4244,10 @@ def _dp_triangles(spark, sf):
     return triangle_count(pairs).select("node", "triangles")
 
 
-_DP_TRIANGLES_SQL = """
+# CTE prefix shared by the triangle and clustering-coefficient
+# oracles — the same sliced co-occurrence graph, degree orientation
+# and wedge-close layers.
+_TRI_GRAPH_CTES = """
 WITH pr AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
                   greatest(a.l_partkey, b.l_partkey) AS v
@@ -4274,8 +4277,50 @@ alln AS (
   SELECT a AS node FROM t
   UNION ALL SELECT b FROM t
   UNION ALL SELECT c FROM t)
-SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM alln GROUP BY node
 """
+
+_DP_TRIANGLES_SQL = (
+    _TRI_GRAPH_CTES
+    + "SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles "
+    + "FROM alln GROUP BY node"
+)
+
+
+# Local clustering coefficient (graph.clustering_coefficient —
+# Watts & Strogatz 1998) over the same sliced co-occurrence graph
+# dp_triangles gates: lcc = 2T/(d(d−1)) under the family floor
+# quantizer, triangles from the SAME degree-oriented machine, one
+# extra degree aggregate + left join. Template cliques sit near 1,
+# chance collisions near 0 — the near-dup graph diagnostic.
+def _dp_clustering(spark, sf):
+    from .datapipe import clustering_coefficient
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "k").where(F.col("pa") != F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    return clustering_coefficient(pairs)
+
+
+_DP_CLUSTERING_SQL = (
+    _TRI_GRAPH_CTES
+    + """, tri AS (SELECT node, COUNT(*) AS t FROM alln GROUP BY node)
+SELECT deg.n AS node,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+       CAST(deg.d AS BIGINT) AS degree,
+       CASE WHEN deg.d >= 2
+            THEN floor(((2.0 * COALESCE(tri.t, 0)) / (deg.d * (deg.d - 1)))
+                       * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tri ON tri.node = deg.n
+"""
+)
 
 
 # Min-label propagation (graph.propagate_min_labels) over the same
@@ -5540,6 +5585,10 @@ QUERIES: dict[str, Declared] = {
     # pure-JVM text-expression projection family dp_text_stats
     # anchors. r16 promotion candidate.
     "dp_readability": Declared(_dp_readability, _DP_READABILITY_SQL),
+    # ---- r15 newcomer → tail: local clustering coefficient — the
+    # in-window dp_triangles machine plus one degree join. r16
+    # promotion candidate.
+    "dp_clustering": Declared(_dp_clustering, _DP_CLUSTERING_SQL),
 }
 
 

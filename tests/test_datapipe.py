@@ -3983,6 +3983,47 @@ def test_personalized_pagerank_matches_replay(spark):
     assert uni == _ref_pagerank(pairs, 3)
 
 
+def test_clustering_coefficient_matches_replay(spark):
+    """LCC = 2T/(d(d−1)) on a designed graph: a 4-clique (lcc 1.0),
+    a bridge node, and a path tail (lcc 0.0, degree<2 nodes pinned
+    at 0.0); duplicates/direction/self-loops ignored."""
+    import math
+
+    from pipz_spark.datapipe import clustering_coefficient
+
+    pairs = [
+        # 4-clique a,b,c,d
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        # bridge e: connected to a and b (closes one triangle)
+        ("e", "a"), ("b", "e"),
+        # tail: f-g (no triangles), plus noise
+        ("f", "g"), ("g", "f"), ("f", "f"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: (r["triangles"], r["degree"], r["lcc"])
+        for r in clustering_coefficient(df).collect()
+    }
+
+    def q4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    # a and b: degree 4 (clique + e), triangles: 3 within clique + 1
+    # with e = 4 → lcc = 8/12
+    assert got["a"] == (4, 4, q4(8 / 12))
+    assert got["b"] == (4, 4, q4(8 / 12))
+    # c, d: degree 3, all 3 clique triangles → lcc 1.0
+    assert got["c"] == (3, 3, 1.0)
+    assert got["d"] == (3, 3, 1.0)
+    # e: degree 2, one triangle (a, b) → lcc 1.0
+    assert got["e"] == (1, 2, 1.0)
+    # f, g: degree 1 after canonicalization → lcc 0.0, no triangles
+    assert got["f"] == (0, 1, 0.0)
+    assert got["g"] == (0, 1, 0.0)
+    assert len(got) == 7
+
+
 def _ref_hits(edge_pairs, iters, norm_every=None, norm_target=10**6):
     """Integer HITS replay: a ← Σ_in h, h ← Σ_out a, hubs start 1."""
     nodes = sorted({s for s, _ in edge_pairs} | {d for _, d in edge_pairs})

@@ -1584,6 +1584,88 @@ def main_graph100x() -> None:
     spark.stop()
 
 
+def main_kll100x() -> None:
+    """100× KLL stress: the day-shard merge story at 60M values.
+    100 perturbed replicas of sf0.1 lineitem prices (600k × 100,
+    each replica offset so the global distribution is genuinely
+    mixed), one k=256 sketch PER replica built on the grouped_rank
+    machine (the per-day write path), all 100 merged and queried at
+    four quantiles. Truth is EXACT rank arithmetic in Spark: for
+    each answer v the true rank bracket [#{x < v}+1, #{x ≤ v}] must
+    sit within the DOCUMENTED bound — per-shard build error
+    ceil(n_shard/k) + one merge stride ceil(N/k) — of the target
+    rank. Also asserts Σ merged weights = N exactly (the
+    cum-weight-is-exact-rank invariant survives the merge) and that
+    re-running the merge reproduces identical rows (determinism at
+    scale). Scale numbers: sketches are ≤ 100 × 257 rows — the merge
+    + query stages never touch the 60M-value frame again.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py kll100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-kll100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_kll100_")
+    from pipz_spark.datapipe import kll_merge, kll_quantile, kll_sketch
+
+    li = load_table(spark, "lineitem", sf).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    big = li.crossJoin(reps).select(
+        F.col("_rep"),
+        (
+            F.col("l_extendedprice").cast("double")
+            + F.col("_rep").cast("double") * 0.13
+        ).alias("price"),
+        (
+            F.col("l_orderkey") * 800
+            + F.col("l_linenumber") * 100
+            + F.col("_rep")
+        ).alias("_rid"),
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{tmp}/prices100")
+    p100 = spark.read.parquet(f"{tmp}/prices100").persist()
+    n_total = p100.count()
+    n_shard = n_total // 100
+    print(f"corpus: {n_total} values across 100 shards")
+
+    K = 256
+    PROBS = [(1, 4), (1, 2), (3, 4), (99, 100)]
+    bound = (n_shard + K - 1) // K + (n_total + K - 1) // K
+
+    def check() -> tuple:
+        shard_sk = kll_sketch(p100, "price", ["_rep"], k=K, id_col="_rid")
+        merged = kll_merge(shard_sk, [], k=K).localCheckpoint()
+        rows = merged.collect()
+        assert sum(r["kll_weight"] for r in rows) == n_total
+        assert len(rows) <= K + 1, len(rows)
+        # determinism: a second merge pass reproduces identical rows
+        again = sorted(
+            (r["kll_value"], r["kll_weight"])
+            for r in kll_merge(
+                kll_sketch(p100, "price", ["_rep"], k=K, id_col="_rid"), [], k=K
+            ).collect()
+        )
+        assert again == sorted((r["kll_value"], r["kll_weight"]) for r in rows)
+        worst = 0
+        for r in kll_quantile(merged, PROBS, []).collect():
+            v = r["kll_quantile"]
+            target = -(-int(r["q"] * n_total) // 1)
+            lo = p100.where(F.col("price") < v).count() + 1
+            hi = p100.where(F.col("price") <= v).count()
+            err = min(abs(lo - target), abs(hi - target))
+            worst = max(worst, err)
+            assert err <= bound, (r["q"], v, err, bound)
+        print(f"  worst rank error {worst} vs bound {bound}")
+        return (n_total, worst)
+
+    run(spark, "kll 100-shard merge   ", check)
+    spark.stop()
+
+
 def main_cc100x() -> None:
     """Star-contraction stress: connected components of a 5M-node
     CHAIN graph — 100 runs of ~50k consecutive ids (breaks at
@@ -1660,6 +1742,8 @@ if __name__ == "__main__":
         main_graph100x()
     elif "cc100x" in _sys.argv[1:]:
         main_cc100x()
+    elif "kll100x" in _sys.argv[1:]:
+        main_kll100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
