@@ -92,6 +92,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     dense = tri.where(F.col("triangles") >= 1).count()
     print(f"docs closing >=1 triangle (template-clique evidence): {dense}")
 
+    # 3a. local clustering coefficient: the normalized form of the
+    # same signal — template-clique members sit near lcc 1.0, chance
+    # collisions and chain drift near 0.0
+    from pipz_spark.datapipe import clustering_coefficient
+
+    lcc = clustering_coefficient(edges)
+    cliquey = lcc.where(F.col("lcc") >= 0.5).count()
+    print(f"docs with lcc >= 0.5 (template membership): {cliquey}")
+
     # 3b. k-core peeling: the 2-core keeps only docs in cyclic
     # duplicate structure (chains and pendants peel away) — the
     # dense-template extraction the triangle counts hint at
