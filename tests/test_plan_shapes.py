@@ -523,6 +523,17 @@ def test_winnow_is_one_shuffle_free_projection(spark):
     assert plan.count("split(trim") == 1
 
 
+def test_hits_iterations_combine_map_side(spark):
+    # each half-iteration's Σ must partial-aggregate before its
+    # exchange (the pagerank family's map-side discipline); all
+    # joins equi (never cartesian); pure JVM
+    plan = _plan(spark, "dp_hits")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
 def test_readability_is_pure_projection(spark):
     # two quantized IEEE chains over regexp counts — one codegen
     # projection + filter, no exchange, no join, no Python
