@@ -579,9 +579,14 @@ def approx_dataset_profile(
     merges associatively (map-side partials), so cardinality costs one
     scan at any scale. Quantiles likewise: ``approx_percentile``'s
     mergeable KLL-style sketch replaces the full sort an exact
-    median needs. Accuracy is a parameter (``rsd``, default ±5%
-    relative standard deviation), not a hope — use the exact profile
-    when the corpus fits the budget, this one when it doesn't."""
+    median needs. (For quantiles that must MERGE across days/shards
+    and replay in an external oracle, the repo's own
+    ``sketches.kll_sketch``/``kll_merge``/``kll_quantile`` is the
+    engine-exact sibling — JVM-internal approx_percentile state
+    cannot leave the session.) Accuracy is a parameter (``rsd``,
+    default ±5% relative standard deviation), not a hope — use the
+    exact profile when the corpus fits the budget, this one when it
+    doesn't."""
 
     def fn(df: DataFrame, path: tuple[str, ...]) -> DataFrame:
         ok = ensure_error_column(df).where(is_ok()).drop(ERROR_COL)
