@@ -21,8 +21,8 @@ traffic this month" — is answered from the store alone.
      ``kll_quantile`` for the answers — percentiles INCLUDED, the
      quantile question every 100 TB pipeline asks that exact
      ``rel_percentile`` cannot answer from a store without
-     rescanning (KLL closes that gap: ≤ k+1 rows per day, merged at
-     ≤ ceil(W/k) added rank error),
+     rescanning (KLL closes that gap: ≤ k+1 rows per day; error is
+     additive — Σ per-day build strides + one merge stride),
   4. audit: the merged registers and counters are BIT-IDENTICAL to
      sketching the whole period directly (max/sum commute with
      union) — asserted, not assumed.
@@ -130,14 +130,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
     n = len(sv)
     kll_n = kll_quantile(month_kll, [(1, 2)]).collect()[0]["kll_n"]
     assert kll_n == n, "merged KLL total weight must equal the event count"
-    day_s = max((c + 63) // 64 for c in
-                [events.where(F.col("day") == d).count() for d in days])
+    # the MRL composition is ADDITIVE over the day builds: the sound
+    # bound is Σ_days ceil(n_day/k) + one merge stride
+    day_s_sum = sum((c + 63) // 64 for c in
+                    [events.where(F.col("day") == d).count() for d in days])
     merge_s = (n + 63) // 64
     for phi, v in quantiles.items():
         lo = bisect.bisect_left(sv, v) + 1
         hi = bisect.bisect_right(sv, v)
         err = min(abs(lo - phi * n), abs(hi - phi * n))
-        assert err <= day_s + merge_s, (phi, v, err)
+        assert err <= day_s_sum + merge_s, (phi, v, err)
     print("audit: merged sketches bit-identical (HLL/CMS), KLL within bound")
 
     if own_session:

@@ -427,6 +427,18 @@ def triangle_count(
     Reference parity: no graph operator in the reference engine —
     LLM-data-pipeline surface (triangle density over near-dup pair
     graphs separates template cliques from chance collisions)."""
+    und, deg = _canonical_undirected(edges, src_col, dst_col)
+    return _triangles_from(und, deg)
+
+
+def _canonical_undirected(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple:
+    """The simple-graph front shared by ``triangle_count`` and
+    ``clustering_coefficient``: NULL/self-loop-free least/greatest
+    canonical distinct edges (u < v) plus the per-node degree over
+    them — ONE definition, so the two operators' simple-graph
+    semantics are mechanically identical."""
     e = edges.select(
         F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
     ).where(
@@ -443,6 +455,12 @@ def triangle_count(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return und, deg
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle counts from a prepared canonical edge +
+    degree pair (the body of ``triangle_count``)."""
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     ed = und.join(du, "u").join(dv, "v")
@@ -552,29 +570,14 @@ def clustering_coefficient(
 
     quantized by the family's floor rule. Composes the
     degree-oriented ``triangle_count`` machine (wedges ≤ m^{3/2}
-    under any skew) with the same canonical degree count — one extra
-    map-side-combined aggregate + one left join over (node, BIGINT)
-    rows beyond the triangle pass. Duplicates, direction, and
-    self-loops are ignored exactly as ``triangle_count`` does."""
+    under any skew) with the SAME ``_canonical_undirected`` front —
+    built once, consumed by both the triangle pass and the degree
+    join, so the two operators' simple-graph semantics share one
+    definition and the canonical edge plan appears once."""
     from .text import quantize4
 
-    e = edges.select(
-        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
-    ).where(
-        F.col(src_col).isNotNull()
-        & F.col(dst_col).isNotNull()
-        & (F.col(src_col) != F.col(dst_col))
-    )
-    und = e.select(
-        F.least("_u", "_v").alias("u"), F.greatest("_u", "_v").alias("v")
-    ).distinct()
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .union(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    tri = triangle_count(edges, src_col=src_col, dst_col=dst_col)
+    und, deg = _canonical_undirected(edges, src_col, dst_col)
+    tri = _triangles_from(und, deg)
     t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
     return deg.join(tri, deg["n"] == tri["node"], "left").select(
         F.col("n").alias("node"),
@@ -811,7 +814,11 @@ def connected_components(
     driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for the undirected pair graph; component =
-    the minimum node id reachable from each node.
+    the minimum node id reachable from each node. Pairs with a NULL
+    endpoint are dropped wholesale (malformed input carries no
+    adjacency information), so nodes appearing ONLY in such pairs
+    are absent from the map — identically under every ``algorithm``
+    and the driver fast path.
 
     Iterative min-label propagation: each round every node takes the
     minimum label among itself and its neighbors — one shuffle
@@ -882,9 +889,22 @@ def connected_components(
     # symmetrized frame, and every propagation round all read it, so
     # an over-cap graph pays its (possibly expensive) pair plan
     # exactly once — CollectLimit feeding the probe materializes the
-    # persisted rows the distributed path then reuses
+    # persisted rows the distributed path then reuses.
+    # NULL-endpoint pairs are DROPPED here, uniformly for all three
+    # algorithms (r15 review fix): they are a malformed pair graph,
+    # and before this filter the paths disagreed on them — label
+    # propagation emitted a (NULL → min neighbor) row (NULL survives
+    # groupBy as its own key) while star contraction emitted
+    # (NULL → NULL) via the singleton re-add, so an auto escalation
+    # silently changed the mapping. One WHERE makes every path see
+    # the same graph; nodes whose only pairs had a NULL partner are
+    # absent from the map (no information, not a singleton claim).
+    # The driver fast path also stops needing a NaN guard: pandas
+    # can no longer widen the probe's int columns to float64.
     e = _caches.track(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).persist()
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+        .persist()
     )
     if algorithm == "auto" and driver_cap > 0:
         # one bounded action sizes the graph AND fetches it when small
@@ -894,16 +914,7 @@ def connected_components(
         # the union-find dicts (~100-200 MB of boxed ints at the
         # worst case) — bounded by the cap, never by data volume
         probe = e.limit(driver_cap + 1).toPandas()
-        # NULL ids would make pandas widen the int columns to float64
-        # (NaN), and the union-find would silently run on floats —
-        # labels and dict-key identity both diverge from the
-        # distributed path. NULL endpoints are a malformed pair graph
-        # either way (a NULL never equi-joins in the distributed
-        # rounds), so fall through to the distributed path, which
-        # keeps behavior volume-independent for such inputs.
-        if len(probe) <= driver_cap and not (
-            probe["u"].isna().any() or probe["v"].isna().any()
-        ):
+        if len(probe) <= driver_cap:
             return _driver_union_find(
                 pairs.sparkSession,
                 probe["u"].tolist(),

@@ -836,27 +836,33 @@ def test_connected_components_chain_and_clique(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_connected_components_null_ids_skip_driver_fast_path(spark):
-    # a NULL endpoint would make pandas widen the probe's int columns
-    # to float64 (NaN dict keys never compare equal in union-find), so
-    # the auto fast path must decline and fall through to the
-    # distributed rounds, which resolve the non-NULL subgraph exactly
-    # as they would at any volume (NULLs never equi-join, so they
-    # vanish from propagation — same behavior, cap or no cap)
+def test_connected_components_null_pairs_dropped_uniformly(spark):
+    # NULL-endpoint pairs are dropped wholesale BEFORE any path runs
+    # (r15 review fix — previously the label path emitted
+    # (NULL → min neighbor) while star contraction emitted
+    # (NULL → NULL), so an auto escalation silently changed the
+    # mapping): every algorithm and the driver fast path must see
+    # the same graph, and nodes whose only pairs had a NULL partner
+    # are absent from the map
     from pipz_spark.datapipe import connected_components
 
     edges = [(1, 2), (2, 3), (None, 7), (8, None)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    auto = {
-        r["node"]: r["component"]
-        for r in connected_components(pairs).collect()
+    results = {
+        mode: {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, **kw).collect()
+        }
+        for mode, kw in {
+            "fastpath": {},
+            "label": {"driver_cap": 0, "algorithm": "label"},
+            "star": {"driver_cap": 0, "algorithm": "star"},
+            "auto-dist": {"driver_cap": 0},
+        }.items()
     }
-    forced = {
-        r["node"]: r["component"]
-        for r in connected_components(pairs, driver_cap=0).collect()
-    }
-    assert auto == forced
-    assert auto[1] == auto[2] == auto[3] == 1
+    want = {1: 1, 2: 1, 3: 1}
+    for mode, got in results.items():
+        assert got == want, mode
 
 
 def test_line_dedup_delimiter_mode(spark):
@@ -3710,14 +3716,22 @@ def test_kll_merge_and_quantile_error_bounds(spark):
     rows = merged.collect()
     assert sum(r["kll_weight"] for r in rows) == n
     assert len(rows) <= k + 1
-    part_s = (n // 3 + 1 + k - 1) // k
+    # the MRL composition is ADDITIVE over parts: each part's build
+    # contributes up to its own stride of rank error, so the sound
+    # bound is Σ_p ceil(n_p/k) + the merge stride ceil(W/k) — NOT
+    # max-over-parts (a distribution whose per-part truncations
+    # align can legitimately exceed that)
+    part_s_sum = sum(
+        (c + k - 1) // k
+        for c in [len(vals) // 3 + (1 if len(vals) % 3 > i else 0) for i in range(3)]
+    )
     merge_s = (n + k - 1) // k
     for r in kll_quantile(merged, [(1, 2), (19, 20)], []).collect():
         phi, v = r["q"], r["kll_quantile"]
         lo = bisect.bisect_left(sv, v) + 1
         hi = bisect.bisect_right(sv, v)
         err = min(abs(lo - phi * n), abs(hi - phi * n))
-        assert err <= part_s + merge_s, (phi, v, err)
+        assert err <= part_s_sum + merge_s, (phi, v, err)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

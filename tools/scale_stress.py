@@ -1592,9 +1592,10 @@ def main_kll100x() -> None:
     machine (the per-day write path), all 100 merged and queried at
     four quantiles. Truth is EXACT rank arithmetic in Spark: for
     each answer v the true rank bracket [#{x < v}+1, #{x ≤ v}] must
-    sit within the DOCUMENTED bound — per-shard build error
-    ceil(n_shard/k) + one merge stride ceil(N/k) — of the target
-    rank. Also asserts Σ merged weights = N exactly (the
+    sit within the DOCUMENTED bound of the target rank — the MRL
+    composition is ADDITIVE over shards, so the sound bound is
+    Σ_shards ceil(n_shard/k) + one merge stride ceil(N/k), ≈ 2·N/k
+    here (the realized error runs well under it). Also asserts Σ merged weights = N exactly (the
     cum-weight-is-exact-rank invariant survives the merge) and that
     re-running the merge reproduces identical rows (determinism at
     scale). Scale numbers: sketches are ≤ 100 × 257 rows — the merge
@@ -1634,7 +1635,8 @@ def main_kll100x() -> None:
 
     K = 256
     PROBS = [(1, 4), (1, 2), (3, 4), (99, 100)]
-    bound = (n_shard + K - 1) // K + (n_total + K - 1) // K
+    # additive over the 100 shard builds + one merge stride
+    bound = 100 * ((n_shard + K - 1) // K) + (n_total + K - 1) // K
 
     def check() -> tuple:
         shard_sk = kll_sketch(p100, "price", ["_rep"], k=K, id_col="_rid")
@@ -1651,9 +1653,13 @@ def main_kll100x() -> None:
         )
         assert again == sorted((r["kll_value"], r["kll_weight"]) for r in rows)
         worst = 0
+        by_q = {qn / qd: (qn, qd) for qn, qd in PROBS}
         for r in kll_quantile(merged, PROBS, []).collect():
             v = r["kll_quantile"]
-            target = -(-int(r["q"] * n_total) // 1)
+            # the engine's exact integer target ceil(qn·W/qd) — NOT a
+            # float product (int() truncates 0.99·N one rank short)
+            qn, qd = by_q[r["q"]]
+            target = (qn * n_total + qd - 1) // qd
             lo = p100.where(F.col("price") < v).count() + 1
             hi = p100.where(F.col("price") <= v).count()
             err = min(abs(lo - target), abs(hi - target))
