@@ -651,6 +651,39 @@ def kll_merge(
     )
 
 
+def kll_from_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Seq[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Build a sketch from WEIGHTED (value, weight) rows — the
+    bounded-domain fast path. When the value domain is small
+    (token/document lengths, quantized scores, byte sizes), the
+    right 100 TB shape is NOT ranking every row: pre-aggregate
+    ``groupBy(value).sum(weight)`` (map-side combined — the exchange
+    carries ≤ |domain| rows per group at any corpus size) and
+    compact the resulting histogram directly. Produces the same
+    (*group_cols, kll_value, kll_weight) contract as ``kll_sketch``
+    of the expanded multiset, at zero corpus-sized shuffles beyond
+    the histogram's own aggregate. NULL values and non-positive
+    weights are dropped. Exactness note: compacting the exact
+    histogram is a SINGLE canonical compaction — rank error
+    ≤ ceil(W/k), the build bound, with no per-part additivity."""
+    sel = (
+        df.where(
+            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("kll_value"),
+            F.col(weight_col).cast("long").alias("kll_weight"),
+        )
+    )
+    return kll_merge(sel, group_cols, k=k)
+
+
 def kll_quantile(
     sketch: DataFrame,
     probs: Seq[tuple],
@@ -717,6 +750,7 @@ __all__ = [
     "hll_merge",
     "hll_register_cols",
     "hll_sketch",
+    "kll_from_weighted",
     "kll_merge",
     "kll_quantile",
     "kll_sketch",

@@ -3785,6 +3785,53 @@ def test_readability_scores_match_replay(spark):
     assert got[3][4] > got[1][4]
 
 
+def test_kll_from_weighted_bounded_domain_path(spark):
+    """The histogram fast path: on a distinct-value multiset it is
+    ROW-IDENTICAL to the rank-machine build (same canonical
+    compaction); on a weighted histogram it preserves total weight,
+    stays ≤ k+1 rows, answers within the single-compaction bound,
+    and drops non-positive weights."""
+    import bisect
+    import random
+
+    from pipz_spark.datapipe import kll_from_weighted, kll_quantile, kll_sketch
+
+    random.seed(17)
+    vals = random.sample(range(10**7), 800)  # distinct
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    k = 16
+    build = sorted(
+        (r["kll_value"], r["kll_weight"])
+        for r in kll_sketch(df, "v", [], k=k, id_col="id").collect()
+    )
+    hist = df.select("v", F.lit(1).alias("w"))
+    fast = sorted(
+        (r["kll_value"], r["kll_weight"])
+        for r in kll_from_weighted(hist, "v", "w", [], k=k).collect()
+    )
+    assert fast == build
+    # weighted histogram: lengths 1..100 with weight = length*3
+    hrows = [(float(v), v * 3) for v in range(1, 101)] + [(5.0, 0), (None, 9)]
+    hdf = spark.createDataFrame(hrows, "v double, w long")
+    sk = kll_from_weighted(hdf, "v", "w", [], k=k)
+    rows = sk.collect()
+    W = sum(v * 3 for v in range(1, 101))
+    assert sum(r["kll_weight"] for r in rows) == W
+    assert len(rows) <= k + 1
+    expanded = sorted(
+        x for v in range(1, 101) for x in [float(v)] * (v * 3)
+    )
+    s = (W + k - 1) // k
+    for r in kll_quantile(sk, [(1, 2), (9, 10)], []).collect():
+        phi, v = r["q"], r["kll_quantile"]
+        lo = bisect.bisect_left(expanded, v) + 1
+        hi = bisect.bisect_right(expanded, v)
+        err = min(abs(lo - phi * W), abs(hi - phi * W))
+        assert err <= s, (phi, v, err, s)
+
+
 def test_blocklist_report(spark):
     from pipz_spark.datapipe import blocklist_report
 
