@@ -4877,6 +4877,45 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+# STREAMING-EXECUTED quantile store (streams.stream_kll_values):
+# the DISTRIBUTION member of the sketch-in-stream family — per-day
+# integer-cent value histograms folded exactly by the state store
+# (state bounded by the declared cent domain, not stream volume),
+# compacted at read by the KLL canonical compactor, three quantiles
+# per day. The oracle replays quantization, histogram, the
+# crossing-rule compaction, and the ceil-target lookup.
+def _stream_kll(spark, sf):
+    from .streaming.streams import stream_kll_values
+
+    return stream_kll_values(spark, sf)
+
+
+_STREAM_KLL_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL),
+pre AS (
+  SELECT day, CAST(vq AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM ev GROUP BY day, vq),
+mt AS (
+  SELECT day, v, w,
+         SUM(w) OVER (PARTITION BY day ORDER BY v) AS cum,
+         SUM(w) OVER (PARTITION BY day) AS wt
+  FROM pre),
+ms AS (SELECT day, v, w, cum, wt, (wt + 63) // 64 AS s FROM mt),
+mk AS (
+  SELECT day, v, cum, wt FROM ms
+  WHERE (cum + s - 1) // s > (cum - w + s - 1) // s OR cum = wt),
+qs(qn, qd) AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) t(a, b))
+SELECT day, CAST(qn AS DOUBLE) / qd AS q,
+       MIN(CASE WHEN cum >= GREATEST((qn * wt + qd - 1) // qd, 1) THEN v END)
+         AS kll_quantile,
+       CAST(MAX(wt) AS BIGINT) AS kll_n
+FROM mk, qs GROUP BY 1, 2
+"""
+
+
 # STREAMING-EXECUTED Bloom signature store
 # (streams.stream_bloom_signatures): the third sketch-in-stream —
 # Bloom's merge is BIT_OR, idempotent, exactly the state store's
@@ -5589,6 +5628,11 @@ QUERIES: dict[str, Declared] = {
     # in-window dp_triangles machine plus one degree join. r16
     # promotion candidate.
     "dp_clustering": Declared(_dp_clustering, _DP_CLUSTERING_SQL),
+    # ---- r15 newcomer → tail: the 12th streaming machine — per-day
+    # value histograms folded exactly in the state store (bounded by
+    # the cent domain), KLL-compacted at read; the distribution
+    # member of the sketch-in-stream family. r16 promotion candidate.
+    "stream_kll_values": Declared(_stream_kll, _STREAM_KLL_SQL),
 }
 
 

@@ -24,6 +24,7 @@ from .streams import (
     stream_events_join,
     stream_bloom_signatures,
     stream_cms_traffic,
+    stream_kll_values,
     stream_events_sessions,
     stream_running_totals,
     stream_static_join,
@@ -45,6 +46,7 @@ __all__ = [
     "stream_events_join",
     "stream_bloom_signatures",
     "stream_cms_traffic",
+    "stream_kll_values",
     "stream_events_sessions",
     "stream_running_totals",
     "stream_static_join",

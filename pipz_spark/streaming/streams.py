@@ -1486,6 +1486,83 @@ def stream_cms_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_kll_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED quantile store — the DISTRIBUTION member
+    of the sketch-in-stream family (cardinality=stream_hll_users,
+    frequency=stream_cms_traffic, membership=stream_bloom_signatures,
+    distribution=THIS): per-day integer-cent value histograms folded
+    by the state store, compacted by the KLL canonical compactor at
+    read time, answering three quantiles per day.
+
+    The stateful aggregation is COUNT per (day, cent) — an exact
+    integer sum, precisely the state store's incremental merge — so
+    the streamed histogram is BIT-IDENTICAL to the batch GROUP BY of
+    the same events. State is bounded by the DECLARED value domain
+    (days × |cent values|, the ``kll_from_weighted`` bounded-domain
+    premise), not by stream volume: a cents-quantized money/score
+    column has a fixed-resolution domain no matter how many events
+    arrive. Compaction does NOT run in the stream — the canonical
+    compactor needs the day's full histogram in value order, and
+    folding it incrementally would make the sketch depend on arrival
+    order (the determinism the family forbids); instead the
+    kilobyte-sized histogram lands through the keyed merge-on-read
+    log and ``kll_from_weighted`` compacts at read, a pure function
+    of the landed counts. Returns (day, q, kll_quantile, kll_n) —
+    median / p90 / p99 per day; the oracle replays quantization,
+    histogram, crossing-rule compaction, and the ceil-target lookup
+    in window SQL."""
+    import tempfile
+
+    from ..datapipe.sketches import kll_from_weighted, kll_quantile
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    vq = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    hist = windowed_agg(
+        stream.where(F.col("value").isNotNull()).select(
+            "ts", vq.alias("vq")
+        ),
+        {"n": F.count(F.lit(1))},
+        window="1 day",
+        keys=["vq"],
+        watermark="31 days",
+    )
+    fmt = transform(
+        "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
+    )
+    land = tempfile.mkdtemp(prefix="pipz_stream_kll_")
+    log = append_log_sink(land, keys=["day", "vq"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("day", "vq", "n"), batch_id)
+
+    q = run_step_stream(
+        hist,
+        fmt,
+        ok_sink,
+        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_kll_ckpt_"),
+        query_name="pipz-stream-kll",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = read_latest(spark, land, keys=["day", "vq"]).select(
+        "day", "vq", "n"
+    )
+    sk = kll_from_weighted(landed, "vq", "n", ["day"], k=64)
+    return kll_quantile(sk, [(1, 2), (9, 10), (99, 100)], ["day"])
+
+
 def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING-EXECUTED Bloom filter: fold the stream's distinct
     (event_type, user_id) memberships into a per-day 48-bit-word
