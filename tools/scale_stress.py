@@ -1138,6 +1138,56 @@ def main_pagerank100x() -> None:
         return (total, bad)
 
     run(spark, "pagerank 100x (2 iters)", check)
+
+    # ---- HITS on the DIRECTED 100× graph (same replicas, customer
+    # → supplier direction only): the mutual-recursion twin of the
+    # pagerank machine — exact python-int replay of a ← Σ_in h,
+    # h ← Σ_out a at 2 iterations, all 1.6M (auth, hub) pairs
+    # asserted bit-identical. Same scale axes: per-half-iteration
+    # shuffle O(edges + nodes), map-side-combined sums, no hot key.
+    from pipz_spark.datapipe import hits
+
+    dir100 = spark.read.parquet(f"{tmp}/edges").where(
+        F.col("src").startswith("c_")
+    )
+    a_want: dict = {}
+    h_want = {n: 1 for n in nodes}
+    dir_ep = [(s, d) for s, d in ep if s.startswith("c_")]
+    for _ in range(ITERS):
+        a_want = {n: 0 for n in nodes}
+        for s, d in dir_ep:
+            a_want[d] += h_want[s]
+        h_want = {n: 0 for n in nodes}
+        for s, d in dir_ep:
+            h_want[s] += a_want[d]
+    want_ah = spark.createDataFrame(
+        [(n, a_want[n], h_want[n]) for n in nodes],
+        "base_node string, want_auth long, want_hub long",
+    )
+
+    def check_hits() -> tuple:
+        got = hits(dir100, iters=ITERS)
+        keyed = got.select(
+            F.concat_ws(
+                "_",
+                F.split(F.col("node"), "_")[0],
+                F.split(F.col("node"), "_")[2],
+            ).alias("base_node"),
+            "auth_q",
+            "hub_q",
+        )
+        joined = keyed.join(F.broadcast(want_ah), "base_node", "left")
+        bad = joined.where(
+            F.col("want_auth").isNull()
+            | (F.col("auth_q") != F.col("want_auth"))
+            | (F.col("hub_q") != F.col("want_hub"))
+        ).count()
+        total = joined.count()
+        assert bad == 0, f"{bad} of {total} nodes diverge from the replay"
+        assert total == len(nodes) * 100, total
+        return (total, bad)
+
+    run(spark, "hits 100x (2 iters)    ", check_hits)
     spark.stop()
 
 
