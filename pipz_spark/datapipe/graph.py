@@ -79,6 +79,48 @@ def _ord_lt(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
     return (d1 < d2) | ((d1 == d2) & (n1 < n2))
 
 
+def _directed_front(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    out: tuple[str, str] = ("_src", "_dst"),
+    extra: tuple = (),
+) -> DataFrame:
+    """The ONE directed-graph ingestion contract for the whole family
+    (r15 verdict ask: pagerank / hits / kcore / connected_components
+    each restated their own NULL/self-loop/multi-edge choices — this
+    helper states them once):
+
+    - NULL-endpoint edges are DROPPED, always: a half-specified edge
+      carries no adjacency information, and per-operator divergence
+      here is exactly what made the r15 CC paths disagree before the
+      uniform WHERE.
+    - self-loops and multi-edges are KEPT: what they MEAN is the
+      operator's call, made downstream of this front — the link
+      family (pagerank/hits) counts multiplicity as mass/score, the
+      simple-graph family (:func:`_canonical_undirected`, kcore)
+      erases both with its self-loop filter + canonical distinct,
+      and CC keeps self-loops because they register a node.
+
+    ``extra`` carries operator-specific payload columns (pagerank's
+    weight) through the same projection so the scan reads once."""
+    a, b = out
+    return edges.select(
+        F.col(src_col).alias(a), F.col(dst_col).alias(b), *extra
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+
+
+def _node_universe(e: DataFrame, a: str = "_src", b: str = "_dst") -> DataFrame:
+    """The (node) universe of a directed edge frame — both endpoint
+    columns, distinct. Shared by the link family's final zero-fill
+    joins and the rank initializers."""
+    return (
+        e.select(F.col(a).alias("node"))
+        .union(e.select(F.col(b).alias("node")))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -160,20 +202,14 @@ def pagerank(
     # breaks stage pipelining: measured 5.5 s vs 1.7 s per run on the
     # sf0.1 declared query, and neutral at the 117M-edge 100× rig.
     wcols = (
-        []
+        ()
         if weight_col is None
-        else [F.col(weight_col).cast("long").alias("_w")]
+        else (F.col(weight_col).cast("long").alias("_w"),)
     )
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), *wcols
-    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    e = _directed_front(edges, src_col, dst_col, extra=wcols)
     if weight_col is not None:
         e = e.where(F.col("_w").isNotNull() & (F.col("_w") > 0))
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-    )
+    nodes = _node_universe(e)
     mass = F.count(F.lit(1)) if weight_col is None else F.sum("_w")
     deg = e.groupBy("_src").agg(mass.alias("outdeg"))
     ndeg = nodes.join(deg, nodes["node"] == deg["_src"], "left").select(
@@ -211,6 +247,7 @@ def pagerank(
         # lineage
         ranks = ranks.localCheckpoint()
 
+    _converged = tol is None or iters == 0
     for it in range(iters):
         ranks_prev = ranks
         if weight_col is None:
@@ -268,11 +305,31 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank_q") - F.col("_prev"))))
                 .first()[0]
             )
-            if delta is not None and delta <= tol:
+            # delta is None ⟺ the node frame is empty (SUM over zero
+            # rows) — the fixpoint holds trivially; without this an
+            # empty graph burned the whole budget at one
+            # checkpoint+collect per round (r15 advice)
+            if delta is None or delta <= tol:
+                _converged = True
                 break
         elif checkpoint_every is not None and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint()
 
+    if not _converged:
+        # the iters budget ran out before delta <= tol: the returned
+        # frame is a valid PageRank iterate but NOT a declared
+        # fixpoint, and callers could not previously tell the two
+        # apart (r15 advice). A warning (not an exception) keeps the
+        # documented budget semantics while surfacing the state.
+        import warnings
+
+        warnings.warn(
+            f"pagerank(tol={tol}) exhausted its iters={iters} budget "
+            "before converging; the result is the last iterate, not a "
+            "fixpoint — raise iters or tol",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return ranks.select("node", "rank_q", "outdeg")
 
 
@@ -299,8 +356,11 @@ def hits(
     HITS L2-normalizes; scores here are compared WITHIN a run, so
     only the ratios matter and the oracle replays every sum
     exactly). Unnormalized scores grow like (d_in·d_out)^iters:
-    bound max_indeg^iters · max_outdeg^iters < 2^62 when choosing
-    ``iters``, or pass ``norm_every=N`` to rescale both score
+    the bound max_indeg^iters · max_outdeg^iters < 2^62 is ENFORCED
+    when ``norm_every`` is None (one bounded max-degree action at
+    build; a violation raises instead of letting a non-ANSI BIGINT
+    sum wrap silently — r15 advice), or pass
+    ``norm_every=N`` to rescale both score
     columns by k = max(score) DIV ``norm_target`` every N iterations
     (one MAX aggregate — a single number to the driver, the
     classifier's bounded-collect discipline; k is replayable, so the
@@ -328,26 +388,55 @@ def hits(
     # the hub step, node for the universe), no two exchanges match,
     # and an unpersisted edge plan re-runs its upstream join
     # 4×iters times (measured 13.0 s vs 4.4 s at sf0.1, iters=2)
-    e = _caches.track(
-        edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    e = _caches.track(_directed_front(edges, src_col, dst_col).persist())
+    nodes = _caches.track(_node_universe(e).persist())
+    if iters == 0:
+        # the zero-iteration basis (hubs 1, authorities 0) returned
+        # directly — the loop below always rebinds both frames, so
+        # this is the only path that needs the initial state
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("auth_q"),
+            F.lit(1).cast("long").alias("hub_q"),
         )
-        .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
-        .persist()
-    )
-    nodes = _caches.track(
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    if norm_every is None:
+        # runtime overflow guard (r15 advice): the docstring's
+        # max_indeg^iters · max_outdeg^iters < 2^62 bound was the
+        # caller's obligation only — enforce it, because non-ANSI
+        # Spark would WRAP a BIGINT sum silently and corrupt every
+        # downstream ratio. One bounded action over the persisted
+        # edge frame (two longs back), cheap next to the 4·iters
+        # joins that follow; raising names the fix (norm_every).
+        import math
+
+        dmax = {
+            r["t"]: r["m"]
+            for r in (
+                e.select(F.col("_src").alias("n"), F.lit("o").alias("t"))
+                .unionByName(
+                    e.select(F.col("_dst").alias("n"), F.lit("i").alias("t"))
+                )
+                .groupBy("t", "n")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("t")
+                .agg(F.max("c").alias("m"))
+                .collect()
+            )
+        }
+        din, dout = dmax.get("i", 0), dmax.get("o", 0)
+        if din and dout and iters * (math.log2(din) + math.log2(dout)) >= 62:
+            raise ValueError(
+                f"hits(iters={iters}) would overflow BIGINT on this graph "
+                f"(max indegree {din}, max outdegree {dout}: bound "
+                "max_indeg^iters * max_outdeg^iters >= 2^62) — pass "
+                "norm_every to rescale scores periodically"
+            )
     # intermediate score frames stay SPARSE (only nodes with a
     # nonzero sum): an absent node contributes nothing to the next
     # sum, so zero-filling against the universe every half-iteration
     # would be pure shuffle waste — the universe joins back exactly
     # once, at the end
     hub = nodes.withColumn("hub_q", F.lit(1).cast("long"))
-    auth = nodes.withColumn("auth_q", F.lit(0).cast("long")).limit(0)
     for it in range(iters):
         auth = (
             e.join(
@@ -437,14 +526,11 @@ def _canonical_undirected(
     """The simple-graph front shared by ``triangle_count`` and
     ``clustering_coefficient``: NULL/self-loop-free least/greatest
     canonical distinct edges (u < v) plus the per-node degree over
-    them — ONE definition, so the two operators' simple-graph
-    semantics are mechanically identical."""
-    e = edges.select(
-        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
-    ).where(
-        F.col(src_col).isNotNull()
-        & F.col(dst_col).isNotNull()
-        & (F.col(src_col) != F.col(dst_col))
+    them — ONE definition (over the family-wide
+    :func:`_directed_front` NULL contract), so every simple-graph
+    operator's semantics are mechanically identical."""
+    e = _directed_front(edges, src_col, dst_col, out=("_u", "_v")).where(
+        F.col("_u") != F.col("_v")
     )
     und = e.select(
         F.least("_u", "_v").alias("u"), F.greatest("_u", "_v").alias("v")
@@ -627,16 +713,7 @@ def kcore_peel(
         raise ValueError(f"need rounds >= 0, got {rounds}")
     if checkpoint_every is not None and checkpoint_every <= 0:
         raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
-    e = edges.select(
-        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
-    ).where(
-        F.col(src_col).isNotNull()
-        & F.col(dst_col).isNotNull()
-        & (F.col(src_col) != F.col(dst_col))
-    )
-    und = e.select(
-        F.least("_u", "_v").alias("u"), F.greatest("_u", "_v").alias("v")
-    ).distinct()
+    und, _ = _canonical_undirected(edges, src_col, dst_col)
     cur = und.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
         und.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -676,8 +753,9 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
       m — stars of stars collapse one level.
 
     Fixpoint = the edge set is unchanged by a full round (checked
-    exactly — equal count + one empty set-difference on the distinct
-    canonicalized frame — not a hashable summary); at fixpoint the
+    exactly — tracked cardinality + an empty one-way miss count from
+    a single left join on the distinct canonicalized frames, ONE
+    action per round — not a hashable summary); at fixpoint the
     graph is a forest of stars
     whose centers are the component minima, so the oriented edge list
     IS the (node, component) map and centers map to themselves.
@@ -691,6 +769,12 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # track the frame's cardinality across rounds so the fixpoint
+    # test needs ONE action per round (r15 verdict ask: the old
+    # count-then-subtract pair was two jobs, and with the large-star
+    # checkpoint also dropped the loop ran 4 jobs/round on pure
+    # scheduling overhead — the bench's most expensive query)
+    n_canon = canon.count()
     for _ in range(max_rounds):
         sym = canon.unionByName(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -710,7 +794,12 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            # NOT checkpointed: small below is checkpointed every
+            # round, so the composed large+small plan is always one
+            # round deep, and ReuseExchange serves large's (u,v)
+            # exchange to both of oriented's consumers (omins and the
+            # re-point join both hash on u) — materializing it here
+            # paid a full extra job per round for nothing
         )
         # small-star over the large-star output: orient big→small,
         # re-point every smaller neighbor (and the node itself) at m
@@ -730,14 +819,30 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        # both frames are distinct, so equal cardinality plus an empty
-        # one-way difference IS set equality — one subtract shuffle
-        # per round instead of two (the check runs O(log n) times on
-        # exactly the large-graph case this path exists for)
-        if small.count() == canon.count() and small.subtract(canon).isEmpty():
+        # both frames are distinct, so |small| == |canon| plus
+        # small ⊆ canon IS set equality. One left join over the two
+        # checkpointed frames yields BOTH numbers (|small| and the
+        # not-in-canon miss count) in a single action, and |canon| is
+        # last round's |small| — so the whole fixpoint test is ONE
+        # job per round (the check runs O(log n) times on exactly the
+        # large-graph case this path exists for)
+        chk = (
+            small.join(
+                canon.withColumn("_in", F.lit(1)), ["u", "v"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(
+                    F.when(F.col("_in").isNull(), 1).otherwise(0)
+                ).alias("_miss"),
+            )
+            .first()
+        )
+        n_small, miss = chk["_n"], chk["_miss"] or 0
+        if n_small == n_canon and miss == 0:
             canon = small
             break
-        canon = small
+        canon, n_canon = small, n_small
     else:
         raise RuntimeError(
             f"star contraction did not converge within {max_rounds} rounds — "
@@ -890,21 +995,18 @@ def connected_components(
     # an over-cap graph pays its (possibly expensive) pair plan
     # exactly once — CollectLimit feeding the probe materializes the
     # persisted rows the distributed path then reuses.
-    # NULL-endpoint pairs are DROPPED here, uniformly for all three
-    # algorithms (r15 review fix): they are a malformed pair graph,
-    # and before this filter the paths disagreed on them — label
+    # NULL-endpoint pairs are DROPPED by the family-wide
+    # _directed_front (r15 review fix, now stated once there): before
+    # the uniform WHERE the paths disagreed on them — label
     # propagation emitted a (NULL → min neighbor) row (NULL survives
     # groupBy as its own key) while star contraction emitted
     # (NULL → NULL) via the singleton re-add, so an auto escalation
-    # silently changed the mapping. One WHERE makes every path see
-    # the same graph; nodes whose only pairs had a NULL partner are
-    # absent from the map (no information, not a singleton claim).
-    # The driver fast path also stops needing a NaN guard: pandas
-    # can no longer widen the probe's int columns to float64.
+    # silently changed the mapping. Nodes whose only pairs had a NULL
+    # partner are absent from the map (no information, not a
+    # singleton claim), and the driver fast path needs no NaN guard:
+    # pandas can't widen the probe's int columns to float64.
     e = _caches.track(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
-        .persist()
+        _directed_front(pairs, id_a, id_b, out=("u", "v")).persist()
     )
     if algorithm == "auto" and driver_cap > 0:
         # one bounded action sizes the graph AND fetches it when small

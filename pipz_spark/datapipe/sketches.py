@@ -559,7 +559,13 @@ def kll_sketch(
     output is value-deterministic with or without it, because every
     row of a rank-tie carries the same value. Values are cast to
     DOUBLE (the sketch never does arithmetic on them, so they replay
-    exactly)."""
+    exactly) — which bounds exact value fidelity at 2^53: BIGINT
+    inputs above that lose low bits in the cast itself (r15 advice;
+    IEEE-754 doubles carry 53 mantissa bits). Quantiles of such
+    values are still rank-correct for the quantized values, but the
+    returned value is the double, not the original integer —
+    pre-bucket ids that large (or quantize, as the declared queries
+    do with cents) before sketching."""
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
     from .rank import grouped_rank
@@ -667,20 +673,22 @@ def kll_from_weighted(
     compact the resulting histogram directly. Produces the same
     (*group_cols, kll_value, kll_weight) contract as ``kll_sketch``
     of the expanded multiset, at zero corpus-sized shuffles beyond
-    the histogram's own aggregate. NULL values and non-positive
-    weights are dropped. Exactness note: compacting the exact
+    the histogram's own aggregate. NULL values are dropped; weights
+    are FLOORED to BIGINT first and rows whose floored weight is
+    non-positive are dropped — a fractional weight in (0, 1) carries
+    no mass at all rather than slipping a zero-weight row into the
+    sketch (r15 advice: the positivity filter used to run on the
+    pre-cast value, so 0.7 passed it and then floored to 0). The
+    total-weight = summarized-count invariant holds exactly for
+    integral weights; fractional weights are documented truncation.
+    Exactness note: compacting the exact
     histogram is a SINGLE canonical compaction — rank error
     ≤ ceil(W/k), the build bound, with no per-part additivity."""
-    sel = (
-        df.where(
-            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
-        )
-        .select(
-            *group_cols,
-            F.col(value_col).cast("double").alias("kll_value"),
-            F.col(weight_col).cast("long").alias("kll_weight"),
-        )
-    )
+    sel = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("kll_value"),
+        F.col(weight_col).cast("long").alias("kll_weight"),
+    ).where(F.col("kll_value").isNotNull() & (F.col("kll_weight") > 0))
     return kll_merge(sel, group_cols, k=k)
 
 
@@ -738,6 +746,202 @@ def kll_quantile(
     )
 
 
+def mg_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: Seq[str] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Misra–Gries heavy-hitters summary (Misra & Gries 1982,
+    "Finding repeated elements"; the mergeable-summaries reading is
+    Agarwal et al. 2013) — the FIFTH sketch-family member, and the
+    one that ENUMERATES: HLL answers "how many distinct", CMS "how
+    often is THIS key" (caller-supplied candidates only), Bloom
+    "member?", KLL "what percentile" — none can list WHICH keys
+    dominate a stored sketch without a corpus rescan. This one can.
+
+    Per group (global if ``group_cols`` empty): exact per-key counts
+    (weights via ``weight_col``, floored to BIGINT then
+    positivity-filtered — the ``kll_from_weighted`` discipline), then
+    ONE canonical prune to ≤ k rows: order keys by (count DESC, key
+    ASC), let t = the (k+1)-th count (0 when ≤ k keys), keep rank ≤ k
+    with count > t, estimate = count − t. Output (*group_cols,
+    mg_key, mg_est BIGINT, mg_err BIGINT) with mg_err = t replicated
+    per row (the summary's offset — constant within one summary,
+    which is what lets ``mg_merge`` recover it per source).
+
+    Guarantees (the MG invariants, engine-exact since everything is
+    BIGINT): mg_est ≤ true count ≤ mg_est + mg_err for present keys;
+    an absent key has true count ≤ mg_err; and (k+1)·t ≤ W (ranks
+    1..k+1 all have count ≥ t), so mg_err ≤ W/(k+1) < W/k — every
+    key with true count > W/(k+1) is present. Deterministic: integer
+    counts, total-order tie rule (count DESC, key ASC) — any SQL
+    engine replays the summary row-for-row.
+
+    Scale shape: the exact counts are one map-side-combined
+    aggregate; the prune rides the ``grouped_rank`` range exchange
+    (bounded tasks under any key skew — NEVER a one-task-per-group
+    window sort over the key space), and the rank-(k+1) threshold
+    joins back as a broadcast-sized one-row-per-group frame. NULL
+    keys are dropped (no identity to report)."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    from .rank import grouped_rank
+
+    gcols = list(group_cols)
+    if weight_col is None:
+        w = F.count(F.lit(1))
+        sel = df.where(F.col(key_col).isNotNull()).select(
+            *gcols, F.col(key_col).alias("mg_key")
+        )
+    else:
+        w = F.sum("_w")
+        sel = df.select(
+            *gcols,
+            F.col(key_col).alias("mg_key"),
+            F.col(weight_col).cast("long").alias("_w"),
+        ).where(F.col("mg_key").isNotNull() & (F.col("_w") > 0))
+    counts = sel.groupBy(*gcols, "mg_key").agg(w.cast("long").alias("_est"))
+    return _mg_prune(counts, gcols, k, err_in=F.lit(0).cast("long"))
+
+
+def _mg_prune(
+    counts: DataFrame, gcols: list, k: int, err_in
+) -> DataFrame:
+    """The canonical MG prune shared by build and merge: rank keys by
+    (count DESC, key ASC) per group on the grouped_rank range
+    exchange, subtract the (k+1)-th count t from every kept count,
+    carry mg_err = err_in + t. ``err_in`` is a Column over the counts
+    frame (0 for a build, the summed source offsets for a merge)."""
+    counts = counts.withColumn("_ei", err_in)
+    rank_groups = gcols
+    if not gcols:
+        counts = counts.withColumn("_mg", F.lit(0))
+        rank_groups = ["_mg"]
+    ranked = grouped_rank_cached(
+        counts,
+        rank_groups,
+        [F.col("_est").desc(), F.col("mg_key").asc()],
+        rank_col="_mr",
+    )
+    thr = ranked.where(F.col("_mr") == k + 1).select(
+        *rank_groups, F.col("_est").alias("_t")
+    )
+    kept = ranked.where(F.col("_mr") <= k).join(thr, rank_groups, "left")
+    t = F.coalesce(F.col("_t"), F.lit(0).cast("long"))
+    return (
+        kept.where(F.col("_est") > t)
+        .select(
+            *gcols,
+            "mg_key",
+            (F.col("_est") - t).cast("long").alias("mg_est"),
+            (F.col("_ei") + t).cast("long").alias("mg_err"),
+        )
+    )
+
+
+def grouped_rank_cached(counts, rank_groups, order, rank_col):
+    """grouped_rank with the count column dropped (the prune never
+    needs group totals; keeping the name separate documents that)."""
+    from .rank import grouped_rank
+
+    return grouped_rank(
+        counts, rank_groups, order, rank_col=rank_col, count_col="_mn"
+    ).drop("_mn")
+
+
+def mg_merge(
+    summaries: DataFrame,
+    k: int = 64,
+    group_cols: Seq[str] = (),
+    source_cols: Seq[str] = (),
+) -> DataFrame:
+    """Merge MG summaries per group with the add-then-prune rule
+    (Agarwal et al. 2013 §3: pointwise-sum the estimates, subtract
+    the (k+1)-th largest, keep positive) — the step that makes the
+    summary a STORE primitive: per-shard or per-day k-row summaries
+    union and re-compact without touching the corpus.
+
+    ``source_cols`` name the columns that distinguish the source
+    summaries within each output group (e.g. merging per-day
+    summaries into a global one: ``group_cols=()``,
+    ``source_cols=("day",)``): each source's offset mg_err is
+    constant across its rows, so the merged input offset is
+    Σ_sources max(mg_err) — summing it per ROW would overcount k×.
+    With ``source_cols=()`` the input is treated as ONE summary per
+    group (re-pruning to a smaller k).
+
+    Error composition: true ≤ Σ(est + err) = est_sum + err_in, and
+    the new prune subtracts t from kept keys, so true ≤ mg_est +
+    (err_in + t) = mg_est + mg_err — the invariant survives any
+    merge tree, and the global bound Σt ≤ W/(k+1) holds because each
+    prune's t is supported by ≥ k+1 counters (the classical MG
+    argument). Bounded work: every frame here is summary-sized
+    (≤ sources × k rows per group), the kll_merge discipline."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    gcols = list(group_cols)
+    scols = list(source_cols)
+    est = summaries.groupBy(*gcols, "mg_key").agg(
+        F.sum("mg_est").cast("long").alias("_est")
+    )
+    if scols:
+        errs = (
+            summaries.groupBy(*gcols, *scols)
+            .agg(F.max("mg_err").alias("_se"))
+            .groupBy(*gcols)
+            .agg(F.sum("_se").cast("long").alias("_err_in"))
+        )
+    else:
+        errs = summaries.groupBy(*gcols).agg(
+            F.max("mg_err").cast("long").alias("_err_in")
+        )
+    joined = (
+        est.join(errs, gcols, "left")
+        if gcols
+        else est.crossJoin(errs)
+    )
+    return _mg_prune(
+        joined.select(*gcols, "mg_key", "_est", "_err_in").withColumnRenamed(
+            "_err_in", "_ei0"
+        ),
+        gcols,
+        k,
+        err_in=F.coalesce(F.col("_ei0"), F.lit(0).cast("long")),
+    ).drop("_ei0")
+
+
+def mg_topk(
+    summary: DataFrame, n: int, group_cols: Seq[str] = ()
+) -> DataFrame:
+    """Enumerate the top-``n`` keys of an MG summary per group,
+    ordered by (mg_est DESC, mg_key ASC) — the "WHICH keys are hot"
+    answer, with per-key bounds: true count ∈ [mg_est, mg_est +
+    mg_err]. Summary-sized input (≤ k rows per group), so a plain
+    window is the right plan here."""
+    if n <= 0:
+        raise ValueError(f"need n > 0, got {n}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    pcols = [F.col(g) for g in gcols] if gcols else [F.lit(0)]
+    w = Window.partitionBy(*pcols).orderBy(
+        F.col("mg_est").desc(), F.col("mg_key").asc()
+    )
+    return (
+        summary.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .select(
+            *gcols,
+            F.col("_rn").cast("int").alias("mg_rank"),
+            "mg_key",
+            "mg_est",
+            "mg_err",
+        )
+    )
+
+
 __all__ = [
     "bloom_contamination",
     "build_bloom",
@@ -754,4 +958,7 @@ __all__ = [
     "kll_merge",
     "kll_quantile",
     "kll_sketch",
+    "mg_merge",
+    "mg_summary",
+    "mg_topk",
 ]

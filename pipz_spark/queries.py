@@ -4812,12 +4812,11 @@ HAVING COUNT(*) >= 2
 # operating point (split % 40, min_shared=1, cap 32); the oracle is
 # index-free because persistence is value-neutral.
 def _dp_cross_winnow(spark, sf):
-    import tempfile
-
+    from ._scratch import scratch_dir
     from .datapipe import winnow_fingerprints, winnow_overlap
 
     docs = _t(spark, sf, "documents")
-    idx_dir = tempfile.mkdtemp(prefix="pipz_winnow_index_")
+    idx_dir = scratch_dir("pipz_winnow_index_")
     winnow_fingerprints(docs.where(F.col("doc_id") % 40 != 1), k=3, w=4).select(
         F.col("doc_id").alias("train_id"), "fp_hash"
     ).write.mode("overwrite").parquet(idx_dir)

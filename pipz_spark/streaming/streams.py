@@ -15,6 +15,8 @@ from collections.abc import Callable, Iterator, Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .._scratch import scratch_dir
 from pyspark.sql import types as T
 
 from ..core.errors import ERROR_COL, is_failed, is_ok
@@ -593,7 +595,6 @@ def replay_events_files(
     sees them within one micro-batch — a controlled duplicate-arrival
     scenario with an exact batch oracle (the original table)."""
     import glob
-    import tempfile
 
     from ..sources.catalog import load_table
 
@@ -612,7 +613,7 @@ def replay_events_files(
     # memo — a later memo hit would replay a dir someone else has
     # since appended to or emptied (r7 review finding)
     caller_owns = out_dir is not None
-    out_dir = out_dir or tempfile.mkdtemp(prefix="pipz_events_replay_")
+    out_dir = out_dir or scratch_dir("pipz_events_replay_")
     df = load_table(spark, "events", sf_dir)
     if doubled:
         df = df.unionByName(df)
@@ -640,9 +641,8 @@ def _clone_replay(src_dir: str, copies: int = 1) -> str:
     state to survive a batch boundary."""
     import glob
     import shutil
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="pipz_events_replay_priv_")
+    out = scratch_dir("pipz_events_replay_priv_")
     parts = sorted(glob.glob(os.path.join(src_dir, "part-*")))
     i = 0
     for k in range(copies):
@@ -701,7 +701,6 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(batch) per trigger, no reads), the keyed table resolves at
     read time, and sources/sinks.py:compact_log folds the log into a
     bucket-merged table on whatever schedule the reader needs."""
-    import tempfile
 
     from ..operators.processors import transform
     from ..sources.sinks import append_log_sink, read_latest
@@ -732,7 +731,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = transform(
         "format-hour", {"hour": F.date_format(F.col("win_start"), "yyyy-MM-dd HH:mm")}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_land_")
+    land = scratch_dir("pipz_stream_land_")
     log = append_log_sink(land, keys=["hour", "event_type"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -742,7 +741,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_ckpt_"),
         query_name="pipz-hourly-window",
         output_mode="update",
         state_partitions=4,
@@ -776,7 +775,6 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: plain batch join + group-by over the same tables.
     """
-    import tempfile
 
     from ..operators.processors import transform
     from ..sources.catalog import load_table
@@ -807,7 +805,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = transform(
         "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_land_")
+    land = scratch_dir("pipz_stream_land_")
     log = append_log_sink(land, keys=["day", "segment"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -822,7 +820,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_ckpt_"),
         query_name="pipz-stream-static-join",
         output_mode="update",
         state_partitions=4,
@@ -930,7 +928,6 @@ def stream_events_sessions(
     purely to close them; the sentinel's own session is filtered
     before landing. The same lag/cumulative-sum islands SQL that
     checks the batch ``events_sessions`` query checks this one."""
-    import tempfile
 
     from ..operators.processors import transform
 
@@ -957,7 +954,7 @@ def stream_events_sessions(
             "sess_end_us": F.unix_micros(F.col("win_end")),
         },
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_sess_")
+    land = scratch_dir("pipz_stream_sess_")
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
         # append mode emits each closed session exactly once
@@ -969,7 +966,7 @@ def stream_events_sessions(
         agg,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_sess_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_sess_ckpt_"),
         query_name="pipz-stream-sessions",
         output_mode="append",
         # default 2, measured against 4 and 1 solo at sf0.1 (2.5 vs
@@ -1001,7 +998,6 @@ def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks keep the finite replay lossless (production uses tight
     ones to bound state; the time-range bound is what makes state
     prunable either way)."""
-    import tempfile
 
     from ..operators.processors import transform
 
@@ -1023,7 +1019,7 @@ def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_skew="10 minutes",
     )
     fmt = transform("join-tag", {"pair": F.lit("click-purchase")})
-    land = tempfile.mkdtemp(prefix="pipz_stream_join_")
+    land = scratch_dir("pipz_stream_join_")
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
         df.select(
@@ -1038,7 +1034,7 @@ def stream_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_join_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_join_ckpt_"),
         query_name="pipz-stream-join",
         output_mode="append",
         state_partitions=4,
@@ -1060,7 +1056,6 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard oracle for the arbitrary-state path. Exactness comes from the
     operator's scaled-integer accumulator (associative), so neither
     arrival order nor micro-batch boundaries can move a single bit."""
-    import tempfile
 
     from ..operators.processors import transform
     from ..sources.sinks import append_log_sink, read_latest
@@ -1073,7 +1068,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = running_totals(stream)
     tag = transform("totals-tag", {"op": F.lit("running-totals")})
-    land = tempfile.mkdtemp(prefix="pipz_stream_totals_")
+    land = scratch_dir("pipz_stream_totals_")
     log = append_log_sink(land, keys=["user_id"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -1083,7 +1078,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals,
         tag,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_totals_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_totals_ckpt_"),
         query_name="pipz-stream-totals",
         output_mode="update",
         # 16, not the 4 the JVM-stateful rigs use: this stage's cost
@@ -1120,7 +1115,6 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     append — no merge needed. State stays bounded by the watermark
     horizon (dropDuplicatesWithinWatermark evicts expired keys), which
     is what makes streaming dedup viable on an unbounded stream."""
-    import tempfile
 
     from ..operators.processors import transform
 
@@ -1146,7 +1140,7 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both duplicate copies carry identical columns, so the sink's
     # projection is deterministic whichever copy the state store keeps
     proj = transform("tag-ingest", {"ingested_by": F.lit("pipz-stream-dedup")})
-    land = tempfile.mkdtemp(prefix="pipz_stream_dedup_")
+    land = scratch_dir("pipz_stream_dedup_")
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
         df.select("event_id", "user_id", "event_type", "value").write.mode(
@@ -1157,7 +1151,7 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped,
         proj,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_dedup_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_dedup_ckpt_"),
         query_name="pipz-stream-dedup",
         output_mode="append",
         state_partitions=4,
@@ -1193,7 +1187,6 @@ def _ingest_replay(spark: SparkSession, sf_dir: str) -> str:
     sf_dir like the other replay rigs (construction is test-input
     cost, not streaming cost)."""
     import os as _os
-    import tempfile as _tempfile
 
     cached = _INGEST_REPLAY_MEMO.get(sf_dir)
     if cached is not None and _os.path.isdir(cached):
@@ -1212,7 +1205,7 @@ def _ingest_replay(spark: SparkSession, sf_dir: str) -> str:
         F.concat(text, F.lit(" rev2")).alias("text"),
         "lang",
     )
-    out = _tempfile.mkdtemp(prefix="pipz_ingest_replay_")
+    out = scratch_dir("pipz_ingest_replay_")
     (
         dups.unionByName(revised)
         .repartitionByRange(2, "doc_id")
@@ -1244,7 +1237,6 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed identically on both engines, so the oracle is a plain
     NOT IN anti join over the same derived incoming batch.
     """
-    import tempfile
 
     from ..operators.processors import transform
     from ..sources.catalog import load_table
@@ -1264,7 +1256,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = transform(
         "ingest-hash", {"content_hash": F.md5(text)}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_ingest_")
+    land = scratch_dir("pipz_stream_ingest_")
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
         # per-batch stream-static LEFT ANTI join: the reference hash
@@ -1278,7 +1270,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         hashed,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_ingest_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_ingest_ckpt_"),
         query_name="pipz-stream-ingest-dedup",
         state_partitions=4,
         no_data_batches=False,
@@ -1311,7 +1303,6 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate — is BIT-IDENTICAL to the batch sketch of the same
     events, which is what the oracle checks (the linear-counting ln
     rides the usual 1e-6 grid, DIVERGENCES #25)."""
-    import tempfile
 
     from ..datapipe.sketches import hll_estimate, hll_register_cols
     from ..operators.processors import transform
@@ -1339,7 +1330,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = transform(
         "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_hll_")
+    land = scratch_dir("pipz_stream_hll_")
     log = append_log_sink(land, keys=["day", "event_type", "hll_bucket"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -1349,7 +1340,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_hll_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_hll_ckpt_"),
         query_name="pipz-stream-hll",
         output_mode="update",
         state_partitions=4,
@@ -1389,7 +1380,6 @@ def stream_cms_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution's final counter table — and therefore every estimate —
     is BIT-IDENTICAL to the batch ``cms_sketch`` of the same events,
     which is what the oracle replays (no transcendental anywhere)."""
-    import tempfile
 
     from ..datapipe.sketches import _cms_pos
     from ..operators.processors import transform
@@ -1426,7 +1416,7 @@ def stream_cms_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = transform(
         "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_cms_")
+    land = scratch_dir("pipz_stream_cms_")
     log = append_log_sink(land, keys=["day", "cms_row", "cms_pos"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -1436,7 +1426,7 @@ def stream_cms_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctr,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_cms_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_cms_ckpt_"),
         query_name="pipz-stream-cms",
         output_mode="update",
         state_partitions=4,
@@ -1511,7 +1501,6 @@ def stream_kll_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     median / p90 / p99 per day; the oracle replays quantization,
     histogram, crossing-rule compaction, and the ceil-target lookup
     in window SQL."""
-    import tempfile
 
     from ..datapipe.sketches import kll_from_weighted, kll_quantile
     from ..operators.processors import transform
@@ -1536,7 +1525,7 @@ def stream_kll_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = transform(
         "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_kll_")
+    land = scratch_dir("pipz_stream_kll_")
     log = append_log_sink(land, keys=["day", "vq"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -1546,7 +1535,7 @@ def stream_kll_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_kll_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_kll_ckpt_"),
         query_name="pipz-stream-kll",
         output_mode="update",
         state_partitions=4,
@@ -1582,7 +1571,6 @@ def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key actually present must test positive (zero false negatives by
     construction — replayed by the oracle), plus the day's set-bit
     count, the fill-rate the FP formula reasons about."""
-    import tempfile
 
     from ..operators.processors import transform
     from ..sources.sinks import append_log_sink, read_latest
@@ -1623,7 +1611,7 @@ def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = transform(
         "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
     )
-    land = tempfile.mkdtemp(prefix="pipz_stream_bloom_")
+    land = scratch_dir("pipz_stream_bloom_")
     log = append_log_sink(land, keys=["day", "word_idx"])
 
     def ok_sink(df: DataFrame, batch_id: int) -> None:
@@ -1633,7 +1621,7 @@ def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits,
         fmt,
         ok_sink,
-        checkpoint=tempfile.mkdtemp(prefix="pipz_stream_bloom_ckpt_"),
+        checkpoint=scratch_dir("pipz_stream_bloom_ckpt_"),
         query_name="pipz-stream-bloom",
         output_mode="update",
         state_partitions=4,
