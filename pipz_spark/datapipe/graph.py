@@ -775,6 +775,40 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # checkpoint also dropped the loop ran 4 jobs/round on pure
     # scheduling overhead — the bench's most expensive query)
     n_canon = canon.count()
+    # Right-size the rounds' exchanges to the MEASURED edge count.
+    # AQE coalesces post-shuffle partitions but not below
+    # defaultParallelism (coalescePartitions.parallelismFirst), so a
+    # 19k-row round still scheduled 32-64 tasks per exchange — and
+    # with ~5 sequential exchanges per round × O(log n) rounds the
+    # whole query was task-launch latency (measured at sf0.1: 8.8 s
+    # at the session's 32 shuffle partitions, 6.7 s at 8). Scale
+    # partitions to ~256k edge rows (~4 MB of (long,long)) each,
+    # floor 8, NEVER above the session default — a 5B-edge graph
+    # keeps its full parallelism, a near-converged tail stops paying
+    # for idle tasks. Restored in the finally even on raise.
+    spark = canon.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_p = spark.conf.get(conf_key)
+    try:
+        scaled = min(int(saved_p), max(8, -(-n_canon // 262144)))
+    except (TypeError, ValueError):
+        scaled = None  # non-numeric conf (e.g. "auto"): leave it be
+    try:
+        if scaled is not None:
+            spark.conf.set(conf_key, str(scaled))
+        canon = _star_rounds(canon, n_canon, max_rounds)
+    finally:
+        spark.conf.set(conf_key, saved_p)
+    return _star_fixpoint_map(canon, edges)
+
+
+def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
+    """The alternating large-star / small-star loop body; returns the
+    fixpoint edge frame. Split out so the partition-scaling wrapper
+    above can restore the session conf around exactly the plans the
+    loop creates (every plan here is both built AND executed inside
+    the loop — checkpoint + check are the per-round actions — so the
+    scaled conf never leaks into the caller's lazy plans)."""
     for _ in range(max_rounds):
         sym = canon.unionByName(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -793,13 +827,19 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .select(
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
-            .distinct()
-            # NOT checkpointed: small below is checkpointed every
-            # round, so the composed large+small plan is always one
-            # round deep, and ReuseExchange serves large's (u,v)
-            # exchange to both of oriented's consumers (omins and the
-            # re-point join both hash on u) — materializing it here
-            # paid a full extra job per round for nothing
+            # deliberately NEITHER distinct NOR checkpointed: the
+            # small-star step below is duplicate-INSENSITIVE (its
+            # aggregate is an idempotent MIN, and small's own
+            # distinct collapses any multi-edge fan the re-point join
+            # produces), so large's dedup exchange bought nothing —
+            # dropping it removed one full shuffle stage per round,
+            # measured 13.2 s → 9.1 s over the 10-round sf0.1 chain.
+            # Row-count bound without the dedup: |large| = |canon|
+            # exactly (sym contributes one v>u direction per
+            # canonical edge), so the undeduped frame never exceeds
+            # the deduped one by more than the true multi-edge
+            # multiplicity of the round. Checkpointing stays on small
+            # only: the composed large+small plan is one round deep.
         )
         # small-star over the large-star output: orient big→small,
         # re-point every smaller neighbor (and the node itself) at m
@@ -823,9 +863,15 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         # small ⊆ canon IS set equality. One left join over the two
         # checkpointed frames yields BOTH numbers (|small| and the
         # not-in-canon miss count) in a single action, and |canon| is
-        # last round's |small| — so the whole fixpoint test is ONE
-        # job per round (the check runs O(log n) times on exactly the
-        # large-graph case this path exists for)
+        # last round's |small| — so each round is TWO jobs (the
+        # materializing checkpoint + the check) instead of the r15
+        # four (large checkpoint, small checkpoint, count, subtract).
+        # small's localCheckpoint is load-bearing, not just replay
+        # stability: canon appears several times in the next round's
+        # expression (the symmetrizing union + the check join), so
+        # without plan TRUNCATION the logical tree grows ~4^rounds
+        # and the analyzer OOMs — a plain persist() was measured to
+        # blow an 8 GB driver heap by round ~10 on the sf0.1 chain.
         chk = (
             small.join(
                 canon.withColumn("_in", F.lit(1)), ["u", "v"], "left"
@@ -840,15 +886,17 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         n_small, miss = chk["_n"], chk["_miss"] or 0
         if n_small == n_canon and miss == 0:
-            canon = small
-            break
+            return small
         canon, n_canon = small, n_small
-    else:
-        raise RuntimeError(
-            f"star contraction did not converge within {max_rounds} rounds — "
-            "this exceeds the O(log n) bound for any real graph; the pair "
-            "frame is likely nondeterministic across re-evaluations"
-        )
+    raise RuntimeError(
+        f"star contraction did not converge within {max_rounds} rounds — "
+        "this exceeds the O(log n) bound for any real graph; the pair "
+        "frame is likely nondeterministic across re-evaluations"
+    )
+
+
+def _star_fixpoint_map(canon: DataFrame, edges: DataFrame) -> DataFrame:
+    """Read the (node, component) map off a star-forest fixpoint."""
     # fixpoint stars: canon is (small, big) = (center, leaf); every
     # leaf maps to its center and centers map to themselves
     leaves = canon.select(F.col("v").alias("node"), F.col("u").alias("component"))

@@ -216,11 +216,163 @@ def sample_frames(
     )
 
 
+_AHASH_BANDS = 4
+_AHASH_BITS = 64
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Average-hash perceptual signature over a binary payload — the
+    aHash member of the pHash family (block-mean image hashing, e.g.
+    Yang et al. 2006 "Block mean value based image perceptual
+    hashing"): split the payload into 64 contiguous blocks, bit i = 1
+    iff block i's mean exceeds the global mean. On decoded pixels
+    this is the classic perceptual hash; on this container's
+    deterministic byte-stats path it hashes the BYTE profile — the
+    Spark plumbing (Arrow batches, schema, banding contract) is
+    identical either way, the ``decode_image_features`` convention.
+
+    Returned as FOUR 16-bit band integers (ahash_b0..b3 BIGINT, bit
+    16j+r of the signature = bit r of band j) rather than one packed
+    long: the bands are the near-dup join currency (pigeonhole:
+    Hamming ≤ 3 forces ≥ 1 exact band match across 4 bands) and
+    four small non-negative ints sidestep int64 sign handling in
+    external replays.
+
+    Engine-exact integer construction (no float means): block
+    boundaries are the balanced partition start_i = floor(i·L/64)
+    (position p belongs to block (64p + 63) DIV L), and the bit test
+    is the cross-multiplied block_sum·L > total_sum·block_len —
+    exact BIGINT comparisons, so any engine that can enumerate the
+    payload's byte values replays every bit. Empty blocks (L < 64)
+    and empty payloads hash to 0-bits.
+
+    Scale shape: one Arrow-batched mapInPandas projection — no
+    shuffle, payload bytes never leave the executor, output is
+    4 longs + id per row."""
+
+    def _hash(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        def sig(b):
+            if b is None or len(b) == 0:
+                return (0, 0, 0, 0)
+            a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            L = len(a)
+            blocks = (64 * np.arange(L, dtype=np.int64) + 63) // L
+            sums = np.bincount(blocks, weights=a, minlength=_AHASH_BITS)
+            lens = np.bincount(blocks, minlength=_AHASH_BITS)
+            # byte sums < 256·L stay exact in the float64 bincount
+            # far beyond any realistic payload (2^53 / 256 bytes)
+            bits = (sums.astype(np.int64) * L) > (int(a.sum()) * lens)
+            out = []
+            for j in range(_AHASH_BANDS):
+                chunk = 0
+                for r in range(16):
+                    if bits[16 * j + r]:
+                        chunk |= 1 << r
+                out.append(chunk)
+            return tuple(out)
+
+        for pdf in batches:
+            sigs = pdf[blob_col].map(sig)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    **{
+                        f"ahash_b{j}": sigs.map(
+                            lambda t, j=j: t[j]
+                        ).astype("int64")
+                        for j in range(_AHASH_BANDS)
+                    },
+                }
+            )
+
+    id_ddl = f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+    bands_ddl = ", ".join(f"ahash_b{j} long" for j in range(_AHASH_BANDS))
+    return df.select(id_col, blob_col).mapInPandas(
+        _hash, f"{id_ddl}, {bands_ddl}"
+    )
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Image near-duplicate pairs via banded aHash — the multimodal
+    family's dedup stage (the standard 100 TB image-pipeline step):
+    signatures from :func:`image_ahash`, candidates from exact
+    16-bit band-bucket matches (pigeonhole over 4 bands guarantees
+    every Hamming ≤ 3 pair shares ≥ 1 band — the simhash block-trick
+    convention, ``dedup.simhash_near_dup_pairs``), then the exact
+    ``bit_count(xor)`` verify summed across bands. Returns (id_a,
+    id_b, hamming) with id_a < id_b.
+
+    Scale: candidates come from (band, chunk) buckets — never a
+    cross join — expanded by the size-routed ``_bucket_pairs``
+    machine (in-array for small buckets, salted self-join for viral
+    ones, exhaustive either way); signature payloads join back only
+    AFTER the distinct has collapsed multi-band collisions."""
+    if not 0 <= max_hamming < _AHASH_BANDS:
+        raise ValueError(
+            f"need 0 <= max_hamming < {_AHASH_BANDS} (pigeonhole over "
+            f"{_AHASH_BANDS} bands), got {max_hamming}"
+        )
+    from . import _caches
+    from .dedup import _bucket_pairs
+
+    h = _caches.track(
+        image_ahash(df, id_col=id_col, blob_col=blob_col)
+        .withColumnRenamed(id_col, "_id")
+        .persist()
+    )
+    h.count()  # pin before the chunking pass and both join-backs
+    chunked = h.select(
+        "_id",
+        F.posexplode(
+            F.array(*[F.col(f"ahash_b{j}") for j in range(_AHASH_BANDS)])
+        ).alias("band", "chunk"),
+    )
+    pairs = _bucket_pairs(chunked, ["band", "chunk"], max_bucket)
+    ham = None
+    joined = (
+        pairs.join(
+            h.select(
+                F.col("_id").alias("id_a"),
+                *[F.col(f"ahash_b{j}").alias(f"_a{j}") for j in range(_AHASH_BANDS)],
+            ),
+            "id_a",
+        )
+        .join(
+            h.select(
+                F.col("_id").alias("id_b"),
+                *[F.col(f"ahash_b{j}").alias(f"_b{j}") for j in range(_AHASH_BANDS)],
+            ),
+            "id_b",
+        )
+    )
+    for j in range(_AHASH_BANDS):
+        term = F.bit_count(F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}")))
+        ham = term if ham is None else ham + term
+    return joined.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
 __all__ = [
     "BLOB_META_SCHEMA",
     "attach_blob",
     "blob_metadata",
     "decode_image_features",
+    "image_ahash",
+    "image_near_dup",
     "pil_available",
     "sample_frames",
 ]

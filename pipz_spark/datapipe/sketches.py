@@ -764,12 +764,17 @@ def mg_summary(
     Per group (global if ``group_cols`` empty): exact per-key counts
     (weights via ``weight_col``, floored to BIGINT then
     positivity-filtered — the ``kll_from_weighted`` discipline), then
-    ONE canonical prune to ≤ k rows: order keys by (count DESC, key
-    ASC), let t = the (k+1)-th count (0 when ≤ k keys), keep rank ≤ k
-    with count > t, estimate = count − t. Output (*group_cols,
-    mg_key, mg_est BIGINT, mg_err BIGINT) with mg_err = t replicated
-    per row (the summary's offset — constant within one summary,
-    which is what lets ``mg_merge`` recover it per source).
+    ONE canonical prune to ≤ k key rows: order keys by (count DESC,
+    key ASC), let t = the (k+1)-th count (0 when ≤ k keys), keep
+    rank ≤ k with count > t, estimate = count − t. Output
+    (*group_cols, mg_key, mg_est BIGINT, mg_err BIGINT), PLUS one
+    OFFSET ROW per non-empty group — mg_key NULL, mg_est 0, mg_err =
+    t — which carries the summary's subtracted offset even when the
+    prune drops every key row (all counts tied at t leave no
+    survivors, and without the offset row a later ``mg_merge`` would
+    understate its error bound — the soundness hole a row-carried
+    offset alone has). NULL input keys are dropped (no identity to
+    report), so a NULL mg_key unambiguously marks the offset row.
 
     Guarantees (the MG invariants, engine-exact since everything is
     BIGINT): mg_est ≤ true count ≤ mg_est + mg_err for present keys;
@@ -783,12 +788,9 @@ def mg_summary(
     aggregate; the prune rides the ``grouped_rank`` range exchange
     (bounded tasks under any key skew — NEVER a one-task-per-group
     window sort over the key space), and the rank-(k+1) threshold
-    joins back as a broadcast-sized one-row-per-group frame. NULL
-    keys are dropped (no identity to report)."""
+    joins back as a broadcast-sized one-row-per-group frame."""
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
-    from .rank import grouped_rank
-
     gcols = list(group_cols)
     if weight_col is None:
         w = F.count(F.lit(1))
@@ -803,35 +805,67 @@ def mg_summary(
             F.col(weight_col).cast("long").alias("_w"),
         ).where(F.col("mg_key").isNotNull() & (F.col("_w") > 0))
     counts = sel.groupBy(*gcols, "mg_key").agg(w.cast("long").alias("_est"))
-    return _mg_prune(counts, gcols, k, err_in=F.lit(0).cast("long"))
+    return _mg_prune(
+        counts.withColumn("_ei", F.lit(0).cast("long")), gcols, k
+    )
 
 
 def _mg_prune(
-    counts: DataFrame, gcols: list, k: int, err_in
+    counts: DataFrame,
+    gcols: list,
+    k: int,
+    summary_sized: bool = False,
+    offset_groups: DataFrame | None = None,
 ) -> DataFrame:
     """The canonical MG prune shared by build and merge: rank keys by
-    (count DESC, key ASC) per group on the grouped_rank range
-    exchange, subtract the (k+1)-th count t from every kept count,
-    carry mg_err = err_in + t. ``err_in`` is a Column over the counts
-    frame (0 for a build, the summed source offsets for a merge)."""
-    counts = counts.withColumn("_ei", err_in)
+    (count DESC, key ASC) per group, subtract the (k+1)-th count t
+    from every kept count, emit mg_err = _ei + t per row plus the
+    per-group offset row (mg_key NULL). ``counts`` carries ``_est``
+    (summed counts) and ``_ei`` (the incoming offset: 0 for a build,
+    the summed source offsets for a merge).
+
+    The rank plan is chosen by what feeds it: a BUILD ranks the full
+    key space, so it rides the grouped_rank range exchange (bounded
+    tasks under any key skew); a MERGE ranks ≤ sources × (k+1) rows
+    per group (``summary_sized=True``), where a plain window is both
+    correct and several jobs cheaper — the kll_merge discipline.
+    The two produce identical ranks (same total order).
+
+    ``offset_groups``: one (*gcols, _ei) row per group that must
+    emit an offset row even when it contributes ZERO key rows — a
+    merge input can be offset-rows-only (every source key pruned),
+    and deriving the offset universe from the ranked keys alone
+    would silently drop that group's error bound. Builds leave it
+    None (a build group exists only if it has keys)."""
     rank_groups = gcols
     if not gcols:
         counts = counts.withColumn("_mg", F.lit(0))
         rank_groups = ["_mg"]
-    ranked = grouped_rank_cached(
-        counts,
-        rank_groups,
-        [F.col("_est").desc(), F.col("mg_key").asc()],
-        rank_col="_mr",
-    )
+    if summary_sized:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(g) for g in rank_groups]).orderBy(
+            F.col("_est").desc(), F.col("mg_key").asc()
+        )
+        ranked = counts.withColumn("_mr", F.row_number().over(w))
+    else:
+        from .rank import grouped_rank
+
+        ranked = grouped_rank(
+            counts,
+            rank_groups,
+            [F.col("_est").desc(), F.col("mg_key").asc()],
+            rank_col="_mr",
+            count_col="_mn",
+        )
     thr = ranked.where(F.col("_mr") == k + 1).select(
         *rank_groups, F.col("_est").alias("_t")
     )
-    kept = ranked.where(F.col("_mr") <= k).join(thr, rank_groups, "left")
     t = F.coalesce(F.col("_t"), F.lit(0).cast("long"))
-    return (
-        kept.where(F.col("_est") > t)
+    kept = (
+        ranked.where(F.col("_mr") <= k)
+        .join(thr, rank_groups, "left")
+        .where(F.col("_est") > t)
         .select(
             *gcols,
             "mg_key",
@@ -839,16 +873,21 @@ def _mg_prune(
             (F.col("_ei") + t).cast("long").alias("mg_err"),
         )
     )
-
-
-def grouped_rank_cached(counts, rank_groups, order, rank_col):
-    """grouped_rank with the count column dropped (the prune never
-    needs group totals; keeping the name separate documents that)."""
-    from .rank import grouped_rank
-
-    return grouped_rank(
-        counts, rank_groups, order, rank_col=rank_col, count_col="_mn"
-    ).drop("_mn")
+    key_type = counts.schema["mg_key"].dataType
+    if offset_groups is None:
+        base = ranked.where(F.col("_mr") == 1).join(thr, rank_groups, "left")
+    else:
+        og = offset_groups
+        if not gcols:
+            og = og.withColumn("_mg", F.lit(0))
+        base = og.join(thr, rank_groups, "left")
+    offs = base.select(
+        *gcols,
+        F.lit(None).cast(key_type).alias("mg_key"),
+        F.lit(0).cast("long").alias("mg_est"),
+        (F.col("_ei") + t).cast("long").alias("mg_err"),
+    )
+    return kept.unionByName(offs)
 
 
 def mg_merge(
@@ -867,10 +906,12 @@ def mg_merge(
     summaries within each output group (e.g. merging per-day
     summaries into a global one: ``group_cols=()``,
     ``source_cols=("day",)``): each source's offset mg_err is
-    constant across its rows, so the merged input offset is
-    Σ_sources max(mg_err) — summing it per ROW would overcount k×.
-    With ``source_cols=()`` the input is treated as ONE summary per
-    group (re-pruning to a smaller k).
+    constant across its rows (offset row included), so the merged
+    input offset is Σ_sources max(mg_err) — summing it per ROW would
+    overcount k×. With ``source_cols=()`` the input is treated as
+    ONE summary per group (re-pruning to a smaller k). Summaries
+    must be passed INTACT (as built/merged, offset rows included):
+    hand-filtered rows would break the offset recovery.
 
     Error composition: true ≤ Σ(est + err) = est_sum + err_in, and
     the new prune subtracts t from kept keys, so true ≤ mg_est +
@@ -878,38 +919,35 @@ def mg_merge(
     merge tree, and the global bound Σt ≤ W/(k+1) holds because each
     prune's t is supported by ≥ k+1 counters (the classical MG
     argument). Bounded work: every frame here is summary-sized
-    (≤ sources × k rows per group), the kll_merge discipline."""
+    (≤ sources × (k+1) rows per group), the kll_merge discipline."""
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
     gcols = list(group_cols)
     scols = list(source_cols)
-    est = summaries.groupBy(*gcols, "mg_key").agg(
-        F.sum("mg_est").cast("long").alias("_est")
+    est = (
+        summaries.where(F.col("mg_key").isNotNull())
+        .groupBy(*gcols, "mg_key")
+        .agg(F.sum("mg_est").cast("long").alias("_est"))
     )
     if scols:
         errs = (
             summaries.groupBy(*gcols, *scols)
             .agg(F.max("mg_err").alias("_se"))
             .groupBy(*gcols)
-            .agg(F.sum("_se").cast("long").alias("_err_in"))
+            .agg(F.sum("_se").cast("long").alias("_ei"))
         )
     else:
         errs = summaries.groupBy(*gcols).agg(
-            F.max("mg_err").cast("long").alias("_err_in")
+            F.max("mg_err").cast("long").alias("_ei")
         )
-    joined = (
-        est.join(errs, gcols, "left")
-        if gcols
-        else est.crossJoin(errs)
-    )
+    errs = errs.where(F.col("_ei").isNotNull())
+    joined = est.join(errs, gcols) if gcols else est.crossJoin(errs)
+    # errs is the offset-row universe: a source summary whose key
+    # rows ALL pruned away still contributes its error bound, and
+    # the merged summary must carry it even with zero merged keys
     return _mg_prune(
-        joined.select(*gcols, "mg_key", "_est", "_err_in").withColumnRenamed(
-            "_err_in", "_ei0"
-        ),
-        gcols,
-        k,
-        err_in=F.coalesce(F.col("_ei0"), F.lit(0).cast("long")),
-    ).drop("_ei0")
+        joined, gcols, k, summary_sized=True, offset_groups=errs
+    )
 
 
 def mg_topk(
@@ -918,8 +956,9 @@ def mg_topk(
     """Enumerate the top-``n`` keys of an MG summary per group,
     ordered by (mg_est DESC, mg_key ASC) — the "WHICH keys are hot"
     answer, with per-key bounds: true count ∈ [mg_est, mg_est +
-    mg_err]. Summary-sized input (≤ k rows per group), so a plain
-    window is the right plan here."""
+    mg_err]. Offset rows (mg_key NULL) are excluded — they carry the
+    group-level bound, not a key. Summary-sized input (≤ k+1 rows
+    per group), so a plain window is the right plan here."""
     if n <= 0:
         raise ValueError(f"need n > 0, got {n}")
     from pyspark.sql import Window
@@ -930,7 +969,8 @@ def mg_topk(
         F.col("mg_est").desc(), F.col("mg_key").asc()
     )
     return (
-        summary.withColumn("_rn", F.row_number().over(w))
+        summary.where(F.col("mg_key").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)
         .select(
             *gcols,

@@ -4662,6 +4662,150 @@ SELECT l_returnflag, q, kll_quantile, CAST(kll_n AS BIGINT) AS kll_n FROM mg
 """
 
 
+# Image near-duplicates over the multimodal binary column
+# (multimodal.image_ahash + image_near_dup, r15 verdict ask #5): the
+# pHash-family block-mean signature — 64 balanced byte blocks, bit =
+# cross-multiplied block_sum·L > total·block_len (exact BIGINT, no
+# float means) — split into four 16-bit bands; Hamming ≤ 3 pairs
+# must share a band (pigeonhole), candidates come from band buckets
+# via the size-routed _bucket_pairs machine, then the exact
+# bit_count(xor) verify. The corpus = documents' payload bytes plus
+# an e→a-perturbed variant of every fifth doc — a controlled
+# byte-profile drift that lands most (but not all) variant pairs
+# inside the threshold, so the query demonstrates real accept AND
+# reject decisions. The oracle replays every byte, bit, band, bucket
+# and xor from the text characters (printable-ASCII sanitized in
+# BOTH engines, so char codepoints ARE the payload bytes).
+def _dp_image_near_dup(spark, sf):
+    from .datapipe.multimodal import image_near_dup
+
+    docs = _t(spark, sf, "documents")
+    s = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "[^\x20-\x7e]", ""
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), s.alias("_s")
+    )
+    variants = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("replace(_s, 'e', 'a')").alias("_s"),
+    )
+    corpus = base.unionByName(variants).select(
+        "doc_id", F.encode(F.col("_s"), "utf-8").alias("blob")
+    )
+    return image_near_dup(corpus, max_hamming=3)
+
+
+_DP_IMAGE_NEAR_DUP_SQL = r"""
+WITH d0 AS (
+  SELECT doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS s
+  FROM documents),
+d AS (
+  SELECT doc_id, s FROM d0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, replace(s, 'e', 'a') AS s
+  FROM d0 WHERE doc_id % 5 = 0),
+ch AS (
+  SELECT doc_id, length(s) AS L,
+         (64 * p + 63) // length(s) AS blk,
+         ord(s[CAST(p + 1 AS INT):CAST(p + 1 AS INT)]) AS v
+  FROM d, unnest(range(0, CAST(length(s) AS BIGINT))) AS t(p)
+  WHERE length(s) > 0),
+bs AS (SELECT doc_id, MAX(L) AS L, blk, SUM(v) AS bsum, COUNT(*) AS blen
+       FROM ch GROUP BY doc_id, blk),
+tot AS (SELECT doc_id, SUM(v) AS tsum FROM ch GROUP BY doc_id),
+bits AS (
+  SELECT bs.doc_id, bs.blk,
+         CASE WHEN bs.bsum * bs.L > tot.tsum * bs.blen THEN 1 ELSE 0 END AS bit
+  FROM bs JOIN tot USING (doc_id)),
+bnd AS (
+  SELECT doc_id, blk // 16 AS band,
+         CAST(SUM(bit << CAST(blk % 16 AS INT)) AS BIGINT) AS chunk
+  FROM bits GROUP BY 1, 2),
+univ AS (SELECT doc_id, band FROM d, unnest([0, 1, 2, 3]) AS gb(band)),
+sig AS (SELECT u.doc_id, u.band, COALESCE(b.chunk, 0) AS chunk
+        FROM univ u LEFT JOIN bnd b ON b.doc_id = u.doc_id AND b.band = u.band),
+wide AS (SELECT doc_id,
+                MAX(CASE WHEN band = 0 THEN chunk END) AS c0,
+                MAX(CASE WHEN band = 1 THEN chunk END) AS c1,
+                MAX(CASE WHEN band = 2 THEN chunk END) AS c2,
+                MAX(CASE WHEN band = 3 THEN chunk END) AS c3
+         FROM sig GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.chunk = b.chunk
+                              AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
+            + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3)) AS INT)
+           AS hamming
+  FROM cand c JOIN wide wa ON wa.doc_id = c.id_a
+              JOIN wide wb ON wb.doc_id = c.id_b)
+WHERE hamming <= 3
+"""
+
+
+# Misra-Gries heavy hitters (sketches.mg_summary/mg_merge/mg_topk —
+# the FIFTH sketch-family member, r15 verdict ask #2): the family
+# could answer how-many/how-often/member?/what-percentile but not
+# WHICH keys dominate a stored sketch without a rescan. Build = exact
+# per-(shard, token) counts pruned to k=24 rows by the canonical rule
+# (subtract the 25th count, tie-break (count DESC, key ASC)); merge =
+# add-then-prune across the four shard summaries at k=12; enumerate
+# top 10. Everything BIGINT with a total-order tie rule, so the
+# oracle replays build, merge, offsets and ranks row-for-row.
+def _dp_heavy_hitters(spark, sf):
+    from .datapipe.sketches import mg_merge, mg_summary, mg_topk
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 4).alias("shard"),
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"\s+",
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    summ = mg_summary(toks, "tok", k=24, group_cols=["shard"])
+    merged = mg_merge(summ, k=12, source_cols=["shard"])
+    return mg_topk(merged, 10)
+
+
+_DP_HEAVY_HITTERS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id % 4 AS shard,
+         unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+cnt AS (SELECT shard, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+rk AS (
+  SELECT shard, t, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, t ASC) AS rn
+  FROM cnt),
+thr AS (
+  SELECT shard, COALESCE(MAX(CASE WHEN rn = 25 THEN c END), 0) AS t0
+  FROM rk GROUP BY shard),
+summ AS (
+  SELECT rk.shard, rk.t AS key, rk.c - thr.t0 AS est
+  FROM rk JOIN thr USING (shard) WHERE rk.rn <= 24 AND rk.c > thr.t0),
+errin AS (SELECT COALESCE(SUM(t0), 0) AS e FROM thr),
+est AS (SELECT key, CAST(SUM(est) AS BIGINT) AS est FROM summ GROUP BY key),
+mrk AS (
+  SELECT key, est,
+         row_number() OVER (ORDER BY est DESC, key ASC) AS rn
+  FROM est),
+mthr AS (SELECT COALESCE(MAX(CASE WHEN rn = 13 THEN est END), 0) AS t1 FROM mrk)
+SELECT CAST(row_number() OVER (ORDER BY est - t1 DESC, key ASC) AS INT) AS mg_rank,
+       key AS mg_key,
+       CAST(est - t1 AS BIGINT) AS mg_est,
+       CAST(e + t1 AS BIGINT) AS mg_err
+FROM mrk, mthr, errin
+WHERE rn <= 12 AND est > t1
+QUALIFY mg_rank <= 10
+"""
+
+
 # Connected components by large-star/small-star CONTRACTION
 # (graph.connected_components mode='contract' — Kiveris et al.,
 # promoted out of dedup's internal escalation path, r14 verdict ask
@@ -4927,6 +5071,53 @@ def _stream_bloom(spark, sf):
     from .streaming.streams import stream_bloom_signatures
 
     return stream_bloom_signatures(spark, sf)
+
+
+# STREAMING-EXECUTED heavy-hitters store (streams.
+# stream_heavy_hitters): the ENUMERATION member of the
+# sketch-in-stream family — per-(day, user) activity counts folded
+# exactly by the state store (bounded by the user universe, the
+# stream_kll_values bounded-domain premise), Misra-Gries-compacted
+# at READ (streaming MG is arrival-order dependent, which would
+# break the family's determinism bar), merged across days to the
+# store-wide top 5. The oracle replays counts, both prunes, offsets
+# and ranks.
+def _stream_heavy_hitters(spark, sf):
+    from .streaming.streams import stream_heavy_hitters
+
+    return stream_heavy_hitters(spark, sf)
+
+
+_STREAM_HEAVY_HITTERS_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+  FROM events WHERE user_id IS NOT NULL),
+cnt AS (SELECT day, user_id, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+rk AS (
+  SELECT day, user_id, c,
+         row_number() OVER (PARTITION BY day ORDER BY c DESC, user_id ASC) AS rn
+  FROM cnt),
+thr AS (
+  SELECT day, COALESCE(MAX(CASE WHEN rn = 9 THEN c END), 0) AS t0
+  FROM rk GROUP BY day),
+summ AS (
+  SELECT rk.day, rk.user_id, rk.c - thr.t0 AS est
+  FROM rk JOIN thr USING (day) WHERE rk.rn <= 8 AND rk.c > thr.t0),
+errin AS (SELECT COALESCE(SUM(t0), 0) AS e FROM thr),
+est AS (SELECT user_id, CAST(SUM(est) AS BIGINT) AS est FROM summ GROUP BY 1),
+mrk AS (
+  SELECT user_id, est,
+         row_number() OVER (ORDER BY est DESC, user_id ASC) AS rn
+  FROM est),
+mthr AS (SELECT COALESCE(MAX(CASE WHEN rn = 6 THEN est END), 0) AS t1 FROM mrk)
+SELECT CAST(row_number() OVER (ORDER BY est - t1 DESC, user_id ASC) AS INT) AS mg_rank,
+       user_id AS mg_key,
+       CAST(est - t1 AS BIGINT) AS mg_est,
+       CAST(e + t1 AS BIGINT) AS mg_err
+FROM mrk, mthr, errin
+WHERE rn <= 5 AND est > t1
+QUALIFY mg_rank <= 5
+"""
 
 
 _STREAM_BLOOM_SQL = """
@@ -5632,6 +5823,21 @@ QUERIES: dict[str, Declared] = {
     # the cent domain), KLL-compacted at read; the distribution
     # member of the sketch-in-stream family. r16 promotion candidate.
     "stream_kll_values": Declared(_stream_kll, _STREAM_KLL_SQL),
+    # ---- r16 newcomer: Misra-Gries heavy hitters — the fifth
+    # sketch-family member (r15 verdict ask #2): build → shard-merge
+    # → top-k enumeration, all BIGINT with a canonical prune rule.
+    "dp_heavy_hitters": Declared(_dp_heavy_hitters, _DP_HEAVY_HITTERS_SQL),
+    # ---- r16 newcomer: the 13th streaming machine — state-store
+    # per-(day, user) counts, MG prune + cross-day merge at read.
+    "stream_heavy_hitters": Declared(
+        _stream_heavy_hitters, _STREAM_HEAVY_HITTERS_SQL
+    ),
+    # ---- r16 newcomer: image near-dup — banded aHash over the
+    # multimodal binary column, pigeonhole candidates, exact
+    # bit_count(xor) verify.
+    "dp_image_near_dup": Declared(
+        _dp_image_near_dup, _DP_IMAGE_NEAR_DUP_SQL
+    ),
 }
 
 

@@ -1552,6 +1552,80 @@ def stream_kll_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantile(sk, [(1, 2), (9, 10), (99, 100)], ["day"])
 
 
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED heavy-hitters store — the ENUMERATION
+    member of the sketch-in-stream family (cardinality=
+    stream_hll_users, frequency=stream_cms_traffic, membership=
+    stream_bloom_signatures, distribution=stream_kll_values,
+    enumeration=THIS): per-day (user, count) activity folded by the
+    state store, Misra-Gries-compacted at read, answering "WHICH
+    users dominate the store" with exact integer bounds.
+
+    The stateful aggregation is COUNT per (day, user) — the state
+    store's native incremental merge, so the streamed counts are
+    BIT-IDENTICAL to the batch GROUP BY of the same events. State is
+    bounded by the DECLARED key domain (days × |user universe|, the
+    stream_kll_values bounded-domain premise), not stream volume.
+    The MG prune does NOT run in the stream: classical streaming MG
+    is arrival-order dependent (merge order changes the surviving
+    counters), which would break the family's determinism bar —
+    instead the kilobyte-sized per-day count table lands through the
+    keyed merge-on-read log and ``mg_summary``/``mg_merge`` compact
+    at read, a pure function of the landed counts. Returns the
+    store-wide top-5 (mg_rank, mg_key, mg_est, mg_err): per-day
+    k=8 summaries, add-then-prune merged at k=5 — the oracle replays
+    counts, both prunes, offsets and ranks row-for-row."""
+
+    from ..datapipe.sketches import mg_merge, mg_summary, mg_topk
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    hist = windowed_agg(
+        stream.where(F.col("user_id").isNotNull()).select("ts", "user_id"),
+        {"n": F.count(F.lit(1))},
+        window="1 day",
+        keys=["user_id"],
+        watermark="31 days",
+    )
+    fmt = transform(
+        "format-day", {"day": F.date_format(F.col("win_start"), "yyyy-MM-dd")}
+    )
+    land = scratch_dir("pipz_stream_hh_")
+    log = append_log_sink(land, keys=["day", "user_id"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("day", "user_id", "n"), batch_id)
+
+    q = run_step_stream(
+        hist,
+        fmt,
+        ok_sink,
+        checkpoint=scratch_dir("pipz_stream_hh_ckpt_"),
+        query_name="pipz-stream-heavy-hitters",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = read_latest(spark, land, keys=["day", "user_id"]).select(
+        "day", "user_id", "n"
+    )
+    summ = mg_summary(
+        landed, "user_id", k=8, group_cols=["day"], weight_col="n"
+    )
+    merged = mg_merge(summ, k=5, source_cols=["day"])
+    return mg_topk(merged, 5)
+
+
 def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING-EXECUTED Bloom filter: fold the stream's distinct
     (event_type, user_id) memberships into a per-day 48-bit-word

@@ -4192,6 +4192,56 @@ def test_pagerank_tol_early_exit_matches_fixed_iters(spark):
         pagerank(df, iters=3, tol=-1)
 
 
+def test_hits_overflow_guard_raises_before_wrapping(spark):
+    """hits() ENFORCES its documented BIGINT bound at build time
+    (r15 advice): a dense graph whose (max_indeg·max_outdeg)^iters
+    crosses 2^62 raises a ValueError naming norm_every instead of
+    silently wrapping; the same call with norm_every set runs."""
+    import pytest as _pytest
+
+    from pipz_spark.datapipe import hits
+    from pipz_spark.datapipe import release_caches as _release
+
+    dense = spark.createDataFrame(
+        [(i, j) for i in range(40) for j in range(40)],
+        "src long, dst long",
+    )
+    with _pytest.raises(ValueError, match="norm_every"):
+        hits(dense, iters=9)
+    # rescaling bounds the scores, so the same budget is legal
+    rows = hits(dense, iters=9, norm_every=1).limit(1).collect()
+    assert len(rows) == 1
+    _release()
+
+
+def test_pagerank_tol_budget_exhaustion_warns_and_empty_graph_fast(spark):
+    """tol mode surfaces a non-converged exit (r15 advice): burning
+    the iters budget before delta <= tol emits a RuntimeWarning; a
+    converged run emits none; and an EMPTY graph exits on round 1
+    (delta is NULL — the SUM-over-zero-rows fixpoint) instead of
+    paying a checkpoint+collect per budgeted round."""
+    import warnings as _warnings
+
+    from pipz_spark.datapipe import pagerank
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    with _warnings.catch_warnings(record=True) as wl:
+        _warnings.simplefilter("always")
+        pagerank(chain, iters=1, tol=0).collect()
+    assert any("exhausted" in str(w.message) for w in wl)
+    with _warnings.catch_warnings(record=True) as wl:
+        _warnings.simplefilter("always")
+        pagerank(chain, iters=100, tol=0).collect()
+    assert not any("exhausted" in str(w.message) for w in wl)
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _warnings.catch_warnings(record=True) as wl:
+        _warnings.simplefilter("always")
+        assert pagerank(empty, iters=50, tol=1).count() == 0
+    assert not any("exhausted" in str(w.message) for w in wl)
+
+
 def test_personalized_pagerank_zero_floored_base_keeps_seed_mass(spark):
     """base = init_q·(den−num)//den floors to 0 for damping near 1
     with a small init_q (99/100 with init_q=50 → base=0); seeds must

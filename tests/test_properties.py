@@ -985,3 +985,155 @@ def test_hll_overlap_matches_register_replay(spark_prop, a_vals, b_vals):
     assert out["hll_b"] == eb
     assert out["hll_union"] == eu
     assert out["hll_overlap"] == ea + eb - eu
+
+
+def _ref_mg_build(counts: dict, k: int):
+    """Pure-Python replay of mg_summary's canonical prune (offset
+    row included): subtract the (k+1)-th count, tie (count DESC,
+    key ASC)."""
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = items[k][1] if len(items) > k else 0
+    kept = [(key, c - t, t) for key, c in items[:k] if c > t]
+    return kept + [(None, 0, t)]
+
+
+def _ref_mg_merge(summaries: list, k: int):
+    """Pure-Python replay of mg_merge's add-then-prune over intact
+    summaries (each a list of (key, est, err) rows incl. offset)."""
+    est: dict = {}
+    err_in = 0
+    for s in summaries:
+        err_in += max(e for _, _, e in s)
+        for key, c, _ in s:
+            if key is not None:
+                est[key] = est.get(key, 0) + c
+    items = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = items[k][1] if len(items) > k else 0
+    kept = [(key, c - t, err_in + t) for key, c in items[:k] if c > t]
+    return kept + [(None, 0, err_in + t)]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_mg_summary_merge_match_replay_for_any_multiset(spark_prop, pairs, k):
+    """mg_summary per shard + mg_merge across shards equal the
+    pure-Python canonical replay EXACTLY (keys, estimates, offsets,
+    the offset row) for ANY multiset and any k — including the
+    all-counts-tied shards whose key rows all prune away (the case
+    the offset row exists for)."""
+    from collections import Counter
+
+    from pipz_spark.datapipe import release_caches
+    from pipz_spark.datapipe.sketches import mg_merge, mg_summary
+
+    df = spark_prop.createDataFrame(pairs, "shard int, key long")
+    summ = mg_summary(df, "key", k=k, group_cols=["shard"])
+    keyfn = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got_summ = sorted(
+        (
+            (r["shard"], r["mg_key"], r["mg_est"], r["mg_err"])
+            for r in summ.collect()
+        ),
+        key=keyfn,
+    )
+    shards = sorted({s for s, _ in pairs})
+    ref_by_shard = {
+        s: _ref_mg_build(Counter(key for sh, key in pairs if sh == s), k)
+        for s in shards
+    }
+    exp_summ = sorted(
+        (
+            (s, key, est, err)
+            for s, rows in ref_by_shard.items()
+            for key, est, err in rows
+        ),
+        key=keyfn,
+    )
+    assert got_summ == exp_summ
+
+    merged = mg_merge(summ, k=k, source_cols=["shard"])
+    got_m = sorted(
+        ((r["mg_key"], r["mg_est"], r["mg_err"]) for r in merged.collect()),
+        key=keyfn,
+    )
+    exp_m = sorted(_ref_mg_merge(list(ref_by_shard.values()), k), key=keyfn)
+    release_caches()
+    assert got_m == exp_m
+
+    # the MG guarantees on the merged summary: est <= true <= est+err
+    # for present keys, absent keys <= err, total offset <= W/(k+1)
+    true = Counter(key for _, key in pairs)
+    w = sum(true.values())
+    err_g = max(e for _, _, e in exp_m)
+    assert err_g * (k + 1) <= w
+    m = {key: (est, err) for key, est, err in exp_m if key is not None}
+    for key, c in true.items():
+        if key in m:
+            assert m[key][0] <= c <= m[key][0] + m[key][1]
+        else:
+            assert c <= err_g
+
+
+def _ref_ahash_bands(payload: bytes):
+    """Pure-Python replay of image_ahash's integer construction."""
+    L = len(payload)
+    if L == 0:
+        return (0, 0, 0, 0)
+    tot = sum(payload)
+    bits = []
+    for i in range(64):
+        lo, hi = (i * L) // 64, ((i + 1) * L) // 64
+        bs, bl = sum(payload[lo:hi]), hi - lo
+        bits.append(1 if bs * L > tot * bl else 0)
+    return tuple(
+        sum(bits[16 * j + r] << r for r in range(16)) for j in range(4)
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    blobs=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=12
+    ),
+    max_hamming=st.integers(min_value=0, max_value=3),
+)
+def test_image_near_dup_matches_brute_force(spark_prop, blobs, max_hamming):
+    """image_ahash equals the byte-level replay for ANY payloads, and
+    image_near_dup is EXHAUSTIVE: its banded candidates + xor verify
+    return exactly the brute-force Hamming <= d pair set — with
+    max_bucket=2 so degenerate all-equal corpora exercise the salted
+    hot-bucket path, not just the in-array one."""
+    from pipz_spark.datapipe import release_caches
+    from pipz_spark.datapipe.multimodal import image_ahash, image_near_dup
+
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, blob binary")
+    sigs = {
+        r["doc_id"]: tuple(r[f"ahash_b{j}"] for j in range(4))
+        for r in image_ahash(df).collect()
+    }
+    exp_sigs = {i: _ref_ahash_bands(b) for i, b in rows}
+    assert sigs == exp_sigs
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_dup(df, max_hamming=max_hamming, max_bucket=2).collect()
+    )
+    exp = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            h = sum(
+                bin(exp_sigs[i][t] ^ exp_sigs[j][t]).count("1")
+                for t in range(4)
+            )
+            if h <= max_hamming:
+                exp.append((i, j, h))
+    release_caches()
+    assert got == exp
