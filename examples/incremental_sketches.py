@@ -3,8 +3,10 @@ tiny sketch per day, answer month-wide questions by MERGING sketches
 — the raw events are never rescanned.
 
 The mergeable sketches this repo gates (HLL = cardinality, CMS =
-frequency, Bloom = membership, KLL = distribution) share the property that the sketch of a UNION is a
-cheap fold of per-part sketches (register max / counter sum). That
+frequency, Bloom = membership, KLL = distribution, MG = heavy-hitter
+ENUMERATION) share the property that the sketch of a UNION is a
+cheap fold of per-part sketches (register max / counter sum /
+add-then-prune). That
 is the whole 100 TB play: a daily job sketches only that day's
 partition (bounded output: ≤ 2^b register rows, ≤ depth × width
 counters), appends it to a sketch store measured in kilobytes, and
@@ -14,15 +16,17 @@ traffic this month" — is answered from the store alone.
   1. split the events table into per-day batches (the stand-in for
      daily partitions landing over a month),
   2. per day: ``hll_sketch`` over user_id + ``cms_sketch`` over
-     event_type + ``kll_sketch`` over the event value, appended to a
-     parquet sketch store partitioned by day,
+     event_type + ``kll_sketch`` over the event value +
+     ``mg_summary`` over user activity, appended to a parquet sketch
+     store partitioned by day,
   3. month-end: read the store back, ``hll_merge`` + ``cms_merge`` +
-     ``kll_merge`` across days, ``hll_estimate`` / ``cms_lookup`` /
-     ``kll_quantile`` for the answers — percentiles INCLUDED, the
-     quantile question every 100 TB pipeline asks that exact
-     ``rel_percentile`` cannot answer from a store without
-     rescanning (KLL closes that gap: ≤ k+1 rows per day; error is
-     additive — Σ per-day build strides + one merge stride),
+     ``kll_merge`` + ``mg_merge`` across days, ``hll_estimate`` /
+     ``cms_lookup`` / ``kll_quantile`` / ``mg_topk`` for the answers
+     — percentiles AND "which users dominate" INCLUDED. The
+     heavy-hitters question was the one the store could not answer
+     until r16: ``cms_lookup`` needs a caller-supplied candidate set
+     and exact top-k needs a rescan; MG closes that gap (≤ k+1 rows
+     per day, true count ∈ [est, est + err] per reported key),
   4. audit: the merged registers and counters are BIT-IDENTICAL to
      sketching the whole period directly (max/sum commute with
      union) — asserted, not assumed.
@@ -52,6 +56,7 @@ from pipz_spark.datapipe import (
     kll_quantile,
     kll_sketch,
 )
+from pipz_spark.datapipe.sketches import mg_merge, mg_summary, mg_topk
 from pipz_spark.sources.catalog import load_table
 
 
@@ -81,6 +86,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         kll_sketch(batch, "value", k=64, id_col="event_id").withColumn(
             "day", F.lit(day)
         ).write.mode("append").parquet(f"{store_dir}/kll")
+        mg_summary(batch, "user_id", k=16).withColumn(
+            "day", F.lit(day)
+        ).write.mode("append").parquet(f"{store_dir}/mg")
 
     # 3. month-end: answers come from the store, not the events
     hll_store = spark.read.parquet(f"{store_dir}/hll")
@@ -103,6 +111,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         for r in kll_quantile(month_kll, [(1, 2), (9, 10), (99, 100)]).collect()
     }
     print(f"event-value percentiles this month (merged KLL): {quantiles}")
+    mg_store = spark.read.parquet(f"{store_dir}/mg")
+    month_mg = mg_merge(
+        mg_store.select("day", "mg_key", "mg_est", "mg_err"),
+        k=8,
+        source_cols=["day"],
+    )
+    hot = [
+        (r["mg_key"], r["mg_est"], r["mg_err"])
+        for r in mg_topk(month_mg, 5).collect()
+    ]
+    print(f"top users this month (merged MG, true in [est, est+err]): {hot}")
 
     # 4. merge == direct: registers and counters bit-identical to
     # sketching the whole period in one pass
@@ -140,11 +159,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         hi = bisect.bisect_right(sv, v)
         err = min(abs(lo - phi * n), abs(hi - phi * n))
         assert err <= day_s_sum + merge_s, (phi, v, err)
-    print("audit: merged sketches bit-identical (HLL/CMS), KLL within bound")
+    # MG audit: per reported key, est <= true <= est + err, and the
+    # total offset respects the W/(k+1) merge bound
+    true_user = {
+        r["user_id"]: r["c"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    w_total = sum(true_user.values())
+    for key, est, err in hot:
+        assert est <= true_user[key] <= est + err, (key, est, err)
+        assert err * 9 <= w_total, (err, w_total)
+    print("audit: merged sketches bit-identical (HLL/CMS), KLL within "
+          "bound, MG heavy hitters within [est, est+err]")
 
     if own_session:
         spark.stop()
-    return {"days": len(days), "month_users": month_users, "traffic": traffic, "quantiles": quantiles}
+    return {"days": len(days), "month_users": month_users, "traffic": traffic, "quantiles": quantiles, "heavy_hitters": hot}
 
 
 if __name__ == "__main__":

@@ -5472,15 +5472,16 @@ SELECT node, rank_q, outdeg FROM r2
 # ever leaves the gate entirely, and the remaining slots cycle
 # through queries that have not yet earned a driver-green row.
 #
-# r15 window = the r14 window with SIXTEEN swaps (r14 verdict ask
-# #1: promote ALL 14 r14 tail newcomers — the only entries without a
-# driver row; their green makes driver evidence complete for every
-# pre-r15 query) plus the two r15 newcomers landed BEFORE the freeze
-# (the r9 ask-#8 discipline): dp_kll_quantiles (verdict ask #3) and
-# dp_cc_contract (verdict ask #4, "done = green CORRECTNESS row").
-# Every demotion is driver-green (r12-r14) and leaves its machine
-# pinned in-window — per-entry rationale at the demoted entries
-# below; prior rounds' full swap histories live in git.
+# r16 window = the r15 window with EIGHT swaps (r15 verdict ask #1:
+# promote the 5 never-driver-checked r15 tail newcomers —
+# dp_cross_winnow, dp_hits, dp_readability, dp_clustering,
+# stream_kll_values — whose green makes driver evidence complete for
+# every pre-r16 query) plus the three r16 newcomers landed BEFORE
+# the freeze (the r9 ask-#8 discipline): dp_heavy_hitters +
+# stream_heavy_hitters (verdict ask #2) and dp_image_near_dup
+# (verdict ask #5). Every demotion is driver-green (r15) and leaves
+# its machine pinned in-window — per-entry rationale at the demoted
+# entries below; prior rounds' full swap histories live in git.
 # tools/check_correctness.py re-validates ALL entries locally
 # regardless of window position.
 QUERIES: dict[str, Declared] = {
@@ -5580,22 +5581,14 @@ QUERIES: dict[str, Declared] = {
     # green completes driver evidence for every pre-r15 query).
     # Funded by the 16-entry demote list at the tail; each demoted
     # machine's in-window pin is named at its tail entry. --------
-    # Degree-oriented triangle counting: wedges ≤ m^{3/2} under any
-    # hub skew (Suri-Vassilvitskii orientation)
-    "dp_triangles": Declared(_dp_triangles, _DP_TRIANGLES_SQL),
     # idempotent-MIN Pregel connected components
     "dp_components": Declared(_dp_labelprop, _DP_LABELPROP_SQL),
-    # winnowing fingerprints: guaranteed-coverage selection in ONE
-    # shuffle-free projection (MOSS)
-    "dp_winnow": Declared(_dp_winnow, _DP_WINNOW_SQL),
     # the MOSS overlap composition, df-capped r15 (the round's one
     # 'weak' cleared: boilerplate prints dropped before pairing,
     # plan-canaried)
     "dp_winnow_overlap": Declared(_dp_winnow_overlap, _DP_WINNOW_OVERLAP_SQL),
     # k-core peeling: filter-update Pregel
     "dp_kcore": Declared(_dp_kcore, _DP_KCORE_SQL),
-    # TrustRank seeded personalization
-    "dp_trustrank": Declared(_dp_trustrank, _DP_TRUSTRANK_SQL),
     # weighted PageRank: proportional mass split, divide-first —
     # with dp_trustrank these pin the Pregel join→agg→join machine
     # (funding dp_pagerank's demotion)
@@ -5608,34 +5601,65 @@ QUERIES: dict[str, Declared] = {
     # HLL set algebra: runs the sketch+estimate machine TWICE and
     # max-merges the union (funding dp_hll_distinct's demotion)
     "dp_hll_overlap": Declared(_dp_hll_overlap, _DP_HLL_OVERLAP_SQL),
-    # C4 blocklist: array-literal membership, pure codegen
-    "dp_blocklist": Declared(_dp_blocklist, _DP_BLOCKLIST_SQL),
-    # token entropy: per-doc explode→histogram + integer-numerator
-    # ln discipline (with dp_bpe_tokens pins the histogram family,
-    # funding dp_bm25_topk's demotion)
-    "dp_token_entropy": Declared(_dp_token_entropy, _DP_TOKEN_ENTROPY_SQL),
-    # water-filling budget allocation: windowed prefix sums over the
-    # per-domain aggregate
-    "dp_waterfill": Declared(_dp_waterfill, _DP_WATERFILL_SQL),
-    # 10th/11th streaming machines: CMS sum-merge and Bloom bit_or
-    # in the state store, bit-identical to their batch twins
-    # (funding dp_cms_freq / dp_bloom_decontam / stream_hll_users's
-    # demotions — the state-store sketch-merge machine stays gated
-    # here, the batch counters inside these very oracles)
-    "stream_cms_traffic": Declared(_stream_cms_traffic, _STREAM_CMS_SQL),
+    # Bloom bit_or in the state store, bit-identical to the batch
+    # twin (funding dp_bloom_decontam / stream_hll_users /
+    # stream_cms_traffic's demotions — the state-store sketch-merge
+    # machine stays gated here and by the two r16 stream promotions
+    # below, the batch counters inside these very oracles)
     "stream_bloom_signatures": Declared(_stream_bloom, _STREAM_BLOOM_SQL),
-    # ---- r15 newcomers, landed BEFORE the freeze (the r9 ask-#8
-    # discipline) so each debuts with a driver row:
-    # KLL-style mergeable quantile sketch — the FOURTH sketch-family
-    # member (r14 verdict ask #3): build on the grouped_rank
-    # machine + cross-group merge + ceil-target quantile lookup,
-    # one exact gate
-    "dp_kll_quantiles": Declared(_dp_kll_quantiles, _DP_KLL_SQL),
     # star-contraction connected components on a diameter-300 chain
     # min-label cannot close (r14 verdict ask #4): the O(log n)
     # escalation promoted to a public graph operator;
-    # gaps-and-islands closed-form oracle; cc100x rig
+    # gaps-and-islands closed-form oracle; cc100x rig; r16 rebuilt
+    # the round loop (single-action fixpoint check, no large-star
+    # dedup, cardinality-scaled exchanges) — stays in-window to
+    # re-gate the changed machine
     "dp_cc_contract": Declared(_dp_cc_contract, _DP_CC_CONTRACT_SQL),
+    # ---- r16 promotions: the 5 r15 tail newcomers (r15 verdict ask
+    # #1 — the only registry entries without a driver row; their
+    # green makes driver evidence complete for every pre-r16 query).
+    # Funded by the 8-entry demote list at the tail. --------------
+    # incremental cross-corpus winnow screen: the persisted parquet
+    # index + strictly-cross capped overlap join
+    "dp_cross_winnow": Declared(_dp_cross_winnow, _DP_CROSS_WINNOW_SQL),
+    # HITS hubs/authorities: the Pregel join→sum machine with the
+    # ALTERNATING join key (hence its deliberate persist, unlike
+    # pagerank's deliberate no-persist) + the r16 build-time
+    # overflow guard
+    "dp_hits": Declared(_dp_hits, _DP_HITS_SQL),
+    # Flesch/Kincaid readability: pure-JVM projection (plan canary)
+    "dp_readability": Declared(_dp_readability, _DP_READABILITY_SQL),
+    # local clustering coefficient: the oriented-wedge machine (also
+    # pins the demoted dp_triangles — LCC composes triangle counts
+    # through the same _canonical_undirected front + orientation)
+    "dp_clustering": Declared(_dp_clustering, _DP_CLUSTERING_SQL),
+    # the 12th streaming machine: per-day value histograms folded
+    # exactly in the state store, KLL-compacted at read — its oracle
+    # replays the canonical compactor + ceil-target lookup, pinning
+    # the demoted dp_kll_quantiles' quantile machine in-window
+    "stream_kll_values": Declared(_stream_kll, _STREAM_KLL_SQL),
+    # ---- r16 newcomers, landed BEFORE the freeze (the r9 ask-#8
+    # discipline) so each debuts with a driver row:
+    # Misra-Gries heavy hitters — the FIFTH sketch-family member
+    # (r15 verdict ask #2): exact counts pruned on the grouped_rank
+    # range exchange (also pinning the demoted dp_token_entropy's
+    # explode→token-histogram front), add-then-prune shard merge
+    # with offset rows, top-k enumeration — all BIGINT, canonical
+    # tie rule, property-tested vs a pure-Python replay
+    "dp_heavy_hitters": Declared(_dp_heavy_hitters, _DP_HEAVY_HITTERS_SQL),
+    # the 13th streaming machine: state-store per-(day, user) counts
+    # (bounded by the user universe), MG prune + cross-day merge at
+    # read — the ENUMERATION member of the sketch-in-stream family
+    "stream_heavy_hitters": Declared(
+        _stream_heavy_hitters, _STREAM_HEAVY_HITTERS_SQL
+    ),
+    # image near-dup for the multimodal family (r15 verdict ask #5):
+    # integer-exact block-mean aHash over the binary payload, four
+    # 16-bit bands, pigeonhole candidates via the size-routed
+    # _bucket_pairs machine, exact bit_count(xor) verify
+    "dp_image_near_dup": Declared(
+        _dp_image_near_dup, _DP_IMAGE_NEAR_DUP_SQL
+    ),
     # ---- past the 50-row window ----------------------------------
     # Two populations: (a) queries rotated OUT with a driver-green
     # row — their machines stay represented by an anchor above;
@@ -5800,44 +5824,44 @@ QUERIES: dict[str, Declared] = {
     # dp_jl_project; the d²-cell Gram fold is property-tested +
     # pca100x rig
     "dp_pca_project": Declared(_dp_pca, _DP_PCA_SQL),
-    # ---- r15 newcomer → tail (standard newcomer path): the capped
-    # winnow_overlap join it runs is gated in-window by
-    # dp_winnow_overlap; its only novel step is the value-neutral
-    # parquet index round-trip. Judge-sweep gated; r16 promotion
-    # candidate.
-    "dp_cross_winnow": Declared(_dp_cross_winnow, _DP_CROSS_WINNOW_SQL),
-    # ---- r15 newcomer → tail: HITS hubs/authorities — the Pregel
-    # join→sum machine the in-window pagerank family pins, mutual
-    # recursion instead of damped mass. r16 promotion candidate.
-    "dp_hits": Declared(_dp_hits, _DP_HITS_SQL),
-    # ---- r15 newcomer → tail: Flesch/Kincaid readability — the
-    # pure-JVM text-expression projection family dp_text_stats
-    # anchors. r16 promotion candidate.
-    "dp_readability": Declared(_dp_readability, _DP_READABILITY_SQL),
-    # ---- r15 newcomer → tail: local clustering coefficient — the
-    # in-window dp_triangles machine plus one degree join. r16
-    # promotion candidate.
-    "dp_clustering": Declared(_dp_clustering, _DP_CLUSTERING_SQL),
-    # ---- r15 newcomer → tail: the 12th streaming machine — per-day
-    # value histograms folded exactly in the state store (bounded by
-    # the cent domain), KLL-compacted at read; the distribution
-    # member of the sketch-in-stream family. r16 promotion candidate.
-    "stream_kll_values": Declared(_stream_kll, _STREAM_KLL_SQL),
-    # ---- r16 newcomer: Misra-Gries heavy hitters — the fifth
-    # sketch-family member (r15 verdict ask #2): build → shard-merge
-    # → top-k enumeration, all BIGINT with a canonical prune rule.
-    "dp_heavy_hitters": Declared(_dp_heavy_hitters, _DP_HEAVY_HITTERS_SQL),
-    # ---- r16 newcomer: the 13th streaming machine — state-store
-    # per-(day, user) counts, MG prune + cross-day merge at read.
-    "stream_heavy_hitters": Declared(
-        _stream_heavy_hitters, _STREAM_HEAVY_HITTERS_SQL
-    ),
-    # ---- r16 newcomer: image near-dup — banded aHash over the
-    # multimodal binary column, pigeonhole candidates, exact
-    # bit_count(xor) verify.
-    "dp_image_near_dup": Declared(
-        _dp_image_near_dup, _DP_IMAGE_NEAR_DUP_SQL
-    ),
+    # ---- demoted r16 to fund the 5 r15-newcomer promotions + 3 r16
+    # newcomers — all 8 driver-green in CORRECTNESS_r15, each
+    # re-parameterizing a machine still pinned in-window:
+    # winnow fingerprint projection — runs WHOLE inside the
+    # in-window dp_winnow_overlap (its fingerprint CTE is this very
+    # query) and dp_cross_winnow's index build
+    "dp_winnow": Declared(_dp_winnow, _DP_WINNOW_SQL),
+    # TrustRank — the seeded Pregel divide-first machine is pinned
+    # by dp_pagerank_weighted (same iteration, weighted split) and
+    # the promoted dp_hits (alternating-key variant)
+    "dp_trustrank": Declared(_dp_trustrank, _DP_TRUSTRANK_SQL),
+    # C4 blocklist — array-literal membership is a pure-codegen
+    # projection, the family dp_text_stats anchors and the promoted
+    # dp_readability gates (plan-canaried no-shuffle projection)
+    "dp_blocklist": Declared(_dp_blocklist, _DP_BLOCKLIST_SQL),
+    # triangle counting — the _canonical_undirected front +
+    # degree-orientation wedge machine runs WHOLE inside the
+    # promoted dp_clustering (LCC = triangles / wedge pairs)
+    "dp_triangles": Declared(_dp_triangles, _DP_TRIANGLES_SQL),
+    # streaming CMS — the state-store sum-merge is pinned by
+    # stream_bloom_signatures (bit_or fold) + the promoted
+    # stream_kll_values (histogram fold) + stream_heavy_hitters
+    # (count fold); the batch CMS counters stay inside its oracle
+    "stream_cms_traffic": Declared(_stream_cms_traffic, _STREAM_CMS_SQL),
+    # batch KLL quantiles — the canonical compactor + ceil-target
+    # lookup are replayed bit-for-bit inside the promoted
+    # stream_kll_values' oracle; the grouped_rank build machine is
+    # pinned by dp_ccnet_buckets (and now dp_heavy_hitters' prune)
+    "dp_kll_quantiles": Declared(_dp_kll_quantiles, _DP_KLL_SQL),
+    # water-filling — the two-phase global-cumsum rank machine is
+    # pinned by dp_ccnet_buckets (grouped_rank) and the
+    # rel_window_running anchor (running-frame WindowExec)
+    "dp_waterfill": Declared(_dp_waterfill, _DP_WATERFILL_SQL),
+    # token entropy — the explode→token-histogram front is pinned by
+    # dp_bpe_tokens (anchor) and the promoted dp_heavy_hitters
+    # (same exact-count front, prune on top); the integer-numerator
+    # ln quantization discipline stays gated by dp_ccnet_buckets
+    "dp_token_entropy": Declared(_dp_token_entropy, _DP_TOKEN_ENTROPY_SQL),
 }
 
 

@@ -597,3 +597,28 @@ def test_kcore_rounds_combine_map_side(spark):
     assert "partial_count" in plan
     assert "LeftSemi" in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_build_rides_the_range_exchange(spark):
+    # the MG build's prune must rank the exact counts via
+    # grouped_rank's range exchange (bounded tasks under any key
+    # skew), never a one-task-per-group window sort of the key
+    # space; the exact counts themselves must partial-aggregate
+    # map-side; everything equi-joined, pure JVM
+    plan = _plan(spark, "dp_heavy_hitters")
+    assert "rangepartitioning" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_image_near_dup_is_banded_never_cartesian(spark):
+    # candidates must come from (band, chunk) equi-buckets via the
+    # size-routed pair machine — a regression to all-pairs is THE
+    # canonical non-scalable plan; the only Python is the Arrow-
+    # batched aHash projection (mapInPandas), never row-at-a-time
+    plan = _plan(spark, "dp_image_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "ArrowEvalPython" not in plan  # no row-at-a-time UDF
