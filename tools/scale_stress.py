@@ -1722,6 +1722,119 @@ def main_kll100x() -> None:
     spark.stop()
 
 
+def main_mg100x() -> None:
+    """100× Misra-Gries stress: the shard-merge heavy-hitters story
+    at 60M keys with a DESIGNED frequency structure whose summary is
+    computable in closed form. Corpus = 100 replicas of sf0.1
+    lineitem rows keyed so that 200 designed hot keys carry ~0.3% of
+    the mass each while ~600k tail keys carry ~100 rows each; one
+    k=256 summary PER replica (the per-day write path, pruned on the
+    grouped_rank range exchange), all 100 add-then-prune merged at
+    k=64, top-32 enumerated. Asserts:
+
+    - every merged report satisfies est ≤ true ≤ est + err against
+      EXACT Spark group counts (the MG invariant at 60M rows);
+    - the top-32 enumeration is exactly the 32 hottest designed keys
+      (hot keys dominate the tail by construction, so enumeration
+      order is the true-count order);
+    - total offset err·(k+1) ≤ W (the classical merge bound);
+    - re-running build+merge reproduces identical rows (determinism
+      at scale — the canonical tie rule leaves the engine no
+      choice).
+
+    Scale numbers: the only corpus-sized stages are the exact count
+    aggregate (map-side combined) and the grouped_rank exchange; the
+    merge + enumeration stages see ≤ 100 × 257 summary rows.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py mg100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-mg100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_mg100_")
+    from pipz_spark.datapipe.sketches import mg_merge, mg_summary, mg_topk
+
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_linenumber")
+    reps = spark.range(100).select(F.col("id").alias("_rep"))
+    # key design: rows whose orderkey lands in the lowest 200 buckets
+    # of (l_orderkey % 3000) collapse onto 200 hot keys (~200 designed
+    # heavy hitters, each ≈ n/3000 per replica × 100); everything
+    # else keys by (orderkey, linenumber) — ~600k distinct tail keys
+    # of ~100 occurrences each
+    big = li.crossJoin(reps).select(
+        F.col("_rep"),
+        F.when(
+            F.col("l_orderkey") % 3000 < 200,
+            F.concat(F.lit("hot_"), F.format_string("%04d", F.col("l_orderkey") % 3000)),
+        )
+        .otherwise(
+            F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        .alias("key"),
+    )
+    big.repartition(64).write.mode("overwrite").parquet(f"{tmp}/keys100")
+    k100 = spark.read.parquet(f"{tmp}/keys100").persist()
+    n_total = k100.count()
+    print(f"corpus: {n_total} keyed rows across 100 shards")
+
+    K_BUILD, K_MERGE, TOP = 256, 64, 32
+    true_hot = {
+        r["key"]: r["c"]
+        for r in k100.where(F.col("key").startswith("hot_"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    top_true = sorted(true_hot.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP]
+
+    def check() -> tuple:
+        summ = mg_summary(k100, "key", k=K_BUILD, group_cols=["_rep"])
+        merged = mg_merge(summ, k=K_MERGE, source_cols=["_rep"]).localCheckpoint()
+        rows = merged.collect()
+        err_g = max(r["mg_err"] for r in rows)
+        assert err_g * (K_MERGE + 1) <= n_total, (err_g, n_total)
+        reported = {
+            r["mg_key"]: (r["mg_est"], r["mg_err"])
+            for r in rows
+            if r["mg_key"] is not None
+        }
+        for key, (est, err) in reported.items():
+            t = true_hot.get(key)
+            if t is None:
+                t = k100.where(F.col("key") == key).count()
+            assert est <= t <= est + err, (key, est, err, t)
+        top = [
+            (r["mg_key"], r["mg_est"], r["mg_err"])
+            for r in mg_topk(merged, TOP).collect()
+        ]
+        assert [k for k, _, _ in top] == [k for k, _ in top_true], (
+            top[:5],
+            top_true[:5],
+        )
+        # determinism: a full second build+merge reproduces the rows
+        again = sorted(
+            ((r["mg_key"] or ""), r["mg_est"], r["mg_err"])
+            for r in mg_merge(
+                mg_summary(k100, "key", k=K_BUILD, group_cols=["_rep"]),
+                k=K_MERGE,
+                source_cols=["_rep"],
+            ).collect()
+        )
+        assert again == sorted(
+            ((r["mg_key"] or ""), r["mg_est"], r["mg_err"]) for r in rows
+        )
+        print(
+            f"  {len(reported)} reported keys, top-{TOP} exact, "
+            f"offset {err_g} vs bound {n_total // (K_MERGE + 1)}"
+        )
+        return (n_total, len(reported))
+
+    run(spark, "mg 100-shard merge    ", check)
+    spark.stop()
+
+
 def main_cc100x() -> None:
     """Star-contraction stress: connected components of a 5M-node
     CHAIN graph — 100 runs of ~50k consecutive ids (breaks at
@@ -1800,6 +1913,8 @@ if __name__ == "__main__":
         main_cc100x()
     elif "kll100x" in _sys.argv[1:]:
         main_kll100x()
+    elif "mg100x" in _sys.argv[1:]:
+        main_mg100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
