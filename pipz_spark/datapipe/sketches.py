@@ -982,6 +982,187 @@ def mg_topk(
     )
 
 
+def _kmv_hash(col: Column, salt: str) -> Column:
+    """The KMV hash: first 52 bits of md5(value || salt) as BIGINT —
+    the HLL idiom (md5 + substring + conv), so any engine with md5
+    reproduces every hash bit-for-bit. 52 bits keep the value inside
+    double-exact integer range for the one estimate division."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+
+
+_KMV_SCALE = 2**52
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 1024,
+    group_cols: Seq[str] = (),
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV / theta distinct-value sketch (Beyer et al. 2007, "On
+    synopses for distinct value estimation under multiset
+    operations"; the practical lineage is the Apache DataSketches
+    theta sketch) — the SIXTH sketch-family member, and the one that
+    does SET ALGEBRA: HLL's register max can union sketches but
+    estimates intersections only by inclusion-exclusion (error
+    compounds) and cannot express difference at all; KMV's uniform
+    bottom-k hash sample supports union, intersection AND difference
+    ("how many keys are NEW today vs the store") with one shared
+    sample.
+
+    Per group: the ≤ k smallest DISTINCT 52-bit md5 hashes of the
+    column's values, one (*group_cols, kmv_hash BIGINT) row each.
+    Deterministic end to end — the hash is the engine-portable md5
+    idiom and "k smallest distinct" has exactly one answer — so any
+    SQL engine replays the sketch row-for-row. NULLs are ignored
+    (COUNT DISTINCT semantics).
+
+    Scale shape: distinct hashes are one map-side-combined
+    aggregate; the bottom-k selection rides the ``grouped_rank``
+    range exchange (bounded tasks under any group skew — the
+    kll/mg machine), and everything downstream (merge, estimates,
+    set ops) touches only ≤ k-row sketch frames."""
+    if k <= 1:
+        raise ValueError(f"need k > 1, got {k}")
+    from .rank import grouped_rank
+
+    gcols = list(group_cols)
+    hashed = (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, _kmv_hash(F.col(col), salt).alias("kmv_hash"))
+        .distinct()
+    )
+    rank_groups = gcols
+    if not gcols:
+        hashed = hashed.withColumn("_kv", F.lit(0))
+        rank_groups = ["_kv"]
+    ranked = grouped_rank(
+        hashed,
+        rank_groups,
+        [F.col("kmv_hash").asc()],
+        rank_col="_kr",
+        count_col="_kn",
+    )
+    return ranked.where(F.col("_kr") <= k).select(*gcols, "kmv_hash")
+
+
+def kmv_merge(
+    sketches: DataFrame, k: int = 1024, group_cols: Seq[str] = ()
+) -> DataFrame:
+    """Merge unioned ``kmv_sketch`` frames per group: the k smallest
+    distinct hashes of the union of the samples — exactly the sketch
+    of the union of the underlying sets (bottom-k of a union is a
+    function of the per-part bottom-k's), so per-day sketches stored
+    as ≤ k rows union and re-compact without rescanning. Bounded
+    work: windows over sketch rows only (the kll_merge discipline)."""
+    if k <= 1:
+        raise ValueError(f"need k > 1, got {k}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    pcols = [F.col(g) for g in gcols] if gcols else [F.lit(0)]
+    w = Window.partitionBy(*pcols).orderBy(F.col("kmv_hash").asc())
+    return (
+        sketches.select(*gcols, "kmv_hash")
+        .distinct()
+        .withColumn("_kr", F.row_number().over(w))
+        .where(F.col("_kr") <= k)
+        .select(*gcols, "kmv_hash")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int = 1024,
+    group_cols: Seq[str] = (),
+    out_col: str = "kmv_distinct",
+) -> DataFrame:
+    """Finalize a sketch into (*group_cols, out_col DOUBLE, kmv_n
+    BIGINT, kmv_theta BIGINT): when the sample holds fewer than k
+    hashes the count is EXACT (the sketch saw every distinct value);
+    otherwise the unbiased KMV estimator (k−1)·2^52 / θ with θ = the
+    k-th smallest hash — the numerator is one exactly-representable
+    double literal and θ an exact BIGINT, so the single IEEE
+    division is identical in any engine (the HLL estimate
+    discipline). Relative error ≈ 1/√(k−2)."""
+    if k <= 1:
+        raise ValueError(f"need k > 1, got {k}")
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("kmv_n"), F.max("kmv_hash").alias("kmv_theta")
+    )
+    est = F.when(
+        F.col("kmv_n") < k, F.col("kmv_n").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * _KMV_SCALE)) / F.col("kmv_theta")
+    )
+    return agg.select(*gcols, est.alias(out_col), "kmv_n", "kmv_theta")
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 1024,
+) -> DataFrame:
+    """Union / intersection / A−B / B−A distinct-count estimates
+    from two GLOBAL sketches (one row out): combine the samples,
+    keep the m = min(k, |combined|) smallest hashes as the shared
+    uniform sample U with threshold θ = max(U), classify every
+    member of U by which side's sample contains it, and scale each
+    class count by the same 2^52/θ (Beyer et al. §4: U is a uniform
+    bottom-m sample of A ∪ B, so class proportions estimate set
+    sizes). When the combined sample holds fewer than k hashes every
+    count is EXACT (both sketches saw their full key sets). Output:
+    (kmv_union, kmv_intersect, kmv_a_only, kmv_b_only — DOUBLE;
+    kmv_m, kmv_theta — BIGINT audit columns). Every count is an
+    exact BIGINT and each estimate is ONE IEEE division of an
+    exactly-representable numerator (n·2^52, n ≤ k ≤ 2^11 — the
+    product has ≤ 11 significant bits), so any engine replays all
+    four doubles bit-for-bit. Bounded work: every frame here is
+    ≤ 2k rows."""
+    if k <= 1:
+        raise ValueError(f"need k > 1, got {k}")
+    from pyspark.sql import Window
+
+    a = sketch_a.select("kmv_hash").withColumn("_ina", F.lit(1))
+    b = sketch_b.select("kmv_hash").withColumn("_inb", F.lit(1))
+    both = a.join(b, "kmv_hash", "full").select(
+        "kmv_hash",
+        F.coalesce("_ina", F.lit(0)).alias("_a"),
+        F.coalesce("_inb", F.lit(0)).alias("_b"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("kmv_hash").asc())
+    u = both.withColumn("_kr", F.row_number().over(w)).where(F.col("_kr") <= k)
+    agg = u.agg(
+        F.count(F.lit(1)).alias("kmv_m"),
+        F.max("kmv_hash").alias("kmv_theta"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_n_int"),
+        F.sum(F.col("_a") * (1 - F.col("_b"))).alias("_n_ao"),
+        F.sum((1 - F.col("_a")) * F.col("_b")).alias("_n_bo"),
+    )
+
+    def scale(n: Column) -> Column:
+        # exact when the combined sample is complete (< k hashes);
+        # otherwise n·2^52/θ with the numerator exactly representable
+        return F.when(F.col("kmv_m") < k, n.cast("double")).otherwise(
+            (n * F.lit(_KMV_SCALE)).cast("double") / F.col("kmv_theta")
+        )
+
+    return agg.select(
+        scale(F.col("kmv_m")).alias("kmv_union"),
+        scale(F.col("_n_int")).alias("kmv_intersect"),
+        scale(F.col("_n_ao")).alias("kmv_a_only"),
+        scale(F.col("_n_bo")).alias("kmv_b_only"),
+        "kmv_m",
+        "kmv_theta",
+    )
+
+
 __all__ = [
     "bloom_contamination",
     "build_bloom",
@@ -998,6 +1179,10 @@ __all__ = [
     "kll_merge",
     "kll_quantile",
     "kll_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_set_estimates",
+    "kmv_sketch",
     "mg_merge",
     "mg_summary",
     "mg_topk",

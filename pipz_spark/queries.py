@@ -4662,6 +4662,71 @@ SELECT l_returnflag, q, kll_quantile, CAST(kll_n AS BIGINT) AS kll_n FROM mg
 """
 
 
+# KMV / theta set-algebra sketch (sketches.kmv_sketch /
+# kmv_set_estimates — the SIXTH sketch-family member, Beyer et al.
+# 2007): HLL unions but can only intersect by inclusion-exclusion
+# and cannot express DIFFERENCE; KMV's bottom-k uniform hash sample
+# answers union / intersection / A−B / B−A from one shared sample —
+# the incremental-store question "how many customers are NEW this
+# period vs the store" (k=512 puts BOTH period sketches in
+# estimation mode at sf0.01 — ~1480/1492 distinct custkeys per
+# side). Engine-exact: 52-bit md5 hashes (the HLL idiom), "k
+# smallest distinct" has one answer, and each estimate is ONE IEEE
+# division of an exactly-representable numerator. The oracle replays
+# hashes, ranks, the shared threshold and all four doubles.
+def _dp_theta_diff(spark, sf):
+    from .datapipe.sketches import kmv_set_estimates, kmv_sketch
+
+    orders = _t(spark, sf, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    store = kmv_sketch(
+        orders.where(F.col("o_orderdate") < cutoff), "o_custkey", k=512
+    )
+    period = kmv_sketch(
+        orders.where(F.col("o_orderdate") >= cutoff), "o_custkey", k=512
+    )
+    return kmv_set_estimates(store, period, k=512)
+
+
+_DP_THETA_DIFF_SQL = r"""
+WITH ha AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || 'kmv'), 1, 13)) AS BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate < TIMESTAMP '1998-01-01'),
+hb AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || 'kmv'), 1, 13)) AS BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate >= TIMESTAMP '1998-01-01'),
+ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM ha) WHERE r <= 512),
+skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM hb) WHERE r <= 512),
+comb AS (
+  SELECT COALESCE(ska.h, skb.h) AS h,
+         CASE WHEN ska.h IS NOT NULL THEN 1 ELSE 0 END AS a,
+         CASE WHEN skb.h IS NOT NULL THEN 1 ELSE 0 END AS b
+  FROM ska FULL JOIN skb ON ska.h = skb.h),
+u AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) AS r FROM comb) WHERE r <= 512),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         MAX(h) AS theta,
+         CAST(SUM(a * b) AS BIGINT) AS n_int,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n_ao,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n_bo
+  FROM u)
+SELECT
+  CASE WHEN m < 512 THEN CAST(m AS DOUBLE)
+       ELSE CAST(m * 4503599627370496 AS DOUBLE) / theta END AS kmv_union,
+  CASE WHEN m < 512 THEN CAST(n_int AS DOUBLE)
+       ELSE CAST(n_int * 4503599627370496 AS DOUBLE) / theta END AS kmv_intersect,
+  CASE WHEN m < 512 THEN CAST(n_ao AS DOUBLE)
+       ELSE CAST(n_ao * 4503599627370496 AS DOUBLE) / theta END AS kmv_a_only,
+  CASE WHEN m < 512 THEN CAST(n_bo AS DOUBLE)
+       ELSE CAST(n_bo * 4503599627370496 AS DOUBLE) / theta END AS kmv_b_only,
+  m AS kmv_m,
+  theta AS kmv_theta
+FROM agg
+"""
+
+
 # Image near-duplicates over the multimodal binary column
 # (multimodal.image_ahash + image_near_dup, r15 verdict ask #5): the
 # pHash-family block-mean signature — 64 balanced byte blocks, bit =
@@ -5583,10 +5648,6 @@ QUERIES: dict[str, Declared] = {
     # machine's in-window pin is named at its tail entry. --------
     # idempotent-MIN Pregel connected components
     "dp_components": Declared(_dp_labelprop, _DP_LABELPROP_SQL),
-    # the MOSS overlap composition, df-capped r15 (the round's one
-    # 'weak' cleared: boilerplate prints dropped before pairing,
-    # plan-canaried)
-    "dp_winnow_overlap": Declared(_dp_winnow_overlap, _DP_WINNOW_OVERLAP_SQL),
     # k-core peeling: filter-update Pregel
     "dp_kcore": Declared(_dp_kcore, _DP_KCORE_SQL),
     # weighted PageRank: proportional mass split, divide-first —
@@ -5660,6 +5721,10 @@ QUERIES: dict[str, Declared] = {
     "dp_image_near_dup": Declared(
         _dp_image_near_dup, _DP_IMAGE_NEAR_DUP_SQL
     ),
+    # KMV/theta set-algebra sketch — the SIXTH sketch-family member:
+    # bottom-k md5 sample, union/intersect/A−B/B−A from one shared
+    # threshold (the set-DIFFERENCE question HLL cannot answer)
+    "dp_theta_diff": Declared(_dp_theta_diff, _DP_THETA_DIFF_SQL),
     # ---- past the 50-row window ----------------------------------
     # Two populations: (a) queries rotated OUT with a driver-green
     # row — their machines stay represented by an anchor above;
@@ -5828,9 +5893,15 @@ QUERIES: dict[str, Declared] = {
     # newcomers — all 8 driver-green in CORRECTNESS_r15, each
     # re-parameterizing a machine still pinned in-window:
     # winnow fingerprint projection — runs WHOLE inside the
-    # in-window dp_winnow_overlap (its fingerprint CTE is this very
-    # query) and dp_cross_winnow's index build
+    # in-window dp_cross_winnow (its fingerprint CTEs are this very
+    # query, both sides of the index build)
     "dp_winnow": Declared(_dp_winnow, _DP_WINNOW_SQL),
+    # the df-capped MOSS overlap join — runs WHOLE inside the
+    # in-window dp_cross_winnow (same winnow_overlap call, same
+    # max_doc_freq cap; its oracle carries the cap CTE), and the
+    # cap's survival in the physical plan stays pytest-canaried on
+    # THIS query regardless of window position
+    "dp_winnow_overlap": Declared(_dp_winnow_overlap, _DP_WINNOW_OVERLAP_SQL),
     # TrustRank — the seeded Pregel divide-first machine is pinned
     # by dp_pagerank_weighted (same iteration, weighted split) and
     # the promoted dp_hits (alternating-key variant)

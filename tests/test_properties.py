@@ -1137,3 +1137,75 @@ def test_image_near_dup_matches_brute_force(spark_prop, blobs, max_hamming):
                 exp.append((i, j, h))
     release_caches()
     assert got == exp
+
+
+def _ref_kmv(vals, k: int, salt: str = "kmv"):
+    """Pure-Python replay of kmv_sketch: k smallest distinct 52-bit
+    md5 hashes."""
+    import hashlib
+
+    hs = sorted(
+        {
+            int(hashlib.md5((str(v) + salt).encode()).hexdigest()[:13], 16)
+            for v in vals
+        }
+    )
+    return hs[:k]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_vals=st.lists(st.integers(min_value=0, max_value=10**6), max_size=60),
+    b_vals=st.lists(st.integers(min_value=0, max_value=10**6), max_size=60),
+    k=st.integers(min_value=2, max_value=24),
+)
+def test_kmv_sketch_and_set_estimates_match_replay(spark_prop, a_vals, b_vals, k):
+    """kmv_sketch equals the pure-Python bottom-k replay for ANY
+    value sets and k; kmv_merge of the two sketches equals the
+    sketch of the union; and kmv_set_estimates' four doubles equal
+    the replayed class-count arithmetic bit-for-bit (exact mode when
+    the combined sample is complete, the single IEEE division
+    otherwise)."""
+    from pipz_spark.datapipe import release_caches
+    from pipz_spark.datapipe.sketches import (
+        kmv_merge,
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    def df_of(vals):
+        if not vals:
+            return spark_prop.createDataFrame([], "v long")
+        return spark_prop.createDataFrame([(v,) for v in vals], "v long")
+
+    sa = kmv_sketch(df_of(a_vals), "v", k=k)
+    sb = kmv_sketch(df_of(b_vals), "v", k=k)
+    got_a = sorted(r["kmv_hash"] for r in sa.collect())
+    got_b = sorted(r["kmv_hash"] for r in sb.collect())
+    ref_a, ref_b = _ref_kmv(a_vals, k), _ref_kmv(b_vals, k)
+    assert got_a == ref_a and got_b == ref_b
+
+    merged = sorted(
+        r["kmv_hash"] for r in kmv_merge(sa.unionByName(sb), k=k).collect()
+    )
+    assert merged == sorted(set(ref_a) | set(ref_b))[:k]
+
+    if not a_vals and not b_vals:
+        release_caches()
+        return
+    out = kmv_set_estimates(sa, sb, k=k).collect()[0]
+    comb = sorted(set(ref_a) | set(ref_b))[:k]
+    m, theta = len(comb), (max(comb) if comb else 0)
+    n_int = sum(1 for h in comb if h in set(ref_a) and h in set(ref_b))
+    n_ao = sum(1 for h in comb if h in set(ref_a) and h not in set(ref_b))
+    n_bo = sum(1 for h in comb if h not in set(ref_a) and h in set(ref_b))
+
+    def ref_scale(n):
+        return float(n) if m < k else (n * 2**52) / theta
+
+    assert out["kmv_m"] == m and out["kmv_theta"] == theta
+    assert out["kmv_union"] == ref_scale(m)
+    assert out["kmv_intersect"] == ref_scale(n_int)
+    assert out["kmv_a_only"] == ref_scale(n_ao)
+    assert out["kmv_b_only"] == ref_scale(n_bo)
+    release_caches()
