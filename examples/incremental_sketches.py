@@ -4,9 +4,9 @@ tiny sketch per day, answer month-wide questions by MERGING sketches
 
 The mergeable sketches this repo gates (HLL = cardinality, CMS =
 frequency, Bloom = membership, KLL = distribution, MG = heavy-hitter
-ENUMERATION) share the property that the sketch of a UNION is a
-cheap fold of per-part sketches (register max / counter sum /
-add-then-prune). That
+ENUMERATION, KMV = SET ALGEBRA) share the property that the sketch
+of a UNION is a cheap fold of per-part sketches (register max /
+counter sum / add-then-prune / bottom-k). That
 is the whole 100 TB play: a daily job sketches only that day's
 partition (bounded output: ≤ 2^b register rows, ≤ depth × width
 counters), appends it to a sketch store measured in kilobytes, and
@@ -56,7 +56,14 @@ from pipz_spark.datapipe import (
     kll_quantile,
     kll_sketch,
 )
-from pipz_spark.datapipe.sketches import mg_merge, mg_summary, mg_topk
+from pipz_spark.datapipe.sketches import (
+    kmv_merge,
+    kmv_set_estimates,
+    kmv_sketch,
+    mg_merge,
+    mg_summary,
+    mg_topk,
+)
 from pipz_spark.sources.catalog import load_table
 
 
@@ -89,6 +96,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         mg_summary(batch, "user_id", k=16).withColumn(
             "day", F.lit(day)
         ).write.mode("append").parquet(f"{store_dir}/mg")
+        kmv_sketch(batch, "user_id", k=256).withColumn(
+            "day", F.lit(day)
+        ).write.mode("append").parquet(f"{store_dir}/kmv")
 
     # 3. month-end: answers come from the store, not the events
     hll_store = spark.read.parquet(f"{store_dir}/hll")
@@ -111,6 +121,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         for r in kll_quantile(month_kll, [(1, 2), (9, 10), (99, 100)]).collect()
     }
     print(f"event-value percentiles this month (merged KLL): {quantiles}")
+    # KMV: "how many users in the SECOND half of the month were NEW
+    # vs the first half" — the set-DIFFERENCE question only the
+    # bottom-k sample answers from the store (HLL would need
+    # inclusion-exclusion and still couldn't give A−B directly)
+    kmv_store = spark.read.parquet(f"{store_dir}/kmv")
+    half = days[len(days) // 2]
+    sk_old = kmv_merge(
+        kmv_store.where(F.col("day") < half).select("kmv_hash"), k=256
+    )
+    sk_new = kmv_merge(
+        kmv_store.where(F.col("day") >= half).select("kmv_hash"), k=256
+    )
+    sets = kmv_set_estimates(sk_old, sk_new, k=256).collect()[0]
+    print(
+        f"users new in 2nd half vs 1st (merged KMV): "
+        f"{sets['kmv_b_only']:.1f} (union {sets['kmv_union']:.1f})"
+    )
     mg_store = spark.read.parquet(f"{store_dir}/mg")
     month_mg = mg_merge(
         mg_store.select("day", "mg_key", "mg_est", "mg_err"),
@@ -159,6 +186,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
         hi = bisect.bisect_right(sv, v)
         err = min(abs(lo - phi * n), abs(hi - phi * n))
         assert err <= day_s_sum + merge_s, (phi, v, err)
+    # KMV audit: both halves' user sets are SMALL here (< k), so the
+    # sample is complete and every set answer must be EXACT
+    old_users = {
+        r["user_id"]
+        for r in events.where(F.col("day") < half).select("user_id").distinct().collect()
+    }
+    new_users = {
+        r["user_id"]
+        for r in events.where(F.col("day") >= half).select("user_id").distinct().collect()
+    }
+    if len(old_users | new_users) < 256:
+        assert sets["kmv_b_only"] == float(len(new_users - old_users))
+        assert sets["kmv_union"] == float(len(old_users | new_users))
     # MG audit: per reported key, est <= true <= est + err, and the
     # total offset respects the W/(k+1) merge bound
     true_user = {
@@ -174,7 +214,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, store_dir: str | No
 
     if own_session:
         spark.stop()
-    return {"days": len(days), "month_users": month_users, "traffic": traffic, "quantiles": quantiles, "heavy_hitters": hot}
+    return {"days": len(days), "month_users": month_users, "traffic": traffic, "quantiles": quantiles, "heavy_hitters": hot, "new_users": sets["kmv_b_only"]}
 
 
 if __name__ == "__main__":

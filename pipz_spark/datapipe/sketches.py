@@ -1120,9 +1120,11 @@ def kmv_set_estimates(
     count is EXACT (both sketches saw their full key sets). Output:
     (kmv_union, kmv_intersect, kmv_a_only, kmv_b_only — DOUBLE;
     kmv_m, kmv_theta — BIGINT audit columns). Every count is an
-    exact BIGINT and each estimate is ONE IEEE division of an
-    exactly-representable numerator (n·2^52, n ≤ k ≤ 2^11 — the
-    product has ≤ 11 significant bits), so any engine replays all
+    exact BIGINT; the numerator is formed as double(n) · double(2^52)
+    — EXACT for any n < 2^53 because scaling by a power of two only
+    moves the exponent (and a BIGINT product would overflow int64
+    under ANSI at k ≥ 2^11, the kmv100x rig's k) — so the one
+    rounding is the final IEEE division and any engine replays all
     four doubles bit-for-bit. Bounded work: every frame here is
     ≤ 2k rows."""
     if k <= 1:
@@ -1148,9 +1150,13 @@ def kmv_set_estimates(
 
     def scale(n: Column) -> Column:
         # exact when the combined sample is complete (< k hashes);
-        # otherwise n·2^52/θ with the numerator exactly representable
+        # otherwise n·2^52/θ with the numerator formed in DOUBLE
+        # (exact — power-of-two scaling; a BIGINT product overflows
+        # ANSI int64 at k ≥ 2^11)
         return F.when(F.col("kmv_m") < k, n.cast("double")).otherwise(
-            (n * F.lit(_KMV_SCALE)).cast("double") / F.col("kmv_theta")
+            n.cast("double")
+            * F.lit(float(_KMV_SCALE))
+            / F.col("kmv_theta")
         )
 
     return agg.select(

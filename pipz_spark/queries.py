@@ -4714,13 +4714,13 @@ agg AS (
   FROM u)
 SELECT
   CASE WHEN m < 512 THEN CAST(m AS DOUBLE)
-       ELSE CAST(m * 4503599627370496 AS DOUBLE) / theta END AS kmv_union,
+       ELSE CAST(m AS DOUBLE) * 4503599627370496.0 / theta END AS kmv_union,
   CASE WHEN m < 512 THEN CAST(n_int AS DOUBLE)
-       ELSE CAST(n_int * 4503599627370496 AS DOUBLE) / theta END AS kmv_intersect,
+       ELSE CAST(n_int AS DOUBLE) * 4503599627370496.0 / theta END AS kmv_intersect,
   CASE WHEN m < 512 THEN CAST(n_ao AS DOUBLE)
-       ELSE CAST(n_ao * 4503599627370496 AS DOUBLE) / theta END AS kmv_a_only,
+       ELSE CAST(n_ao AS DOUBLE) * 4503599627370496.0 / theta END AS kmv_a_only,
   CASE WHEN m < 512 THEN CAST(n_bo AS DOUBLE)
-       ELSE CAST(n_bo * 4503599627370496 AS DOUBLE) / theta END AS kmv_b_only,
+       ELSE CAST(n_bo AS DOUBLE) * 4503599627370496.0 / theta END AS kmv_b_only,
   m AS kmv_m,
   theta AS kmv_theta
 FROM agg

@@ -1835,6 +1835,87 @@ def main_mg100x() -> None:
     spark.stop()
 
 
+def main_kmv100x() -> None:
+    """100× KMV/theta stress: set algebra at 55M rows with DESIGNED
+    set structure so every answer has a closed form. Side A = ids
+    [0, 3M), side B = ids [2.5M, 5.5M) — 3M distinct each, 500k
+    intersection, 2.5M exclusive each way, 5.5M union — each id
+    replicated 10× (the multiset the sketch must dedupe). One k=4096
+    sketch per side built on the grouped_rank bottom-k machine,
+    then kmv_set_estimates. Asserts:
+
+    - per-side kmv_estimate within 4/√(k−2) relative error of the
+      exact 3M (the estimator's ~4-sigma band);
+    - all four set estimates within the same band of their designed
+      truths (union 5.5M, intersection 500k, 2.5M each exclusive);
+    - determinism: a full second build reproduces the sketches
+      row-for-row (md5 bottom-k leaves the engine no choice).
+
+    Scale numbers: the distinct-hash aggregate is the only
+    corpus-sized stage (map-side combined); everything after sees
+    ≤ 2k sketch rows.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py kmv100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-kmv100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_kmv100_")
+    from pipz_spark.datapipe.sketches import (
+        kmv_estimate,
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    N, OVER, REP = 3_000_000, 500_000, 10
+    reps = spark.range(REP).select(F.col("id").alias("_rep"))
+    a = spark.range(N).crossJoin(reps).select(F.col("id").alias("v"))
+    b = (
+        spark.range(N)
+        .crossJoin(reps)
+        .select((F.col("id") + N - OVER).alias("v"))
+    )
+    a.repartition(32).write.mode("overwrite").parquet(f"{tmp}/a")
+    b.repartition(32).write.mode("overwrite").parquet(f"{tmp}/b")
+    pa = spark.read.parquet(f"{tmp}/a").persist()
+    pb = spark.read.parquet(f"{tmp}/b").persist()
+    n_rows = pa.count() + pb.count()
+    print(f"corpus: {n_rows} rows, {N} distinct per side, overlap {OVER}")
+
+    K = 4096
+    band = 4.0 / (K - 2) ** 0.5
+    truths = {
+        "kmv_union": 2 * N - OVER,
+        "kmv_intersect": OVER,
+        "kmv_a_only": N - OVER,
+        "kmv_b_only": N - OVER,
+    }
+
+    def check() -> tuple:
+        sa = kmv_sketch(pa, "v", k=K).localCheckpoint()
+        sb = kmv_sketch(pb, "v", k=K).localCheckpoint()
+        worst = 0.0
+        for sk in (sa, sb):
+            est = kmv_estimate(sk, k=K).collect()[0]["kmv_distinct"]
+            rel = abs(est - N) / N
+            worst = max(worst, rel)
+            assert rel <= band, (est, N, band)
+        out = kmv_set_estimates(sa, sb, k=K).collect()[0]
+        for col, truth in truths.items():
+            rel = abs(out[col] - truth) / truth
+            worst = max(worst, rel)
+            assert rel <= band, (col, out[col], truth, band)
+        # determinism: rebuild reproduces the sketches row-for-row
+        again = sorted(r["kmv_hash"] for r in kmv_sketch(pa, "v", k=K).collect())
+        assert again == sorted(r["kmv_hash"] for r in sa.collect())
+        print(f"  worst relative error {worst:.4f} vs band {band:.4f}")
+        return (n_rows, round(worst, 5))
+
+    run(spark, "kmv 55M set algebra   ", check)
+    spark.stop()
+
+
 def main_cc100x() -> None:
     """Star-contraction stress: connected components of a 5M-node
     CHAIN graph — 100 runs of ~50k consecutive ids (breaks at
@@ -1915,6 +1996,8 @@ if __name__ == "__main__":
         main_kll100x()
     elif "mg100x" in _sys.argv[1:]:
         main_mg100x()
+    elif "kmv100x" in _sys.argv[1:]:
+        main_kmv100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
