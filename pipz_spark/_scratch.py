@@ -15,15 +15,21 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 
 _ROOT: list[str] = []
+_LOCK = threading.Lock()
 
 
 def scratch_dir(prefix: str = "pipz_") -> str:
     """A fresh empty directory under the process-scoped scratch root
-    (created on first use, ``shutil.rmtree``'d via ``atexit``)."""
-    if not _ROOT:
-        root = tempfile.mkdtemp(prefix="pipz_scratch_")
-        _ROOT.append(root)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    (created on first use, ``shutil.rmtree``'d via ``atexit``).
+    Lock-guarded: the bench harness starts streaming rigs from a
+    thread pool, and an unguarded first-use race would register two
+    roots and leak one past the atexit cleanup."""
+    with _LOCK:
+        if not _ROOT:
+            root = tempfile.mkdtemp(prefix="pipz_scratch_")
+            _ROOT.append(root)
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_ROOT[0])

@@ -1140,12 +1140,15 @@ def kmv_set_estimates(
     )
     w = Window.partitionBy(F.lit(0)).orderBy(F.col("kmv_hash").asc())
     u = both.withColumn("_kr", F.row_number().over(w)).where(F.col("_kr") <= k)
+    zero = F.lit(0).cast("long")
+    # coalesce: a GLOBAL aggregate over two EMPTY sketches yields one
+    # row with SUM = NULL; the set algebra of nothing is 0 everywhere
     agg = u.agg(
         F.count(F.lit(1)).alias("kmv_m"),
-        F.max("kmv_hash").alias("kmv_theta"),
-        F.sum(F.col("_a") * F.col("_b")).alias("_n_int"),
-        F.sum(F.col("_a") * (1 - F.col("_b"))).alias("_n_ao"),
-        F.sum((1 - F.col("_a")) * F.col("_b")).alias("_n_bo"),
+        F.coalesce(F.max("kmv_hash"), zero).alias("kmv_theta"),
+        F.coalesce(F.sum(F.col("_a") * F.col("_b")), zero).alias("_n_int"),
+        F.coalesce(F.sum(F.col("_a") * (1 - F.col("_b"))), zero).alias("_n_ao"),
+        F.coalesce(F.sum((1 - F.col("_a")) * F.col("_b")), zero).alias("_n_bo"),
     )
 
     def scale(n: Column) -> Column:

@@ -1190,9 +1190,6 @@ def test_kmv_sketch_and_set_estimates_match_replay(spark_prop, a_vals, b_vals, k
     )
     assert merged == sorted(set(ref_a) | set(ref_b))[:k]
 
-    if not a_vals and not b_vals:
-        release_caches()
-        return
     out = kmv_set_estimates(sa, sb, k=k).collect()[0]
     comb = sorted(set(ref_a) | set(ref_b))[:k]
     m, theta = len(comb), (max(comb) if comb else 0)
