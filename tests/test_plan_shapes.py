@@ -622,3 +622,16 @@ def test_image_near_dup_is_banded_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "ArrowEvalPython" not in plan  # no row-at-a-time UDF
+
+
+def test_theta_diff_sketches_ride_the_range_exchange(spark):
+    # both period sketches' bottom-k selections must rank distinct
+    # hashes via grouped_rank's range exchange (bounded tasks); the
+    # distinct-hash aggregate partial-aggregates map-side; the set
+    # stage joins sketch rows only — nothing cartesian, pure JVM
+    plan = _plan(spark, "dp_theta_diff")
+    assert "rangepartitioning" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
