@@ -752,6 +752,7 @@ def mg_summary(
     k: int = 64,
     group_cols: Seq[str] = (),
     weight_col: str | None = None,
+    bounded_domain: bool = False,
 ) -> DataFrame:
     """Misra–Gries heavy-hitters summary (Misra & Gries 1982,
     "Finding repeated elements"; the mergeable-summaries reading is
@@ -775,6 +776,16 @@ def mg_summary(
     understate its error bound — the soundness hole a row-carried
     offset alone has). NULL input keys are dropped (no identity to
     report), so a NULL mg_key unambiguously marks the offset row.
+
+    ``bounded_domain=True`` switches the prune to a per-group window
+    rank — several jobs cheaper, identical output (same total
+    order). Legal ONLY when the per-group key cardinality is bounded
+    by a DECLARED domain rather than data volume: the read-side
+    compaction of a state store whose state is already (group, key)
+    rows lives under exactly that premise (``stream_heavy_hitters``
+    — if the store fits the state backend, a per-group window over
+    the same rows fits a task); a corpus build does not, and keeps
+    the default grouped_rank range exchange below.
 
     Guarantees (the MG invariants, engine-exact since everything is
     BIGINT): mg_est ≤ true count ≤ mg_est + mg_err for present keys;
@@ -806,7 +817,10 @@ def mg_summary(
         ).where(F.col("mg_key").isNotNull() & (F.col("_w") > 0))
     counts = sel.groupBy(*gcols, "mg_key").agg(w.cast("long").alias("_est"))
     return _mg_prune(
-        counts.withColumn("_ei", F.lit(0).cast("long")), gcols, k
+        counts.withColumn("_ei", F.lit(0).cast("long")),
+        gcols,
+        k,
+        summary_sized=bounded_domain,
     )
 
 

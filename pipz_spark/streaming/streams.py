@@ -1620,7 +1620,16 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "user_id", "n"
     )
     summ = mg_summary(
-        landed, "user_id", k=8, group_cols=["day"], weight_col="n"
+        landed,
+        "user_id",
+        k=8,
+        group_cols=["day"],
+        weight_col="n",
+        # the landed table IS the bounded state (days × user
+        # universe): the read-side prune ranks the same rows the
+        # state store already holds, so the window path is the
+        # right plan here (see mg_summary's bounded_domain contract)
+        bounded_domain=True,
     )
     merged = mg_merge(summ, k=5, source_cols=["day"])
     return mg_topk(merged, 5)
