@@ -1916,6 +1916,123 @@ def main_kmv100x() -> None:
     spark.stop()
 
 
+def main_img100x() -> None:
+    """100× image near-dup stress: the banded aHash machine at 505k
+    binary payloads with a DESIGNED duplicate structure. Corpus =
+    500k unique blobs (md5-derived bytes, so byte profiles are
+    uniform and accidental Hamming ≤ 3 pairs are astronomically
+    unlikely but handled anyway) + 5k seed blobs × 10 IDENTICAL
+    copies each (Hamming 0 by construction). Asserts:
+
+    - RECALL: every one of the 5k × C(10,2) = 225,000 designed
+      clique pairs appears in the output (the pigeonhole guarantee
+      at scale — a lost band bucket would drop whole cliques);
+    - SOUNDNESS: every reported pair's hamming is ≤ 3 AND re-derives
+      exactly from the two signatures (recomputed on a 1k-pair
+      sample via the pure-Python reference);
+    - no single-task blowup: the 100-member cliques share one
+      (band, chunk) bucket per band, exercising the salted
+      hot-bucket path (max_bucket=256 < clique size × bands).
+
+    Scale numbers: the aHash is one Arrow-batched mapInPandas scan;
+    candidates come only from band buckets (never all-pairs over
+    505k blobs = 127 BILLION pairs brute-force).
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py img100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-img100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_img100_")
+    from pipz_spark.datapipe.multimodal import image_near_dup
+
+    # unique blobs: 8 md5 hex blocks (256 bytes) seeded by id —
+    # uniform byte profiles, all distinct
+    blob_expr = F.encode(
+        F.concat(
+            *[
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(f"_b{i}")))
+                for i in range(8)
+            ]
+        ),
+        "utf-8",
+    )
+    uniq = spark.range(500_000).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("seed")
+    )
+    copies = (
+        spark.range(5_000)
+        .select((F.col("id") + 500_000).alias("seed"))
+        .crossJoin(spark.range(10).select(F.col("id").alias("_c")))
+        .select(
+            (F.col("seed") * 100 + F.col("_c") + 10_000_000).alias("doc_id"),
+            "seed",
+        )
+    )
+    corpus = uniq.unionByName(copies).select("doc_id", "seed", blob_expr.alias("blob"))
+    corpus.repartition(64).write.mode("overwrite").parquet(f"{tmp}/blobs")
+    blobs = spark.read.parquet(f"{tmp}/blobs").persist()
+    n = blobs.count()
+    print(f"corpus: {n} blobs (500k unique + 5k cliques of 10 copies)")
+
+    def check() -> tuple:
+        pairs = image_near_dup(
+            blobs, max_hamming=3, max_bucket=256
+        ).persist()
+        n_pairs = pairs.count()
+        # RECALL: designed clique pairs all present — join pairs back
+        # to seeds; a clique pair is (same seed, both copy ids)
+        sa = blobs.select(F.col("doc_id").alias("id_a"), F.col("seed").alias("_sa"))
+        sb = blobs.select(F.col("doc_id").alias("id_b"), F.col("seed").alias("_sb"))
+        clique_found = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(
+                (F.col("_sa") == F.col("_sb"))
+                & (F.col("id_a") >= 10_000_000)
+                & (F.col("id_b") >= 10_000_000)
+            )
+            .count()
+        )
+        want = 5_000 * 45
+        assert clique_found == want, (clique_found, want)
+        # SOUNDNESS: hamming column within threshold everywhere, and a
+        # 1k-pair sample re-derives exactly from the reference hash
+        assert pairs.where(F.col("hamming") > 3).count() == 0
+        sample = pairs.limit(1000).collect()
+        blob_ids = {r["id_a"] for r in sample} | {r["id_b"] for r in sample}
+        bmap = {
+            r["doc_id"]: bytes(r["blob"])
+            for r in blobs.where(F.col("doc_id").isin(list(blob_ids))).collect()
+        }
+
+        def ref_bands(b):
+            L = len(b)
+            if L == 0:
+                return (0, 0, 0, 0)
+            tot = sum(b)
+            bits = []
+            for i in range(64):
+                lo, hi = (i * L) // 64, ((i + 1) * L) // 64
+                bs, bl = sum(b[lo:hi]), hi - lo
+                bits.append(1 if bs * L > tot * bl else 0)
+            return tuple(
+                sum(bits[16 * j + r] << r for r in range(16)) for j in range(4)
+            )
+
+        for r in sample:
+            ha, hb = ref_bands(bmap[r["id_a"]]), ref_bands(bmap[r["id_b"]])
+            hd = sum(bin(ha[t] ^ hb[t]).count("1") for t in range(4))
+            assert hd == r["hamming"], (r, hd)
+        pairs.unpersist()
+        print(f"  {n_pairs} pairs, all {want} designed clique pairs present")
+        return (n, n_pairs)
+
+    run(spark, "img 505k banded ahash ", check)
+    spark.stop()
+
+
 def main_cc100x() -> None:
     """Star-contraction stress: connected components of a 5M-node
     CHAIN graph — 100 runs of ~50k consecutive ids (breaks at
@@ -1998,6 +2115,8 @@ if __name__ == "__main__":
         main_mg100x()
     elif "kmv100x" in _sys.argv[1:]:
         main_kmv100x()
+    elif "img100x" in _sys.argv[1:]:
+        main_img100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
