@@ -3236,6 +3236,25 @@ def test_incremental_sketches_example(spark, tmp_path):
     assert out["traffic"] and all(v > 0 for v in out["traffic"].values())
 
 
+def test_image_dedup_example(spark):
+    """The multimodal dedup flow end to end: banded aHash pairs feed
+    the cluster/keeper machinery, pairs never straddle clusters (the
+    example asserts this itself), and the planted variants actually
+    collapse (kept < payloads)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from image_dedup import main
+    finally:
+        sys.path.pop(0)
+
+    out = main("/root/testdata/sf0.001", spark=spark)
+    assert out["payloads"] > 0
+    assert out["pairs"] > 0, "the planted variants must produce pairs"
+    assert out["kept"] < out["payloads"]
+
+
 # ---- r14: triangle counting / label propagation -------------------
 
 
