@@ -1126,11 +1126,177 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Community detection by synchronous frequency-based label
+    propagation (Raghavan et al. 2007, made deterministic): every
+    node adopts the MOST FREQUENT label among its neighbors plus its
+    own current label, ties broken by MIN label. Returns
+    (node, label) after ``iters`` rounds; nodes sharing a label are
+    one community.
+
+    This is the graph family's third Pregel merge semiring and the
+    one the family lacked: ``pagerank``/``hits`` aggregate by SUM
+    (additive mass), ``propagate_min_labels``/``connected_components``
+    by idempotent MIN (reachability), and LPA by **mode** —
+    argmax-of-count — which is neither: dense intra-community edges
+    outvote sparse cut edges, so labels stop at community boundaries
+    instead of flooding the whole component the way min-label does.
+    On the curation side that difference is the whole point: a
+    near-dup pair graph's connected component says "transitively
+    similar", while its LPA communities split a chained mirror farm
+    into the template families that actually share content.
+
+    Determinism (the repo's engine-exact discipline — published LPA
+    is randomized in both tie-break and visit order): updates are
+    synchronous (every round reads only the previous round's labels,
+    so there is no visit order to pick), the vote includes the
+    node's own label exactly once (the standard self-vote damping —
+    without it a bipartite graph two-colors itself and oscillates
+    forever under synchronous updates), and the winner is the
+    lexicographically (count DESC, label ASC) first candidate. Any
+    engine replays a round as: neighbor-label counts UNION the self
+    vote → GROUP BY node → argmax.
+
+    Physical shape per round: edge ⨝ label equi-join on the
+    symmetrized frame, then ONE aggregation tree — counts collapse
+    map-side to (node, label, cnt) and the argmax is a struct-MIN of
+    (-cnt, label), itself partial-aggregatable, so the exchange
+    carries at most one candidate per (partition, node, label) and
+    the argmax adds no second shuffle wave beyond the count's. No
+    window (a per-node rank would sort the whole frame); no driver
+    state at any scale. Lineage: ``checkpoint_every`` truncates via
+    ``localCheckpoint`` exactly as in ``pagerank``.
+
+    Reference parity: no graph surface in the reference
+    (api.go:423-428 is value-at-a-time) — LLM-data-pipeline operator
+    per the brief, same rationale as ``pagerank``.
+    """
+    if iters < 0:
+        raise ValueError(f"need iters >= 0, got {iters}")
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
+    e = _directed_front(edges, src_col, dst_col, out=("_s", "_d"))
+    sym = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    labels = _node_universe(e, "_s", "_d").withColumn(
+        "label", F.col("node")
+    )
+
+    for it in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("_n"), F.col("label").alias("_l")),
+            F.col("_s") == F.col("_n"),
+        ).select(F.col("_d").alias("node"), F.col("_l").alias("label"))
+        votes = nbr.union(labels.select("node", "label"))
+        cnt = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        # argmax by (count DESC, label ASC) as a partial-aggregatable
+        # struct MIN — never a per-node window sort
+        labels = cnt.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("_cnt")).alias("_nc"), F.col("label").alias("_lb"))
+            )["_lb"].alias("label")
+        )
+        if (
+            checkpoint_every is not None
+            and (it + 1) % checkpoint_every == 0
+            and it + 1 < iters
+        ):
+            labels = labels.localCheckpoint()
+
+    return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    symmetric: bool = False,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distance — the min-PLUS member of the
+    Pregel taxonomy (SUM: pagerank/hits; idempotent MIN over ids:
+    connected_components; mode: label_propagation; THIS: min over
+    ``dist + 1``, the tropical semiring, i.e. unweighted shortest
+    paths). Returns (node, hops BIGINT): the minimum number of
+    directed edges from ANY seed, for every node reachable within
+    ``iters`` hops — seeds themselves at 0; unreached nodes are
+    ABSENT (the caller left-joins its universe if it wants NULLs,
+    the same reached-only convention as the frontier literature).
+
+    Curation reading: hop distance from a trusted seed set is the
+    link-graph locality signal TrustRank smooths — BFS gives the
+    crisp integer version ("within 2 clicks of a curated hub"), and
+    on near-dup pair graphs it measures chain depth from canonical
+    documents (mirror-of-a-mirror distance).
+
+    Per round: dist ⨝ edges on src (equi-join, co-partitionable on
+    the node key), candidates ``dist + 1`` union the standing map,
+    then GROUP BY node MIN — idempotent, so map-side combine
+    collapses each partition to one candidate per node and re-sent
+    already-settled distances are absorbed exactly. Hop counts are
+    BIGINT; the replay is bit-free integer arithmetic any engine
+    reproduces. Seeds not present in the edge frame still appear in
+    the output at hops 0 (a seed is a claim about the node, not
+    about its adjacency); NULL seed ids are dropped like NULL edge
+    endpoints. ``symmetric=True`` unions the reversed edges first
+    (undirected reachability); lineage via ``checkpoint_every`` as
+    in ``pagerank``.
+
+    Reference parity: none (no graph surface in the reference) —
+    LLM-data-pipeline operator per the brief.
+    """
+    if iters < 0:
+        raise ValueError(f"need iters >= 0, got {iters}")
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
+    e = _directed_front(edges, src_col, dst_col, out=("_s", "_d"))
+    if symmetric:
+        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col(seed_col).isNotNull())
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+    )
+
+    for it in range(iters):
+        cand = e.join(
+            dist.select(F.col("node").alias("_s"), "hops"), "_s"
+        ).select(
+            F.col("_d").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if (
+            checkpoint_every is not None
+            and (it + 1) % checkpoint_every == 0
+            and it + 1 < iters
+        ):
+            dist = dist.localCheckpoint()
+
+    return dist
+
+
 __all__ = [
+    "bfs_hops",
     "clustering_coefficient",
     "connected_components",
     "hits",
     "kcore_peel",
+    "label_propagation",
     "pagerank",
     "propagate_min_labels",
     "triangle_count",

@@ -4367,6 +4367,118 @@ SELECT node, label FROM l3
 """
 
 
+# Frequency-based LPA community detection (graph.label_propagation —
+# Raghavan et al. 2007 made deterministic: synchronous rounds,
+# self-vote, count-DESC/label-ASC winner). The mode-semiring Pregel
+# member: same customer-supplier graph as dp_components, but labels
+# stop at community boundaries instead of flooding the component.
+# Oracle = 3 unrolled rounds of neighbor-vote counts + window argmax
+# (the engine's struct-MIN argmax is semantically that rank-1 row).
+def _dp_label_prop(spark, sf):
+    from .datapipe import label_propagation
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, iters=3)
+
+
+_DP_LABEL_PROP_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src AS s, dst AS d FROM p UNION ALL SELECT dst AS s, src AS d FROM p),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM (SELECT node, label, COUNT(*) AS cnt FROM (
+            SELECT e.d AS node, l.label FROM e JOIN l0 l ON l.node = e.s
+            UNION ALL SELECT node, label FROM l0) y
+          GROUP BY node, label) c) r
+  WHERE rn = 1),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM (SELECT node, label, COUNT(*) AS cnt FROM (
+            SELECT e.d AS node, l.label FROM e JOIN l1 l ON l.node = e.s
+            UNION ALL SELECT node, label FROM l1) y
+          GROUP BY node, label) c) r
+  WHERE rn = 1),
+l3 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM (SELECT node, label, COUNT(*) AS cnt FROM (
+            SELECT e.d AS node, l.label FROM e JOIN l2 l ON l.node = e.s
+            UNION ALL SELECT node, label FROM l2) y
+          GROUP BY node, label) c) r
+  WHERE rn = 1)
+SELECT node, label FROM l3
+"""
+
+
+# Multi-source BFS hop distance (graph.bfs_hops — the min-plus /
+# tropical-semiring Pregel member): hops from the nation-0 customer
+# seed set over the symmetrized customer-supplier graph, 3 rounds.
+# Integer-exact by construction; oracle = 3 unrolled MIN(dist+1)
+# rounds. Seeds with no edges still appear at hops 0 (a seed is a
+# claim about the node, not its adjacency).
+def _dp_bfs_hops(spark, sf):
+    from .datapipe import bfs_hops
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return bfs_hops(pairs, seeds, iters=3, symmetric=True)
+
+
+_DP_BFS_HOPS_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src AS s, dst AS d FROM p UNION ALL SELECT dst AS s, src AS d FROM p),
+d0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+              CAST(0 AS BIGINT) AS hops
+       FROM customer WHERE c_nationkey = 0),
+d1 AS (SELECT node, MIN(hops) AS hops FROM (
+         SELECT e.d AS node, x.hops + 1 AS hops FROM e JOIN d0 x ON x.node = e.s
+         UNION ALL SELECT node, hops FROM d0) y GROUP BY node),
+d2 AS (SELECT node, MIN(hops) AS hops FROM (
+         SELECT e.d AS node, x.hops + 1 AS hops FROM e JOIN d1 x ON x.node = e.s
+         UNION ALL SELECT node, hops FROM d1) y GROUP BY node),
+d3 AS (SELECT node, MIN(hops) AS hops FROM (
+         SELECT e.d AS node, x.hops + 1 AS hops FROM e JOIN d2 x ON x.node = e.s
+         UNION ALL SELECT node, hops FROM d2) y GROUP BY node)
+SELECT node, hops FROM d3
+"""
+
+
 # Winnowing fingerprints (winnow.winnow_fingerprints — Schleimer et
 # al. 2003, the MOSS algorithm): per-doc word-3-gram hashes, window
 # of 4, keep each window's rightmost minimum. ONE pure projection →
@@ -5933,6 +6045,17 @@ QUERIES: dict[str, Declared] = {
     # (same exact-count front, prune on top); the integer-numerator
     # ln quantization discipline stays gated by dp_ccnet_buckets
     "dp_token_entropy": Declared(_dp_token_entropy, _DP_TOKEN_ENTROPY_SQL),
+    # ---- r16 post-freeze tail newcomers (the r17 promotion list:
+    # landed after the r16 window froze, gated locally by the full
+    # sweep + tests/test_tail_oracle.py until their rotation in) ----
+    # frequency-LPA community detection — the MODE-semiring Pregel
+    # member (pagerank/hits: SUM; components: idempotent MIN; this:
+    # argmax-of-count), deterministic via synchronous rounds +
+    # self-vote + (count DESC, label ASC) struct-MIN winner
+    "dp_label_prop": Declared(_dp_label_prop, _DP_LABEL_PROP_SQL),
+    # multi-source BFS hop distance — the min-PLUS (tropical) Pregel
+    # member; integer-exact, reached-only output, seeds at hops 0
+    "dp_bfs_hops": Declared(_dp_bfs_hops, _DP_BFS_HOPS_SQL),
 }
 
 

@@ -4379,3 +4379,160 @@ def test_weighted_pagerank_matches_replay(spark):
         for r in pagerank(ones, iters=2, weight_col="w").collect()
     }
     assert uni == wuni
+
+
+# ---- r16: LPA community detection + multi-source BFS --------------
+
+
+def _ref_lpa(pairs, iters):
+    """Pure-Python replay of deterministic frequency LPA: symmetric
+    edges, synchronous rounds, self-vote, (count DESC, label ASC)."""
+    sym = set()
+    for s, d in pairs:
+        if s is None or d is None:
+            continue
+        sym.add((s, d))
+        sym.add((d, s))
+    # multi-edges in the INPUT collapse only if duplicated after the
+    # NULL drop — the engine keeps multiplicity, so replay from the
+    # raw list, not the set
+    adj = []
+    for s, d in pairs:
+        if s is None or d is None:
+            continue
+        adj.append((s, d))
+        adj.append((d, s))
+    nodes = {s for s, _ in adj} | {d for _, d in adj}
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        votes = {n: {} for n in nodes}
+        for s, d in adj:
+            lbl = labels[s]
+            votes[d][lbl] = votes[d].get(lbl, 0) + 1
+        for n in nodes:
+            own = labels[n]
+            votes[n][own] = votes[n].get(own, 0) + 1
+        labels = {
+            n: min(v.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for n, v in votes.items()
+        }
+    return labels
+
+
+def test_label_propagation_matches_replay(spark):
+    from pipz_spark.datapipe import label_propagation
+
+    # two triangles joined by one cut edge: LPA must keep two
+    # communities where min-label floods one component
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for iters in (0, 1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == _ref_lpa(pairs, iters)
+    # converged communities: the triangles keep distinct labels
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=3, checkpoint_every=2).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_propagation(df, iters=-1)
+    with _pytest.raises(ValueError):
+        label_propagation(df, checkpoint_every=0)
+
+
+def test_label_propagation_bipartite_no_oscillation(spark):
+    """The self-vote damps the synchronous two-coloring oscillation:
+    on K2,2 labels converge instead of swapping forever."""
+    from pipz_spark.datapipe import label_propagation
+
+    pairs = [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    l3 = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    l4 = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=4).collect()
+    }
+    assert l3 == l4 == _ref_lpa(pairs, 3)
+
+
+def _ref_bfs(pairs, seeds, iters, symmetric):
+    adj = []
+    for s, d in pairs:
+        if s is None or d is None:
+            continue
+        adj.append((s, d))
+        if symmetric:
+            adj.append((d, s))
+    dist = {s: 0 for s in seeds if s is not None}
+    for _ in range(iters):
+        new = dict(dist)
+        for s, d in adj:
+            if s in dist:
+                cand = dist[s] + 1
+                if d not in new or cand < new[d]:
+                    new[d] = cand
+        dist = new
+    return dist
+
+
+def test_bfs_hops_matches_replay(spark):
+    from pipz_spark.datapipe import bfs_hops
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("q", "a"), ("e", "q"), ("u", "v"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("lonely",)], "node string")
+    for iters in (0, 1, 2, 3):
+        for symmetric in (False, True):
+            got = {
+                r["node"]: r["hops"]
+                for r in bfs_hops(
+                    df, seeds, iters=iters, symmetric=symmetric
+                ).collect()
+            }
+            assert got == _ref_bfs(pairs, ["a", "lonely"], iters, symmetric)
+    # unreached nodes absent; seeds with no edges present at 0
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, seeds, iters=2, checkpoint_every=1).collect()
+    }
+    assert "u" not in got and "v" not in got and got["lonely"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bfs_hops(df, seeds, iters=-1)
+    with _pytest.raises(ValueError):
+        bfs_hops(df, seeds, checkpoint_every=0)
+
+
+def test_bfs_hops_duplicate_and_null_seeds(spark):
+    """Duplicate seed rows collapse; NULL seeds drop; directed hops
+    follow edge direction only."""
+    from pipz_spark.datapipe import bfs_hops
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("a",), (None,)], "node string"
+    )
+    got = {
+        r["node"]: r["hops"] for r in bfs_hops(df, seeds, iters=2).collect()
+    }
+    assert got == {"a": 0, "b": 1}

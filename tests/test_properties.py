@@ -1206,3 +1206,56 @@ def test_kmv_sketch_and_set_estimates_match_replay(spark_prop, a_vals, b_vals, k
     assert out["kmv_a_only"] == ref_scale(n_ao)
     assert out["kmv_b_only"] == ref_scale(n_bo)
     release_caches()
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=30
+    ),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_label_propagation_matches_replay_for_any_graph(spark_prop, edges, iters):
+    """label_propagation equals the pure-Python replay for ANY small
+    graph (self-loops, multi-edges included) and any round count —
+    the deterministic-mode-vote contract, mechanically."""
+    from test_datapipe import _ref_lpa
+
+    from pipz_spark.datapipe import label_propagation
+
+    pairs = [(f"n{a}", f"n{b}") for a, b in edges]
+    df = spark_prop.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == _ref_lpa(pairs, iters)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=30
+    ),
+    seeds=st.lists(st.integers(0, 7), min_size=1, max_size=3),
+    iters=st.integers(min_value=0, max_value=3),
+    symmetric=st.booleans(),
+)
+def test_bfs_hops_matches_replay_for_any_graph(
+    spark_prop, edges, seeds, iters, symmetric
+):
+    """bfs_hops equals the pure-Python frontier replay for ANY small
+    digraph, seed set, direction mode, and round count."""
+    from test_datapipe import _ref_bfs
+
+    from pipz_spark.datapipe import bfs_hops
+
+    pairs = [(f"n{a}", f"n{b}") for a, b in edges]
+    snames = [f"n{s}" for s in seeds]
+    df = spark_prop.createDataFrame(pairs, "src string, dst string")
+    sdf = spark_prop.createDataFrame([(s,) for s in snames], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, sdf, iters=iters, symmetric=symmetric).collect()
+    }
+    assert got == _ref_bfs(pairs, snames, iters, symmetric)
