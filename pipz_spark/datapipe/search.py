@@ -165,4 +165,89 @@ def bm25_topk(
     )
 
 
-__all__ = ["bm25_topk"]
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of
+    N per-query rankings into one hybrid ranking — the standard
+    score-free fusion for lexical + vector retrieval (BM25 top-k
+    and cosine top-k rank the same corpus on incommensurable scores;
+    RRF combines them through the RANKS alone):
+
+        rrf(q, d) = Σ_lists  1 / (rrf_k + rank_list(q, d))
+
+    with rrf_k = 60 per the paper. A document missing from a list
+    contributes nothing for that list (the top-k cutoff IS the
+    membership signal). Output: (query, id, rrf DOUBLE, n_lists INT,
+    rank INT) — rank 1..k per query by rrf DESC, id ASC; n_lists =
+    how many input rankings carried the document (the
+    "found-by-both" curation signal).
+
+    Inputs are the repo's own ranking shapes: each DataFrame needs
+    (query_col, id_col, rank_col) — ``bm25_topk`` output fits as-is;
+    rename qid/nid from the ANN family (``cosine_topk_*``).
+
+    Engine-exact determinism: each contribution ``1/(rrf_k + rank)``
+    is ONE exactly-rounded IEEE division (bit-identical in any
+    engine), and the per-document sum folds contributions in FIXED
+    list order (sort by list index, then left-fold) so N-way fusion
+    never depends on aggregation order — for the common 2-list case
+    this equals a plain SUM (binary + is commutative), which is what
+    the declared oracle replays. Ties (e.g. two docs each found by
+    one list at the same rank) break on id.
+
+    100 TB posture: the union of N top-k lists is N·k rows per
+    query — the heavy retrieval work already happened inside the
+    input rankings (each with its own bounded plan); fusion itself
+    is one (query, id) map-side-combinable aggregate plus a window
+    over ≤ N·k rows per query. No corpus scan, no join back to the
+    corpus.
+
+    Reference parity: no retrieval surface in the reference — the
+    LLM-data-pipeline search family (SURVEY §2.5), composing its
+    bm25_topk / cosine_topk members.
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    if rrf_k <= 0:
+        raise ValueError(f"need rrf_k > 0, got {rrf_k}")
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_id"),
+            F.col(rank_col).cast("long").alias("_rank"),
+            F.lit(i).alias("_src"),
+        )
+        tagged = part if tagged is None else tagged.union(part)
+    fused = tagged.groupBy("_q", "_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_src", "_rank"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.lit(1.0) / (F.lit(float(rrf_k)) + s["_rank"].cast("double")),
+        ).alias("rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("rrf").desc(), F.col("_id"))
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_id").alias(id_col),
+            "rrf",
+            "n_lists",
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )
+
+
+__all__ = ["bm25_topk", "rrf_fuse"]

@@ -3992,6 +3992,116 @@ FROM rnk WHERE rank <= 10
 """
 
 
+# Hybrid retrieval fusion (search.rrf_fuse — Cormack et al. 2009
+# Reciprocal Rank Fusion): the lexical BM25 top-10 and the vector
+# cosine top-10 for the same six queries fused through ranks alone,
+# rrf = Σ 1/(60 + rank). Query qid's exemplar embedding is vec_id =
+# qid (doc ids and vec ids share the 0..n id space — query-by-
+# example on the vector side, keywords on the lexical side). Each
+# 1/(60+r) is one exactly-rounded IEEE division and the 2-list fold
+# equals a plain SUM (binary + commutes), so the oracle replays both
+# input rankings (the dp_bm25 and dp_cosine_topk machines verbatim)
+# plus the fusion bit-for-bit.
+def _dp_rrf_fusion(spark, sf):
+    from .datapipe import bm25_topk, cosine_topk_bruteforce, rrf_fuse
+
+    lex = bm25_topk(_t(spark, sf, "documents"), _BM25_QUERIES, k=10)
+    emb = _t(spark, sf, "embeddings")
+    vec = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") <= 5), k=10
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, vec], k=10)
+
+
+_DP_RRF_FUSION_SQL = r"""
+WITH q(query_id, term) AS (
+  VALUES (0, 'hash'), (0, 'join'),
+         (1, 'window'), (1, 'agg'), (1, 'batch'),
+         (2, 'sort'), (2, 'merge'), (2, 'join'),
+         (3, 'dup'), (3, 'scan'),
+         (4, 'customer'), (4, 'order'), (4, 'part'),
+         (5, 'fast'), (5, 'vector'), (5, 'query')
+),
+d0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM d0 WHERE len(toks) > 0
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_words FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM d, unnest(toks) AS u(term)
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(dl AS DOUBLE)
+                           / (CAST(total_words AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE))))))
+           AS DECIMAL(28,6)) AS ts
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id, SUM(ts) AS s FROM scored GROUP BY query_id, doc_id
+),
+bm AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM agg
+),
+cq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id <= 5),
+cpairs AS (
+  SELECT cq.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(cq.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+  FROM cq, embeddings e WHERE e.vec_id <> cq.qid),
+cr AS (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM cpairs),
+u AS (
+  SELECT query_id, doc_id, rank FROM bm WHERE rank <= 10
+  UNION ALL
+  SELECT qid AS query_id, nid AS doc_id, rank FROM cr WHERE rank <= 10),
+f AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))) AS rrf,
+         CAST(COUNT(*) AS INTEGER) AS n_lists
+  FROM u GROUP BY query_id, doc_id),
+r AS (
+  SELECT query_id, doc_id, rrf, n_lists,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM f)
+SELECT query_id, doc_id, rrf, n_lists, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
 # --------------------------------------------------------------------
 # Gopher-rule quality report (new r9): the doc-level subset of Rae et
 # al.'s table-A1 filters as pure expressions — word-count band, mean
@@ -6056,6 +6166,10 @@ QUERIES: dict[str, Declared] = {
     # multi-source BFS hop distance — the min-PLUS (tropical) Pregel
     # member; integer-exact, reached-only output, seeds at hops 0
     "dp_bfs_hops": Declared(_dp_bfs_hops, _DP_BFS_HOPS_SQL),
+    # hybrid retrieval: BM25 + cosine reciprocal-rank fusion — the
+    # fusion member the search family lacked; oracle replays both
+    # input rankings verbatim plus the rank-only fusion
+    "dp_rrf_fusion": Declared(_dp_rrf_fusion, _DP_RRF_FUSION_SQL),
 }
 
 

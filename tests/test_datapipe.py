@@ -4536,3 +4536,66 @@ def test_bfs_hops_duplicate_and_null_seeds(spark):
         r["node"]: r["hops"] for r in bfs_hops(df, seeds, iters=2).collect()
     }
     assert got == {"a": 0, "b": 1}
+
+
+# ---- r16: reciprocal rank fusion ----------------------------------
+
+
+def _ref_rrf(lists, k=10, rrf_k=60):
+    """Pure-Python RRF replay: fixed list order fold, (rrf DESC, id)."""
+    acc = {}
+    for li in lists:
+        for q, d, r in li:
+            key = (q, d)
+            s, n = acc.get(key, (0.0, 0))
+            acc[key] = (s + 1.0 / (rrf_k + r), n + 1)
+    out = {}
+    byq = {}
+    for (q, d), (s, n) in acc.items():
+        byq.setdefault(q, []).append((d, s, n))
+    for q, rows in byq.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (d, s, n) in enumerate(rows[:k], start=1):
+            out[(q, d)] = (s, n, rank)
+    return out
+
+
+def test_rrf_fuse_matches_replay_three_lists(spark):
+    """Three-list fusion: overlap counts, rank-1/(60+r) sums, ties on
+    id — against the pure replay (N > 2 exercises the sorted fold)."""
+    from pipz_spark.datapipe import rrf_fuse
+
+    l1 = [(0, "a", 1), (0, "b", 2), (1, "x", 1)]
+    l2 = [(0, "b", 1), (0, "c", 2), (1, "x", 2)]
+    l3 = [(0, "a", 2), (0, "c", 1), (1, "y", 1)]
+    dfs = [
+        spark.createDataFrame(li, "query_id int, doc_id string, rank int")
+        for li in (l1, l2, l3)
+    ]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf"], r["n_lists"], r["rank"])
+        for r in rrf_fuse(dfs, k=10).collect()
+    }
+    assert got == _ref_rrf([l1, l2, l3])
+    # found-by-all doc carries n_lists = 3
+    assert got[(0, "a")][1] == 2 and got[(0, "b")][1] == 2
+
+
+def test_rrf_fuse_k_cutoff_and_validation(spark):
+    from pipz_spark.datapipe import rrf_fuse
+    import pytest as _pytest
+
+    li = [(0, f"d{i}", i) for i in range(1, 6)]
+    df = spark.createDataFrame(li, "query_id int, doc_id string, rank int")
+    out = rrf_fuse([df], k=3).collect()
+    assert len(out) == 3 and {r["rank"] for r in out} == {1, 2, 3}
+    # single-list fusion preserves the input order
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "d1", "d2", "d3",
+    ]
+    with _pytest.raises(ValueError):
+        rrf_fuse([df], k=0)
+    with _pytest.raises(ValueError):
+        rrf_fuse([df], rrf_k=0)
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
