@@ -189,4 +189,124 @@ def kmeans_embeddings(
     return base.select(id_col, cell, dist_q)
 
 
-__all__ = ["kmeans_embeddings"]
+def _sqdist_q(vec, center: list[float], dist_quant: int):
+    """Exact-integer quantized squared L2 distance to a literal
+    center — the kmeans discipline: per-dim floor((x−c)²·Q + 0.5) is
+    one double subtract/multiply pair (exactly rounded, identical in
+    any engine) snapped to BIGINT, and the dim-sum is integer, so no
+    comparison downstream ever touches a float."""
+    lit_c = F.array(*[F.lit(float(v)) for v in center])
+    per_dim = F.zip_with(
+        vec,
+        lit_c,
+        lambda x, cc: F.floor(
+            (x - cc) * (x - cc) * F.lit(float(dist_quant)) + F.lit(0.5)
+        ),
+    )
+    return F.aggregate(per_dim, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kcenter",
+    dist_quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Greedy k-center / farthest-point diversity selection (Gonzalez
+    1985; the classic 2-approximation to the k-center objective) over
+    an embedding column — the coreset/diverse-subset primitive the
+    sampling family lacked: where ``deterministic_sample`` draws
+    uniformly and ``priority_sample`` draws by weight, k-center picks
+    the k mutually FARTHEST exemplars, the standard seed step for
+    diverse eval-set construction and coverage-based corpus probes
+    (and the farthest-first init k-means literature recommends).
+
+    Greedy rule: seed with the hash-minimal row (the repo's
+    deterministic-sampler trick, as in ``kmeans_embeddings``), then
+    k−1 times pick the point with the LARGEST distance to its
+    nearest already-selected center (ties: smaller id). Returns the
+    full assignment — (id_col, center_id, d2_q BIGINT): every
+    point's nearest selected center by (distance, center id) and the
+    exact integer-quantized squared L2 distance (divide by
+    ``dist_quant`` for the float value; centers assign to themselves
+    at 0). ``max(d2_q)`` is the k-center covering radius.
+
+    Engine-exact: distances are the exact integers of
+    ``kmeans_embeddings``'s construction (no float comparison
+    anywhere — see ``_sqdist_q``), so any engine replays selection
+    and assignment bit-for-bit with k−1 unrolled argmax rounds.
+
+    100 TB posture: the only state is the k selected vectors — k
+    bounded driver rows (the kmeans collect discipline), embedded
+    back as array literals so every pass is join-free whole-stage
+    codegen. Round j evaluates j literal distances per row: total
+    work O(k²·dims) per point for selection + O(k·dims) for the
+    final assignment, each round ONE corpus pass ending in a
+    TakeOrdered(1) — never a full sort, never a shuffle of the
+    corpus, no lineage growth (each pass re-derives from the scan,
+    there is no iterated frame to checkpoint). The same
+    O(k·dims)-literal plan-size boundary as kmeans applies; this
+    operator targets small k (diverse exemplars), not large-k
+    clustering.
+
+    Reference parity: no sampling/geometry surface in the reference —
+    LLM-data-pipeline operator per the brief (SURVEY §2.5).
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), vec.alias("_v")
+    )
+    v = F.col("_v")
+
+    seed = (
+        base.select(
+            id_col,
+            "_v",
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        raise ValueError("need >= 1 non-null vector, got 0")
+    centers = [(seed[0][id_col], list(seed[0]["_v"]))]
+
+    for _ in range(k - 1):
+        mind = F.least(
+            *[_sqdist_q(v, cv, dist_quant) for _, cv in centers]
+        ) if len(centers) > 1 else _sqdist_q(v, centers[0][1], dist_quant)
+        far = (
+            base.select(id_col, "_v", mind.alias("_mind"))
+            .orderBy(F.col("_mind").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        centers.append((far[0][id_col], list(far[0]["_v"])))
+
+    # the center id rides back as a literal — pin it to the input id
+    # column's type so the output schema never depends on how Python
+    # boxed the collected value
+    id_type = base.schema[id_col].dataType
+    structs = [
+        F.struct(
+            _sqdist_q(v, cv, dist_quant).alias("d"),
+            F.lit(cid).cast(id_type).alias("cid"),
+        )
+        for cid, cv in centers
+    ]
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return base.select(
+        F.col(id_col),
+        best["cid"].alias("center_id"),
+        best["d"].alias("d2_q"),
+    )
+
+
+__all__ = ["kcenter_select", "kmeans_embeddings"]

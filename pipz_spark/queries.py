@@ -2725,6 +2725,57 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) = 1
 """
 
 
+# Greedy k-center diversity selection (kmeans.kcenter_select —
+# Gonzalez 1985 farthest-point traversal, k=4): hash-minimal seed,
+# then 3 unrolled argmax-of-min-distance rounds, then the full
+# nearest-center assignment. Distances are the kmeans machine's
+# exact integers (floor((x−c)²·1e9 + 0.5) summed per dim), so both
+# selection and assignment replay bit-for-bit; the oracle computes
+# them over the per-dimension explode while the Spark side stays a
+# join-free zip_with fold over literal centers.
+def _dp_kcenter(spark, sf):
+    from .datapipe import kcenter_select
+
+    return kcenter_select(_t(spark, sf, "embeddings"), k=4)
+
+
+_DP_KCENTER_SQL = """
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
+xd AS (SELECT vec_id, CAST(generate_subscripts(e, 1) AS INT) AS d, unnest(e) AS v FROM x),
+s0 AS (SELECT vec_id FROM x
+       ORDER BY md5(CAST(vec_id AS VARCHAR) || 'kcenter'), vec_id LIMIT 1),
+c1d AS (SELECT xd.d, xd.v FROM xd JOIN s0 ON xd.vec_id = s0.vec_id),
+m1 AS (SELECT xd.vec_id,
+              CAST(SUM(CAST(floor((xd.v - c.v) * (xd.v - c.v) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mind
+       FROM xd JOIN c1d c ON c.d = xd.d GROUP BY xd.vec_id),
+s1 AS (SELECT vec_id FROM m1 ORDER BY mind DESC, vec_id LIMIT 1),
+c2d AS (SELECT xd.d, xd.v FROM xd JOIN s1 ON xd.vec_id = s1.vec_id),
+m2 AS (SELECT m1.vec_id, LEAST(m1.mind, d2.dq) AS mind
+       FROM m1 JOIN (SELECT xd.vec_id,
+                            CAST(SUM(CAST(floor((xd.v - c.v) * (xd.v - c.v) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+                     FROM xd JOIN c2d c ON c.d = xd.d GROUP BY xd.vec_id) d2
+            ON d2.vec_id = m1.vec_id),
+s2 AS (SELECT vec_id FROM m2 ORDER BY mind DESC, vec_id LIMIT 1),
+c3d AS (SELECT xd.d, xd.v FROM xd JOIN s2 ON xd.vec_id = s2.vec_id),
+m3 AS (SELECT m2.vec_id, LEAST(m2.mind, d3.dq) AS mind
+       FROM m2 JOIN (SELECT xd.vec_id,
+                            CAST(SUM(CAST(floor((xd.v - c.v) * (xd.v - c.v) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+                     FROM xd JOIN c3d c ON c.d = xd.d GROUP BY xd.vec_id) d3
+            ON d3.vec_id = m2.vec_id),
+s3 AS (SELECT vec_id FROM m3 ORDER BY mind DESC, vec_id LIMIT 1),
+cents AS (SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM s1
+          UNION ALL SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM s3),
+cd AS (SELECT c.vec_id AS cid, xd.d, xd.v
+       FROM cents c JOIN xd ON xd.vec_id = c.vec_id),
+ad AS (SELECT xd.vec_id, cd.cid,
+              CAST(SUM(CAST(floor((xd.v - cd.v) * (xd.v - cd.v) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+       FROM xd JOIN cd ON cd.d = xd.d GROUP BY xd.vec_id, cd.cid)
+SELECT vec_id, cid AS center_id, dq AS d2_q FROM ad
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) = 1
+"""
+
+
 # SemDeDup — semantic cluster dedup over embeddings: the pair stage
 # is dp_embed_near_dup's exhaustive-recall family (bits=3/tables=32
 # at threshold 0.4 on the near-orthogonal synthetic vectors), the
@@ -6170,6 +6221,10 @@ QUERIES: dict[str, Declared] = {
     # fusion member the search family lacked; oracle replays both
     # input rankings verbatim plus the rank-only fusion
     "dp_rrf_fusion": Declared(_dp_rrf_fusion, _DP_RRF_FUSION_SQL),
+    # greedy k-center (farthest-point) diversity selection — the
+    # coreset member of the sampling/embedding family; kmeans-exact
+    # integer distances, 3 unrolled argmax rounds + assignment
+    "dp_kcenter": Declared(_dp_kcenter, _DP_KCENTER_SQL),
 }
 
 

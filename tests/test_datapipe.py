@@ -4599,3 +4599,88 @@ def test_rrf_fuse_k_cutoff_and_validation(spark):
         rrf_fuse([df], rrf_k=0)
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ---- r16: greedy k-center diversity selection ---------------------
+
+
+def _ref_kcenter(rows, k, salt="kcenter", q=1_000_000_000):
+    """Pure-Python replay of Gonzalez farthest-point: hash-minimal
+    seed, argmax-of-min integer distance, (d, cid) assignment."""
+    import hashlib
+    import math as _m
+
+    pts = [(i, v) for i, v in rows if v is not None]
+
+    def dq(a, b):
+        return sum(
+            int(_m.floor((x - y) * (x - y) * float(q) + 0.5))
+            for x, y in zip(a, b)
+        )
+
+    seed = min(
+        pts,
+        key=lambda p: (hashlib.md5((str(p[0]) + salt).encode()).hexdigest(), p[0]),
+    )
+    centers = [seed]
+    while len(centers) < k:
+        far = sorted(
+            pts,
+            key=lambda p: (-min(dq(p[1], c[1]) for c in centers), p[0]),
+        )[0]
+        centers.append(far)
+    out = {}
+    for i, v in pts:
+        best = min((dq(v, cv), cid) for cid, cv in centers)
+        out[i] = (best[1], best[0])
+    return out
+
+
+def test_kcenter_select_matches_replay(spark):
+    from pipz_spark.datapipe import kcenter_select
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 0.0]),
+        (3, [10.1, 0.1]), (4, [0.0, 10.0]), (5, [5.0, 5.0]),
+        (6, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    for k in (1, 2, 3, 4):
+        got = {
+            r["vec_id"]: (r["center_id"], r["d2_q"])
+            for r in kcenter_select(df, k=k).collect()
+        }
+        assert got == _ref_kcenter(rows, k)
+    # every selected center assigns to itself at distance 0
+    got = kcenter_select(df, k=3).collect()
+    cids = {r["center_id"] for r in got}
+    for r in got:
+        if r["vec_id"] in cids:
+            assert r["center_id"] == r["vec_id"] and r["d2_q"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+
+
+def test_kcenter_select_covers_farthest_first(spark):
+    """The greedy invariant: after selecting k centers the covering
+    radius (max assignment distance) never exceeds the distance of
+    the NEXT point the greedy would pick — i.e. radius is the k-th
+    farthest-point gap, monotonically non-increasing in k."""
+    from pipz_spark.datapipe import kcenter_select
+
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    radii = []
+    for k in (1, 2, 4, 8):
+        out = kcenter_select(df, k=k).collect()
+        radii.append(max(r["d2_q"] for r in out))
+    assert radii == sorted(radii, reverse=True)
