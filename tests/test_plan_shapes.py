@@ -635,3 +635,51 @@ def test_theta_diff_sketches_ride_the_range_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_label_prop_argmax_is_struct_min_never_a_window(spark):
+    # the per-node mode vote must be the partial-aggregatable
+    # struct-MIN of (-cnt, label) — a regression to a row_number
+    # window would sort the whole (node, label) frame per round
+    # (3 windows at corpus scale); counts partial-aggregate
+    # map-side; everything equi-joined, pure JVM
+    plan = _plan(spark, "dp_label_prop")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bfs_hops_min_fold_partial_aggregates(spark):
+    # each BFS round's MIN(dist) must combine map-side (idempotent
+    # merge: the exchange carries one candidate per partition-node,
+    # not one per edge); frontier joins stay equi-joins
+    plan = _plan(spark, "dp_bfs_hops")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_rrf_fusion_fold_combines_map_side(spark):
+    # the per-(query, doc) contribution list must partial-aggregate
+    # (ObjectHashAggregate partial_collect_list) before the fusion
+    # exchange — the fused frame is N·k rows per query, never a
+    # corpus-sized shuffle; the only window ranks those fused rows
+    plan = _plan(spark, "dp_rrf_fusion")
+    assert "partial_collect_list" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kcenter_assignment_is_join_free_codegen(spark):
+    # the returned assignment must be a pure literal-center
+    # projection over the scan — no join, no exchange, no Python:
+    # the k selected centers ride the plan as array literals
+    # (the kmeans assignment discipline)
+    plan = _plan(spark, "dp_kcenter")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
