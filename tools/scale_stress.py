@@ -2079,6 +2079,113 @@ def main_cc100x() -> None:
     spark.stop()
 
 
+def main_lpa100x() -> None:
+    """LPA stress: community detection on a RING OF CLIQUES — 20,000
+    cliques of 50 nodes (1M nodes, 24.5M intra-clique pairs + 20k cut
+    edges, 49M symmetric edge rows per round), the shape whose
+    converged labeling is CLOSED FORM: after 3 synchronous self-vote
+    rounds every clique is uniformly labeled by its minimum member —
+    round 1 floods each clique with its base (all vote counts are 1,
+    MIN tie-break), the one bridge node that transiently adopts its
+    lower ring-neighbor's label is outvoted (m−2) : 1 in round 2, and
+    round 3 confirms the fixpoint. All 1M labels are checked exactly
+    in Spark (zero collects), the cc100x discipline.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py lpa100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-lpa100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pipz_spark.datapipe import label_propagation
+
+    K, M = 20_000, 50
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_lpa100_")
+    combos = [(i, j) for i in range(M) for j in range(i + 1, M)]
+    cdf = spark.createDataFrame(combos, "i int, j int")
+    intra = (
+        spark.range(K)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            (F.col("id") * M + F.col("i")).alias("src"),
+            (F.col("id") * M + F.col("j")).alias("dst"),
+        )
+    )
+    bridges = spark.range(K).select(
+        (F.col("id") * M + (M - 1)).alias("src"),
+        (((F.col("id") + 1) % K) * M).alias("dst"),
+    )
+    intra.union(bridges).repartition(64).write.mode("overwrite").parquet(
+        f"{tmp}/ring"
+    )
+    e = spark.read.parquet(f"{tmp}/ring")
+    n_edges = e.count()
+    print(f"ring-of-cliques edges: {n_edges} ({K} cliques x {M})")
+
+    def check() -> tuple:
+        got = label_propagation(e, iters=3)
+        want = F.expr(f"(node DIV {M}) * {M}")
+        bad = got.where(F.col("label") != want).count()
+        total = got.count()
+        assert bad == 0, f"{bad} of {total} labels diverge from clique base"
+        assert total == K * M, total
+        return (total, bad)
+
+    run(spark, "lpa 20k cliques x 50   ", check)
+    spark.stop()
+
+
+def main_bfs100x() -> None:
+    """BFS stress: hop distances over an 8-layer / 500k-wide layered
+    DAG (4M nodes, 10.5M directed edges — each (l, w) points at
+    (l+1, (7w+j) mod W) for j in 0..2; 7 is coprime to W so every
+    node past layer 0 has in-edges). Seeded with ALL of layer 0, the
+    truth is closed form — every edge crosses exactly one layer, so
+    hops(node) = its layer index — and all 4M distances are checked
+    exactly in Spark after 7 min-plus rounds, zero collects.
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py bfs100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-bfs100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pipz_spark.datapipe import bfs_hops
+
+    L, W = 8, 500_000
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_bfs100_")
+    base = spark.range((L - 1) * W).select(
+        F.expr(f"id DIV {W}").alias("_l"), (F.col("id") % W).alias("_w")
+    )
+    edges = base.select(
+        (F.col("_l") * W + F.col("_w")).alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("_l") + 1) * W + (F.col("_w") * 7 + F.lit(j)) % W
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    edges.repartition(64).write.mode("overwrite").parquet(f"{tmp}/dag")
+    e = spark.read.parquet(f"{tmp}/dag")
+    n_edges = e.count()
+    print(f"layered-DAG edges: {n_edges} ({L} layers x {W})")
+    seeds = spark.range(W).select(F.col("id").alias("node"))
+
+    def check() -> tuple:
+        got = bfs_hops(e, seeds, iters=L - 1)
+        bad = got.where(F.col("hops") != F.expr(f"node DIV {W}")).count()
+        total = got.count()
+        assert bad == 0, f"{bad} of {total} distances diverge from layer index"
+        assert total == L * W, total
+        return (total, bad)
+
+    run(spark, "bfs 8-layer 4M DAG     ", check)
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -2117,6 +2224,10 @@ if __name__ == "__main__":
         main_kmv100x()
     elif "img100x" in _sys.argv[1:]:
         main_img100x()
+    elif "lpa100x" in _sys.argv[1:]:
+        main_lpa100x()
+    elif "bfs100x" in _sys.argv[1:]:
+        main_bfs100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
