@@ -1290,6 +1290,98 @@ def bfs_hops(
     return dist
 
 
+def sssp_cost(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    symmetric: bool = False,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded Bellman-Ford —
+    the WEIGHTED min-plus machine next to ``bfs_hops``'s unit-weight
+    one: after ``iters`` rounds, (node, cost BIGINT) is the exact
+    minimum total edge weight over all paths of at most ``iters``
+    edges from any seed (Bellman-Ford's standard k-round invariant;
+    with ``iters`` ≥ longest shortest path's hop count the costs are
+    the true distances). Unreached nodes absent, seeds at 0 —
+    ``bfs_hops``'s reached-only conventions exactly.
+
+    Weights cast to BIGINT; edges whose weight is NULL or ≤ 0 are
+    DROPPED, stated up front (the ``pagerank weight_col`` rule):
+    zero/negative weights would let longer paths undercut shorter
+    ones within the round budget and turn "cost so far" into an
+    unordered search — positive integer weights keep every round's
+    map a monotone refinement, which is also what makes the
+    idempotent MIN fold absorb re-sent settled costs exactly.
+    Fractional weights belong upstream: quantize to integers first
+    (the repo-wide fixed-point discipline — BIGINT sums are exact
+    under any aggregation order, doubles are not).
+
+    Curation reading: with weight = −log-ish quantized link quality,
+    min total cost from trusted seeds is the crisp path-quality
+    signal (the cheapest editorial chain from a curated hub); with
+    weight = 1 it degenerates to ``bfs_hops`` exactly.
+
+    Physical shape: identical to ``bfs_hops`` — per round one
+    dist ⨝ edges equi-join on the node key, candidates
+    ``cost + w``, union the standing map, GROUP BY node MIN with
+    map-side combine. The weight rides the ONE edge projection
+    (``_directed_front``'s ``extra``), so the scan is read once per
+    round and never re-keyed.
+
+    Reference parity: none (no graph surface in the reference) —
+    LLM-data-pipeline operator per the brief.
+    """
+    if iters < 0:
+        raise ValueError(f"need iters >= 0, got {iters}")
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(f"need checkpoint_every > 0, got {checkpoint_every}")
+    e = _directed_front(
+        edges,
+        src_col,
+        dst_col,
+        out=("_s", "_d"),
+        extra=(F.col(weight_col).cast("long").alias("_w"),),
+    ).where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+    if symmetric:
+        e = e.union(
+            e.select(
+                F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w"
+            )
+        )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col(seed_col).isNotNull())
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+
+    for it in range(iters):
+        cand = e.join(
+            dist.select(F.col("node").alias("_s"), "cost"), "_s"
+        ).select(
+            F.col("_d").alias("node"),
+            (F.col("cost") + F.col("_w")).alias("cost"),
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        if (
+            checkpoint_every is not None
+            and (it + 1) % checkpoint_every == 0
+            and it + 1 < iters
+        ):
+            dist = dist.localCheckpoint()
+
+    return dist
+
+
 __all__ = [
     "bfs_hops",
     "clustering_coefficient",
@@ -1299,5 +1391,6 @@ __all__ = [
     "label_propagation",
     "pagerank",
     "propagate_min_labels",
+    "sssp_cost",
     "triangle_count",
 ]

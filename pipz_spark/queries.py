@@ -4640,6 +4640,61 @@ SELECT node, hops FROM d3
 """
 
 
+# Weighted shortest paths, bounded Bellman-Ford (graph.sssp_cost):
+# same seed set and symmetrized graph as dp_bfs_hops but each edge
+# carries the (customer, supplier) relationship's distinct-order
+# count as its BIGINT weight — after 3 rounds cost = the exact
+# minimum total weight over ≤3-edge paths from any nation-0
+# customer. Pure integer min-plus; oracle = 3 unrolled MIN(cost+w)
+# rounds over the weighted edge list.
+def _dp_sssp(spark, sf):
+    from .datapipe import sssp_cost
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("w"))
+    )
+    seeds = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return sssp_cost(pairs, seeds, iters=3, symmetric=True)
+
+
+_DP_SSSP_SQL = """
+WITH pw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+e AS (SELECT src AS s, dst AS d, w FROM pw WHERE w > 0
+      UNION ALL SELECT dst AS s, src AS d, w FROM pw WHERE w > 0),
+d0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+              CAST(0 AS BIGINT) AS cost
+       FROM customer WHERE c_nationkey = 0),
+d1 AS (SELECT node, MIN(cost) AS cost FROM (
+         SELECT e.d AS node, x.cost + e.w AS cost FROM e JOIN d0 x ON x.node = e.s
+         UNION ALL SELECT node, cost FROM d0) y GROUP BY node),
+d2 AS (SELECT node, MIN(cost) AS cost FROM (
+         SELECT e.d AS node, x.cost + e.w AS cost FROM e JOIN d1 x ON x.node = e.s
+         UNION ALL SELECT node, cost FROM d1) y GROUP BY node),
+d3 AS (SELECT node, MIN(cost) AS cost FROM (
+         SELECT e.d AS node, x.cost + e.w AS cost FROM e JOIN d2 x ON x.node = e.s
+         UNION ALL SELECT node, cost FROM d2) y GROUP BY node)
+SELECT node, cost FROM d3
+"""
+
+
 # Winnowing fingerprints (winnow.winnow_fingerprints — Schleimer et
 # al. 2003, the MOSS algorithm): per-doc word-3-gram hashes, window
 # of 4, keep each window's rightmost minimum. ONE pure projection →
@@ -6225,6 +6280,10 @@ QUERIES: dict[str, Declared] = {
     # coreset member of the sampling/embedding family; kmeans-exact
     # integer distances, 3 unrolled argmax rounds + assignment
     "dp_kcenter": Declared(_dp_kcenter, _DP_KCENTER_SQL),
+    # weighted shortest paths (bounded Bellman-Ford) — the WEIGHTED
+    # min-plus machine next to dp_bfs_hops' unit-weight one; exact
+    # BIGINT min-cost over ≤3-edge paths, positive-weight gate
+    "dp_sssp": Declared(_dp_sssp, _DP_SSSP_SQL),
 }
 
 

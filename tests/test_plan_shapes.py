@@ -683,3 +683,14 @@ def test_kcenter_assignment_is_join_free_codegen(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_sssp_min_fold_partial_aggregates(spark):
+    # the weighted min-plus rounds share bfs_hops' shape: idempotent
+    # MIN combines map-side, frontier joins stay equi-joins, and the
+    # weight rides the single edge projection (no second scan key)
+    plan = _plan(spark, "dp_sssp")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan

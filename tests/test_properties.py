@@ -1259,3 +1259,37 @@ def test_bfs_hops_matches_replay_for_any_graph(
         for r in bfs_hops(df, sdf, iters=iters, symmetric=symmetric).collect()
     }
     assert got == _ref_bfs(pairs, snames, iters, symmetric)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7), st.integers(-1, 9)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    seeds=st.lists(st.integers(0, 7), min_size=1, max_size=3),
+    iters=st.integers(min_value=0, max_value=3),
+    symmetric=st.booleans(),
+)
+def test_sssp_cost_matches_replay_for_any_graph(
+    spark_prop, edges, seeds, iters, symmetric
+):
+    """sssp_cost equals the pure bounded-Bellman-Ford replay for ANY
+    small weighted digraph (non-positive weights dropped), seed set,
+    direction mode, and round count."""
+    from test_datapipe import _ref_sssp
+
+    from pipz_spark.datapipe import sssp_cost
+
+    wedges = [(f"n{a}", f"n{b}", w) for a, b, w in edges]
+    snames = [f"n{s}" for s in seeds]
+    df = spark_prop.createDataFrame(wedges, "src string, dst string, w long")
+    sdf = spark_prop.createDataFrame([(s,) for s in snames], "node string")
+    got = {
+        r["node"]: r["cost"]
+        for r in sssp_cost(df, sdf, iters=iters, symmetric=symmetric).collect()
+    }
+    assert got == _ref_sssp(wedges, snames, iters, symmetric)
