@@ -5513,6 +5513,43 @@ QUALIFY mg_rank <= 5
 """
 
 
+# The 14th streaming machine and the set-algebra member of the
+# sketch-in-stream family (streaming/streams.py:stream_theta_users):
+# per-day bottom-64 distinct user-hash sample as CUSTOM bounded
+# state (applyInPandasWithState — built-in folds can't express a
+# k-th order statistic), state ≤ k BIGINT hashes per day by the KMV
+# mergeability invariant. Bottom-k-of-a-set is arrival-order
+# independent, so the landed state is bit-identical to the batch
+# kmv_sketch and the oracle replays the hashes + the exact-below-k /
+# (k−1)·2^52/θ estimate directly.
+def _stream_theta_users(spark, sf):
+    from .streaming.streams import stream_theta_users
+
+    return stream_theta_users(spark, sf)
+
+
+_STREAM_THETA_SQL = """
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+  FROM events WHERE user_id IS NOT NULL),
+hx AS (
+  SELECT DISTINCT day,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'kmv'), 1, 13)) AS BIGINT) AS h
+  FROM ev),
+sk AS (SELECT day, h FROM (
+         SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+         FROM hx) x
+       WHERE r <= 64),
+agg AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS kmv_n, MAX(h) AS kmv_theta
+        FROM sk GROUP BY day)
+SELECT day,
+       CASE WHEN kmv_n < 64 THEN CAST(kmv_n AS DOUBLE)
+            ELSE 283726776524341248.0 / kmv_theta END AS kmv_distinct,
+       kmv_n, kmv_theta
+FROM agg
+"""
+
+
 _STREAM_BLOOM_SQL = """
 WITH ev AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -6284,6 +6321,12 @@ QUERIES: dict[str, Declared] = {
     # min-plus machine next to dp_bfs_hops' unit-weight one; exact
     # BIGINT min-cost over ≤3-edge paths, positive-weight gate
     "dp_sssp": Declared(_dp_sssp, _DP_SSSP_SQL),
+    # the 14th streaming machine: per-day KMV/theta bottom-k user
+    # sample as CUSTOM bounded state (applyInPandasWithState) —
+    # the first sketch-in-stream whose state is bounded by the
+    # SKETCH size (≤ k hashes/day), arrival-order independent by
+    # the KMV mergeability invariant, bit-identical to batch
+    "stream_theta_users": Declared(_stream_theta_users, _STREAM_THETA_SQL),
 }
 
 

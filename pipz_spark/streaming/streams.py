@@ -1783,3 +1783,95 @@ def stream_bloom_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tested.join(fill, "day").select(
         "day", "n_keys", "n_positive", "set_bits"
     )
+
+
+def stream_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED KMV/theta sketch: the per-day bottom-k
+    distinct-user-hash sample maintained as CUSTOM bounded state —
+    the set-algebra member of the sketch-in-stream family
+    (max-merge: HLL; sum-merge: CMS; bit_or: Bloom; histogram fold:
+    KLL; count fold: MG; THIS: bottom-k set merge), and the first
+    whose state is bounded by the SKETCH SIZE rather than a domain
+    or key universe: bottom-k(state ∪ batch) = bottom-k(all seen) —
+    the KMV mergeability invariant — so the state store holds ≤ k
+    BIGINT hashes per day at ANY stream volume or user cardinality.
+
+    Built-in streaming aggregates cannot express a k-th order
+    statistic (max/sum/bit_or fold one cell; bottom-k needs the set),
+    so this rides the ``applyInPandasWithState`` machine
+    (``stream_running_totals``'s slot): the engine-portable 52-bit
+    md5 hash is a STATELESS Spark-side projection
+    (``sketches._kmv_hash`` — bit-identical to the batch sketch),
+    and the Python state update is pure set arithmetic on longs.
+    Because bottom-k-of-a-set is a function of the distinct set
+    alone, the final state is arrival-order and batch-boundary
+    independent — BIT-IDENTICAL to batch ``kmv_sketch`` over the
+    same events, which is what the oracle checks (per-day hashes
+    explode from the landed state and finalize through the standard
+    ``kmv_estimate``: exact below k, (k−1)·2^52/θ past it — one IEEE
+    division of exactly-representable operands).
+
+    Returns (day, kmv_distinct DOUBLE, kmv_n BIGINT, kmv_theta
+    BIGINT) — the streaming distinct-users-per-day store that also
+    answers tomorrow's SET questions (new-vs-known via
+    ``kmv_set_estimates``) without rescanning any day."""
+
+    from ..datapipe.sketches import _kmv_hash, kmv_estimate
+    from ..operators.processors import transform
+    from ..sources.sinks import append_log_sink, read_latest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = 64
+    replay = replay_events_files(spark, sf_dir, order_by_ts=True)
+    stream = (
+        spark.readStream.schema(_NORMALIZED_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    hashed = stream.where(F.col("user_id").isNotNull()).select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        _kmv_hash(F.col("user_id"), "kmv").alias("kmv_hash"),
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["kmv_hash"].dropna())
+        best = sorted(seen)[:k]
+        state.update((best,))
+        yield pd.DataFrame({"day": [key[0]], "hashes": [best]})
+
+    sketch = hashed.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType="day string, hashes array<long>",
+        stateStructType="hashes array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tag = transform("theta-tag", {"op": F.lit("theta-users")})
+    land = scratch_dir("pipz_stream_theta_")
+    log = append_log_sink(land, keys=["day"])
+
+    def ok_sink(df: DataFrame, batch_id: int) -> None:
+        log(df.select("day", "hashes"), batch_id)
+
+    q = run_step_stream(
+        sketch,
+        tag,
+        ok_sink,
+        checkpoint=scratch_dir("pipz_stream_theta_ckpt_"),
+        query_name="pipz-stream-theta",
+        output_mode="update",
+        state_partitions=4,
+        no_data_batches=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = read_latest(spark, land, keys=["day"]).select(
+        "day", F.explode("hashes").alias("kmv_hash")
+    )
+    return kmv_estimate(rows, k=k, group_cols=["day"], out_col="kmv_distinct")

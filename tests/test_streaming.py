@@ -866,3 +866,42 @@ def test_stream_bloom_bitmap_equals_batch(spark, events):
         assert n_positive == n_keys > 0, day  # zero false negatives
         # fill sanity: bits <= 3 hashes x keys, and non-trivial
         assert 0 < set_bits <= 3 * n_keys
+
+
+def test_stream_theta_equals_batch_kmv(spark, events):
+    """The streaming theta's claim: bottom-k-of-a-set is a pure
+    function of the distinct set, so the state store's per-day
+    bottom-64 sample — whatever the micro-batch boundaries — must
+    finalize to EXACTLY the batch kmv_sketch + kmv_estimate of the
+    same events, and exact-regime days (n < k) must equal the true
+    distinct count."""
+    from pipz_spark.datapipe.sketches import kmv_estimate, kmv_sketch
+    from pipz_spark.streaming.streams import stream_theta_users
+
+    from conftest import SF_DIR
+
+    got = {
+        r["day"]: (r["kmv_distinct"], r["kmv_n"], r["kmv_theta"])
+        for r in stream_theta_users(spark, SF_DIR).collect()
+    }
+    assert len(got) > 5  # multiple days actually streamed
+    day_ev = events.where(F.col("user_id").isNotNull()).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    sk = kmv_sketch(day_ev, "user_id", k=64, group_cols=["day"])
+    want = {
+        r["day"]: (r["kmv_distinct"], r["kmv_n"], r["kmv_theta"])
+        for r in kmv_estimate(sk, k=64, group_cols=["day"]).collect()
+    }
+    assert got == want
+    truth = {
+        r["day"]: r["u"]
+        for r in day_ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for day, (est, n, _theta) in got.items():
+        if n < 64:  # exact regime: the sample saw every distinct user
+            assert est == float(truth[day]), day
+        else:  # estimator regime: within the ~5/sqrt(k-2) band
+            assert abs(est - truth[day]) / truth[day] < 5 / (62 ** 0.5), day
