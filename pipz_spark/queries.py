@@ -4043,6 +4043,72 @@ FROM rnk WHERE rank <= 10
 """
 
 
+# MMR diversified re-ranking (search.mmr_rerank — Carbonell &
+# Goldstein 1998): each query's cosine top-10 candidates greedily
+# re-picked by mmr = 0.5·rel − 0.5·max-sim-to-selected, 4 rounds.
+# First pick = argmax rel; every sim is one rounded cosine and the
+# score two exact ×0.5 scalings + a subtract, so the whole greedy
+# trajectory replays round-for-round (ties on id). The oracle
+# unrolls the 4 rounds over the same candidate CTE.
+def _dp_mmr(spark, sf):
+    from .datapipe import cosine_topk_bruteforce, mmr_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    cands = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") <= 2), k=10
+    ).join(
+        emb.select(F.col("vec_id").alias("nid"), "embedding"), "nid"
+    )
+    return mmr_rerank(
+        cands, k=4, lam=0.5, query_col="qid", id_col="nid", rel_col="cos"
+    )
+
+
+_DP_MMR_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id <= 2),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid, CAST(e.embedding AS DOUBLE[]) AS ne,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+cand AS (SELECT qid, nid, ne, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+           FROM pairs) x WHERE r <= 10),
+s1 AS (SELECT qid, nid, ne, sc FROM (
+         SELECT qid, nid, ne, 0.5 * cos AS sc,
+                row_number() OVER (PARTITION BY qid ORDER BY 0.5 * cos DESC, nid) AS r
+         FROM cand) x WHERE r = 1),
+m1 AS (SELECT c.qid, c.nid, c.ne, c.cos,
+              round(list_cosine_similarity(c.ne, s.ne), 6) AS ms
+       FROM cand c JOIN s1 s ON s.qid = c.qid AND c.nid <> s.nid),
+s2 AS (SELECT qid, nid, ne, sc FROM (
+         SELECT qid, nid, ne, 0.5 * cos - 0.5 * ms AS sc,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY (0.5 * cos - 0.5 * ms) DESC, nid) AS r
+         FROM m1) x WHERE r = 1),
+m2 AS (SELECT m1.qid, m1.nid, m1.ne, m1.cos,
+              greatest(m1.ms, round(list_cosine_similarity(m1.ne, s.ne), 6)) AS ms
+       FROM m1 JOIN s2 s ON s.qid = m1.qid AND m1.nid <> s.nid),
+s3 AS (SELECT qid, nid, ne, sc FROM (
+         SELECT qid, nid, ne, 0.5 * cos - 0.5 * ms AS sc,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY (0.5 * cos - 0.5 * ms) DESC, nid) AS r
+         FROM m2) x WHERE r = 1),
+m3 AS (SELECT m2.qid, m2.nid, m2.ne, m2.cos,
+              greatest(m2.ms, round(list_cosine_similarity(m2.ne, s.ne), 6)) AS ms
+       FROM m2 JOIN s3 s ON s.qid = m2.qid AND m2.nid <> s.nid),
+s4 AS (SELECT qid, nid, ne, sc FROM (
+         SELECT qid, nid, ne, 0.5 * cos - 0.5 * ms AS sc,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY (0.5 * cos - 0.5 * ms) DESC, nid) AS r
+         FROM m3) x WHERE r = 1)
+SELECT qid, nid, CAST(1 AS INT) AS mmr_rank, sc AS mmr FROM s1
+UNION ALL SELECT qid, nid, CAST(2 AS INT), sc FROM s2
+UNION ALL SELECT qid, nid, CAST(3 AS INT), sc FROM s3
+UNION ALL SELECT qid, nid, CAST(4 AS INT), sc FROM s4
+"""
+
+
 # Hybrid retrieval fusion (search.rrf_fuse — Cormack et al. 2009
 # Reciprocal Rank Fusion): the lexical BM25 top-10 and the vector
 # cosine top-10 for the same six queries fused through ranks alone,
@@ -6327,6 +6393,10 @@ QUERIES: dict[str, Declared] = {
     # SKETCH size (≤ k hashes/day), arrival-order independent by
     # the KMV mergeability invariant, bit-identical to batch
     "stream_theta_users": Declared(_stream_theta_users, _STREAM_THETA_SQL),
+    # MMR diversified re-rank — the diversification member of the
+    # search family: greedy λ·rel − (1−λ)·max-sim over candidate
+    # lists, round-for-round replayable (exact ×0.5 scalings)
+    "dp_mmr_rerank": Declared(_dp_mmr, _DP_MMR_SQL),
 }
 
 

@@ -4751,3 +4751,94 @@ def test_sssp_cost_matches_replay(spark):
 
     with _pytest.raises(ValueError):
         sssp_cost(df, seeds, iters=-1)
+
+
+# ---- r16: MMR diversified re-ranking ------------------------------
+
+
+def _ref_mmr(cands, k, lam=0.5):
+    """Pure-Python MMR replay: cands = [(q, id, rel, vec)], rounded
+    cosine sims, (score DESC, id ASC) greedy, first pick lam*rel."""
+    import math as _m
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        c = dot / (_m.sqrt(na) * _m.sqrt(nb))
+        # replay Spark/DuckDB round-half-up at 1e-6 (F.round semantics)
+        return _m.floor(c * 1e6 + 0.5) / 1e6 if c >= 0 else -_m.floor(-c * 1e6 + 0.5) / 1e6
+
+    out = {}
+    byq = {}
+    for q, i, rel, v in cands:
+        byq.setdefault(q, []).append((i, rel, v))
+    for q, rows in byq.items():
+        sel = []
+        maxsim = {}
+        pool = {i: (rel, v) for i, rel, v in rows}
+        first = sorted(pool.items(), key=lambda kv: (-lam * kv[1][0], kv[0]))[0]
+        sel.append((first[0], lam * first[1][0]))
+        del pool[first[0]]
+        for i in pool:
+            maxsim[i] = cos(pool[i][1], first[1][1])
+        while len(sel) < k and pool:
+            best = sorted(
+                pool.items(),
+                key=lambda kv: (-(lam * kv[1][0] - (1 - lam) * maxsim[kv[0]]), kv[0]),
+            )[0]
+            bid = best[0]
+            sel.append((bid, lam * best[1][0] - (1 - lam) * maxsim[bid]))
+            bvec = pool[bid][1]
+            del pool[bid]
+            for i in pool:
+                s = cos(pool[i][1], bvec)
+                if s > maxsim[i]:
+                    maxsim[i] = s
+        for rank, (i, sc) in enumerate(sel, start=1):
+            out[(q, i)] = (rank, round(sc, 12))
+    return out
+
+
+def test_mmr_rerank_matches_replay(spark):
+    from pipz_spark.datapipe import mmr_rerank
+
+    # query 0: a is most relevant; b is a near-clone of a, so MMR
+    # must skip it for the orthogonal c at round 2
+    cands = [
+        (0, "a", 0.95, [1.0, 0.0, 0.0]),
+        (0, "b", 0.94, [0.999, 0.01, 0.0]),
+        (0, "c", 0.50, [0.0, 1.0, 0.0]),
+        (0, "d", 0.40, [0.0, 0.9, 0.4]),
+        (1, "x", 0.80, [0.5, 0.5, 0.0]),
+        (1, "y", 0.70, [0.5, 0.49, 0.01]),
+    ]
+    df = spark.createDataFrame(
+        cands, "query_id int, doc_id string, rel double, embedding array<double>"
+    )
+    for k in (1, 2, 3):
+        got = {
+            (r["query_id"], r["doc_id"]): (r["mmr_rank"], round(r["mmr"], 12))
+            for r in mmr_rerank(df, k=k).collect()
+        }
+        assert got == _ref_mmr(cands, k)
+    got = {
+        (r["query_id"], r["doc_id"]): r["mmr_rank"]
+        for r in mmr_rerank(df, k=3).collect()
+    }
+    # the near-clone b is deferred behind the diverse c
+    assert got[(0, "a")] == 1 and got[(0, "c")] == 2 and got[(0, "b")] == 3
+    # a 2-candidate query exhausts its pool without error
+    assert got[(1, "x")] == 1 and got[(1, "y")] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(df, k=0)
+    with _pytest.raises(ValueError):
+        mmr_rerank(df, lam=1.5)
