@@ -20,7 +20,15 @@ the questions a curation pipeline actually asks of it:
      ranks each cluster's most-connected member: an alternative
      keeper policy to min-id when the pipeline wants the most
      representative duplicate, computed with per-node DataFrame
-     state (never collected).
+     state (never collected),
+  5. ``label_propagation`` — LPA communities REFINE the components:
+     frequency voting stops at sparse cut edges, splitting a
+     chained mirror farm into its template families (asserted:
+     every community sits inside exactly one component),
+  6. ``bfs_hops`` — chain depth from the chosen keepers: the max
+     hop is the corpus's deepest mirror-of-a-mirror chain, and
+     every clustered doc must be reachable from its keeper
+     (asserted).
 
     PYTHONPATH=/root/repo python examples/near_dup_graph_analysis.py [sf_dir]
 
@@ -122,6 +130,45 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     n_keepers = keeper.count()
     print(f"centrality keepers chosen: {n_keepers} (one per component)")
 
+    # 5. LPA communities REFINE the components: frequency voting
+    # stops at sparse cut edges, so a chained mirror farm splits
+    # into its template families while min-label floods the whole
+    # component — and every community must sit INSIDE one component
+    # (asserted: community -> exactly one component label)
+    from pipz_spark.datapipe import label_propagation
+
+    comm = label_propagation(edges, iters=3)
+    straddle = (
+        comm.withColumnRenamed("label", "community")
+        .join(labels, "node")
+        .groupBy("community")
+        .agg(F.count_distinct("label").alias("nc"))
+        .where(F.col("nc") > 1)
+        .count()
+    )
+    n_comm = comm.select("label").distinct().count()
+    print(f"LPA communities: {n_comm} (>= components {n_clusters}); straddlers: {straddle}")
+    assert straddle == 0, "every LPA community must sit inside one component"
+    assert n_comm >= n_clusters
+
+    # 6. chain depth from the keepers: BFS hops from the chosen
+    # canonical docs measure mirror-of-a-mirror distance — every
+    # clustered doc must be reached (same components), and the max
+    # hop IS the deepest duplication chain in the corpus
+    from pipz_spark.datapipe import bfs_hops
+
+    # checkpoint the seed frame and the BFS rounds: each round's
+    # frame references the previous one TWICE (standing map + new
+    # candidates), so the lazy plan doubles per round — 2^6 copies
+    # of the keeper lineage (labels ⨝ pagerank) OOMs the DAG
+    # scheduler; truncation keeps it flat (measured failure mode)
+    seeds = keeper.select(F.col("keeper").alias("node")).localCheckpoint()
+    depth = bfs_hops(edges, seeds, iters=6, symmetric=True, checkpoint_every=2)
+    unreached = labels.join(depth, "node", "left_anti").count()
+    max_depth = depth.agg(F.max("hops")).first()[0]
+    print(f"deepest duplication chain from a keeper: {max_depth} hops; unreached clustered docs: {unreached}")
+    assert unreached == 0, "keeper BFS must cover every clustered doc"
+
     if own_session:
         spark.stop()
     return {
@@ -130,6 +177,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "dense_docs": dense,
         "n_core": n_core,
         "n_keepers": n_keepers,
+        "n_communities": n_comm,
+        "max_chain_depth": max_depth,
     }
 
 

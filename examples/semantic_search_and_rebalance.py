@@ -86,6 +86,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         hit = top.where("rank = 1").orderBy("qid").first()
         print(f"ann[{label}]: {top.count()} results; q{hit['qid']} top nid={hit['nid']} cos={hit['cos']}")
 
+    # 3b. hybrid retrieval: fuse the lexical BM25 ranking with the
+    # exact cosine ranking through ranks alone (RRF) — the two
+    # rankers score on incommensurable scales, the fusion doesn't
+    # care — then MMR-diversify the fused list so the final pool
+    # isn't k near-copies of the same hit (the eval-set/few-shot
+    # construction recipe end to end)
+    from pipz_spark.datapipe import (
+        bm25_topk,
+        cosine_topk_bruteforce,
+        mmr_rerank,
+        rrf_fuse,
+    )
+
+    lex = bm25_topk(docs, [(0, "hash join"), (1, "fast vector query")], k=10)
+    vec = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") <= 1), k=10
+    ).select(
+        F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex, vec], k=10)
+    n_both = fused.where("n_lists = 2").count()
+    print(f"rrf fused: {fused.count()} ranked rows; found by both rankers: {n_both}")
+    cands = fused.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select("query_id", "doc_id", F.col("rrf").alias("rel"), "embedding")
+    diverse = mmr_rerank(cands, k=4)
+    print(f"mmr-diversified pool: {diverse.count()} rows "
+          f"({diverse.select('query_id').distinct().count()} queries x 4)")
+
     # 4. flatten the language mixture of the doc corpus at 50% target
     step = temperature_resample("lang-flatten", "doc_id", "lang", 0.5)
     kept = split_ok(step(docs))

@@ -1170,8 +1170,9 @@ def label_propagation(
     carries at most one candidate per (partition, node, label) and
     the argmax adds no second shuffle wave beyond the count's. No
     window (a per-node rank would sort the whole frame); no driver
-    state at any scale. Lineage: ``checkpoint_every`` truncates via
-    ``localCheckpoint`` exactly as in ``pagerank``.
+    state at any scale. Lineage doubles per round (the label frame
+    feeds both the neighbor join and the self-vote union) — pass
+    ``checkpoint_every`` past ~4 rounds, the ``bfs_hops`` rule.
 
     Reference parity: no graph surface in the reference
     (api.go:423-428 is value-at-a-time) — LLM-data-pipeline operator
@@ -1249,8 +1250,16 @@ def bfs_hops(
     the output at hops 0 (a seed is a claim about the node, not
     about its adjacency); NULL seed ids are dropped like NULL edge
     endpoints. ``symmetric=True`` unions the reversed edges first
-    (undirected reachability); lineage via ``checkpoint_every`` as
-    in ``pagerank``.
+    (undirected reachability).
+
+    LINEAGE DOUBLES PER ROUND, not linearly: each round's frame
+    references the previous one TWICE (the standing map in the
+    union AND the join side), so the lazy plan holds 2^iters copies
+    of the seed lineage — past ~4 rounds, or with a non-trivial
+    seed plan, pass ``checkpoint_every`` (and pre-checkpoint
+    expensive seeds) or the DAG scheduler itself becomes the
+    bottleneck (an iters=6 run over a joined seed frame OOMed the
+    driver before any executor worked).
 
     Reference parity: none (no graph surface in the reference) —
     LLM-data-pipeline operator per the brief.
@@ -1331,7 +1340,8 @@ def sssp_cost(
     ``cost + w``, union the standing map, GROUP BY node MIN with
     map-side combine. The weight rides the ONE edge projection
     (``_directed_front``'s ``extra``), so the scan is read once per
-    round and never re-keyed.
+    round and never re-keyed. Lineage doubles per round exactly as
+    in ``bfs_hops`` — same ``checkpoint_every`` rule.
 
     Reference parity: none (no graph surface in the reference) —
     LLM-data-pipeline operator per the brief.

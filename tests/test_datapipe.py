@@ -3898,6 +3898,11 @@ def test_near_dup_graph_example(spark):
     # every triangle-closing doc has degree >= 2, so the 2-core
     # contains at least the dense docs
     assert out["n_core"] >= out["dense_docs"]
+    # LPA refines components; keeper BFS covered every clustered doc
+    # (both asserted inside main), and the chain depth is bounded by
+    # the BFS budget
+    assert out["n_communities"] >= out["n_clusters"]
+    assert 0 <= out["max_chain_depth"] <= 6
 
 
 def _ref_token_entropy(text):
