@@ -2186,6 +2186,104 @@ def main_bfs100x() -> None:
     spark.stop()
 
 
+def main_kcenter100x() -> None:
+    """k-center stress: greedy farthest-point selection over 200k
+    8-dim vectors (deterministic integer-derived coordinates), k=8 —
+    every selected center AND all 200,000 assignments checked
+    BIT-IDENTICAL against a vectorized numpy/python-int replay of
+    the exact-integer-distance contract (the pca100x discipline; the
+    replay collect is rig-side verification, never operator state —
+    the operator itself collects only the 8 selected rows).
+
+        PYTHONPATH=/root/repo python tools/scale_stress.py kcenter100x
+    """
+    spark = get_session(
+        "pipz-scale-stress-kcenter100x", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from pipz_spark.datapipe import kcenter_select
+
+    N, D, K, Q = 200_000, 8, 8, 1_000_000_000
+    MOD = 1_000_003
+    tmp = tempfile.mkdtemp(prefix="pipz_stress_kcenter_")
+    vec = F.array(
+        *[
+            (
+                (F.col("id") * 1315423911 + F.lit(d) * 2654435761) % MOD
+            ).cast("double")
+            / F.lit(float(MOD))
+            for d in range(D)
+        ]
+    )
+    spark.range(N).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).repartition(32).write.mode("overwrite").parquet(f"{tmp}/vecs")
+    corpus = spark.read.parquet(f"{tmp}/vecs")
+
+    ids = np.arange(N, dtype=np.int64)
+    X = np.empty((N, D), dtype=np.float64)
+    for d in range(D):
+        X[:, d] = ((ids * 1315423911 + d * 2654435761) % MOD) / float(MOD)
+
+    def dq_np(c):
+        # replay the engine's per-dim floor((x-c)^2*Q + 0.5) exactly:
+        # identical IEEE doubles, identical floors, exact int64 sums
+        t = X - c[None, :]
+        return np.floor(t * t * float(Q) + 0.5).astype(np.int64).sum(axis=1)
+
+    seed = min(
+        range(N),
+        key=lambda i: (hashlib.md5((str(i) + "kcenter").encode()).hexdigest(), i),
+    )
+    centers = [seed]
+    mind = dq_np(X[seed])
+    for _ in range(K - 1):
+        far = np.lexsort((ids, -mind))[0]
+        centers.append(int(far))
+        mind = np.minimum(mind, dq_np(X[far]))
+    # assignment: argmin of (distance, center id) — sort columns by
+    # center id so argmin's first-occurrence rule IS the tie-break
+    csorted = np.array(sorted(centers), dtype=np.int64)
+    dall = np.stack([dq_np(X[c]) for c in csorted], axis=1)
+    cmin = np.argmin(dall, axis=1)
+    want_center = csorted[cmin]
+    want_d = dall[ids, cmin]
+
+    def check() -> tuple:
+        got = kcenter_select(corpus, k=K)
+        truth = spark.createDataFrame(
+            __import__("pandas").DataFrame(
+                {
+                    "vec_id": ids,
+                    "w_center": want_center,
+                    "w_d": want_d,
+                }
+            )
+        )
+        bad = (
+            got.join(truth, "vec_id")
+            .where(
+                (F.col("center_id") != F.col("w_center"))
+                | (F.col("d2_q") != F.col("w_d"))
+            )
+            .count()
+        )
+        total = got.count()
+        assert bad == 0, f"{bad} of {total} assignments diverge from numpy replay"
+        assert total == N, total
+        return (total, bad)
+
+    run(spark, "kcenter 200k x 8d k=8  ", check)
+    # the selected centers themselves, in selection order
+    print(f"greedy centers (replay): {centers}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -2228,6 +2326,8 @@ if __name__ == "__main__":
         main_lpa100x()
     elif "bfs100x" in _sys.argv[1:]:
         main_bfs100x()
+    elif "kcenter100x" in _sys.argv[1:]:
+        main_kcenter100x()
     elif "dedup100x" in _sys.argv[1:]:
         _ops = [
             a for a in _sys.argv[1:] if a in ("jaccard", "cross", "minhash", "line", "text")
