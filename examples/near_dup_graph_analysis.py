@@ -68,10 +68,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     n_pairs = pairs.count()
     print(f"near-dup pairs: {n_pairs}")
 
+    # the pair stage (minhash banding over the corpus) feeds SEVEN
+    # graph consumers below, two of them round machines whose lazy
+    # plans would re-embed it 2^rounds times — materialize it once
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
-    )
+    ).localCheckpoint()
 
     # 2. distributed components vs the union-find clusters: within
     # the propagation diameter the labels must agree. The label frame
@@ -159,11 +162,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
 
     # checkpoint the seed frame and the BFS rounds: each round's
     # frame references the previous one TWICE (standing map + new
-    # candidates), so the lazy plan doubles per round — 2^6 copies
-    # of the keeper lineage (labels ⨝ pagerank) OOMs the DAG
-    # scheduler; truncation keeps it flat (measured failure mode)
+    # candidates), so the lazy plan doubles per round — 2^iters
+    # copies of the keeper lineage (labels ⨝ pagerank) OOMed the DAG
+    # scheduler before truncation (measured failure mode). The 12
+    # -round budget is IMPLIED by stage 2, not guessed: labels
+    # converging within 6 rounds puts every node ≤ 6 hops from its
+    # component's min-id node, so keeper-to-node ≤ keeper-to-min +
+    # min-to-node ≤ 12 — full coverage is a theorem here, and the
+    # assert enforces it
     seeds = keeper.select(F.col("keeper").alias("node")).localCheckpoint()
-    depth = bfs_hops(edges, seeds, iters=6, symmetric=True, checkpoint_every=2)
+    depth = bfs_hops(edges, seeds, iters=12, symmetric=True, checkpoint_every=2)
     unreached = labels.join(depth, "node", "left_anti").count()
     max_depth = depth.agg(F.max("hops")).first()[0]
     print(f"deepest duplication chain from a keeper: {max_depth} hops; unreached clustered docs: {unreached}")

@@ -62,20 +62,31 @@ def _quantize_coord(x: float, coord_quant: int) -> float:
     return math.floor(x * coord_quant + 0.5) / coord_quant
 
 
+def _sqdist_q(vec, center: list[float], dist_quant: int):
+    """Exact-integer quantized squared L2 distance to a literal
+    center — the family's ONE distance definition (shared by
+    ``kmeans_embeddings``'s assignment and ``kcenter_select``'s
+    greedy): per-dim floor((x−c)²·Q + 0.5) is one double
+    subtract/multiply pair (exactly rounded, identical in any
+    engine) snapped to BIGINT, and the dim-sum is integer, so no
+    comparison downstream ever touches a float."""
+    lit_c = F.array(*[F.lit(float(v)) for v in center])
+    per_dim = F.zip_with(
+        vec,
+        lit_c,
+        lambda x, cc: F.floor(
+            (x - cc) * (x - cc) * F.lit(float(dist_quant)) + F.lit(0.5)
+        ),
+    )
+    return F.aggregate(per_dim, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
 def _assignment(vec, centroids: list[list[float]], dist_quant: int):
     """(cell, dist_q) columns: argmin over integer-quantized squared
     L2 distances to literal centroids — pure codegen, no join."""
     structs = []
     for j, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        per_dim = F.zip_with(
-            vec,
-            lit_c,
-            lambda x, cc: F.floor(
-                (x - cc) * (x - cc) * F.lit(float(dist_quant)) + F.lit(0.5)
-            ),
-        )
-        d = F.aggregate(per_dim, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        d = _sqdist_q(vec, c, dist_quant)
         structs.append(F.struct(d.alias("d"), F.lit(j).alias("cell")))
     best = F.least(*structs)
     return best["cell"].alias("cell"), best["d"].alias("dist_q")
@@ -187,23 +198,6 @@ def kmeans_embeddings(
 
     cell, dist_q = _assignment(v, centroids, dist_quant)
     return base.select(id_col, cell, dist_q)
-
-
-def _sqdist_q(vec, center: list[float], dist_quant: int):
-    """Exact-integer quantized squared L2 distance to a literal
-    center — the kmeans discipline: per-dim floor((x−c)²·Q + 0.5) is
-    one double subtract/multiply pair (exactly rounded, identical in
-    any engine) snapped to BIGINT, and the dim-sum is integer, so no
-    comparison downstream ever touches a float."""
-    lit_c = F.array(*[F.lit(float(v)) for v in center])
-    per_dim = F.zip_with(
-        vec,
-        lit_c,
-        lambda x, cc: F.floor(
-            (x - cc) * (x - cc) * F.lit(float(dist_quant)) + F.lit(0.5)
-        ),
-    )
-    return F.aggregate(per_dim, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
 
 def kcenter_select(

@@ -296,12 +296,27 @@ def mmr_rerank(
         raise ValueError(f"need 0 <= lam <= 1, got {lam}")
     from .similarity import cosine_similarity
 
-    base = candidates.select(
+    # rows without usable geometry or a relevance score cannot take
+    # part in the greedy: a NULL score would WIN the nulls-first
+    # struct-MIN argmax and hijack selection, and a zero-norm vector
+    # has no cosine at all (ANSI divide-by-zero raises; non-ANSI
+    # yields the NULL that poisons the max-sim state) — drop all
+    # three up front, the kcenter/kmeans NULL-vector rule extended
+    # to the degenerate norm
+    v_in = F.col(vec_col).cast("array<double>")
+    base = candidates.where(
+        F.col(vec_col).isNotNull()
+        & F.col(rel_col).isNotNull()
+        & F.exists(v_in, lambda x: x != 0.0)
+    ).select(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_id"),
         F.col(rel_col).cast("double").alias("_rel"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+        v_in.alias("_v"),
     )
+
+    def _sim(a, b):
+        return F.round(cosine_similarity(a, b), 6)
 
     def _argmax(df: DataFrame, score) -> DataFrame:
         """One row per query: max score, ties on min id — a
@@ -338,6 +353,13 @@ def mmr_rerank(
     sel = pick.select(
         "_q", "_sid", F.lit(1).alias("_rank"), F.col("_ssc").alias("_mmr")
     )
+    if k == 1:
+        return sel.select(
+            F.col("_q").alias(query_col),
+            F.col("_sid").alias(id_col),
+            F.col("_rank").cast("int").alias("mmr_rank"),
+            F.col("_mmr").alias("mmr"),
+        )
     # pool carries the running max-sim-to-selected; each round folds
     # the new pick in with greatest()
     pool = (
@@ -348,9 +370,7 @@ def mmr_rerank(
             "_id",
             "_rel",
             "_v",
-            F.round(cosine_similarity(F.col("_v"), F.col("_sv")), 6).alias(
-                "_maxsim"
-            ),
+            _sim(F.col("_v"), F.col("_sv")).alias("_maxsim"),
         )
     ).localCheckpoint()
 
@@ -373,9 +393,7 @@ def mmr_rerank(
                     "_v",
                     F.greatest(
                         F.col("_maxsim"),
-                        F.round(
-                            cosine_similarity(F.col("_v"), F.col("_sv")), 6
-                        ),
+                        _sim(F.col("_v"), F.col("_sv")),
                     ).alias("_maxsim"),
                 )
             ).localCheckpoint()

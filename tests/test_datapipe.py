@@ -3902,7 +3902,7 @@ def test_near_dup_graph_example(spark):
     # (both asserted inside main), and the chain depth is bounded by
     # the BFS budget
     assert out["n_communities"] >= out["n_clusters"]
-    assert 0 <= out["max_chain_depth"] <= 6
+    assert 0 <= out["max_chain_depth"] <= 12
 
 
 def _ref_token_entropy(text):
@@ -4847,3 +4847,28 @@ def test_mmr_rerank_matches_replay(spark):
         mmr_rerank(df, k=0)
     with _pytest.raises(ValueError):
         mmr_rerank(df, lam=1.5)
+
+
+def test_mmr_rerank_drops_degenerate_candidates(spark):
+    """NULL rel, NULL vector, and zero-norm vector rows are dropped
+    up front — a NULL score would win the nulls-first struct-MIN
+    argmax, and a zero-norm cosine raises under ANSI."""
+    from pipz_spark.datapipe import mmr_rerank
+
+    rows = [
+        (0, "a", 0.9, [1.0, 0.0]),
+        (0, "b", 0.8, [0.9, 0.1]),
+        (0, "z", None, [1.0, 1.0]),
+        (0, "w", 0.7, None),
+        (0, "n", 0.6, [0.0, 0.0]),
+        (1, "x", 0.5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, doc_id string, rel double, embedding array<double>"
+    )
+    out = mmr_rerank(df, k=3).collect()
+    ids0 = {r["doc_id"] for r in out if r["query_id"] == 0}
+    assert ids0 == {"a", "b"}
+    assert all(r["mmr"] is not None for r in out)
+    # k=1 takes the pool-free path (no cosine pass at all)
+    assert len(mmr_rerank(df, k=1).collect()) == 2
