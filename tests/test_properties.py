@@ -1293,3 +1293,78 @@ def test_sssp_cost_matches_replay_for_any_graph(
         for r in sssp_cost(df, sdf, iters=iters, symmetric=symmetric).collect()
     }
     assert got == _ref_sssp(wedges, snames, iters, symmetric)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.lists(
+                st.floats(-2, 2, allow_nan=False, width=32), min_size=3, max_size=3
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_kcenter_matches_replay_for_any_points(spark_prop, pts, k):
+    """kcenter_select equals the pure-Python greedy replay for ANY
+    small point set and k — seed, every greedy pick, and the full
+    (center, distance) assignment."""
+    from test_datapipe import _ref_kcenter
+
+    from pipz_spark.datapipe import kcenter_select
+
+    rows = [(i, [float(x) for x in v]) for i, v in pts]
+    df = spark_prop.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["center_id"], r["d2_q"])
+        for r in kcenter_select(df, k=k).collect()
+    }
+    assert got == _ref_kcenter(rows, k)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cands=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 20),
+            st.floats(0, 1, allow_nan=False, width=16),
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=16), min_size=2, max_size=2
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_mmr_matches_replay_for_any_candidates(spark_prop, cands, k):
+    """mmr_rerank equals the pure-Python greedy replay for ANY small
+    candidate set and k (zero-norm rows dropped on both sides)."""
+    from test_datapipe import _ref_mmr
+
+    from pipz_spark.datapipe import mmr_rerank
+
+    rows = [
+        (q, f"d{i}", float(rel), [float(x) for x in v])
+        for q, i, rel, v in cands
+    ]
+    df = spark_prop.createDataFrame(
+        rows, "query_id int, doc_id string, rel double, embedding array<double>"
+    )
+    live = [r for r in rows if any(x != 0.0 for x in r[3])]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["mmr_rank"], round(r["mmr"], 9))
+        for r in mmr_rerank(df, k=k).collect()
+    }
+    want = {
+        key: (rank, round(sc, 9))
+        for key, (rank, sc) in _ref_mmr(live, k).items()
+    }
+    assert got == want
