@@ -1299,6 +1299,92 @@ def bfs_hops(
     return dist
 
 
+def common_neighbor_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction by common-neighbor count (Liben-Nowell &
+    Kleinberg 2003's strongest simple predictor, integer-exact
+    variant): for every NON-adjacent pair of the canonical simple
+    graph sharing at least ``min_common`` neighbors, one row
+    (id_a, id_b, common BIGINT, pref_attach BIGINT) with id_a < id_b,
+    ``common`` the shared-neighbor count and ``pref_attach`` the
+    degree product (the preferential-attachment score — both classic
+    predictors, both exact integers; Adamic-Adar's 1/log(deg) is
+    deliberately NOT offered: a transcendental per neighbor would
+    break the repo's engine-exact replay discipline for a
+    rank-equivalent-in-practice signal).
+
+    Curation reading: the near-dup pair graph is INCOMPLETE by
+    construction (banding misses pairs at the threshold boundary;
+    df-caps drop boilerplate-driven candidates) — two documents
+    sharing many near-dup partners are themselves probable
+    near-dups, so these scores are the candidate list for a
+    second-pass exact verify (pair-graph densification), and on a
+    citation/link corpus they are the standard related-item signal.
+
+    Scale posture: a wedge center w contributes C(deg(w), 2)
+    candidate pairs — hubs make that quadratic, exactly the
+    boilerplate-gram blowup the dedup family df-caps, and the SAME
+    answer applies: ``max_degree`` drops over-cap wedge CENTERS
+    before pairing (a hub's common-neighbor evidence is weak anyway
+    — sharing a mega-hub says little), making candidate volume
+    ≤ Σ_w min(deg(w), cap)² a priori. The pair count then
+    partial-aggregates map-side (the exchange carries combined
+    (a, b, partial) rows, not raw wedges), existing edges drop via
+    one anti-join on the canonical edge frame, and degrees join
+    back broadcast-small. Declared-query plan is canaried
+    cartesian-free with map-side combine.
+
+    Reference parity: none (no graph surface in the reference) —
+    LLM-data-pipeline operator per the brief.
+    """
+    if min_common < 1:
+        raise ValueError(f"need min_common >= 1, got {min_common}")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"need max_degree >= 1, got {max_degree}")
+    und, deg = _canonical_undirected(edges, src_col, dst_col)
+    adj = und.select(F.col("u").alias("_w"), F.col("v").alias("_x")).union(
+        und.select(F.col("v").alias("_w"), F.col("u").alias("_x"))
+    )
+    if max_degree is not None:
+        ok = deg.where(F.col("d") <= max_degree).select(
+            F.col("n").alias("_w")
+        )
+        adj = adj.join(ok, "_w")
+    cand = (
+        adj.alias("l")
+        .join(
+            adj.alias("r"),
+            (F.col("l._w") == F.col("r._w")) & (F.col("l._x") < F.col("r._x")),
+        )
+        .select(F.col("l._x").alias("id_a"), F.col("r._x").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    nonedge = cand.join(
+        und,
+        (cand["id_a"] == und["u"]) & (cand["id_b"] == und["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("n").alias("id_a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("id_b"), F.col("d").alias("_db"))
+    return (
+        nonedge.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (F.col("_da") * F.col("_db")).cast("long").alias("pref_attach"),
+        )
+    )
+
+
 def sssp_cost(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1395,6 +1481,7 @@ def sssp_cost(
 __all__ = [
     "bfs_hops",
     "clustering_coefficient",
+    "common_neighbor_pairs",
     "connected_components",
     "hits",
     "kcore_peel",

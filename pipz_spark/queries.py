@@ -4706,6 +4706,57 @@ SELECT node, hops FROM d3
 """
 
 
+# Common-neighbor link prediction (graph.common_neighbor_pairs —
+# Liben-Nowell & Kleinberg 2003, integer-exact): non-adjacent
+# supplier pairs of the part-supplier graph sharing >= 2 parts —
+# the co-supply prediction. Parts (degree ~4) are the wedge
+# centers, degree-capped at 16 (the df-cap convention), so
+# candidate volume is ≤ |parts| · C(cap, 2) a priori and the
+# exchange carries map-side-combined pair counts; the oracle
+# replays the wedge join + anti-join + degree product over the
+# same canonical edges. (The customer-supplier graph was measured
+# and rejected for this query: every supplier pair shares ≥3
+# customers at both SFs — a saturated gate on 8 s of wedges.)
+def _dp_link_predict(spark, sf):
+    from .datapipe import common_neighbor_pairs
+
+    li = _t(spark, sf, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return common_neighbor_pairs(pairs, min_common=2, max_degree=16)
+
+
+_DP_LINK_PREDICT_SQL = """
+WITH p AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem),
+e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM p),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) x GROUP BY n),
+ok AS (SELECT n FROM deg WHERE d <= 16),
+adj AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+cand AS (
+  SELECT l.x AS id_a, r.x AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj l
+  JOIN adj r ON l.w = r.w AND l.x < r.x
+  JOIN ok ON ok.n = l.w
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+nonedge AS (
+  SELECT c.id_a, c.id_b, c.common
+  FROM cand c LEFT JOIN e ON e.u = c.id_a AND e.v = c.id_b
+  WHERE e.u IS NULL)
+SELECT n.id_a, n.id_b, n.common,
+       CAST(da.d * db.d AS BIGINT) AS pref_attach
+FROM nonedge n
+JOIN deg da ON da.n = n.id_a
+JOIN deg db ON db.n = n.id_b
+"""
+
+
 # Weighted shortest paths, bounded Bellman-Ford (graph.sssp_cost):
 # same seed set and symmetrized graph as dp_bfs_hops but each edge
 # carries the (customer, supplier) relationship's distinct-order
@@ -6397,6 +6448,10 @@ QUERIES: dict[str, Declared] = {
     # search family: greedy λ·rel − (1−λ)·max-sim over candidate
     # lists, round-for-round replayable (exact ×0.5 scalings)
     "dp_mmr_rerank": Declared(_dp_mmr, _DP_MMR_SQL),
+    # common-neighbor link prediction — pair-graph densification:
+    # degree-capped wedge centers (the df-cap convention), exact
+    # integer counts + preferential-attachment degree product
+    "dp_link_predict": Declared(_dp_link_predict, _DP_LINK_PREDICT_SQL),
 }
 
 

@@ -4872,3 +4872,68 @@ def test_mmr_rerank_drops_degenerate_candidates(spark):
     assert all(r["mmr"] is not None for r in out)
     # k=1 takes the pool-free path (no cosine pass at all)
     assert len(mmr_rerank(df, k=1).collect()) == 2
+
+
+def _ref_common_neighbors(pairs, min_common, max_degree):
+    """Pure-Python replay: canonical simple graph, capped wedge
+    centers, non-adjacent pairs with >= min_common shared
+    neighbors + degree product."""
+    und = set()
+    for s, d in pairs:
+        if s is None or d is None or s == d:
+            continue
+        und.add((min(s, d), max(s, d)))
+    nbrs: dict = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in nbrs.items()}
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for w, ns in nbrs.items():
+        if max_degree is not None and deg[w] > max_degree:
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                cnt[(a, b)] += 1
+    return {
+        (a, b): (c, deg[a] * deg[b])
+        for (a, b), c in cnt.items()
+        if c >= min_common and (a, b) not in und
+    }
+
+
+def test_common_neighbor_pairs_matches_replay(spark):
+    from pipz_spark.datapipe import common_neighbor_pairs
+
+    # hub h connects everyone; capping it must drop its wedges
+    pairs = [
+        ("a", "w1"), ("b", "w1"), ("a", "w2"), ("b", "w2"),
+        ("a", "w3"), ("c", "w3"), ("b", "c"),
+        ("h", "a"), ("h", "b"), ("h", "c"), ("h", "w1"), ("h", "w2"),
+        ("x", "x"), (None, "a"),
+    ]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for min_common, max_degree in ((1, None), (2, None), (1, 3), (2, 3)):
+        got = {
+            (r["id_a"], r["id_b"]): (r["common"], r["pref_attach"])
+            for r in common_neighbor_pairs(
+                df, min_common=min_common, max_degree=max_degree
+            ).collect()
+        }
+        assert got == _ref_common_neighbors(pairs, min_common, max_degree)
+    # the signature prediction: a and b share w1+w2 (and h) but are
+    # NOT adjacent -> top predicted link; b-c IS an edge -> absent
+    got = {
+        (r["id_a"], r["id_b"]): r["common"]
+        for r in common_neighbor_pairs(df, min_common=2).collect()
+    }
+    assert got[("a", "b")] >= 2 and ("b", "c") not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        common_neighbor_pairs(df, min_common=0)
+    with _pytest.raises(ValueError):
+        common_neighbor_pairs(df, max_degree=0)

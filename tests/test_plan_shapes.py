@@ -694,3 +694,14 @@ def test_sssp_min_fold_partial_aggregates(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_link_predict_wedges_combine_before_exchange(spark):
+    # the pair count must partial-aggregate map-side (the exchange
+    # carries combined (a, b, partial) rows, never raw wedges), the
+    # existing-edge drop must be an anti join, and nothing cartesian
+    plan = _plan(spark, "dp_link_predict")
+    assert "partial_count" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
