@@ -94,25 +94,57 @@ def train_quality_classifier(
         ).cast("int")
 
     def score_expr(weights: list[float]) -> Column:
+        # evaluated over the PRE-HASHED bucket array (feats._bk): the
+        # weight lookup is a plain element_at by stored index, so
+        # epochs never re-tokenize or re-md5 the corpus
         w_lit = F.lit(weights)
-        q6w = lambda t: (  # noqa: E731 — local expression builder
+        q6w = lambda b: (  # noqa: E731 — local expression builder
             F.floor(
-                F.element_at(w_lit, bucket(t) + F.lit(1)) * F.lit(1e6)
+                F.element_at(w_lit, b + F.lit(1)) * F.lit(1e6)
                 + F.lit(0.5)
             )
             / F.lit(1e6)
         ).cast("decimal(28,6)")
         return F.aggregate(
-            toks,
+            F.col("_bk"),
             F.lit(0).cast("decimal(28,6)"),
-            lambda acc, t: (acc + q6w(t)).cast("decimal(28,6)"),
+            lambda acc, b: (acc + q6w(b)).cast("decimal(28,6)"),
         )
 
-    # the label is materialized INTO the training projection: the
-    # target expression may reference columns this narrow select
-    # drops (it resolves against the caller's df, once, here)
-    base = df.select(F.col(id_col), F.col(text_col), label.alias("_y"))
-    n_train = base.count()  # scalar, constant across epochs
+    # Hash features ONCE (the label is materialized INTO the same
+    # projection: the target expression may reference columns this
+    # narrow select drops — it resolves against the caller's df,
+    # once, here). Training is multi-pass by nature (one gradient
+    # pass per epoch plus the final scoring pass), and every pass
+    # previously re-tokenized the corpus and re-md5'd every token
+    # TWICE (once inside the score aggregate, once in the gradient
+    # explode) — ~2·(epochs+1) md5-per-token evaluations. The hashed
+    # bucket array is the only feature any pass reads, so persist it
+    # (int array ≈ 4 bytes/token vs the text + md5 chain; spills to
+    # disk at corpus scale, the standard materialize-hashed-features
+    # trade) and every epoch becomes a scan of pre-hashed ints.
+    # Identical math: transform() preserves array order, so the
+    # decimal score accumulates the same values in the same order.
+    from ._caches import track
+    from ._util import fan_out
+
+    # fan_out before the hash pass: a small corpus arrives from the
+    # scan as ONE split (one parquet file < maxPartitionBytes), which
+    # serialized the entire md5-per-token feature build — and every
+    # epoch's cached read after it — on a single core (measured at
+    # sf0.1: every training stage ran (0+1)/1 tasks). At real scale
+    # the scan has thousands of splits and fan_out is a no-op.
+    feats = track(
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            label.alias("_y"),
+            F.transform(toks, bucket).alias("_bk"),
+        )
+        .persist()
+    )
+    n_train = feats.count()  # scalar, constant across epochs (also
+    # materializes the persist so every epoch reads the cached ints)
     weights = [0.0] * n_buckets
 
     for _ in range(epochs):
@@ -123,9 +155,8 @@ def train_quality_classifier(
         # generator-free projection (DIVERGENCES #24); Catalyst
         # collapses them into one stage
         grads = (
-            base.select(qpy.alias("_qpy"), toks.alias("_tk"))
-            .select("_qpy", F.explode("_tk").alias("_t"))
-            .select("_qpy", bucket(F.col("_t")).alias("_b"))
+            feats.select(qpy.alias("_qpy"), F.col("_bk").alias("_tk"))
+            .select("_qpy", F.explode("_tk").alias("_b"))
             .groupBy("_b")
             .agg(F.sum("_qpy").alias("_g"))
             .collect()  # bounded: ≤ n_buckets skinny rows
@@ -136,11 +167,11 @@ def train_quality_classifier(
                 weights[b] - lr * (r["_g"] / (n_train * 1_000_000.0))
             )
 
-    return df.select(
+    return feats.select(
         F.col(id_col),
-        label.cast("int").alias("label"),
+        F.col("_y").cast("int").alias("label"),
         score_expr(weights).cast("double").alias("clf_score"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size("_bk").cast("bigint").alias("n_tokens"),
     )
 
 

@@ -404,33 +404,41 @@ def hits(
         # max_indeg^iters · max_outdeg^iters < 2^62 bound was the
         # caller's obligation only — enforce it, because non-ANSI
         # Spark would WRAP a BIGINT sum silently and corrupt every
-        # downstream ratio. One bounded action over the persisted
-        # edge frame (two longs back), cheap next to the 4·iters
-        # joins that follow; raising names the fix (norm_every).
+        # downstream ratio. Two-tier check (r16 perf pass: the exact
+        # per-direction max-degree aggregate is a union + two
+        # groupBys — it measurably taxed every call on graphs that
+        # could never overflow): first bound both max degrees by the
+        # EDGE COUNT m (d_in, d_out ≤ m always), which is one cheap
+        # count on the just-persisted edge frame (an action this
+        # call needs anyway to materialize the 4·iters-times-reused
+        # persist); only when 2·iters·log2(m) reaches the 2^62 line
+        # does the exact max-degree aggregate run to decide for real.
         import math
 
-        dmax = {
-            r["t"]: r["m"]
-            for r in (
-                e.select(F.col("_src").alias("n"), F.lit("o").alias("t"))
-                .unionByName(
-                    e.select(F.col("_dst").alias("n"), F.lit("i").alias("t"))
+        m_edges = e.count()
+        if m_edges > 1 and 2 * iters * math.log2(m_edges) >= 62:
+            dmax = {
+                r["t"]: r["m"]
+                for r in (
+                    e.select(F.col("_src").alias("n"), F.lit("o").alias("t"))
+                    .unionByName(
+                        e.select(F.col("_dst").alias("n"), F.lit("i").alias("t"))
+                    )
+                    .groupBy("t", "n")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .groupBy("t")
+                    .agg(F.max("c").alias("m"))
+                    .collect()
                 )
-                .groupBy("t", "n")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .groupBy("t")
-                .agg(F.max("c").alias("m"))
-                .collect()
-            )
-        }
-        din, dout = dmax.get("i", 0), dmax.get("o", 0)
-        if din and dout and iters * (math.log2(din) + math.log2(dout)) >= 62:
-            raise ValueError(
-                f"hits(iters={iters}) would overflow BIGINT on this graph "
-                f"(max indegree {din}, max outdegree {dout}: bound "
-                "max_indeg^iters * max_outdeg^iters >= 2^62) — pass "
-                "norm_every to rescale scores periodically"
-            )
+            }
+            din, dout = dmax.get("i", 0), dmax.get("o", 0)
+            if din and dout and iters * (math.log2(din) + math.log2(dout)) >= 62:
+                raise ValueError(
+                    f"hits(iters={iters}) would overflow BIGINT on this graph "
+                    f"(max indegree {din}, max outdegree {dout}: bound "
+                    "max_indeg^iters * max_outdeg^iters >= 2^62) — pass "
+                    "norm_every to rescale scores periodically"
+                )
     # intermediate score frames stay SPARSE (only nodes with a
     # nonzero sum): an absent node contributes nothing to the next
     # sum, so zero-filling against the universe every half-iteration

@@ -81,10 +81,18 @@ def winnow_fingerprints(
     # declines to merge these because the refs are non-cheap and
     # multiply referenced — asserted by the dp_winnow plan canary
     # (exactly one md5 in the plan).
-    staged = (
+    #
+    # fan_out first (r16 perf pass): the O(tokens·w) md5 + window
+    # expression work is the family's densest per-row math, and a
+    # small corpus arrives from the scan as ONE split — the whole
+    # fingerprint pass serialized on a single core (the dedup/text
+    # family's measured lesson, _util.fan_out docstring). No-op at
+    # real scale where the scan is already wide.
+    from ._util import fan_out
+
+    staged = fan_out(
         df.where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
-        .select(F.col(id_col), toks.alias("_toks"))
-    )
+    ).select(F.col(id_col), toks.alias("_toks"))
     # gram positions 1..max(n-k+1, 1); slice() truncates for short
     # docs, so position 1 of a sub-k doc is the whole token run
     n_grams = F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(1))

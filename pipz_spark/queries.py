@@ -5265,9 +5265,15 @@ WHERE hamming <= 3
 # top 10. Everything BIGINT with a total-order tie rule, so the
 # oracle replays build, merge, offsets and ranks row-for-row.
 def _dp_heavy_hitters(spark, sf):
+    from .datapipe._util import fan_out
     from .datapipe.sketches import mg_merge, mg_summary, mg_topk
 
-    docs = _t(spark, sf, "documents")
+    # fan_out BEFORE the explode (r16 perf pass): the tokenize +
+    # explode + map-side partial count all run in the scan stage, and
+    # a one-split scan serialized them on one core; fanning out the
+    # doc rows (not the exploded tokens) keeps the rebalance shuffle
+    # at corpus row width. No-op on a multi-split scan.
+    docs = fan_out(_t(spark, sf, "documents"))
     toks = docs.select(
         (F.col("doc_id") % 4).alias("shard"),
         F.explode(

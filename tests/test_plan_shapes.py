@@ -417,11 +417,17 @@ def test_exact_split_rides_range_exchange(spark):
 
 def test_quality_classifier_scoring_is_pure_projection(spark):
     # the trained-weights scoring pass must be element_at lookups into
-    # a weight-vector LITERAL over the scan — no join, no exchange
-    # (the iterative state lives on the driver, like dp_kmeans)
+    # a weight-vector LITERAL over the PERSISTED hashed-feature frame
+    # (r16 perf pass: features are md5-hashed once, fan_out-rebalanced
+    # and cached; epochs and the final scoring read pre-hashed ints) —
+    # no join, no hash/range exchange (the iterative state lives on
+    # the driver, like dp_kmeans; the only exchange anywhere is
+    # fan_out's round-robin rebalance inside the cached relation)
     plan = _plan(spark, "dp_quality_classifier")
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -452,11 +458,14 @@ def test_hll_registers_combine_map_side(spark):
 def test_clf_keep_is_projection_plus_filter(spark):
     # the keep rule rides the classifier's pure-projection scoring:
     # trained weights are plan literals, the accept predicate is one
-    # more codegen expression — no join, no exchange, no cartesian
-    # (dp_quality_classifier's canary, preserved through the filter)
+    # more codegen expression — no join, no hash/range exchange, no
+    # cartesian (dp_quality_classifier's canary, preserved through
+    # the filter; the persisted-feature round-robin rebalance is the
+    # only exchange, see that canary)
     plan = _plan(spark, "dp_clf_keep")
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -509,14 +518,21 @@ def test_labelprop_iterations_combine_map_side(spark):
 
 
 def test_winnow_is_one_shuffle_free_projection(spark):
-    # the whole selection is codegen array expressions: no exchange,
-    # no join, no Python; the staged projections must SURVIVE
-    # CollapseProject — exactly one md5 in the plan means the gram
-    # hash array is computed once per row, not once per window (the
+    # the whole selection is codegen array expressions: no join, no
+    # Python, and the ONLY exchange permitted is fan_out's round-robin
+    # rebalance of an under-partitioned scan (r16 perf pass: without
+    # it the O(tokens·w) md5/window math serialized on ONE core at
+    # sf0.1 — the dedup/text family's measured lesson; on a many-split
+    # scan fan_out is a no-op and the plan is exchange-free). No
+    # hash/range partitioning may appear: the selection itself never
+    # shuffles. The staged projections must SURVIVE CollapseProject —
+    # exactly one md5 in the plan means the gram hash array is
+    # computed once per row, not once per window (the
     # single-projection formulation re-evaluates it per window:
     # O(n²·w) per doc)
     plan = _plan(spark, "dp_winnow")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("md5") == 1
