@@ -446,14 +446,23 @@ def hits(
     # once, at the end
     hub = nodes.withColumn("hub_q", F.lit(1).cast("long"))
     for it in range(iters):
-        auth = (
-            e.join(
-                hub.select(F.col("node").alias("_n"), "hub_q"),
-                F.col("_src") == F.col("_n"),
+        if it == 0:
+            # round-1 fusion (r16 perf pass): against the all-ones
+            # hub basis, Σ hub over in-edges IS the in-degree — the
+            # first half-iteration is a plain count over the edge
+            # frame, no join (sum-of-ones ≡ COUNT, both BIGINT)
+            auth = e.groupBy(F.col("_dst").alias("node")).agg(
+                F.count(F.lit(1)).cast("long").alias("auth_q")
             )
-            .groupBy(F.col("_dst").alias("node"))
-            .agg(F.sum("hub_q").cast("long").alias("auth_q"))
-        )
+        else:
+            auth = (
+                e.join(
+                    hub.select(F.col("node").alias("_n"), "hub_q"),
+                    F.col("_src") == F.col("_n"),
+                )
+                .groupBy(F.col("_dst").alias("node"))
+                .agg(F.sum("hub_q").cast("long").alias("auth_q"))
+            )
         hub = (
             e.join(
                 auth.select(F.col("node").alias("_n"), "auth_q"),
@@ -631,10 +640,21 @@ def propagate_min_labels(
     labels = nodes.withColumn("label", F.col("node"))
 
     for it in range(iters):
-        nbr = sym.join(
-            labels.select(F.col("node").alias("_n"), F.col("label").alias("_l")),
-            F.col("_s") == F.col("_n"),
-        ).select(F.col("_d").alias("node"), F.col("_l").alias("label"))
+        if it == 0:
+            # round-1 fusion (r16 perf pass, the connected_components
+            # label path's existing trick): joining sym against the
+            # IDENTITY labeling (label == node) returns each edge's
+            # own source, so the first neighbor frame is a pure
+            # projection of sym — one full edge⨝label join dropped
+            # from every call, identically at any scale
+            nbr = sym.select(
+                F.col("_d").alias("node"), F.col("_s").alias("label")
+            )
+        else:
+            nbr = sym.join(
+                labels.select(F.col("node").alias("_n"), F.col("label").alias("_l")),
+                F.col("_s") == F.col("_n"),
+            ).select(F.col("_d").alias("node"), F.col("_l").alias("label"))
         labels = (
             nbr.union(labels)
             .groupBy("node")
@@ -798,9 +818,21 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     conf_key = "spark.sql.shuffle.partitions"
     saved_p = spark.conf.get(conf_key)
     try:
-        scaled = min(int(saved_p), max(8, -(-n_canon // 262144)))
+        # floor 1, not 8 (r16 perf pass): a 19k-row round is ONE
+        # ~300 KB partition of (long, long) rows — the min-aggregates
+        # and joins on it are sub-millisecond per row, so extra tasks
+        # are pure launch latency (~5 sequential exchanges per round
+        # × O(log n) rounds multiply every spare task). A graph big
+        # enough to want parallel rounds sets it via -(-n // 262144)
+        # exactly as before; only the tiny tail stops paying for it.
+        scaled = min(int(saved_p), max(1, -(-n_canon // 262144)))
     except (TypeError, ValueError):
         scaled = None  # non-numeric conf (e.g. "auto"): leave it be
+    # AQE stays ON inside the loop even for single-partition rounds:
+    # disabling it was tried and reverted — without AQE's runtime
+    # join re-planning the round joins fall back to sort-merge and
+    # the sf0.1 query measured 6.2 s → 9.0 s; AQE's per-exchange
+    # latency is cheaper than the sorts it removes, at every scale.
     try:
         if scaled is not None:
             spark.conf.set(conf_key, str(scaled))
@@ -815,8 +847,12 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
     fixpoint edge frame. Split out so the partition-scaling wrapper
     above can restore the session conf around exactly the plans the
     loop creates (every plan here is both built AND executed inside
-    the loop — checkpoint + check are the per-round actions — so the
-    scaled conf never leaks into the caller's lazy plans)."""
+    the loop — the combined materialize+check is the per-round
+    action — so the scaled conf never leaks into the caller's lazy
+    plans)."""
+    from . import _caches
+
+    prev_cache: DataFrame | None = None
     for _ in range(max_rounds):
         sym = canon.unionByName(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -865,21 +901,20 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
+        _caches.track(small)
         # both frames are distinct, so |small| == |canon| plus
         # small ⊆ canon IS set equality. One left join over the two
-        # checkpointed frames yields BOTH numbers (|small| and the
-        # not-in-canon miss count) in a single action, and |canon| is
-        # last round's |small| — so each round is TWO jobs (the
-        # materializing checkpoint + the check) instead of the r15
-        # four (large checkpoint, small checkpoint, count, subtract).
-        # small's localCheckpoint is load-bearing, not just replay
-        # stability: canon appears several times in the next round's
-        # expression (the symmetrizing union + the check join), so
-        # without plan TRUNCATION the logical tree grows ~4^rounds
-        # and the analyzer OOMs — a plain persist() was measured to
-        # blow an 8 GB driver heap by round ~10 on the sf0.1 chain.
+        # frames yields BOTH numbers (|small| and the not-in-canon
+        # miss count), and |canon| is last round's |small| — and this
+        # single action is now the round's ONLY job (r16 perf pass,
+        # down from two: the eager localCheckpoint used to be its own
+        # materializing job before the check could run; at sf0.1's
+        # ~10 rounds that was ~10 jobs of pure scheduling overhead).
+        # The check runs over the PERSISTED round output, filling the
+        # cache as it goes; plan truncation still happens every round
+        # — see the lazy localCheckpoint below.
         chk = (
             small.join(
                 canon.withColumn("_in", F.lit(1)), ["u", "v"], "left"
@@ -895,7 +930,25 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
         n_small, miss = chk["_n"], chk["_miss"] or 0
         if n_small == n_canon and miss == 0:
             return small
-        canon, n_canon = small, n_small
+        # Plan TRUNCATION is load-bearing, not just replay stability:
+        # canon appears several times in the next round's expression
+        # (the symmetrizing union + the check join), so without it
+        # the logical tree grows ~4^rounds and the analyzer OOMs — a
+        # bare persist() alone was measured to blow an 8 GB driver
+        # heap by round ~10 on the sf0.1 chain (caching truncates
+        # physical re-execution, never the logical plan). The LAZY
+        # localCheckpoint keeps the truncation while shedding the
+        # eager variant's dedicated job: the returned frame's logical
+        # plan is already a bare RDD scan, and the marked RDD
+        # materializes from the round's cache as a side effect of the
+        # NEXT round's check job. The previous round's cache is
+        # released exactly then (its checkpoint has materialized; the
+        # one-round lag keeps peak cached state at two skinny rounds,
+        # not O(log n) of them).
+        canon, n_canon = small.localCheckpoint(eager=False), n_small
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = small
     raise RuntimeError(
         f"star contraction did not converge within {max_rounds} rounds — "
         "this exceeds the O(log n) bound for any real graph; the pair "
@@ -1197,10 +1250,20 @@ def label_propagation(
     )
 
     for it in range(iters):
-        nbr = sym.join(
-            labels.select(F.col("node").alias("_n"), F.col("label").alias("_l")),
-            F.col("_s") == F.col("_n"),
-        ).select(F.col("_d").alias("node"), F.col("_l").alias("label"))
+        if it == 0:
+            # round-1 fusion: against the identity labeling the
+            # neighbor-vote frame is sym itself projected (edge
+            # multiplicity preserved — the join carried it through
+            # unchanged, one label row per node) — one full
+            # edge⨝label join dropped per call (r16 perf pass)
+            nbr = sym.select(
+                F.col("_d").alias("node"), F.col("_s").alias("label")
+            )
+        else:
+            nbr = sym.join(
+                labels.select(F.col("node").alias("_n"), F.col("label").alias("_l")),
+                F.col("_s") == F.col("_n"),
+            ).select(F.col("_d").alias("node"), F.col("_l").alias("label"))
         votes = nbr.union(labels.select("node", "label"))
         cnt = votes.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("_cnt")
