@@ -861,40 +861,73 @@ def _mg_prune(
         w = Window.partitionBy(*[F.col(g) for g in rank_groups]).orderBy(
             F.col("_est").desc(), F.col("mg_key").asc()
         )
-        ranked = counts.withColumn("_mr", F.row_number().over(w))
+        # the threshold t (the (k+1)-th count) rides the SAME
+        # partition keys as the rank window, so it costs zero extra
+        # exchanges as an unbounded-window MAX — the old join-back
+        # (thr rejoined under kept AND under the offset base) put two
+        # more copies of the prune subtree in the plan, and prunes
+        # COMPOSE (summary → merge → topk), so the duplication
+        # multiplied through the chain
+        wg = Window.partitionBy(*[F.col(g) for g in rank_groups])
+        ranked = counts.withColumn("_mr", F.row_number().over(w)).withColumn(
+            "_t",
+            F.coalesce(
+                F.max(F.when(F.col("_mr") == k + 1, F.col("_est"))).over(wg),
+                F.lit(0).cast("long"),
+            ),
+        )
     else:
+        from ._caches import track
         from .rank import grouped_rank
 
-        ranked = grouped_rank(
-            counts,
-            rank_groups,
-            [F.col("_est").desc(), F.col("mg_key").asc()],
-            rank_col="_mr",
-            count_col="_mn",
+        # Three consumers read the build-path rank (kept rows, the
+        # k+1 threshold, the rank-1 offset base): unpersisted, each
+        # re-ran the full corpus count + rank machine — 3 corpus
+        # aggregations for 1 at any scale, and under AQE the
+        # duplication multiplied further when prunes compose
+        # (dp_heavy_hitters measured 138 jobs per run). The cache is
+        # keyspace-sized (distinct keys × groups), strictly smaller
+        # than the corpus, released by release_caches().
+        ranked = track(
+            grouped_rank(
+                counts,
+                rank_groups,
+                [F.col("_est").desc(), F.col("mg_key").asc()],
+                rank_col="_mr",
+                count_col="_mn",
+            ).persist()
         )
-    thr = ranked.where(F.col("_mr") == k + 1).select(
-        *rank_groups, F.col("_est").alias("_t")
-    )
-    t = F.coalesce(F.col("_t"), F.lit(0).cast("long"))
-    kept = (
-        ranked.where(F.col("_mr") <= k)
-        .join(thr, rank_groups, "left")
-        .where(F.col("_est") > t)
-        .select(
-            *gcols,
-            "mg_key",
-            (F.col("_est") - t).cast("long").alias("mg_est"),
-            (F.col("_ei") + t).cast("long").alias("mg_err"),
+        # the build rank is RANGE-partitioned (grouped_rank), not
+        # group-partitioned, so the threshold attaches via the
+        # broadcast-sized join-back (one row per group) rather than a
+        # window that would re-shuffle the whole keyspace per group
+        thr = ranked.where(F.col("_mr") == k + 1).select(
+            *rank_groups, F.col("_est").alias("_thr")
         )
+        ranked = ranked.join(thr, rank_groups, "left").withColumn(
+            "_t", F.coalesce(F.col("_thr"), F.lit(0).cast("long"))
+        )
+    t = F.col("_t")
+    kept = ranked.where((F.col("_mr") <= k) & (F.col("_est") > t)).select(
+        *gcols,
+        "mg_key",
+        (F.col("_est") - t).cast("long").alias("mg_est"),
+        (F.col("_ei") + t).cast("long").alias("mg_err"),
     )
     key_type = counts.schema["mg_key"].dataType
     if offset_groups is None:
-        base = ranked.where(F.col("_mr") == 1).join(thr, rank_groups, "left")
+        base = ranked.where(F.col("_mr") == 1)
     else:
         og = offset_groups
         if not gcols:
             og = og.withColumn("_mg", F.lit(0))
-        base = og.join(thr, rank_groups, "left")
+        base = og.join(
+            ranked.where(F.col("_mr") == k + 1).select(
+                *rank_groups, F.col("_est").alias("_ot")
+            ),
+            rank_groups,
+            "left",
+        ).withColumn("_t", F.coalesce(F.col("_ot"), F.lit(0).cast("long")))
     offs = base.select(
         *gcols,
         F.lit(None).cast(key_type).alias("mg_key"),

@@ -31,6 +31,16 @@ def get_session(
         # essential at 100 TB, harmless at sf0.001.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at Spark's default (true): an A/B
+        # probe of flipping it to false (Spark's own production
+        # recommendation) measured both directions at sf0.1 — skinny
+        # exchanges got cheaper (dp_heavy_hitters 8.3→4.3 s) but
+        # CPU-dense post-shuffle stages serialized onto one task
+        # (dp_components 4.7→6.9 s, hash-heavy pair-graph build).
+        # This engine's answer is per-operator: loops that KNOW their
+        # rounds are skinny size their exchanges explicitly
+        # (graph._star_rounds' rows-per-partition rule), which beats
+        # a global coalescing policy in both directions.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # Arrow for the pandas-UDF escape hatch (the slow path, but

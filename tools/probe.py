@@ -65,6 +65,22 @@ def main() -> None:
 
         replay_events_files(spark, sf_dir, order_by_ts=True)
 
+    def cal() -> float:
+        # the bench's plan-invariant machine-speed yardstick: this
+        # host's speed swings ~2x over tens of minutes (hypervisor
+        # neighbors), so a probe without a contemporaneous cal
+        # reading cannot be compared to one taken earlier
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) as h"
+            ).collect()
+            best = min(best, time.time() - t0)
+        return best
+
+    print(f"cal_start={cal():.3f}", flush=True)
+
     for name in args.queries:
         decl = QUERIES[name]
         if args.plan_dir:
@@ -76,8 +92,15 @@ def main() -> None:
             with open(os.path.join(args.plan_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(buf.getvalue())
         runs = []
-        for _ in range(args.n):
-            spark.sparkContext.setJobDescription(f"probe:{name}")
+        njobs = nstages = ntasks = 0
+        for i in range(args.n):
+            # job group per run: the StatusTracker then yields the
+            # run's DETERMINISTIC cost shape (jobs/stages/tasks) —
+            # host-noise-immune evidence next to the wall time, and
+            # the direct measure of the scheduling overhead that
+            # dominates skinny iterative queries at sf0.1
+            group = f"probe:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, f"probe:{name}")
             t0 = time.time()
             try:
                 decl.build(spark, sf_dir).write.format("noop").mode(
@@ -86,11 +109,27 @@ def main() -> None:
                 runs.append(time.time() - t0)
             finally:
                 release_caches()
-                spark.sparkContext.setJobDescription(None)
+                spark.sparkContext.setJobGroup(None, None)
+            if i == args.n - 1:
+                st = spark.sparkContext.statusTracker()
+                jids = st.getJobIdsForGroup(group)
+                njobs = len(jids)
+                sids = set()
+                for j in jids:
+                    ji = st.getJobInfo(j)
+                    if ji:
+                        sids.update(ji.stageIds)
+                nstages = len(sids)
+                for s in sids:
+                    si = st.getStageInfo(s)
+                    if si:
+                        ntasks += si.numTasks
         print(
-            f"{name}: min={min(runs):.3f} runs={[round(r, 3) for r in runs]}",
+            f"{name}: min={min(runs):.3f} jobs={njobs} stages={nstages} "
+            f"tasks={ntasks} runs={[round(r, 3) for r in runs]}",
             flush=True,
         )
+    print(f"cal_end={cal():.3f}", flush=True)
     spark.stop()
 
 
