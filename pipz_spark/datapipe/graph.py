@@ -828,17 +828,30 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         scaled = min(int(saved_p), max(1, -(-n_canon // 262144)))
     except (TypeError, ValueError):
         scaled = None  # non-numeric conf (e.g. "auto"): leave it be
-    # AQE stays ON inside the loop even for single-partition rounds:
-    # disabling it was tried and reverted — without AQE's runtime
-    # join re-planning the round joins fall back to sort-merge and
-    # the sf0.1 query measured 6.2 s → 9.0 s; AQE's per-exchange
-    # latency is cheaper than the sorts it removes, at every scale.
+    # AQE inside the loop is now a MEASURED-SIZE decision, not a
+    # constant. History: with groupBy+join rounds, AQE-off fell back
+    # to sort-merge joins (6.2 s → 9.0 s, reverted). The r16 window
+    # fusion removed every in-round join except the fixpoint check,
+    # so AQE's only remaining contribution to a tiny round is its
+    # per-exchange query-stage JOB — and the probe showed the loop
+    # was exactly that (83 AQE jobs for 365 tasks). When the measured
+    # edge count says rounds are single-partition (scaled == 1), the
+    # static plan is strictly better: one action per round, no
+    # per-exchange re-planning. Big graphs (scaled > 1) keep AQE for
+    # its coalescing and skew handling at full parallelism — the
+    # switch is anchored to n_canon, never to the local core count.
+    aqe_key = "spark.sql.adaptive.enabled"
+    saved_aqe = spark.conf.get(aqe_key)
+    drop_aqe = scaled == 1 and saved_aqe == "true"
     try:
         if scaled is not None:
             spark.conf.set(conf_key, str(scaled))
+        if drop_aqe:
+            spark.conf.set(aqe_key, "false")
         canon = _star_rounds(canon, n_canon, max_rounds)
     finally:
         spark.conf.set(conf_key, saved_p)
+        spark.conf.set(aqe_key, saved_aqe)
     return _star_fixpoint_map(canon, edges)
 
 
@@ -850,21 +863,28 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
     the loop — the combined materialize+check is the per-round
     action — so the scaled conf never leaks into the caller's lazy
     plans)."""
+    from pyspark.sql import Window
+
     from . import _caches
 
+    # groupBy(u).min + join-back computes each row's partition min —
+    # which is exactly a partition-only window MIN. The window form
+    # emits identical rows from ONE hash(u) exchange (+ an in-stage
+    # sort) where the join form paid the groupBy exchange PLUS an
+    # AQE broadcast build/probe per round; with two such pairs per
+    # round × O(log n) rounds the loop was scheduling, not data
+    # (probe: 103 AQE jobs / 201 stages for 383 TASKS at sf0.1).
+    # Measured on the declared query: 7.46 s → window form below.
+    w_u = Window.partitionBy("u")
     prev_cache: DataFrame | None = None
     for _ in range(max_rounds):
         sym = canon.unionByName(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         # large-star: for each directed (u, v) with v > u, emit {v, m(u)}
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("_mv"))
-            .select("u", F.least("u", "_mv").alias("_m"))
-        )
+        # where m(u) = min(Γ(u) ∪ {u}) — the window min over u's rows
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("_m", F.least(F.col("u"), F.min("v").over(w_u)))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("_m").alias("b"))
             .where(F.col("a") != F.col("b"))
@@ -874,7 +894,7 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
             # deliberately NEITHER distinct NOR checkpointed: the
             # small-star step below is duplicate-INSENSITIVE (its
             # aggregate is an idempotent MIN, and small's own
-            # distinct collapses any multi-edge fan the re-point join
+            # distinct collapses any multi-edge fan the re-point
             # produces), so large's dedup exchange bought nothing —
             # dropping it removed one full shuffle stage per round,
             # measured 13.2 s → 9.1 s over the 10-round sf0.1 chain.
@@ -887,11 +907,11 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
         )
         # small-star over the large-star output: orient big→small,
         # re-point every smaller neighbor (and the node itself) at m
+        # (all v < u post-orientation, so the bare window MIN is m)
         oriented = large.select(
             F.col("v").alias("u"), F.col("u").alias("v")
         )  # canon is (small, big); oriented = (big, small)
-        omins = oriented.groupBy("u").agg(F.min("v").alias("_m"))
-        j = oriented.join(omins, "u")
+        j = oriented.withColumn("_m", F.min("v").over(w_u))
         small = (
             j.where(F.col("v") != F.col("_m"))
             .select(F.col("v").alias("a"), F.col("_m").alias("b"))
@@ -915,9 +935,19 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
         # The check runs over the PERSISTED round output, filling the
         # cache as it goes; plan truncation still happens every round
         # — see the lazy localCheckpoint below.
+        # build side: canon rows are known EXACTLY (n_canon is last
+        # round's count) — broadcast below ~4M (long,long) rows
+        # (≈64 MB built) instead of leaving the choice to size
+        # estimates; above that the plain join shuffles both sides,
+        # which is the correct shape for a 5B-edge graph. Without
+        # this, the AQE-off tiny-graph path would sort-merge a
+        # broadcast-sized build per round.
+        marked = canon.withColumn("_in", F.lit(1))
+        if n_canon <= 4_000_000:
+            marked = F.broadcast(marked)
         chk = (
             small.join(
-                canon.withColumn("_in", F.lit(1)), ["u", "v"], "left"
+                marked, ["u", "v"], "left"
             )
             .agg(
                 F.count(F.lit(1)).alias("_n"),
