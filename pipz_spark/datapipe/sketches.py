@@ -471,10 +471,11 @@ def bloom_contamination(
     from ._util import fan_out
 
     nonblank = F.trim(F.col(text_col)) != ""
-    eg = (
-        eval_df.where(nonblank)
-        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
-        .distinct()
+    # no .distinct() before the bitmap build: BIT_OR is idempotent,
+    # so duplicate gram instances set the same bits — the bitmap is
+    # byte-identical and the dedup exchange bought nothing
+    eg = eval_df.where(nonblank).select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
     )
     words = build_bloom(eg, "_g", n_words=n_words, k=k, salt=salt)
     m_bits = n_words * 48

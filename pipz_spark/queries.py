@@ -4598,13 +4598,18 @@ def _dp_labelprop(spark, sf):
 
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # distinct BELOW the injective concat (guide §2.3): the dedup
+    # exchange carries (int, int) keys, the string ids are built once
+    # on the ~10× smaller distinct frame — identical edge set, and the
+    # string ORDER the min-label machine depends on is untouched
     pairs = (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     return propagate_min_labels(pairs, iters=3)
 
@@ -4641,13 +4646,18 @@ def _dp_label_prop(spark, sf):
 
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # distinct BELOW the injective concat (guide §2.3): the dedup
+    # exchange carries (int, int) keys, the string ids are built once
+    # on the ~10× smaller distinct frame — identical edge set, and the
+    # string ORDER the min-label machine depends on is untouched
     pairs = (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     return label_propagation(pairs, iters=3)
 
@@ -4746,10 +4756,16 @@ def _dp_link_predict(spark, sf):
     from .datapipe import common_neighbor_pairs
 
     li = _t(spark, sf, "lineitem")
-    pairs = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    # distinct below the injective concat — (int, int) dedup exchange,
+    # strings built once on the distinct frame (order semantics intact)
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
     return common_neighbor_pairs(pairs, min_common=2, max_degree=16)
 
 
