@@ -70,6 +70,8 @@ natural edge inputs).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -863,8 +865,6 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
     the loop — the combined materialize+check is the per-round
     action — so the scaled conf never leaks into the caller's lazy
     plans)."""
-    from pyspark.sql import Window
-
     from . import _caches
 
     # groupBy(u).min + join-back computes each row's partition min —
@@ -874,89 +874,85 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
     # AQE broadcast build/probe per round; with two such pairs per
     # round × O(log n) rounds the loop was scheduling, not data
     # (probe: 103 AQE jobs / 201 stages for 383 TASKS at sf0.1).
-    # Measured on the declared query: 7.46 s → window form below.
-    w_u = Window.partitionBy("u")
+    #
+    # The round is expressed as ONE static SQL string over a temp
+    # view, not DataFrame calls: a probe split the ~440 ms/round wall
+    # into ~207 ms of pure PYTHON-SIDE DataFrame construction (the
+    # ~100 py4j round-trips the fluent API costs to build the round's
+    # ~30 operators) vs ~59 ms for the identical plan via one
+    # spark.sql() parse — per-round driver chatter, O(rounds) of it,
+    # and nothing to do with the cluster. The SQL below is the EXACT
+    # window form it replaces, verified round-by-round (identical
+    # per-round |small| and miss counts on the sf0.1 chain) and
+    # oracle-exact at both SFs.
+    #
+    # large-star: for each directed (u, v) with v > u, emit {v, m(u)},
+    # m(u) = min(Γ(u) ∪ {u}) — the window min over u's rows. large is
+    # deliberately NEITHER distinct NOR checkpointed: small-star is
+    # duplicate-insensitive (idempotent MIN; small's own distinct
+    # collapses any fan), and dropping large's dedup removed one full
+    # shuffle per round (13.2 s → 9.1 s, earlier round). |large| =
+    # |canon| exactly (sym contributes one v>u direction per edge).
+    # small-star: orient big→small (sw reads large's (v, u) swapped),
+    # re-point every smaller neighbor (and the node itself) at the
+    # window min m — all v < u post-orientation, so the bare MIN is m.
+    round_sql_tpl = """
+WITH sym AS (SELECT u, v FROM {cn} UNION ALL SELECT v AS u, u AS v FROM {cn}),
+lw AS (SELECT u, v, LEAST(u, MIN(v) OVER (PARTITION BY u)) AS m FROM sym),
+large AS (SELECT LEAST(v, m) AS u, GREATEST(v, m) AS v
+          FROM lw WHERE v > u AND v <> m),
+sw AS (SELECT v AS u, u AS v, MIN(u) OVER (PARTITION BY v) AS m FROM large)
+SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM (
+  SELECT v AS a, m AS b FROM sw WHERE v <> m
+  UNION ALL SELECT u AS a, m AS b FROM sw) t
+WHERE a <> b
+"""
+    spark = canon.sparkSession
+    tag = next(_STAR_VIEW_IDS)
+    cn_view, sm_view = f"__pipz_star_cn_{tag}", f"__pipz_star_sm_{tag}"
+    round_sql = round_sql_tpl.format(cn=cn_view)
+    # the check joins the persisted round output back to its input:
+    # both frames are distinct, so |small| == |canon| AND zero one-way
+    # misses IS set equality; one action yields both numbers. The
+    # build side's row count is known EXACTLY (n_canon = last round's
+    # count) — broadcast below ~4M (long, long) rows (≈64 MB built),
+    # plain shuffle join above (the correct 5B-edge shape).
+    chk_sql_tpl = """
+SELECT {hint} COUNT(*) AS _n,
+       SUM(CASE WHEN c.u IS NULL THEN 1 ELSE 0 END) AS _miss
+FROM {sm} s LEFT JOIN {cn} c ON s.u = c.u AND s.v = c.v
+"""
+    try:
+        return _star_rounds_body(
+            spark, canon, n_canon, max_rounds, cn_view, sm_view,
+            round_sql, chk_sql_tpl, _caches,
+        )
+    finally:
+        spark.catalog.dropTempView(cn_view)
+        spark.catalog.dropTempView(sm_view)
+
+
+_STAR_VIEW_IDS = itertools.count()
+
+
+def _star_rounds_body(
+    spark, canon, n_canon, max_rounds, cn_view, sm_view,
+    round_sql, chk_sql_tpl, _caches,
+):
     prev_cache: DataFrame | None = None
     for _ in range(max_rounds):
-        sym = canon.unionByName(
-            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        # large-star: for each directed (u, v) with v > u, emit {v, m(u)}
-        # where m(u) = min(Γ(u) ∪ {u}) — the window min over u's rows
-        large = (
-            sym.withColumn("_m", F.least(F.col("u"), F.min("v").over(w_u)))
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .select(
-                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-            )
-            # deliberately NEITHER distinct NOR checkpointed: the
-            # small-star step below is duplicate-INSENSITIVE (its
-            # aggregate is an idempotent MIN, and small's own
-            # distinct collapses any multi-edge fan the re-point
-            # produces), so large's dedup exchange bought nothing —
-            # dropping it removed one full shuffle stage per round,
-            # measured 13.2 s → 9.1 s over the 10-round sf0.1 chain.
-            # Row-count bound without the dedup: |large| = |canon|
-            # exactly (sym contributes one v>u direction per
-            # canonical edge), so the undeduped frame never exceeds
-            # the deduped one by more than the true multi-edge
-            # multiplicity of the round. Checkpointing stays on small
-            # only: the composed large+small plan is one round deep.
-        )
-        # small-star over the large-star output: orient big→small,
-        # re-point every smaller neighbor (and the node itself) at m
-        # (all v < u post-orientation, so the bare window MIN is m)
-        oriented = large.select(
-            F.col("v").alias("u"), F.col("u").alias("v")
-        )  # canon is (small, big); oriented = (big, small)
-        j = oriented.withColumn("_m", F.min("v").over(w_u))
-        small = (
-            j.where(F.col("v") != F.col("_m"))
-            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
-            .unionByName(j.select(F.col("u").alias("a"), F.col("_m").alias("b")))
-            .where(F.col("a") != F.col("b"))
-            .select(
-                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-            )
-            .distinct()
-            .persist()
-        )
+        canon.createOrReplaceTempView(cn_view)
+        small = spark.sql(round_sql).persist()
         _caches.track(small)
-        # both frames are distinct, so |small| == |canon| plus
-        # small ⊆ canon IS set equality. One left join over the two
-        # frames yields BOTH numbers (|small| and the not-in-canon
-        # miss count), and |canon| is last round's |small| — and this
-        # single action is now the round's ONLY job (r16 perf pass,
-        # down from two: the eager localCheckpoint used to be its own
-        # materializing job before the check could run; at sf0.1's
-        # ~10 rounds that was ~10 jobs of pure scheduling overhead).
-        # The check runs over the PERSISTED round output, filling the
-        # cache as it goes; plan truncation still happens every round
-        # — see the lazy localCheckpoint below.
-        # build side: canon rows are known EXACTLY (n_canon is last
-        # round's count) — broadcast below ~4M (long,long) rows
-        # (≈64 MB built) instead of leaving the choice to size
-        # estimates; above that the plain join shuffles both sides,
-        # which is the correct shape for a 5B-edge graph. Without
-        # this, the AQE-off tiny-graph path would sort-merge a
-        # broadcast-sized build per round.
-        marked = canon.withColumn("_in", F.lit(1))
-        if n_canon <= 4_000_000:
-            marked = F.broadcast(marked)
-        chk = (
-            small.join(
-                marked, ["u", "v"], "left"
-            )
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(
-                    F.when(F.col("_in").isNull(), 1).otherwise(0)
-                ).alias("_miss"),
-            )
-            .first()
-        )
+        small.createOrReplaceTempView(sm_view)
+        # the check action is the round's ONLY job (see the module
+        # comments above): it fills small's cache and reads two
+        # numbers. BROADCASTHASHJOIN hint below the 4M-row line only
+        # (exact tracked count), plain join above.
+        hint = "/*+ BROADCAST(c) */" if n_canon <= 4_000_000 else ""
+        chk = spark.sql(
+            chk_sql_tpl.format(hint=hint, sm=sm_view, cn=cn_view)
+        ).first()
         n_small, miss = chk["_n"], chk["_miss"] or 0
         if n_small == n_canon and miss == 0:
             return small
