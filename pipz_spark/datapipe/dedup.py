@@ -478,8 +478,13 @@ def ngram_jaccard(
     # upstream candidate/estimate stages (skinny rows — cheap to hold)
     from ._util import fan_out
 
+    # persisted but NOT eagerly pinned: the first action that touches
+    # it (sh's pin below) references sides exactly ONCE — through the
+    # semi-join's build side — so it materializes race-free as a side
+    # effect of that action; the verify joins then read the filled
+    # cache. An eager count() here was a whole extra driver-blocking
+    # job per query (~0.5 s of scheduling at sf0.1) buying nothing.
     sides = _caches.track(pairs.select("id_a", "id_b").persist())
-    sides.count()
     relevant = fan_out(df).join(
         sides.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct(),
         F.col(id_col) == F.col("_id"),
@@ -654,14 +659,18 @@ def near_dup_pairs(
         from . import _caches
 
         # persisted: the banding pass and both estimate join sides
-        # read it; pinned so concurrent stages don't race the cache
+        # read it. NOT eagerly pinned: the first action that touches
+        # it (_bucket_pairs' grouped pin) reaches sigs exactly ONCE
+        # (through the banding explode), so the cache fills race-free
+        # inside that action and the estimate joins read the filled
+        # cache — the old count() was one whole extra sequential job
+        # per query for a cache the very next action fills anyway.
         sigs = _caches.track(
             minhash_signatures_df(
                 df, id_col=id_col, text_col=text_col,
                 num_hashes=num_hashes, shingle_k=shingle_k,
             ).persist()
         )
-        sigs.count()
     cand = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
@@ -760,11 +769,15 @@ def cross_near_dup_pairs(
             num_hashes=num_hashes, shingle_k=shingle_k,
         )
 
-    # signatures feed the banding AND the estimate filter — pin the
-    # frames THIS call creates; a caller-supplied index is the
-    # caller's to manage
+    # signatures feed the banding AND the estimate filter — persist
+    # the frames THIS call creates (a caller-supplied index is the
+    # caller's to manage). No eager pin: _cross_bucket_pairs' sizing
+    # action references each signature frame exactly ONCE (through
+    # its banding explode), so both caches fill race-free inside the
+    # action the plan needs anyway; the estimate joins read the
+    # filled caches. The old per-frame count()s were two extra
+    # sequential driver-blocking jobs per call.
     sn = _caches.track(sign(new).persist())
-    sn.count()
     if ref_sigs is not None:
         first = ref_sigs.select(F.size("_sig").alias("_w")).first()
         if first is not None and first["_w"] != num_hashes:
@@ -776,7 +789,6 @@ def cross_near_dup_pairs(
         sr = ref_sigs
     else:
         sr = _caches.track(sign(ref).persist())
-        sr.count()
 
     cand = _cross_bucket_pairs(
         banded_signatures(sn, num_hashes=num_hashes, bands=bands)
@@ -951,8 +963,10 @@ def simhash_near_dup_pairs(
     h = _caches.track(
         simhash_df(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
     )
-    # pin before the chunking pass and both join-backs race the cache
-    h.count()
+    # no eager pin: the first action (_bucket_pairs' grouped pin)
+    # reads h exactly ONCE via the chunking explode, filling the
+    # cache race-free; both hash join-backs then read the filled
+    # cache — the old count() was an extra sequential job per call
 
     def chunk_of(b):
         shifted = F.call_function("shiftright", F.col("_h"), b * width)

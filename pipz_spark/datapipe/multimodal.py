@@ -333,7 +333,9 @@ def image_near_dup(
         .withColumnRenamed(id_col, "_id")
         .persist()
     )
-    h.count()  # pin before the chunking pass and both join-backs
+    # no eager pin: the first action (_bucket_pairs' grouped pin)
+    # reads h exactly ONCE via the chunking explode, filling the
+    # cache race-free; the signature join-backs read the filled cache
     chunked = h.select(
         "_id",
         F.posexplode(
