@@ -763,6 +763,13 @@ def kcore_peel(
             keep.select(F.col("s").alias("d")), "d", "leftsemi"
         )
         if checkpoint_every is not None and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            # EAGER on purpose (r17 re-measured): a lazy checkpoint
+            # was a wash at sf0.1 (1.62 → 1.71 s solo, 2 fewer jobs)
+            # and at scale the next round's SMJ probe-side map stages
+            # can run CONCURRENTLY with the degree aggregation,
+            # racing the unfilled cache into duplicate evaluations of
+            # the peeled frame — the eager pin computes it exactly
+            # once whatever the join strategy.
             cur = cur.localCheckpoint()
     return cur.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("s").alias("node"), "degree"

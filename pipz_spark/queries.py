@@ -2857,23 +2857,27 @@ WHERE round(list_cosine_similarity(n.e, r.e), 6) >= 0.35
 # Integer-exact end to end (BIGINT ranks, DIV flooring, 17/20
 # damping) so the oracle unrolls both iterations with zero float
 # residual.
-def _cs_pack(kind_c: Column, key: Column) -> Column:
-    """Injectively pack the purchase-graph string node ids
-    ('c<custkey>' / 's<suppkey>') into BIGINTs: customer k ↦ 2k,
-    supplier k ↦ 2k+1. The iterative graph machines hash their node
-    key through every exchange (contribution join, in-sum aggregate,
-    damping join × iters), so an 8-byte long key shuffles and
-    compares at a fraction of a ~12-char string's cost (guide §2.3
-    "narrower types"); measured on dp_pagerank: 3.47 s → 2.34 s solo
-    with bit-identical output. ONLY valid for order-INSENSITIVE
-    operators — the packing is a graph isomorphism (node ids used
-    solely as equality keys: pagerank/HITS/BFS/SSSP), NOT an
-    order-preserving map, so the min-label machines
-    (dp_components / dp_label_prop / dp_link_predict) keep string
-    ids. ``kind_c`` True ⇒ customer."""
-    return F.when(
-        kind_c, key.cast("long") * 2
-    ).otherwise(key.cast("long") * 2 + 1)
+def _cs_pack_c(key: Column) -> Column:
+    """Injectively pack a purchase-graph CUSTOMER key ('c<custkey>')
+    into a BIGINT: k ↦ 2k (suppliers: ``_cs_pack_s``, k ↦ 2k+1). The
+    iterative graph machines hash their node key through every
+    exchange (contribution join, in-sum aggregate, damping join ×
+    iters), so an 8-byte long key shuffles and compares at a fraction
+    of a ~12-char string's cost (guide §2.3 "narrower types");
+    measured on dp_pagerank: 3.47 s → 2.34 s solo with bit-identical
+    output. ONLY valid for order-INSENSITIVE operators — the packing
+    is a graph isomorphism (node ids used solely as equality keys:
+    pagerank/HITS/BFS/SSSP), NOT an order-preserving map, so the
+    min-label machines (dp_components / dp_label_prop /
+    dp_link_predict) keep string ids. Every packing site calls these
+    two helpers (r16 ADVICE: the old documented-but-uncalled variant
+    and its hand-inlined copies could silently drift)."""
+    return key.cast("long") * 2
+
+
+def _cs_pack_s(key: Column) -> Column:
+    """Supplier side of ``_cs_pack_c``: k ↦ 2k+1."""
+    return key.cast("long") * 2 + 1
 
 
 def _cs_unpack(col: Column) -> Column:
@@ -2886,15 +2890,15 @@ def _cs_unpack(col: Column) -> Column:
 
 def _cs_pairs_long(o, li):
     """The distinct customer→supplier purchase pair frame on packed
-    BIGINT node ids (see _cs_pack) — the shared front of the
+    BIGINT node ids (see _cs_pack_c/_cs_pack_s) — the shared front of the
     order-insensitive graph queries. The distinct exchange carries
     16 bytes/row instead of two strings, and every downstream
     exchange inherits the long key."""
     return (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            (F.col("o_custkey").cast("long") * 2).alias("src"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+            _cs_pack_c(F.col("o_custkey")).alias("src"),
+            _cs_pack_s(F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -4713,7 +4717,7 @@ def _dp_bfs_hops(spark, sf):
     seeds = (
         _t(spark, sf, "customer")
         .where(F.col("c_nationkey") == 0)
-        .select((F.col("c_custkey").cast("long") * 2).alias("node"))
+        .select(_cs_pack_c(F.col("c_custkey")).alias("node"))
     )
     r = bfs_hops(pairs, seeds, iters=3, symmetric=True)
     return r.select(_cs_unpack(F.col("node")).alias("node"), "hops")
@@ -4810,19 +4814,19 @@ def _dp_sssp(spark, sf):
 
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    # packed long ids (_cs_pack): same grouping, 16-byte group keys
+    # packed long ids (_cs_pack_c/_s): same grouping, 16-byte group keys
     pairs = (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
-            (F.col("o_custkey").cast("long") * 2).alias("src"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+            _cs_pack_c(F.col("o_custkey")).alias("src"),
+            _cs_pack_s(F.col("l_suppkey")).alias("dst"),
         )
         .agg(F.countDistinct("o_orderkey").cast("long").alias("w"))
     )
     seeds = (
         _t(spark, sf, "customer")
         .where(F.col("c_nationkey") == 0)
-        .select((F.col("c_custkey").cast("long") * 2).alias("node"))
+        .select(_cs_pack_c(F.col("c_custkey")).alias("node"))
     )
     r = sssp_cost(pairs, seeds, iters=3, symmetric=True)
     return r.select(_cs_unpack(F.col("node")).alias("node"), "cost")
@@ -5996,13 +6000,13 @@ def _dp_pagerank_weighted(spark, sf):
 
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    # packed long ids (_cs_pack): groupBy on (long, long) keys is the
+    # packed long ids (_cs_pack_c/_s): groupBy on (long, long) keys is the
     # same grouping (the packing is injective), countDistinct rides it
     pw = (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
-            (F.col("o_custkey").cast("long") * 2).alias("src"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+            _cs_pack_c(F.col("o_custkey")).alias("src"),
+            _cs_pack_s(F.col("l_suppkey")).alias("dst"),
         )
         .agg(F.countDistinct("o_orderkey").alias("w"))
     )
