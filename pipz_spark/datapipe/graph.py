@@ -198,6 +198,26 @@ def pagerank(
         raise ValueError(f"need tol >= 0, got {tol}")
     base = (init_q * (den - num)) // den
 
+    if tol is None and checkpoint_every is None and iters <= _PR_SQL_MAX_ITERS:
+        # The pure-lazy path (every declared query) builds its whole
+        # machine — ingestion front, node universe, degree table,
+        # iters × (contribution join + in-sum + damping join) — as
+        # ONE static SQL parse over a temp view instead of ~60-80
+        # fluent-API operators: a probe put the builders' pure
+        # PYTHON-side plan construction at 0.3-0.5 s per call (py4j
+        # round-trips, the star-loop lesson of r16 applied to the
+        # rank family, r16 verdict ask #4). The SQL is the exact
+        # algebra of the loop below, verified oracle-exact at both
+        # SFs. Bounded to small iters: a deep WITH chain trips the
+        # analyzer's Resolution iteration cap (measured at iters=60),
+        # while the fluent loop resolves incrementally — long runs
+        # (which should pass checkpoint_every anyway) and the eager
+        # tol/checkpoint modes keep the DataFrame form.
+        return _pagerank_sql(
+            edges, iters, src_col, dst_col, init_q, num, den, base,
+            seeds, weight_col,
+        )
+
     # No .persist() on the per-iteration inputs, DELIBERATELY: every
     # consumer of the edge list and node table sits behind a shuffle
     # (the contribution join and the damping join both hash on the
@@ -338,6 +358,119 @@ def pagerank(
             stacklevel=2,
         )
     return ranks.select("node", "rank_q", "outdeg")
+
+
+_PR_VIEW_IDS = itertools.count()
+
+# SQL-parse path bound: a WITH chain past ~8 iterations trips the
+# analyzer's Resolution iteration cap (each CTE reference re-resolves
+# its definition), while the fluent loop resolves incrementally
+_PR_SQL_MAX_ITERS = 8
+
+
+def _pagerank_sql(
+    edges: DataFrame,
+    iters: int,
+    src_col: str,
+    dst_col: str,
+    init_q: int,
+    num: int,
+    den: int,
+    base: int,
+    seeds: DataFrame | None,
+    weight_col: str | None,
+) -> DataFrame:
+    """pagerank()'s lazy path as one SQL parse — the IDENTICAL
+    algebra of the DataFrame loop (same ingestion front, same
+    divide-first damping chains, same left joins), emitted as a WITH
+    chain and parsed once. spark.sql() analyzes eagerly, so the temp
+    views are dropped before returning and the result stays a plain
+    lazy frame."""
+    spark = edges.sparkSession
+    tag = next(_PR_VIEW_IDS)
+    ev = f"__pipz_pr_e_{tag}"
+    edges.createOrReplaceTempView(ev)
+    views = [ev]
+    s, d = f"`{src_col}`", f"`{dst_col}`"
+    try:
+        if weight_col is None:
+            e_cte = (
+                f"e AS (SELECT {s} AS _src, {d} AS _dst FROM {ev} "
+                f"WHERE {s} IS NOT NULL AND {d} IS NOT NULL)"
+            )
+            mass = "COUNT(*)"
+        else:
+            # cast first, then the NULL/non-positive weight filter —
+            # the loop form's order exactly
+            e_cte = (
+                f"e AS (SELECT * FROM (SELECT {s} AS _src, {d} AS _dst, "
+                f"CAST(`{weight_col}` AS BIGINT) AS _w FROM {ev} "
+                f"WHERE {s} IS NOT NULL AND {d} IS NOT NULL) "
+                f"WHERE _w IS NOT NULL AND _w > 0)"
+            )
+            mass = "SUM(_w)"
+        ctes = [
+            e_cte,
+            "nodes AS (SELECT _src AS node FROM e UNION SELECT _dst AS node FROM e)",
+            f"deg AS (SELECT _src, {mass} AS outdeg FROM e GROUP BY _src)",
+        ]
+        if seeds is None:
+            ctes.append(
+                "ndeg AS (SELECT node, CAST(COALESCE(outdeg, 0) AS BIGINT) "
+                "AS outdeg, CAST({b} AS BIGINT) AS _base FROM nodes "
+                "LEFT JOIN deg ON node = _src)".format(b=base)
+            )
+            ctes.append(
+                f"r0 AS (SELECT node, outdeg, _base, "
+                f"CAST({init_q} AS BIGINT) AS rank_q FROM ndeg)"
+            )
+        else:
+            sv = f"__pipz_pr_s_{tag}"
+            seeds.select(F.col("node")).distinct().createOrReplaceTempView(sv)
+            views.append(sv)
+            ctes.append(
+                "ndeg AS (SELECT n.node, CAST(COALESCE(deg.outdeg, 0) AS "
+                "BIGINT) AS outdeg, (sd.node IS NOT NULL) AS _is_seed, "
+                "CAST(CASE WHEN sd.node IS NOT NULL THEN {b} ELSE 0 END "
+                "AS BIGINT) AS _base FROM nodes n "
+                "LEFT JOIN deg ON n.node = deg._src "
+                f"LEFT JOIN {sv} sd ON n.node = sd.node)".format(b=base)
+            )
+            ctes.append(
+                f"r0 AS (SELECT node, outdeg, _base, CAST(CASE WHEN "
+                f"_is_seed THEN {init_q} ELSE 0 END AS BIGINT) AS rank_q "
+                f"FROM ndeg)"
+            )
+        for it in range(iters):
+            prev, cur = f"r{it}", f"r{it + 1}"
+            if weight_col is None:
+                ctes.append(
+                    f"c{it} AS (SELECT _dst, rank_q DIV outdeg AS _c "
+                    f"FROM e JOIN {prev} ON _src = node WHERE outdeg > 0)"
+                )
+            else:
+                ctes.append(
+                    f"c{it} AS (SELECT _dst, (rank_q DIV outdeg) * _w + "
+                    f"((rank_q % outdeg) * _w) DIV outdeg AS _c "
+                    f"FROM e JOIN {prev} ON _src = node WHERE outdeg > 0)"
+                )
+            ctes.append(
+                f"s{it} AS (SELECT _dst, SUM(_c) AS _s FROM c{it} GROUP BY _dst)"
+            )
+            ctes.append(
+                f"{cur} AS (SELECT node, outdeg, _base, _base + "
+                f"((COALESCE(_s, 0L) DIV {den}L) * {num}L + "
+                f"((COALESCE(_s, 0L) % {den}L) * {num}L) DIV {den}L) "
+                f"AS rank_q FROM ndeg LEFT JOIN s{it} ON node = _dst)"
+            )
+        sql = (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank_q, outdeg FROM r{iters}"
+        )
+        return spark.sql(sql)
+    finally:
+        for v in views:
+            spark.catalog.dropTempView(v)
 
 
 def hits(
